@@ -1,0 +1,87 @@
+"""Parquet table catalog for the synthetic test fixtures.
+
+Replaces the reference's PostgreSQL table access (read: pd.read_sql /
+gpd.read_postgis at /root/reference/viz.py:50,78,97,116; write:
+DataFrame.to_sql at /root/reference/etl.py:177) with columnar Parquet scans
+— predicate pushdown, column pruning, and min/max file skipping come free
+from the Parquet DataSource.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Tables:
+    """Lazy per-table loader: parquet footers are only read for tables a
+    query actually touches (spark.read.parquet is eager about schema, so
+    eagerly loading all 10 tables costs ~10 driver round-trips per query).
+    """
+
+    region: DataFrame
+    nation: DataFrame
+    customer: DataFrame
+    supplier: DataFrame
+    part: DataFrame
+    orders: DataFrame
+    lineitem: DataFrame
+    events: DataFrame
+    documents: DataFrame
+    embeddings: DataFrame
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise AttributeError(name)
+        if name not in self._cache:
+            self._cache[name] = _load_one(self._spark, self._sf_dir, name)
+        return self._cache[name]
+
+    def __iter__(self):
+        return ((name, getattr(self, name)) for name in TABLES)
+
+
+def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; with nanosAsLong it arrives as epoch-nanos long.
+        # Truncate to micros — DuckDB does the same ns→us truncation when
+        # it casts to its native TIMESTAMP, so the oracle agrees.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
+    """Lazy catalog over every fixture table in ``sf_dir``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return Tables(spark, sf_dir)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> Tables:
+    """Load tables and register them as temp views for spark.sql use."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables:
+        df.createOrReplaceTempView(name)
+    return tables

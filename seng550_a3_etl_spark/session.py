@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference hand-tunes PostgreSQL physical design (GIST/B-tree indexes,
+materialized view, fact table — /root/reference/etl.py:224-327). Here the
+equivalent knobs are session-level: AQE (runtime re-planning, skew-join
+splitting, partition coalescing), broadcast threshold, shuffle partition
+count, and Arrow for any pandas interchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# On a real cluster these come from spark-submit; local defaults mirror the
+# driver harness (local[$SPARK_GRAFT_CPUS], 32 threads).
+_DEFAULTS = {
+    # Runtime re-planning: coalesce post-shuffle partitions, split skewed
+    # join partitions, demote/promote join strategies from runtime stats.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region/nation/weather/districts) stay far under
+    # this; at 100 TB the fact side never broadcasts, the dims always do.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics vs the DuckDB oracle (naive UTC).
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "seng550-a3-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``shuffle_partitions`` defaults to 2x local cores; on a cluster pass
+    ~2-3x total executor cores (or rely on AQE coalescing from a higher
+    initial value).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or 2 * cpus)
+    conf.update(extra_conf or {})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

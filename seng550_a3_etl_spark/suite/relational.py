@@ -1,0 +1,552 @@
+"""Relational core of the suite (SURVEY.md §2.2-2.4, §2.6-2.7).
+
+Each query re-expresses a reference operator shape on the synthetic star
+schema. Reference citations are to /root/reference/.
+
+Scale notes apply to every query here: fact tables (orders, lineitem,
+events) are never broadcast; aggregation happens *before* joining tiny
+dimensions wherever semantics allow (partial map-side agg shrinks the
+shuffle); dimensions (region, nation) are explicitly broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from seng550_a3_etl_spark.catalog import load_tables
+from seng550_a3_etl_spark.suite.registry import query
+
+# --------------------------------------------------------------------------
+# Flagship: zero-preserving grouped counts over LEFT joins.
+# Reference: accidents-per-district — LEFT spatial join + COUNT(ti.*)
+# (queries.py:69-77, viz.py:91-95); the COUNT of a right-side column (not
+# COUNT(*)) preserves count=0 for unmatched dimension rows (SURVEY §2.4 A1).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "nation_order_counts",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(o.o_orderkey) AS order_count,
+           COUNT(DISTINCT c.c_custkey) AS customer_count
+    FROM nation n
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    """,
+)
+def nation_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders + customers per nation, nations with zero preserved.
+
+    Scale plan: instead of LEFT-joining the tiny preserved side against two
+    fact tables (which would force the big tables through the join before
+    any reduction), pre-aggregate each fact to per-nation partials — the
+    shuffle then carries ≤25 rows per fact — and LEFT-join the aggregates
+    onto the broadcast-sized dimension, coalescing absent groups to 0.
+    """
+    t = load_tables(spark, sf_dir)
+    cust = t.customer.select("c_custkey", "c_nationkey")
+    cust_per_nation = cust.groupBy("c_nationkey").agg(
+        F.count_distinct("c_custkey").alias("customer_count")
+    )
+    orders_per_nation = (
+        t.orders.select("o_custkey", "o_orderkey")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .groupBy("c_nationkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return (
+        F.broadcast(t.nation.select("n_nationkey", "n_name"))
+        .join(
+            cust_per_nation,
+            F.col("n_nationkey") == cust_per_nation.c_nationkey,
+            "left",
+        )
+        .drop("c_nationkey")
+        .join(
+            orders_per_nation,
+            F.col("n_nationkey") == orders_per_nation.c_nationkey,
+            "left",
+        )
+        .select(
+            "n_name",
+            F.coalesce("order_count", F.lit(0)).alias("order_count"),
+            F.coalesce("customer_count", F.lit(0)).alias("customer_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped aggregation sweep (A1-A9 analogs) — TPC-H Q1 shape.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan→filter→hash-agg; the filter and the 6-column projection
+    both push into the Parquet scan (PushedFilters / ReadSchema), and the
+    agg is partial+final with only |groups| rows shuffled."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "daily_event_stats",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event rollup — the reference's accidents-per-day with
+    carried weather attributes (A2, queries.py:81-91) keyed on a cast
+    date (F5/F9, queries.py:88). Dates are emitted as ISO strings so the
+    oracle comparison is representation-stable."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("event_date")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "scalar_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(CAST(MEDIAN(l_extendedprice) AS DOUBLE), 4) AS median_price
+    FROM lineitem
+    """,
+)
+def scalar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar count/min/max/mean/median (A5-A9; viz.py:141-142,228-229,
+    313-316). Median is exact here; percentile_approx is the 100 TB path
+    (single-pass sketch, no global sort)."""
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Filters / projections (P1-P10).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "filter_suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           ROUND(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1996-12-31'
+      AND l_returnflag IN ('A', 'R')
+      AND l_quantity > 30
+      AND l_discount IS NOT NULL
+    """,
+)
+def filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicate composition: null-rejecting + BETWEEN + IN +
+    comparison (P3-P8; queries.py:149, viz.py:200-219). All four predicates
+    push down into the Parquet scan as one conjunction."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(
+            F.col("l_shipdate").between(
+                F.lit("1994-01-01").cast("timestamp"),
+                F.lit("1996-12-31").cast("timestamp"),
+            )
+            & F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_quantity") > 30)
+            & F.col("l_discount").isNotNull()
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+@query(
+    "distinct_domain",
+    oracle="""
+    SELECT DISTINCT c_mktsegment
+    FROM customer
+    WHERE c_mktsegment IS NOT NULL
+    ORDER BY c_mktsegment
+    """,
+)
+def distinct_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted distinct scalar domain for a filter widget (P10/O4,
+    viz.py:152). distinct() is a partial-agg shuffle of unique values only."""
+    t = load_tables(spark, sf_dir)
+    c = F.col("c_mktsegment")
+    return (
+        t.customer.select(c).where(c.isNotNull()).distinct().orderBy(c)
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (J3-J5 + the join types the reference doesn't use but a complete
+# engine must expose: inner / semi / anti — SURVEY §2.3 closing note).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_order_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           ROUND(o.o_totalprice, 2) AS total_price
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def customer_order_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join with a pushed-down filter on the fact side. At scale
+    this is a shuffle hash / sort-merge join on c_custkey; the status filter
+    reaches the orders scan first."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.filter(F.col("o_orderstatus") == "F")
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "date_key_join",
+    oracle="""
+    WITH daily_ship AS (
+      SELECT CAST(l_shipdate AS DATE) AS ship_date,
+             ROUND(SUM(l_quantity), 2) AS day_ship_qty
+      FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+    )
+    SELECT o.o_orderkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           COALESCE(d.day_ship_qty, 0.0) AS day_ship_qty
+    FROM orders o
+    LEFT JOIN daily_ship d ON d.ship_date = CAST(o.o_orderdate AS DATE)
+    """,
+)
+def date_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal LEFT equi-join on a cast date key — the reference's
+    accident⟕weather join (J3, queries.py:60-61: `w.date = ti.start_dt::date`),
+    null-filled when no match (P9, viz.py:238).
+
+    Scale plan: the right side is pre-aggregated to one row per day, so
+    Catalyst broadcast-joins it; the preserved fact side never shuffles.
+    """
+    t = load_tables(spark, sf_dir)
+    daily_ship = (
+        t.lineitem.groupBy(F.col("l_shipdate").cast("date").alias("ship_date"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("day_ship_qty"))
+    )
+    return (
+        t.orders.select(
+            "o_orderkey", F.col("o_orderdate").cast("date").alias("order_date")
+        )
+        .join(
+            F.broadcast(daily_ship),
+            F.col("order_date") == F.col("ship_date"),
+            "left",
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("order_date", "yyyy-MM-dd").alias("order_date"),
+            F.coalesce("day_ship_qty", F.lit(0.0)).alias("day_ship_qty"),
+        )
+    )
+
+
+@query(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (existence probe, P11-shaped as a join). Shuffles only
+    distinct keys of the right side; no row multiplication."""
+    t = load_tables(spark, sf_dir)
+    return t.customer.join(
+        t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the complement probe."""
+    t = load_tables(spark, sf_dir)
+    return t.customer.join(
+        t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "region_revenue",
+    oracle="""
+    SELECT r.r_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way join chain ending in a grouped agg (the reference's 3-way
+    matview join shape, etl.py:259-276, scaled up one level).
+
+    Scale plan: the two fact-fact joins (lineitem⋈orders on orderkey,
+    then ⋈customer on custkey) are shuffle joins on their keys; region and
+    nation are broadcast. Revenue is aggregated per nationkey *before*
+    the broadcast dims attach, so the final join carries ≤|nations| rows.
+    """
+    t = load_tables(spark, sf_dir)
+    rev_per_nation = (
+        t.lineitem.select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+        .join(t.orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.sum("rev").alias("rev"), F.count(F.lit(1)).alias("n_lineitems"))
+    )
+    dims = F.broadcast(
+        t.nation.join(t.region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "r_name")
+    )
+    return (
+        rev_per_nation.join(dims, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.sum("n_lineitems").alias("n_lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / top-k / windows (O1-O4, W1 shape).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "top_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total_price
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group — the reference's DISTINCT ON / ORDER BY...LIMIT 1
+    pattern (W1/O2/O3, queries.py:133,150,188-189) as a row_number window.
+    Deterministic tiebreak on o_orderkey. One shuffle on the partition key."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        t.orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "running_customer_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_revenue,
+           RANK() OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice DESC
+           ) AS price_rank
+    FROM orders
+    """,
+)
+def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate + rank windows (beyond-reference window surface;
+    SURVEY §2.6 notes the engine exposes these as natural extensions)."""
+    t = load_tables(spark, sf_dir)
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_revenue"),
+        F.rank().over(w_rank).alias("price_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / set operations (SURVEY §2.4/§2.6 "free in Spark" surface).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "order_status_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (subtotals + grand total) — one pass, grouping
+    sets expanded by Catalyst, still partial+final aggregated."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "segment_setops",
+    oracle="""
+    SELECT 'building_with_orders' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'machinery_no_orders' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+      EXCEPT
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    )
+    """,
+)
+def segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL / INTERSECT / EXCEPT — absent from the reference (its
+    closest analog is pandas mask composition, viz.py:200-219) but part of
+    a complete engine surface."""
+    t = load_tables(spark, sf_dir)
+    order_keys = t.orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    building = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    machinery = t.customer.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_custkey"
+    )
+    return (
+        building.intersect(order_keys)
+        .select(F.lit("building_with_orders").alias("tag"), "c_custkey")
+        .unionAll(
+            machinery.exceptAll(order_keys)
+            .select(F.lit("machinery_no_orders").alias("tag"), "c_custkey")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON scalar functions (F8; events.props per SURVEY §2.7 closing note).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column — the inverse of the
+    reference's json.dumps flattening (F8, etl.py:148-155)."""
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k")
+    return (
+        t.events.select("event_id", k.cast("bigint").alias("k_val"))
+        .filter(k.isNotNull())
+    )

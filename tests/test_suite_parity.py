@@ -1,0 +1,29 @@
+"""Differential test of every suite query against its DuckDB oracle at
+sf=0.01 — a local mirror of the driver's correctness gate (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from seng550_a3_etl_spark.suite import ORACLES, QUERIES
+from tests.conftest import SF_ORACLE
+from tests.oracle_harness import assert_parity
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity(spark, name):
+    df = QUERIES[name](spark, SF_ORACLE)
+    if name in ORACLES:
+        assert_parity(df, ORACLES[name], SF_ORACLE, name=name)
+    else:
+        # rows-only check for non-SQL-expressible ops (driver's weak gate)
+        assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
