@@ -1,0 +1,102 @@
+"""As-of (nearest-temporal) join — the reference's unfinished lateral join
+(SURVEY.md §2.3 J6; /root/reference/queries.py:164-191 is a commented-out
+``JOIN LATERAL ... ORDER BY recorded_at DESC LIMIT 1``).
+
+Spark-first design: instead of a range join + per-left-row top-1 (which
+explodes candidate pairs before pruning), we use the union-marker pattern:
+
+1. Tag left and right rows, union them into one stream.
+2. One window per partition key, ordered by (ts, is_left) — right rows
+   sort *before* left rows at equal timestamps, giving inclusive (<=)
+   as-of semantics.
+3. ``last(payload_struct, ignorenulls=True)`` carries the most recent
+   right payload forward onto each left row.
+
+Cost: ONE shuffle on the partition key + a per-partition sort — the same
+as a sort-merge join, with zero row multiplication regardless of how many
+right rows precede a left row. This is the plan that survives 100 TB;
+a lateral/range formulation does not.
+
+The right payload is bundled into a single struct before the window so
+all its fields travel atomically (per-column ``last(ignorenulls)`` could
+mix fields from different right rows when payload columns contain nulls).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_TS = "__asof_ts"
+_IS_LEFT = "__is_left"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """Left as-of join: for each left row, attach the payload of the
+    right row with the greatest ``right_ts`` <= ``left_ts`` (backward) or
+    smallest ``right_ts`` >= ``left_ts`` (forward), matching on ``by``.
+
+    Unmatched left rows keep null right payload (LEFT semantics). Right
+    payload columns must not collide with left column names.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+
+    by = list(by)
+    left_payload = [c for c in left.columns if c not in by]
+    right_payload = [c for c in right.columns if c not in by and c != right_ts]
+    collisions = set(left.columns) & set(right_payload)
+    if collisions:
+        raise ValueError(f"colliding payload columns: {sorted(collisions)}")
+
+    l_tagged = left.select(
+        *by,
+        *left_payload,
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_IS_LEFT),
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}"
+                for c in [right_ts, *right_payload]
+            )
+            + ">"
+        )
+        .alias(_PAYLOAD),
+    )
+    r_tagged = right.select(
+        *by,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_IS_LEFT),
+        F.struct(F.col(right_ts), *[F.col(c) for c in right_payload]).alias(
+            _PAYLOAD
+        ),
+    )
+
+    ts_order = F.asc(_TS) if direction == "backward" else F.desc(_TS)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_order, F.asc(_IS_LEFT))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col(_IS_LEFT) == 1).select(
+        *by,
+        *left_payload,
+        *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in [right_ts, *right_payload]],
+    )

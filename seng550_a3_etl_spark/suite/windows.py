@@ -1,0 +1,191 @@
+"""Windowed dedup / conditional upsert / as-of suite queries
+(SURVEY.md §2.5 W1-W2, §2.3 J6, §2.8 extension: tumbling windows).
+
+Timestamps are emitted as formatted strings (micros precision) so the
+cross-engine hash is representation-stable; the DuckDB oracle casts its
+nanosecond timestamps to TIMESTAMP (microseconds, truncating) which
+matches the catalog's ns→us truncation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seng550_a3_etl_spark.catalog import load_tables
+from seng550_a3_etl_spark.operators.dedup import latest_wins, merge_upsert
+from seng550_a3_etl_spark.operators.joins import asof_join
+from seng550_a3_etl_spark.suite.registry import query
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@query(
+    "latest_event_per_user",
+    oracle=f"""
+    SELECT user_id, event_id, event_type,
+           strftime(CAST(ts AS TIMESTAMP), '{_TS_FMT_DUCK}') AS ts_str
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: DISTINCT ON latest-wins dedup (queries.py:133,150) — keep each
+    user's most recent event, event_id as deterministic tiebreak."""
+    t = load_tables(spark, sf_dir)
+    return latest_wins(
+        t.events, ["user_id"], [F.desc("ts"), F.desc("event_id")]
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", _TS_FMT).alias("ts_str"),
+    )
+
+
+@query(
+    "merge_upsert_events",
+    oracle=f"""
+    WITH source AS (
+      SELECT event_id,
+             CASE WHEN event_id % 20 = 0
+                  THEN CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR
+                  ELSE CAST(ts AS TIMESTAMP) - INTERVAL 1 HOUR END AS ts,
+             user_id, 'updated' AS event_type, value + 1000 AS value, props
+      FROM events WHERE event_id % 10 = 0
+    ),
+    unioned AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             value, props, 0 AS prec
+      FROM events
+      UNION ALL
+      SELECT event_id, ts, user_id, event_type, value, props, 1 FROM source
+    )
+    SELECT event_id, event_type,
+           strftime(ts, '{_TS_FMT_DUCK}') AS ts_str,
+           ROUND(value, 4) AS value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY ts DESC, prec ASC
+      ) AS rn
+      FROM unioned
+    ) WHERE rn = 1
+    """,
+)
+def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: conditional upsert with the strictly-newer guard
+    (queries.py:151-160). The source is a deterministic mutation of every
+    10th event: ids divisible by 20 are *fresher* (+1h, must replace the
+    target), the rest are *staler* (-1h, must lose to the guard)."""
+    t = load_tables(spark, sf_dir)
+    source = t.events.filter(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 20 == 0,
+            F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+        )
+        .otherwise(F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        .alias("ts"),
+        "user_id",
+        F.lit("updated").alias("event_type"),
+        (F.col("value") + 1000).alias("value"),
+        "props",
+    )
+    merged = merge_upsert(t.events, source, keys=["event_id"], version_col="ts")
+    return merged.select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", _TS_FMT).alias("ts_str"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+@query(
+    "asof_signup_for_purchase",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    s0 AS (
+      SELECT event_id AS signup_id, user_id, CAST(ts AS TIMESTAMP) AS sts
+      FROM events WHERE event_type = 'signup'
+    ),
+    s AS (
+      SELECT signup_id, user_id, sts FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, sts ORDER BY signup_id DESC
+        ) AS rn FROM s0
+      ) WHERE rn = 1
+    )
+    SELECT p.purchase_id, p.user_id, s.signup_id,
+           strftime(s.sts, '{_TS_FMT_DUCK}') AS signup_ts
+    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.pts >= s.sts
+    """,
+)
+def asof_signup_for_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: the reference's unfinished lateral top-1 join (queries.py:164-191)
+    finished as a scalable as-of join — for each purchase, the same user's
+    most recent signup at-or-before the purchase time. Signups are deduped
+    per (user, ts) first so both engines break ties identically."""
+    t = load_tables(spark, sf_dir)
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    signups = latest_wins(
+        t.events.filter(F.col("event_type") == "signup").select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.col("ts").alias("sts"),
+        ),
+        ["user_id", "sts"],
+        [F.desc("signup_id")],
+    )
+    joined = asof_join(
+        purchases, signups, by=["user_id"], left_ts="pts", right_ts="sts"
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "signup_id",
+        F.date_format("sts", _TS_FMT).alias("signup_ts"),
+    )
+
+
+@query(
+    "hourly_event_windows",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+                    '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (SURVEY §2.8: the batch face of the
+    Structured Streaming windowed count; F.window is the same operator the
+    streaming path uses with a watermark)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,107 @@
+"""Unit tests for W1/W2 semantics (SURVEY.md §5.3): latest-wins dedup and
+the strictly-newer merge guard, including tie / stale / fresh / insert
+cases and idempotence."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from seng550_a3_etl_spark.operators.dedup import latest_wins, merge_upsert
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_latest_wins_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "a"),
+            (1, _ts("2024-01-01T10:00:00"), "b"),  # ts tie → higher tag wins
+            (1, _ts("2024-01-01T09:00:00"), "c"),
+            (2, _ts("2024-01-01T00:00:00"), "d"),
+        ],
+        "k int, ts timestamp, tag string",
+    )
+    out = latest_wins(df, ["k"], [F.desc("ts"), F.desc("tag")])
+    got = {r.k: r.tag for r in out.collect()}
+    assert got == {1: "b", 2: "d"}
+
+
+def test_merge_upsert_guard(spark):
+    schema = "k int, ts timestamp, v string"
+    target = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "t1"),  # fresher source → replaced
+            (2, _ts("2024-01-01T10:00:00"), "t2"),  # staler source → kept
+            (3, _ts("2024-01-01T10:00:00"), "t3"),  # tie → target wins (strict <)
+            (4, _ts("2024-01-01T10:00:00"), "t4"),  # no source row → kept
+        ],
+        schema,
+    )
+    source = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T11:00:00"), "s1"),
+            (2, _ts("2024-01-01T09:00:00"), "s2"),
+            (3, _ts("2024-01-01T10:00:00"), "s3"),
+            (5, _ts("2024-01-01T08:00:00"), "s5"),  # new key → inserted
+        ],
+        schema,
+    )
+    out = merge_upsert(target, source, ["k"], "ts")
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "s1", 2: "t2", 3: "t3", 4: "t4", 5: "s5"}
+
+
+def test_merge_upsert_idempotent(spark):
+    """Re-applying the same source must be a no-op (the property the
+    reference's ON CONFLICT guard provides across ETL reruns)."""
+    schema = "k int, ts timestamp, v string"
+    target = spark.createDataFrame([(1, _ts("2024-01-01T10:00:00"), "t1")], schema)
+    source = spark.createDataFrame([(1, _ts("2024-01-01T11:00:00"), "s1")], schema)
+    once = merge_upsert(target, source, ["k"], "ts")
+    twice = merge_upsert(once, source, ["k"], "ts")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_asof_join_edges(spark):
+    from seng550_a3_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "before_any"),
+            (1, _ts("2024-01-01T12:00:00"), "equal_ts"),
+            (1, _ts("2024-01-01T15:00:00"), "after_two"),
+            (2, _ts("2024-01-01T10:00:00"), "no_right_key"),
+        ],
+        "k int, lts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T12:00:00"), "r1"),
+            (1, _ts("2024-01-01T13:00:00"), "r2"),
+        ],
+        "k int, rts timestamp, rv string",
+    )
+    out = asof_join(left, right, by=["k"], left_ts="lts", right_ts="rts")
+    got = {r.tag: r.rv for r in out.collect()}
+    # before any right row → null; equal ts → inclusive match; later → latest
+    assert got == {
+        "before_any": None,
+        "equal_ts": "r1",
+        "after_two": "r2",
+        "no_right_key": None,
+    }
+
+    fwd = asof_join(
+        left, right, by=["k"], left_ts="lts", right_ts="rts", direction="forward"
+    )
+    got_f = {r.tag: r.rv for r in fwd.collect()}
+    assert got_f == {
+        "before_any": "r1",
+        "equal_ts": "r1",
+        "after_two": None,
+        "no_right_key": None,
+    }
