@@ -1,0 +1,103 @@
+"""Cross-engine-deterministic 60-bit hashing, MinHash, and SimHash.
+
+Spark's native xxhash64 and DuckDB's hash() use different algorithms, so
+oracle-checked dedup needs a hash both engines compute identically. We
+derive a 60-bit integer from md5 (both engines agree on md5 of UTF-8):
+
+    Spark:  conv(substring(md5(s), 1, 15), 16, 10)::long
+    DuckDB: ('0x' || substr(md5(s), 1, 15))::BIGINT
+
+15 hex digits = 60 bits, safely inside a signed 64-bit integer. md5 is
+~2-3× slower than xxhash64 but still JVM-side and vectorizable; swap
+``hash64`` for ``F.xxhash64`` in production when oracle parity is not
+required (the operators take the hash function as a parameter).
+
+MinHash signatures and SimHash fingerprints are computed *per row with
+higher-order functions* — no explode, no shuffle; the only shuffle in the
+dedup pipeline is the candidate-pair join itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_BITS = 60
+
+
+def hash64(col: Column, seed: int | None = None) -> Column:
+    """60-bit deterministic hash of a string column (optionally seeded)."""
+    s = F.concat(F.lit(f"{seed}:"), col) if seed is not None else col
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def duck_hash64(expr: str, seed: int | None = None) -> str:
+    """The DuckDB SQL computing exactly :func:`hash64`."""
+    s = f"'{seed}:' || {expr}" if seed is not None else expr
+    return f"(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
+
+
+def minhash_signature(shingles: Column, num_perm: int) -> Column:
+    """MinHash signature as an array<long> of ``num_perm`` seeded minima.
+
+    min over the shingle set of a seeded hash approximates a random
+    permutation's first element; equality probability per position equals
+    the Jaccard similarity (Broder 1997). Empty shingle sets get
+    sentinel-free null mins (array_min of empty → null)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: hash64(s, seed=i)))
+            for i in range(num_perm)
+        ]
+    )
+
+
+def duck_minhash_signature(shingles_expr: str, num_perm: int) -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform({shingles_expr}, s -> "
+        + duck_hash64("s", seed=i)
+        + "), 'min')"
+        for i in range(num_perm)
+    )
+    return f"[{mins}]"
+
+
+def simhash(tokens: Column, bits: int = HASH_BITS) -> Column:
+    """SimHash fingerprint (Charikar 2002): per bit position j, sum ±1
+    over token hashes' j-th bit (with multiplicity); fingerprint bit j is
+    the sign. Near-identical token multisets → small Hamming distance.
+
+    Computed as ``bits`` HOF aggregates over the precomputed per-token
+    hash array — one pass, JVM-side, no shuffle."""
+    # (h & mask != 0) instead of shiftright: plain Column methods work on
+    # HOF lambda variables, F.shiftright's int-arg signature doesn't. The
+    # closure factory keeps the merge lambda binary (pyspark derives the
+    # lambda arity from the Python signature, defaults included).
+    def _bit_step(mask: Column):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(mask) != 0, 1
+        ).otherwise(-1)
+
+    hs = F.transform(tokens, lambda t: hash64(t))
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        bit_sum = F.aggregate(
+            hs, F.lit(0).cast("long"), _bit_step(F.lit(1 << j))
+        )
+        fp = fp + (bit_sum > 0).cast("long") * F.lit(1 << j)
+    return fp
+
+
+def duck_simhash(tokens_expr: str, bits: int = HASH_BITS) -> str:
+    """The DuckDB SQL computing exactly :func:`simhash` (hashes the token
+    list once into ``hs``, then sums each bit plane)."""
+    h = duck_hash64("t")
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(bits)
+    )
+    return (
+        f"(SELECT {terms} FROM "
+        f"(SELECT list_transform({tokens_expr}, t -> {h}) AS hs))"
+    )

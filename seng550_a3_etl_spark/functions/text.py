@@ -1,0 +1,98 @@
+"""Text-analysis column expressions (north-star extension: language ID,
+quality scoring, token counting, shingling, fingerprinting — the
+operations a large-scale training-data pipeline runs over a documents
+table).
+
+All pure built-in expressions — per-row, no shuffle, codegen-eligible.
+Each has an exact DuckDB mirror in suite/text.py so the computations are
+oracle-checked, not just smoke-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from seng550_a3_etl_spark.functions.hashing import hash64
+
+# Token regex for "BPE-ish" counting: word pieces or single non-space
+# punctuation — a cheap stand-in for a real tokenizer's token count.
+TOKEN_REGEX = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+# Tiny per-language marker wordlists for the n-gram/stopword language-ID
+# heuristic. Deterministic and oracle-mirrored; swap for real frequency
+# tables in production.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "de", "que", "y", "en"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3", "he2"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the documents fixture is space-separated)."""
+    return F.split(text, r"\s+")
+
+
+def shingles(toks: Column, n: int) -> Column:
+    """All n-token shingles, space-joined. Empty array when the document
+    has fewer than n tokens."""
+    count = F.size(toks) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_count_regex(text: Column) -> Column:
+    """BPE-ish token count via the token regex (word pieces + punct)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def marker_count(toks: Column, lang: str) -> Column:
+    """How many tokens (with multiplicity) are markers of ``lang``."""
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def lang_id(toks: Column) -> Column:
+    """Argmax language over marker counts; deterministic tie-break in
+    LANG_MARKERS order; 'und' when no marker hits."""
+    counts = {lang: marker_count(toks, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((counts[lang] == best) & (best > 0), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def quality_score(text: Column, toks: Column) -> Column:
+    """Composite [0,1] quality score: length, lexical diversity, mean
+    token length, stopword presence — the usual cheap pretraining-corpus
+    filters, equally weighted."""
+    n_tok = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    avg_len = (F.length(text) - (n_tok - 1)) / F.greatest(n_tok, F.lit(1))
+    stop_ratio = marker_count(toks, "en") / F.greatest(n_tok, F.lit(1))
+    clamp = lambda c: F.least(c, F.lit(1.0))  # noqa: E731
+    return (
+        clamp(n_tok / F.lit(100.0)) * 0.25
+        + uniq_ratio * 0.25
+        + clamp(avg_len / F.lit(8.0)) * 0.25
+        + clamp(stop_ratio * F.lit(10.0)) * 0.25
+    )
+
+
+def doc_fingerprint(toks: Column, n: int = 5) -> Column:
+    """Single 60-bit document fingerprint: the minimum hash over n-token
+    shingles (winnowing-lite / content-defined fingerprint). Equal for
+    documents sharing their minimal shingle — a cheap first-pass grouping
+    key for near-dup candidate generation."""
+    return F.array_min(F.transform(shingles(toks, n), lambda s: hash64(s)))

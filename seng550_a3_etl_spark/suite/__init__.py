@@ -12,4 +12,10 @@ Importing this package populates the registries.
 from seng550_a3_etl_spark.suite.registry import ORACLES, QUERIES  # noqa: F401
 
 # Import for registration side effects.
-from seng550_a3_etl_spark.suite import relational, spatial, windows  # noqa: E402,F401
+from seng550_a3_etl_spark.suite import (  # noqa: E402,F401
+    relational,
+    spatial,
+    text,
+    vectors,
+    windows,
+)

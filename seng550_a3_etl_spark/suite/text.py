@@ -1,0 +1,261 @@
+"""Text-analysis + document-dedup suite queries (north-star extension:
+the operator set a pretraining-data pipeline runs over a documents
+table). Every query here is fully oracle-checked — including MinHash-LSH
+and SimHash, whose md5-derived hashes DuckDB reproduces bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seng550_a3_etl_spark.catalog import load_tables
+from seng550_a3_etl_spark.functions.hashing import (
+    duck_hash64,
+    duck_minhash_signature,
+    duck_simhash,
+)
+from seng550_a3_etl_spark.functions.text import (
+    LANG_MARKERS,
+    TOKEN_REGEX,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    tokens,
+)
+from seng550_a3_etl_spark.operators.text_dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from seng550_a3_etl_spark.suite.registry import query
+
+# Shared DuckDB fragments ---------------------------------------------------
+
+_TOKS = r"(SELECT doc_id, text, string_split_regex(text, '\s+') AS t FROM documents)"
+
+
+def _duck_shingles(n: int, toks: str = "t") -> str:
+    """n-token shingles of list column ``toks`` (1-based inclusive slices)."""
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )
+
+
+def _duck_marker(lang: str) -> str:
+    lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter(t, x -> list_contains([{lst}], x)))"
+
+
+# Queries -------------------------------------------------------------------
+
+
+@query(
+    "doc_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_unique,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_regex_tokens
+    FROM {_TOKS}
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, unique tokens, and a BPE-ish
+    regex token count — the cheap size features every corpus pipeline
+    materializes first."""
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    return t.documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_regex_tokens"),
+    )
+
+
+_LANG_CASE = " ".join(
+    f"WHEN c_{lang} = best AND best > 0 THEN '{lang}'"
+    for lang in LANG_MARKERS
+)
+
+
+@query(
+    "doc_lang_quality",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id, text, t,
+             {_duck_marker('en')} AS c_en, {_duck_marker('es')} AS c_es,
+             {_duck_marker('de')} AS c_de, {_duck_marker('fr')} AS c_fr,
+             {_duck_marker('zh')} AS c_zh
+      FROM {_TOKS}
+    )
+    SELECT doc_id,
+           CASE {_LANG_CASE} ELSE 'und' END AS lang_pred,
+           ROUND(
+             least(len(t) / 100.0, 1.0) * 0.25
+             + (len(list_distinct(t)) / greatest(len(t), 1)) * 0.25
+             + least(((length(text) - (len(t) - 1)) / greatest(len(t), 1)) / 8.0,
+                     1.0) * 0.25
+             + least((c_en / greatest(len(t), 1)) * 10.0, 1.0) * 0.25,
+           6) AS quality
+    FROM (SELECT *, greatest(c_en, c_es, c_de, c_fr, c_zh) AS best FROM scored)
+    """,
+)
+def doc_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-wordlist argmax, deterministic
+    tie-break) + composite quality score — the standard cheap corpus
+    filters, computed per-row with zero shuffle."""
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    return t.documents.select(
+        "doc_id",
+        lang_id(toks).alias("lang_pred"),
+        F.round(quality_score(F.col("text"), toks), 6).alias("quality"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           list_aggregate(list_transform({_duck_shingles(5)},
+                          s -> {duck_hash64('s')}), 'min') AS fingerprint
+    FROM {_TOKS}
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit min-shingle-hash document fingerprint (winnowing-lite)."""
+    t = load_tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        doc_fingerprint(tokens(F.col("text")), n=5).alias("fingerprint"),
+    )
+
+
+@query(
+    "exact_dedup_docs",
+    oracle="""
+    WITH groups AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS canonical_id,
+             COUNT(*) AS group_size
+      FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, g.canonical_id, g.group_size
+    FROM documents d JOIN groups g ON md5(d.text) = g.h
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: every doc mapped to the canonical (min) id of
+    its content-hash group."""
+    t = load_tables(spark, sf_dir)
+    return exact_dedup(t.documents, "doc_id", "text")
+
+
+_DUCK_SETS3 = (
+    f"(SELECT doc_id AS doc, list_distinct({_duck_shingles(3, 't')}) AS sh "
+    f"FROM {_TOKS})"
+)
+
+
+@query(
+    "ngram_dup_pairs",
+    oracle=f"""
+    WITH sets_ AS {_DUCK_SETS3},
+    sizes AS (SELECT doc, CAST(len(sh) AS BIGINT) AS n_sh FROM sets_),
+    ex AS (SELECT doc, unnest(sh) AS s FROM sets_),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b USING (s)
+      WHERE a.doc < b.doc GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter,
+           sa.n_sh AS size_a, sb.n_sh AS size_b,
+           inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.8
+    """,
+)
+def ngram_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8) — the
+    correctness baseline the LSH path is verified against."""
+    t = load_tables(spark, sf_dir)
+    return ngram_jaccard_pairs(t.documents, "doc_id", "text", n=3, threshold=0.8)
+
+
+def _duck_minhash_bands(num_perm: int, bands: int) -> str:
+    rows = num_perm // bands
+    arms = []
+    for b in range(bands):
+        key = " || ',' || ".join(
+            f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+        )
+        arms.append(f"SELECT doc, {b} AS band, {key} AS key FROM sig")
+    return " UNION ALL ".join(arms)
+
+
+@query(
+    "minhash_dup_pairs",
+    oracle=f"""
+    WITH sets_ AS (SELECT * FROM {_DUCK_SETS3} WHERE len(sh) > 0),
+    sig AS (SELECT doc, sh,
+                   {duck_minhash_signature('sh', 8)} AS sig
+            FROM sets_),
+    banded AS ({_duck_minhash_bands(8, 4)}),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM banded a JOIN banded b USING (band, key)
+      WHERE a.doc < b.doc
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+           CAST(len(sa.sh) AS BIGINT) AS size_a,
+           CAST(len(sb.sh) AS BIGINT) AS size_b,
+           len(list_intersect(sa.sh, sb.sh))
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+             AS jaccard
+    FROM cand
+    JOIN sets_ sa ON sa.doc = doc_a
+    JOIN sets_ sb ON sb.doc = doc_b
+    WHERE len(list_intersect(sa.sh, sb.sh))
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+    """,
+)
+def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 perms) + LSH(4 bands × 2 rows) candidate generation with
+    exact-Jaccard verification — the scale path for near-dup detection.
+    The oracle replays the identical signature/banding math in SQL."""
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_pairs(
+        t.documents, "doc_id", "text", n=3, num_perm=8, bands=4, threshold=0.8
+    )
+
+
+@query(
+    "simhash_near_pairs",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id AS doc, {duck_simhash('t')} AS fp FROM {_TOKS}
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc < b.doc
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """,
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(60-bit) near-dup pairs within Hamming distance 3. The
+    engine uses the pigeonhole band join (4 chunks → any qualifying pair
+    shares one exact chunk); the oracle brute-forces all pairs — result
+    sets must be identical, which checks the pigeonhole construction."""
+    t = load_tables(spark, sf_dir)
+    return simhash_pairs(t.documents, "doc_id", "text", max_hamming=3, bits=60)
