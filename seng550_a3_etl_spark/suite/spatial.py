@@ -175,6 +175,70 @@ def wkt_point_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incident_facts_pipeline",
+    oracle=f"""
+    WITH p AS ({_ORACLE_POINTS}),
+    d AS (
+      SELECT n_name,
+             (n_nationkey % 5) * 10.0 AS x0,
+             (n_nationkey // 5) * 10.0 AS y0
+      FROM nation WHERE n_nationkey % 7 != 0
+    ),
+    located AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS od, p.px, p.py
+      FROM orders o JOIN p ON p.c_custkey = o.o_custkey
+    ),
+    w AS (
+      SELECT CAST(l_shipdate AS DATE) AS dt,
+             ROUND(SUM(l_quantity), 2) AS day_qty
+      FROM lineitem GROUP BY 1
+    ),
+    assigned AS (
+      SELECT l.o_orderkey, l.od, d.n_name
+      FROM located l LEFT JOIN d
+        ON l.px >= d.x0 AND l.px < d.x0 + 10
+       AND l.py >= d.y0 AND l.py < d.y0 + 10
+    )
+    SELECT a.o_orderkey, a.n_name,
+           strftime(a.od, '%Y-%m-%d') AS order_date,
+           COALESCE(w.day_qty, 0.0) AS day_qty
+    FROM assigned a LEFT JOIN w ON w.dt = a.od
+    """,
+)
+def incident_facts_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2E gold pipeline (the accident_facts build, /root/reference/
+    queries.py:120-150 via plans/gold.build_facts): orders act as
+    incidents located at their customer's point; spatial LEFT assign to
+    gap-tiled districts; temporal LEFT join to a per-day dimension."""
+    from seng550_a3_etl_spark.plans.gold import build_facts
+
+    t = load_tables(spark, sf_dir)
+    incidents = (
+        t.orders.select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(customer_points(t), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "px", "py")
+    )
+    weather = t.lineitem.groupBy(
+        F.col("l_shipdate").cast("date").alias("date")
+    ).agg(F.round(F.sum("l_quantity"), 2).alias("day_qty"))
+    facts = build_facts(
+        incidents,
+        district_rects(t, gap_modulo=7),
+        weather,
+        incident_key="o_orderkey",
+        x="px",
+        y="py",
+        ts="o_orderdate",
+    )
+    return facts.select(
+        "o_orderkey",
+        "n_name",
+        F.date_format("incident_date", "yyyy-MM-dd").alias("order_date"),
+        F.coalesce("day_qty", F.lit(0.0)).alias("day_qty"),
+    )
+
+
 _HAVERSINE_SQL = """
     2 * 6371000.0 * asin(sqrt(
       sin(radians({lat2} - {lat1}) / 2) * sin(radians({lat2} - {lat1}) / 2)

@@ -1,0 +1,72 @@
+"""Gold-table lifecycle tests (SURVEY.md §3.E1 stages 5-6): partitioned
+persist (matview analog), incremental merge refresh with the
+strictly-newer guard, and W3 create-if-absent idempotence."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from seng550_a3_etl_spark.plans.gold import (
+    refresh_gold_incremental,
+    save_gold,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_save_gold_partitioned_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0)],
+        "k int, d string, v double",
+    )
+    path = str(tmp_path / "gold")
+    save_gold(df, path, partition_by=["d"])
+    back = spark.read.parquet(path)
+    # partition-column type inference promotes the date strings to DATE —
+    # exactly what date-partition pruning wants
+    assert sorted((r.k, str(r.d), r.v) for r in back.collect()) == [
+        (1, "2024-01-01", 10.0),
+        (2, "2024-01-02", 20.0),
+    ]
+    # partition pruning: a filter on the partition key reads one partition
+    pruned = back.filter(F.col("d") == "2024-01-01")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == 1
+    assert "PartitionFilters: [isnotnull(d" in plan
+
+
+def test_refresh_gold_incremental(spark, tmp_path):
+    schema = "k int, ts timestamp, v string, d string"
+    path = str(tmp_path / "facts")
+    initial = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "t1", "2024-01-01"),
+            (2, _ts("2024-01-01T10:00:00"), "t2", "2024-01-01"),
+        ],
+        schema,
+    )
+    save_gold(initial, path, partition_by=["d"])
+
+    batch = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T11:00:00"), "s1", "2024-01-01"),  # fresher
+            (2, _ts("2024-01-01T09:00:00"), "s2", "2024-01-01"),  # staler
+            (3, _ts("2024-01-01T08:00:00"), "s3", "2024-01-02"),  # new
+        ],
+        schema,
+    )
+    refreshed = refresh_gold_incremental(
+        spark, path, batch, keys=["k"], version_col="ts", partition_by=["d"]
+    )
+    got = {r.k: r.v for r in refreshed.collect()}
+    assert got == {1: "s1", 2: "t2", 3: "s3"}
+
+    # idempotence: same batch again → unchanged (W3/guard rerun safety)
+    again = refresh_gold_incremental(
+        spark, path, batch, keys=["k"], version_col="ts", partition_by=["d"]
+    )
+    assert {r.k: r.v for r in again.collect()} == got

@@ -1,0 +1,134 @@
+"""Source-layer tests (SURVEY.md §2.1): GeoJSON FeatureCollection
+normalization (S3) with nested-property stringification and both
+geometry kinds; REST ingestion (S1) offline via file:// URLs, including
+the executor-side paginated path."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+
+GEOJSON_POINTS = {
+    "type": "FeatureCollection",
+    "features": [
+        {
+            "type": "Feature",
+            "properties": {
+                "id": "a",
+                "count": 3,
+                "nested": {"k": 1},
+                "tags": ["x", "y"],
+            },
+            "geometry": {"type": "Point", "coordinates": [-114.07, 51.05]},
+        },
+        {
+            "type": "Feature",
+            "properties": {"id": "b", "count": 5, "nested": None, "tags": None},
+            "geometry": {"type": "Point", "coordinates": [-113.95, 51.10]},
+        },
+    ],
+}
+
+GEOJSON_MPOLY = {
+    "type": "FeatureCollection",
+    "features": [
+        {
+            "type": "Feature",
+            "properties": {"name": "district-1"},
+            "geometry": {
+                "type": "MultiPolygon",
+                "coordinates": [[[[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]]],
+            },
+        }
+    ],
+}
+
+
+def test_geojson_points(spark, tmp_path):
+    from seng550_a3_etl_spark.sources.geojson import read_geojson
+
+    p = tmp_path / "points.geojson"
+    p.write_text(json.dumps(GEOJSON_POINTS))
+    df = read_geojson(spark, str(p), "Point")
+    rows = {r.id: r for r in df.collect()}
+    assert rows["a"].geometry_wkt == "POINT(-114.070000 51.050000)"
+    assert rows["a"]["count"] == 3  # Row.count shadows the tuple method
+    # nested dict/list properties JSON-stringified (etl.py:148-155 analog)
+    assert json.loads(rows["a"].nested) == {"k": 1}
+    assert json.loads(rows["a"].tags) == ["x", "y"]
+    assert rows["b"].nested is None
+
+
+def test_geojson_multipolygon_roundtrips_through_parser(spark, tmp_path):
+    from seng550_a3_etl_spark.functions.geo import (
+        multipolygon_contains,
+        parse_wkt_multipolygon,
+    )
+    from seng550_a3_etl_spark.sources.geojson import read_geojson
+
+    p = tmp_path / "districts.geojson"
+    p.write_text(json.dumps(GEOJSON_MPOLY))
+    df = read_geojson(spark, str(p), "MultiPolygon")
+    out = df.select(
+        "name",
+        multipolygon_contains(
+            parse_wkt_multipolygon(F.col("geometry_wkt")),
+            F.lit(5.0),
+            F.lit(5.0),
+        ).alias("inside"),
+        multipolygon_contains(
+            parse_wkt_multipolygon(F.col("geometry_wkt")),
+            F.lit(15.0),
+            F.lit(5.0),
+        ).alias("outside"),
+    ).collect()[0]
+    assert out.name == "district-1"
+    assert out.inside is True
+    assert out.outside is False
+
+
+def test_rest_fetch_json_file_url(spark, tmp_path):
+    from seng550_a3_etl_spark.sources.rest import fetch_json
+
+    p = tmp_path / "api.json"
+    p.write_text(json.dumps([{"id": 1, "v": "x"}, {"id": 2, "v": "y"}]))
+    df = fetch_json(spark, f"file://{p}")
+    parsed = df.select(
+        F.get_json_object("raw", "$.id").cast("int").alias("id")
+    )
+    assert sorted(r.id for r in parsed.collect()) == [1, 2]
+
+
+def test_rest_paginated_executor_fetch(spark, tmp_path):
+    from seng550_a3_etl_spark.sources.rest import fetch_paginated
+
+    # one file per "page"; the page plan carries file:// URLs so the
+    # executor-side mapInPandas path runs for real, offline
+    urls = []
+    for page in range(3):
+        p = tmp_path / f"page{page}.json"
+        p.write_text(
+            json.dumps([{"id": page * 10 + i} for i in range(4)])
+        )
+        urls.append((f"file://{p}",))
+    pages = spark.createDataFrame(urls, "url string")
+    out = fetch_paginated(pages)
+    ids = sorted(
+        r.id
+        for r in out.select(
+            F.get_json_object("raw", "$.id").cast("int").alias("id")
+        ).collect()
+    )
+    assert ids == sorted(p * 10 + i for p in range(3) for i in range(4))
+
+
+def test_plan_pages(spark):
+    from seng550_a3_etl_spark.sources.rest import plan_pages
+
+    pages = plan_pages(spark, "https://api.example/rows.json", 10, 4)
+    urls = [r.url for r in pages.collect()]
+    assert len(urls) == 3
+    assert "$offset=0" in urls[0] and "$limit=4" in urls[0]
+    assert "$offset=8" in urls[2]

@@ -1,0 +1,100 @@
+"""Structured Streaming tests (SURVEY.md §2.8): windowed counts match
+the batch operator; the streaming fact upsert applies the strictly-newer
+guard per micro-batch and is replay-safe via its checkpoint."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from seng550_a3_etl_spark.streaming.jobs import (
+    streaming_fact_upsert,
+    windowed_event_counts,
+)
+
+_SCHEMA = "k int, ts timestamp, v string"
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    events = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:10:00"), "a", 1.0),
+            (2, _ts("2024-01-01T00:50:00"), "a", 2.0),
+            (3, _ts("2024-01-01T01:10:00"), "b", 3.0),
+        ],
+        "event_id int, ts timestamp, event_type string, value double",
+    )
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    batch_out = sorted(
+        (str(r.w.start), r.event_type, r.n_events, r.total_value)
+        for r in windowed_event_counts(events).collect()
+    )
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_out = sorted(
+        (str(r.w.start), r.event_type, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    )
+    assert stream_out == batch_out
+
+
+def test_streaming_fact_upsert_guard_and_replay(spark, tmp_path):
+    target = str(tmp_path / "gold")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "t1"),
+            (2, _ts("2024-01-01T10:00:00"), "t2"),
+        ],
+        _SCHEMA,
+    ).write.parquet(target)
+
+    # batch 1: fresher k=1 (replaces), staler k=2 (guard keeps target), new k=3
+    spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T11:00:00"), "s1"),
+            (2, _ts("2024-01-01T09:00:00"), "s2"),
+            (3, _ts("2024-01-01T08:00:00"), "s3"),
+        ],
+        _SCHEMA,
+    ).write.parquet(src)
+
+    q = streaming_fact_upsert(
+        spark, src, _SCHEMA, target, keys=["k"], version_col="ts",
+        checkpoint_path=ckpt,
+    )
+    q.awaitTermination(120)
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: "s1", 2: "t2", 3: "s3"}
+
+    # new files arrive; restart from the same checkpoint → only the new
+    # file is processed, older state preserved
+    spark.createDataFrame(
+        [(3, _ts("2024-01-01T12:00:00"), "s3b")], _SCHEMA
+    ).write.mode("append").parquet(src)
+    q2 = streaming_fact_upsert(
+        spark, src, _SCHEMA, target, keys=["k"], version_col="ts",
+        checkpoint_path=ckpt,
+    )
+    q2.awaitTermination(120)
+    got2 = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got2 == {1: "s1", 2: "t2", 3: "s3b"}
