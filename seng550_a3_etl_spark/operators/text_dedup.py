@@ -9,14 +9,16 @@ for a pretraining-corpus pipeline:
    exploded distinct shingles. Quadratic in documents *per shared
    shingle*; correct baseline, does not survive web scale unfiltered
    (the ``max_shingle_freq`` knob drops stop-shingles to bound the join).
-3. **minhash_lsh_pairs** — MinHash signatures (per-row HOFs, no shuffle)
-   → banded LSH bucket join (shuffle only on (band, bucket-key)) → exact
-   Jaccard verify on the candidates. The scale path: candidate count is
-   governed by the band/row configuration, not |docs|².
-4. **simhash_pairs** — 60-bit SimHash fingerprints; pairs within Hamming
-   distance k found by a pigeonhole band join (k+1 bands → any pair with
-   ≤k differing bits shares at least one exact band), then exact
-   popcount verify. One narrow shuffle on (band, chunk-value).
+3. **minhash_lsh_pairs** — MinHash signatures (explode + codegen'd
+   seeded-min aggregates, map-side combined) → banded LSH bucket join
+   (shuffle on (band, bucket-key)) → exact Jaccard verify on the
+   candidates. The scale path: candidate count is governed by the
+   band/row configuration, not |docs|².
+4. **simhash_pairs** — 60-bit SimHash fingerprints (explode + 60
+   literal-shift sum aggregates, map-side combined); pairs within
+   Hamming distance k found by a pigeonhole band join (k+1 bands → any
+   pair with ≤k differing bits shares at least one exact band), then
+   exact popcount verify. One narrow shuffle on (band, chunk-value).
 
 All hashing is the md5-derived 60-bit hash from functions/hashing.py so
 a DuckDB oracle reproduces results bit-for-bit; production can inject
@@ -28,7 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from seng550_a3_etl_spark.functions.hashing import minhash_signature, simhash
+from seng550_a3_etl_spark.functions.hashing import (
+    minhash_signatures,
+    simhash_fingerprints,
+)
 from seng550_a3_etl_spark.functions.text import shingles, tokens
 
 
@@ -123,7 +128,7 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
     sets_ = _shingle_sets(df, id_col, text_col, n).filter(F.size("sh") > 0)
-    signed = sets_.withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    signed = minhash_signatures(sets_, "doc", F.col("sh"), num_perm)
     banded = signed.select(
         "doc",
         F.explode(
@@ -183,9 +188,11 @@ def simhash_pairs(
     doc_b, hamming."""
     n_bands = max_hamming + 1
     chunk = bits // n_bands
-    fps = df.select(
-        F.col(id_col).alias("doc"),
-        simhash(tokens(F.col(text_col)), bits=bits).alias("fp"),
+    fps = simhash_fingerprints(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col)),
+        "doc",
+        tokens(F.col(text_col)),
+        bits=bits,
     )
     banded = fps.select(
         "doc",
