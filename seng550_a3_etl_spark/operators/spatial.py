@@ -60,11 +60,34 @@ def points_in_polygons_join(
     ``cell_size=s`` → grid prefilter equi-join (big polygon side).
     ``how='left'`` requires ``point_key``, a unique point id column.
     """
-    contains = lambda: multipolygon_contains(  # noqa: E731
+    # Precompute each polygon's bbox once on the (small) polygon side;
+    # the And below short-circuits, so the ray-casting HOF only runs for
+    # pairs whose bbox already contains the point (~1 polygon per point
+    # instead of all of them) — bbox compares are plain codegen doubles.
+    poly_payload = [c for c in polygons.columns if c != polys_col]
+    bbox = ["__minx", "__maxx", "__miny", "__maxy"]
+    pts_flat = F.flatten(F.flatten(F.col(polys_col)))
+    xs = F.transform(pts_flat, lambda p: F.element_at(p, 1))
+    ys = F.transform(pts_flat, lambda p: F.element_at(p, 2))
+    polygons = (
+        polygons.withColumn("__minx", F.array_min(xs))
+        .withColumn("__maxx", F.array_max(xs))
+        .withColumn("__miny", F.array_min(ys))
+        .withColumn("__maxy", F.array_max(ys))
+    )
+    in_bbox = (
+        F.col(x).between(F.col("__minx"), F.col("__maxx"))
+        & F.col(y).between(F.col("__miny"), F.col("__maxy"))
+    )
+    contains = lambda: in_bbox & multipolygon_contains(  # noqa: E731
         F.col(polys_col), F.col(x), F.col(y)
     )
     if cell_size is None:
-        matched = points.crossJoin(F.broadcast(polygons)).filter(contains())
+        matched = (
+            points.crossJoin(F.broadcast(polygons))
+            .filter(contains())
+            .drop(*bbox)
+        )
     else:
         poly_cells = polygons.withColumn(
             _CELL, F.explode(covered_cells(F.col(polys_col), cell_size))
@@ -73,7 +96,9 @@ def points_in_polygons_join(
             _CELL, grid_cell(F.col(x), F.col(y), cell_size)
         )
         matched = (
-            pt_cells.join(poly_cells, _CELL).filter(contains()).drop(_CELL)
+            pt_cells.join(poly_cells, _CELL)
+            .filter(contains())
+            .drop(_CELL, *bbox)
         )
     if how == "inner":
         return matched
@@ -81,7 +106,6 @@ def points_in_polygons_join(
         raise ValueError(f"how must be inner|left, got {how}")
     if point_key is None:
         raise ValueError("how='left' requires point_key")
-    poly_payload = [c for c in polygons.columns if c != polys_col]
     return points.join(
         matched.select(point_key, *poly_payload), on=point_key, how="left"
     )
