@@ -17,11 +17,20 @@ Two strategies:
 
 Ranking uses (round(cosine, 6) DESC, id ASC) so ordering is
 deterministic and oracle-stable across engines.
+
+A third strategy, **cosine_dedup_pairs**, is the embedding tier of the
+document-dedup ladder (exact / MinHash / SimHash / n-gram — see
+operators/text_dedup.py): random-hyperplane sign-LSH (Charikar 2002)
+generates candidate pairs via a band equi-join, then exact cosine
+verifies. Hyperplane weights are md5-derived so a SQL oracle can replay
+the identical construction bit-for-bit.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import hashlib
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -123,4 +132,99 @@ def ivf_topk(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def hyperplane_weights(planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1)^dim.
+
+    Weight (p, i) = (md5-60bit("p:i") % 2000001) / 1e6 - 1.0 — the same
+    integer-then-one-division recipe a DuckDB oracle reproduces exactly
+    (see functions/hashing.py for the md5-as-portable-hash rationale)."""
+    return [
+        [
+            (int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16) % 2000001)
+            / 1000000.0
+            - 1.0
+            for i in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def _dot_lit(vec: Column, weights: list[float]) -> Column:
+    """Sequential dot of a float-array column with literal weights (double)."""
+    w = F.array(*[F.lit(x) for x in weights])
+    return F.aggregate(
+        F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    planes: int = 24,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Embedding near-dup pairs: sign-LSH candidates + exact-cosine verify.
+
+    Per vector, ``planes`` sign bits (dot with a deterministic random
+    hyperplane >= 0) are packed into ``bands`` integer band keys; any
+    pair agreeing on a full band becomes a candidate (band equi-join on a
+    (band, key) shuffle — never an all-pairs product), then exact cosine
+    (rounded to 6) filters at ``threshold``. Probability a true pair at
+    angle theta shares a band is (1 - theta/pi)^(planes/bands), amplified
+    over bands — at near-dup thresholds recall is ~1 while candidate
+    volume stays ~linear in corpus size. Output: id_a, id_b, cosine.
+
+    At 100 TB: the signature pass is a shuffle-free projection; the only
+    shuffles are the (band, key) candidate join and the two id-keyed
+    vector-fetch joins for verification."""
+    rows = planes // bands
+    if rows * bands != planes:
+        raise ValueError("planes must be divisible by bands")
+    weights = hyperplane_weights(planes, dim)
+    bits = [
+        (_dot_lit(F.col(vec_col), weights[p]) >= 0).cast("long")
+        for p in range(planes)
+    ]
+    keys = [
+        sum(bits[b * rows + j] * F.lit(1 << j) for j in range(rows))
+        for b in range(bands)
+    ]
+    banded = corpus.select(
+        F.col(id_col),
+        F.posexplode(F.array(*keys)).alias("band", "bkey"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

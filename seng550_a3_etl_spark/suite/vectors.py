@@ -113,3 +113,67 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ivf_topk(q, c, cent, k=5, nprobe=3)
     return out.select("qid", "cid", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+@query(
+    "embedding_cosine_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS id,
+             list_transform(embedding, x -> ((x::DOUBLE + 0.02)::FLOAT)) AS v
+      FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    planes AS (
+      SELECT p, list_transform(range(0, 64), i ->
+        ((('0x' || substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT
+          % 2000001) / 1000000.0 - 1.0)) AS w
+      FROM range(0, 24) t(p)
+    ),
+    bits AS (
+      SELECT c.id, p.p,
+             CASE WHEN list_sum(list_transform(range(1, 65),
+                    i -> c.v[i]::DOUBLE * p.w[i])) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM corpus c, planes p
+    ),
+    banded AS (
+      SELECT id, p // 6 AS band, SUM(bit * (1 << (p % 6))) AS bkey
+      FROM bits GROUP BY id, p // 6
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+    )
+    SELECT id_a, id_b, ROUND({_cos('va.v', 'vb.v')}, 6) AS cosine
+    FROM cand
+    JOIN corpus va ON va.id = id_a
+    JOIN corpus vb ON vb.id = id_b
+    WHERE ROUND({_cos('va.v', 'vb.v')}, 6) >= 0.95
+    """,
+)
+def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup tier of the dedup ladder: the corpus is
+    the embeddings table plus a deterministically jittered copy of every
+    5th vector (+0.02 per element — cosine ~0.988 against its source, so
+    the planted duplicates are the expected catch); pairs at cosine >=
+    0.95 are found via 24-plane / 4-band sign-LSH + exact verify. The
+    oracle replays hyperplanes, banding, and verification — checking the
+    LSH *construction*, not just the arithmetic."""
+    from seng550_a3_etl_spark.operators.similarity import cosine_dedup_pairs
+
+    t = load_tables(spark, sf_dir)
+    base = t.embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    jitter = t.embeddings.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x.cast("double") + F.lit(0.02)).cast("float"),
+        ).alias("v"),
+    )
+    corpus = base.unionAll(jitter)
+    return cosine_dedup_pairs(corpus, threshold=0.95, planes=24, bands=4, dim=64)
