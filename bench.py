@@ -53,10 +53,97 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "ladder": _ladder(spark, sf_dir),
             }
         )
     )
     spark.stop()
+
+
+def _ladder(spark, sf_dir: str) -> dict:
+    """The reference's benchmark ladder (BASELINE.md; mirrors
+    /root/reference/performance_test.py:69-90): one logical query —
+    zero-preserving point counts per district — under three physical
+    configurations, wall seconds as mean of 3 runs + speedup vs naive.
+
+    no-index      → cross join, exact containment on every pair
+    GIST-indexed  → grid-cell prefilter + bbox short-circuit join
+    matview/fact  → scan+agg over a pre-joined gold parquet table
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.functions.geo import multipolygon_contains
+    from seng550_a3_etl_spark.operators.spatial import points_in_polygons_join
+    from seng550_a3_etl_spark.suite.spatial import customer_points, district_rects
+
+    t = load_tables(spark, sf_dir)
+    pts = customer_points(t)
+    polys = district_rects(t)
+
+    def zero_counts(matched):
+        counts = matched.groupBy("n_name").agg(
+            F.count("c_custkey").alias("point_count")
+        )
+        return (
+            polys.select("n_name")
+            .join(counts, "n_name", "left")
+            .select(
+                "n_name",
+                F.coalesce("point_count", F.lit(0)).alias("point_count"),
+            )
+        )
+
+    def naive():
+        return zero_counts(
+            pts.crossJoin(polys).filter(
+                multipolygon_contains(F.col("polys"), F.col("px"), F.col("py"))
+            )
+        )
+
+    def grid():
+        return zero_counts(
+            points_in_polygons_join(
+                pts, polys, "px", "py", "polys", how="inner", cell_size=7.0
+            )
+        )
+
+    gold_dir = tempfile.mkdtemp(prefix=".bench_gold_", dir=".")
+    try:
+        points_in_polygons_join(
+            pts, polys, "px", "py", "polys", how="inner", cell_size=7.0
+        ).write.mode("overwrite").parquet(f"{gold_dir}/facts")
+
+        def gold():  # the reference's matview config: scan + agg only
+            return (
+                spark.read.parquet(f"{gold_dir}/facts")
+                .groupBy("n_name")
+                .agg(F.count("c_custkey").alias("point_count"))
+            )
+
+        def mean3(build) -> float:
+            runs = []
+            for _ in range(3):
+                start = time.perf_counter()
+                build().write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - start)
+            return round(sum(runs) / len(runs), 3)
+
+        naive_s, grid_s, gold_s = mean3(naive), mean3(grid), mean3(gold)
+    finally:
+        shutil.rmtree(gold_dir, ignore_errors=True)
+    return {
+        "query": "district_point_counts",
+        "runs_per_config": 3,
+        "no_index_s": naive_s,
+        "grid_prefilter_s": grid_s,
+        "gold_table_s": gold_s,
+        "speedup_grid": round(naive_s / grid_s, 2) if grid_s else None,
+        "speedup_gold": round(naive_s / gold_s, 2) if gold_s else None,
+    }
 
 
 if __name__ == "__main__":
