@@ -1,0 +1,110 @@
+"""Physical-invariance + plan-shape tests (SURVEY.md §5.4).
+
+The reference's performance_test.py compares one logical query across
+physical layouts and *assumes* equal results; these tests assert it.
+Representative suite queries must produce identical canonical rows
+under: broadcast joins disabled (sort-merge everywhere), AQE off, and
+1 vs 8 shuffle partitions. Plan-shape tests pin the properties the
+100 TB design depends on: filter/column pushdown into the parquet scan
+and broadcast of small dimensions.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import pytest
+
+from seng550_a3_etl_spark.suite import QUERIES
+from tests.conftest import SF_ORACLE
+from tests.oracle_harness import canonical_rows
+
+# One representative per plan family: agg-after-join, window dedup,
+# grid spatial join, LSH dedup, sign-LSH embedding dedup, as-of join.
+INVARIANT_QUERIES = [
+    "nation_order_counts",
+    "top_order_per_customer",
+    "district_point_counts",
+    "minhash_dup_pairs",
+    "embedding_cosine_dedup",
+    "asof_signup_for_purchase",
+]
+
+VARIANTS = {
+    "no_broadcast": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    "no_aqe": {"spark.sql.adaptive.enabled": "false"},
+    "one_partition": {"spark.sql.shuffle.partitions": "1"},
+}
+
+
+@contextmanager
+def _conf(spark, overrides: dict[str, str]):
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", INVARIANT_QUERIES)
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+def test_physical_invariance(spark, name, variant):
+    baseline = canonical_rows(QUERIES[name](spark, SF_ORACLE).toPandas())
+    with _conf(spark, VARIANTS[variant]):
+        got = canonical_rows(QUERIES[name](spark, SF_ORACLE).toPandas())
+    assert got == baseline, f"{name} changed results under {variant}"
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_scan_line(df, needle: str) -> str:
+    plan = _executed_plan(df)
+    lines = [ln for ln in plan.splitlines() if needle in ln]
+    assert lines, f"no '{needle}' in plan:\n{plan}"
+    return lines[0]
+
+
+def test_filters_push_into_scan(spark):
+    df = QUERIES["filter_suite"](spark, SF_ORACLE)
+    scan = _optimized_scan_line(df, "PushedFilters")
+    for frag in ("l_quantity", "l_shipdate", "l_returnflag", "l_discount"):
+        assert frag in scan, f"{frag} not pushed into scan: {scan}"
+
+
+def test_column_pruning_reaches_scan(spark):
+    # nation_order_counts needs only 2 of 9 orders columns; the scan's
+    # ReadSchema must not include untouched ones like o_comment.
+    df = QUERIES["nation_order_counts"](spark, SF_ORACLE)
+    plan = _executed_plan(df)
+    scans = [ln for ln in plan.splitlines() if "orders.parquet" in ln]
+    assert scans
+    assert all("o_totalprice" not in ln for ln in scans), scans
+
+
+def test_small_dims_broadcast(spark):
+    # nation (25 rows) must broadcast under default conf — the join that
+    # replaces the reference's indexed dimension lookup.
+    plan = _executed_plan(QUERIES["nation_order_counts"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_whole_stage_codegen_present(spark):
+    # AQE finalizes the plan only after execution, and codegen stages
+    # surface as '*'-prefixed operators in the formatted explain.
+    df = QUERIES["pricing_summary"](spark, SF_ORACLE)
+    df.collect()
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    final = qe.explainString(mode).split("== Initial Plan ==")[0]
+    for op in ("* HashAggregate", "* Filter", "* Project"):
+        assert op in final, f"{op} not codegen'd:\n{final}"
