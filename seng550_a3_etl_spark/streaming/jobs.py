@@ -96,3 +96,91 @@ def streaming_fact_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization as a custom stateful operator
+    (applyInPandasWithState) — the streaming twin of
+    operators/sessionize.py, agreeing with it on every *closed* session.
+
+    State per user is the single open session (start/last as epoch
+    micros, count, value sum). A batch's events close the open session
+    when they arrive more than ``gap_minutes`` after its last event;
+    the event-time timeout closes it when the watermark passes
+    last + gap with no successor. Emitted rows are closed sessions only
+    (append mode). State is O(1) per active user and reclaimed on
+    timeout — the property that makes this run indefinitely at scale.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        f"{user_col} bigint, session_start timestamp, "
+        "session_end timestamp, n_events bigint, total_value double"
+    )
+    state_schema = "start bigint, last bigint, n bigint, total double"
+
+    def close(key, start, last, n, total):
+        return (
+            key,
+            pd.Timestamp(start, unit="us"),
+            pd.Timestamp(last, unit="us"),
+            n,
+            total,
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        (uid,) = key
+        closed = []
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            closed.append(close(uid, start, last, n, total))
+            state.remove()
+        else:
+            open_s = state.get if state.exists else None
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values([ts_col, "event_id"]) if "event_id" in rows else rows.sort_values(ts_col)
+            for ts, val in zip(rows[ts_col], rows[value_col]):
+                us = int(pd.Timestamp(ts).value // 1_000)
+                if open_s is None:
+                    open_s = (us, us, 1, float(val))
+                elif us > open_s[1] + gap_us:
+                    closed.append(close(uid, *open_s))
+                    open_s = (us, us, 1, float(val))
+                else:
+                    start, last, n, total = open_s
+                    open_s = (start, max(last, us), n + 1, total + float(val))
+            state.update(open_s)
+            state.setTimeoutTimestamp((open_s[1] + gap_us) // 1_000)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    user_col,
+                    "session_start",
+                    "session_end",
+                    "n_events",
+                    "total_value",
+                ],
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

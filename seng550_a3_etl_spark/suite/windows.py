@@ -189,3 +189,59 @@ def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "user_sessions",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events
+    ),
+    lagged AS (
+      SELECT *, LAG(ts) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+      ) AS prev
+      FROM o
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev IS NULL
+                       OR ts > prev + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+      FROM lagged
+    ),
+    sess AS (
+      SELECT *, CAST(SUM(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts), '{_TS_FMT_DUCK}') AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap): lag-flag +
+    running-sum session numbering, then per-session aggregates — the
+    batch twin of the applyInPandasWithState streaming operator
+    (streaming/jobs.py:sessionize_stream)."""
+    from seng550_a3_etl_spark.operators.sessionize import session_stats
+
+    t = load_tables(spark, sf_dir)
+    out = session_stats(
+        t.events, "user_id", "ts", "value",
+        gap="30 minutes", tiebreak=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "session_seq",
+        F.date_format("session_start", _TS_FMT).alias("session_start"),
+        F.date_format("session_end", _TS_FMT).alias("session_end"),
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )

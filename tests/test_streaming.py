@@ -98,3 +98,71 @@ def test_streaming_fact_upsert_guard_and_replay(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r.k: r.v for r in spark.read.parquet(target).collect()}
     assert got2 == {1: "s1", 2: "t2", 3: "s3b"}
+
+
+def test_sessionize_stream_closes_on_gap_and_matches_batch(spark, tmp_path):
+    from seng550_a3_etl_spark.operators.sessionize import session_stats
+    from seng550_a3_etl_spark.streaming.jobs import sessionize_stream
+
+    schema = "event_id int, ts timestamp, user_id long, value double"
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    batch1 = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00"), 1, 1.0),
+            (2, _ts("2024-01-01T00:10:00"), 1, 2.0),
+            (3, _ts("2024-01-01T00:05:00"), 2, 5.0),
+        ],
+        schema,
+    )
+    batch1.write.parquet(src)
+
+    out = str(tmp_path / "sess_out")
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double"
+    )
+
+    def run():
+        stream = spark.readStream.schema(batch1.schema).parquet(src)
+        q = (
+            sessionize_stream(stream, gap_minutes=30)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def read_out():
+        return spark.read.schema(out_schema).parquet(out)
+
+    run()
+    # every session still open -> nothing emitted
+    assert read_out().count() == 0
+
+    # user 1 returns after a >30min gap: the first session must close
+    spark.createDataFrame(
+        [(4, _ts("2024-01-01T01:00:00"), 1, 7.0)], schema
+    ).write.mode("append").parquet(src)
+    run()
+    got = [
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.total_value)
+        for r in read_out().collect()
+    ]
+    assert got == [(1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2, 3.0)]
+
+    # the closed session agrees with the batch operator on the same data
+    all_events = spark.read.parquet(src)
+    batch = {
+        (r.user_id, r.session_seq): (
+            str(r.session_start), str(r.session_end), r.n_events, r.total_value
+        )
+        for r in session_stats(
+            all_events, "user_id", "ts", "value",
+            gap="30 minutes", tiebreak=["event_id"],
+        ).collect()
+    }
+    assert batch[(1, 1)] == got[0][1:]
