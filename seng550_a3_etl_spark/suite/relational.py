@@ -550,3 +550,53 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.events.select("event_id", k.cast("bigint").alias("k_val"))
         .filter(k.isNotNull())
     )
+
+
+@query(
+    "status_priority_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube (every grouping-set combination) — completes the
+    rollup/cube pair SURVEY §2.4 lists as the engine's free extension
+    over the reference's plain GROUP BY."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "distinct_users_per_type",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate, written skew-safe: COUNT(DISTINCT user) over a
+    hot grouping key shuffles every row of that key to one reducer; the
+    two-phase form — distinct on (key, user) first (shuffle spread over
+    the full pair domain), then count per key — is the salting pattern
+    for distinct aggregation. Results identical to the naive form; only
+    the shuffle key changes. n_events rides along via a separate plain
+    aggregate (one extra shuffle of pre-combined partials)."""
+    t = load_tables(spark, sf_dir)
+    pairs = t.events.select("event_type", "user_id").distinct()
+    users = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    events = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return users.join(events, "event_type")
