@@ -58,7 +58,8 @@ def points_in_polygons_join(
 
     ``cell_size=None`` → broadcast theta join (small polygon side).
     ``cell_size=s`` → grid prefilter equi-join (big polygon side).
-    ``how='left'`` requires ``point_key``, a unique point id column.
+    ``how='left'`` on the grid path requires ``point_key``, a unique
+    point id column (the broadcast path left-joins directly).
     """
     # Precompute each polygon's bbox once on the (small) polygon side;
     # the And below short-circuits, so the ray-casting HOF only runs for
@@ -83,6 +84,15 @@ def points_in_polygons_join(
         F.col(polys_col), F.col(x), F.col(y)
     )
     if cell_size is None:
+        if how == "left":
+            # Direct broadcast LEFT theta join (build right is supported
+            # for left-outer): one pass over the points, no shuffle — the
+            # crossJoin+filter route would need a second points scan and
+            # an equi back-join on point_key just to restore unmatched
+            # rows.
+            return points.join(
+                F.broadcast(polygons), contains(), "left"
+            ).drop(polys_col, *bbox)
         matched = (
             points.crossJoin(F.broadcast(polygons))
             .filter(contains())

@@ -16,6 +16,7 @@ from seng550_a3_etl_spark.suite import (  # noqa: E402,F401
     multimodal,
     relational,
     spatial,
+    streaming_suite,
     text,
     vectors,
     windows,

@@ -1,0 +1,67 @@
+"""Streaming suite queries (SURVEY.md §2.8 extension) — Structured
+Streaming jobs surfaced in the oracle-checked registry.
+
+A complete-mode windowed aggregation over a bounded source must equal
+the batch aggregation over the same data, so the *batch* DuckDB oracle
+checks the *streaming* execution path — watermark assignment, state
+store, and output-mode semantics included.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seng550_a3_etl_spark.streaming.jobs import windowed_event_counts
+from seng550_a3_etl_spark.suite.registry import query
+from seng550_a3_etl_spark.suite.windows import _TS_FMT, _TS_FMT_DUCK
+
+_TABLE = "stream_hourly_windows_sink"
+
+
+@query(
+    "stream_hourly_windows",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+                    '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window count executed as a Structured Streaming job:
+    file source → watermark → windowed agg → memory sink (complete mode,
+    availableNow). Bounded input makes it deterministic and equal to the
+    batch plan, so the same oracle applies — this checks the streaming
+    runtime, not just the expression logic."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file stream source wants a directory; glob-filter to the one
+    # fixture file inside it.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName(_TABLE)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(_TABLE).select(
+        F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
