@@ -108,3 +108,37 @@ def test_whole_stage_codegen_present(spark):
     final = qe.explainString(mode).split("== Initial Plan ==")[0]
     for op in ("* HashAggregate", "* Filter", "* Project"):
         assert op in final, f"{op} not codegen'd:\n{final}"
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # Bucketing both sides on the join key (the engine's stand-in for
+    # co-located storage at 100 TB) must eliminate every Exchange from
+    # the join plan, even with broadcast disabled.
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from seng550_a3_etl_spark.catalog import load_tables
+
+    t = load_tables(spark, SF_ORACLE)
+    try:
+        t.orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+            "overwrite"
+        ).saveAsTable("bkt_orders")
+        t.customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+            "overwrite"
+        ).saveAsTable("bkt_customer")
+        with _conf(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+            joined = spark.table("bkt_orders").join(
+                spark.table("bkt_customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            plan = _executed_plan(joined)
+            assert "Exchange" not in plan, plan
+            assert joined.count() == t.orders.count()
+    finally:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")
+        if warehouse.startswith("file:"):
+            shutil.rmtree(warehouse[5:], ignore_errors=True)
