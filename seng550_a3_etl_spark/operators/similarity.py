@@ -34,7 +34,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from seng550_a3_etl_spark.functions.vectors import cosine, dot
+from seng550_a3_etl_spark.functions.vectors import dot
+
+
+def _with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """Attach the vector's L2 norm — computed once per row so every
+    pairwise cosine downstream costs ONE interpreted array fold instead
+    of three (dot(a,b)/(na*nb) evaluates the identical IEEE sequence as
+    the inline dot/(sqrt(dot aa)*sqrt(dot bb)), so oracles still match
+    bit-for-bit)."""
+    return df.withColumn(out, F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
+
+
+def _pair_cosine(qv: str, cv: str, qn: str, cn: str) -> Column:
+    return F.round(dot(F.col(qv), F.col(cv)) / (F.col(qn) * F.col(cn)), 6)
 
 
 def cosine_topk(
@@ -48,11 +61,13 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-pairs excluded when
     ids collide). Output: query_id, corpus_id, cosine (rounded 6), rank."""
+    queries = _with_norm(queries, query_vec, "__qn")
+    corpus = _with_norm(corpus, corpus_vec, "__cn")
     pairs = (
         corpus.join(F.broadcast(queries))
         .filter(F.col(query_id) != F.col(corpus_id))
         .withColumn(
-            "cosine", F.round(cosine(F.col(query_vec), F.col(corpus_vec)), 6)
+            "cosine", _pair_cosine(query_vec, corpus_vec, "__qn", "__cn")
         )
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -74,15 +89,18 @@ def assign_buckets(
     centroid_vec: str = "bv",
 ) -> DataFrame:
     """Nearest-centroid (max-cosine) bucket per corpus vector — the IVF
-    coarse quantizer as a broadcast join + window argmin."""
+    coarse quantizer as a broadcast join + window argmin. Output keeps
+    the corpus norm (``__cn``) so downstream scoring reuses it."""
+    corpus = _with_norm(corpus, corpus_vec, "__cn")
+    centroids = _with_norm(centroids, centroid_vec, "__bn")
     scored = corpus.join(F.broadcast(centroids)).withColumn(
-        "__sim", F.round(cosine(F.col(corpus_vec), F.col(centroid_vec)), 6)
+        "__sim", _pair_cosine(corpus_vec, centroid_vec, "__cn", "__bn")
     )
     w = Window.partitionBy(corpus_id).orderBy(F.desc("__sim"), F.asc(centroid_id))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(corpus_id, corpus_vec, centroid_id)
+        .select(corpus_id, corpus_vec, "__cn", centroid_id)
     )
 
 
@@ -105,9 +123,10 @@ def ivf_topk(
         corpus, centroids, corpus_id, corpus_vec, centroid_id, centroid_vec
     )
     probes = (
-        queries.join(F.broadcast(centroids))
+        _with_norm(queries, query_vec, "__qn")
+        .join(F.broadcast(_with_norm(centroids, centroid_vec, "__bn")))
         .withColumn(
-            "__sim", F.round(cosine(F.col(query_vec), F.col(centroid_vec)), 6)
+            "__sim", _pair_cosine(query_vec, centroid_vec, "__qn", "__bn")
         )
         .withColumn(
             "__pr",
@@ -118,13 +137,13 @@ def ivf_topk(
             ),
         )
         .filter(F.col("__pr") <= nprobe)
-        .select(query_id, query_vec, centroid_id)
+        .select(query_id, query_vec, "__qn", centroid_id)
     )
     pairs = (
         probes.join(bucketed, centroid_id)
         .filter(F.col(query_id) != F.col(corpus_id))
         .withColumn(
-            "cosine", F.round(cosine(F.col(query_vec), F.col(corpus_vec)), 6)
+            "cosine", _pair_cosine(query_vec, corpus_vec, "__qn", "__cn")
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
