@@ -144,23 +144,46 @@ def simhash_fingerprints(
     with map-side partial aggregation, and the shuffle carries one
     60-long row per (document, partition). Documents whose token array
     is empty/null surface with fp = 0 via the closing left join."""
+    # Pack 4 per-bit counters into each 64-bit sum (16 bits/counter, safe
+    # to 65535 tokens/doc): 16 aggregate columns instead of 61. The sign
+    # test becomes 2*ones_j > n_tokens, which equals the ±1-sum's > 0 —
+    # bit-identical fingerprints, ~4× less aggregation state.
+    ctr_bits, per_long = 16, 4
+    n_longs = (bits + per_long - 1) // per_long
     hashed = df.select(F.col(id_col), F.explode(tokens).alias("__t")).select(
         id_col, hash64(F.col("__t")).alias("__h")
     )
-    sums = hashed.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"__b{j}")
-            for j in range(bits)
+
+    def packed(g: int):
+        terms = [
+            F.shiftleft(
+                F.shiftright(F.col("__h"), g * per_long + s).bitwiseAND(
+                    F.lit(1)
+                ),
+                ctr_bits * s,
+            )
+            for s in range(per_long)
+            if g * per_long + s < bits
         ]
+        return reduce(lambda a, b: a + b, terms)
+
+    sums = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(packed(g)).alias(f"__p{g}") for g in range(n_longs)],
     )
+
+    def ones(j: int):
+        g, s = j // per_long, j % per_long
+        return F.shiftright(F.col(f"__p{g}"), ctr_bits * s).bitwiseAND(
+            F.lit((1 << ctr_bits) - 1)
+        )
+
     fp = sums.select(
         id_col,
         reduce(
             lambda a, b: a + b,
             [
-                (F.col(f"__b{j}") > 0).cast("long") * F.lit(1 << j)
+                (ones(j) * 2 > F.col("__n")).cast("long") * F.lit(1 << j)
                 for j in range(bits)
             ],
         ).alias("fp"),
