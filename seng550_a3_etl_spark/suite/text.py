@@ -259,3 +259,36 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets must be identical, which checks the pigeonhole construction."""
     t = load_tables(spark, sf_dir)
     return simhash_pairs(t.documents, "doc_id", "text", max_hamming=3, bits=60)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH ex AS (
+      SELECT doc_id AS doc, unnest(string_split_regex(text, '\s+')) AS t
+      FROM documents
+    ),
+    tf AS (SELECT doc, t, COUNT(*) AS cnt FROM ex GROUP BY 1, 2),
+    dlen AS (SELECT doc, COUNT(*) AS len FROM ex GROUP BY 1),
+    dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc, tf.t,
+             CAST(cnt AS DOUBLE) * n_docs / len / df AS score
+      FROM tf JOIN dlen USING (doc) JOIN dfreq USING (t) CROSS JOIN n
+    )
+    SELECT doc, t AS term, ROUND(score, 6) AS score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc ORDER BY score DESC, t
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by log-free TF-IDF (tf * N/df) — ranked
+    on exact rational doubles so both engines order identically."""
+    from seng550_a3_etl_spark.operators.tfidf import tfidf_top_terms as op
+
+    t = load_tables(spark, sf_dir)
+    return op(t.documents, "doc_id", "text", k=3)
