@@ -297,3 +297,68 @@ def supplier_customer_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "s_suppkey", "c_custkey", F.round("dist_m", 3).alias("dist_m")
     )
+
+
+@query(
+    "nearest_supplier_per_customer",
+    oracle=f"""
+    WITH s AS (
+      SELECT s_suppkey,
+             -114.3 + ((s_suppkey * 13) % 400) / 1000.0 AS slon,
+             50.8 + ((s_suppkey * 17) % 300) / 1000.0 AS slat
+      FROM supplier
+    ),
+    c AS (
+      SELECT c_custkey,
+             -114.3 + ((c_custkey * 7) % 400) / 1000.0 AS clon,
+             50.8 + ((c_custkey * 11) % 300) / 1000.0 AS clat
+      FROM customer
+    ),
+    pairs AS (
+      SELECT c_custkey, s_suppkey,
+             ROUND({_HAVERSINE_SQL.format(lon1="slon", lat1="slat",
+                                          lon2="clon", lat2="clat")}, 3)
+             AS dist_m
+      FROM s, c
+      WHERE {_HAVERSINE_SQL.format(lon1="slon", lat1="slat",
+                                   lon2="clon", lat2="clat")} <= 2000.0
+    )
+    SELECT c_custkey, s_suppkey, dist_m FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY c_custkey ORDER BY dist_m, s_suppkey
+      ) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """,
+)
+def nearest_supplier_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 completed end-to-end: the reference's dead lateral join
+    (/root/reference/queries.py:164-191 — per row, top-1 neighbor within
+    a radius) as grid-prefiltered dwithin pairs + a per-customer top-1
+    window — the Spark shape that replaces LATERAL ... ORDER BY LIMIT 1
+    without exploding unpruned candidate pairs."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    sk, ck = F.col("s_suppkey"), F.col("c_custkey")
+    suppliers = t.supplier.select(
+        "s_suppkey",
+        (-114.3 + ((sk * 13) % 400) / 1000.0).alias("slon"),
+        (50.8 + ((sk * 17) % 300) / 1000.0).alias("slat"),
+    )
+    customers = t.customer.select(
+        "c_custkey",
+        (-114.3 + ((ck * 7) % 400) / 1000.0).alias("clon"),
+        (50.8 + ((ck * 11) % 300) / 1000.0).alias("clat"),
+    )
+    pairs = dwithin_join(
+        suppliers, customers, radius_m=2000.0, cell_deg=0.03,
+        left_lon="slon", left_lat="slat",
+        right_lon="clon", right_lat="clat",
+    ).select("c_custkey", "s_suppkey", F.round("dist_m", 3).alias("dist_m"))
+    w = Window.partitionBy("c_custkey").orderBy("dist_m", "s_suppkey")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
