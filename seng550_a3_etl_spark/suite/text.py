@@ -292,3 +292,56 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return op(t.documents, "doc_id", "text", k=3)
+
+
+def _dup_clusters_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({ORACLES['ngram_dup_pairs']}) q
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges) t1
+      UNION
+      SELECT e.s, r.label FROM reach r JOIN edges e ON e.t = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS canonical FROM reach GROUP BY node)
+    SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS canonical_id
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """
+
+
+@query("dup_clusters", oracle=_dup_clusters_oracle())
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup groups: connected components (iterative
+    min-label propagation, operators/graph.py) over the exact 3-gram
+    Jaccard pairs; every document maps to its component's minimum doc_id
+    (itself when unpaired). The oracle computes the same fixpoint as a
+    recursive reachability closure — an *iterative* Spark operator that
+    is still fully oracle-checked."""
+    from seng550_a3_etl_spark.operators.graph import connected_components
+    from seng550_a3_etl_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    t = load_tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        t.documents, "doc_id", "text", n=3, threshold=0.8
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    return (
+        t.documents.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).cast("long").alias(
+                "canonical_id"
+            ),
+        )
+    )
