@@ -142,3 +142,37 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
         if warehouse.startswith("file:"):
             shutil.rmtree(warehouse[5:], ignore_errors=True)
+
+
+def test_gold_partitioning_prunes_scan(spark, tmp_path):
+    # save_gold partitions by date (the B-tree-index replacement,
+    # SURVEY §4); a date-filtered read must show partition pruning in
+    # the scan, not a full-table read.
+    from pyspark.sql import functions as F
+
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.plans.gold import save_gold
+
+    t = load_tables(spark, SF_ORACLE)
+    facts = t.orders.withColumn(
+        "order_date", F.col("o_orderdate").cast("date")
+    )
+    path = str(tmp_path / "gold_facts")
+    save_gold(facts, path, partition_by=["order_date"])
+
+    read = spark.read.parquet(path).filter(
+        F.col("order_date") == "1995-01-01"
+    )
+    plan = _executed_plan(read)
+    scan = _optimized_scan_line(read, "PartitionFilters")
+    assert "order_date" in scan.split("PartitionFilters")[1].split("]")[0], scan
+    n_days = facts.select("order_date").distinct().count()
+    # pruned scan must touch a single partition directory
+    import re
+
+    m = re.search(r"InMemoryFileIndex\[?\(?(\d+) paths", plan)
+    if m:  # path count printed only for multi-path indexes
+        assert int(m.group(1)) < n_days
+    assert read.count() == facts.filter(
+        F.col("order_date") == "1995-01-01"
+    ).count()
