@@ -77,6 +77,74 @@ def decode_media_batch(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(decode, META_SCHEMA)
 
 
+def extract_features(media_df: DataFrame, n_bins: int = 16) -> DataFrame:
+    """(doc_id, media binary) → fixed-width feature vector via
+    Arrow-batched mapInPandas — the image/audio feature-extract slot.
+
+    The real extractor (CNN embedding, mel spectrogram) needs libraries
+    absent here, so the deterministic stand-in is a byte histogram:
+    ``feature[i] = count of bytes b with b % n_bins == i``. Exact
+    integer counts, so the DuckDB oracle can replay it; the Spark-side
+    shape (binary in, ``array<bigint>`` out, one Arrow pass, zero
+    shuffle) is exactly the production plumbing.
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for blob in pdf["media"]:
+                b = bytes(blob) if blob is not None else b""
+                arr = np.frombuffer(b, dtype=np.uint8)
+                counts = np.bincount(arr % n_bins, minlength=n_bins)
+                feats.append([int(c) for c in counts])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "feature": feats}
+            )
+
+    return media_df.mapInPandas(
+        featurize, "doc_id bigint, feature array<bigint>"
+    )
+
+
+def resize_meta(media_df: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Resize planning over decoded dimensions: aspect-preserving
+    shrink-to-fit via pure integer math (``new = old * max_dim //
+    max(w, h)``, floored at 1; identity when already within bounds).
+
+    The pixel resample itself belongs to the absent imaging stack; what
+    scale cares about — per-row dimension math staying JVM-side with
+    zero shuffle — is fully real. Output: doc_id, width, height,
+    new_width, new_height.
+    """
+    meta = decode_media_batch(media_df)
+    longest = F.greatest("width", "height")
+    shrink = F.col("max_side") > max_dim
+
+    def scaled(c: str):
+        # integer DIV end-to-end: bit-identical in Spark and DuckDB,
+        # no float rounding at exact-ratio boundaries
+        return F.when(
+            shrink,
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"{c} * {max_dim} DIV max_side"),
+            ),
+        ).otherwise(F.col(c))
+
+    return (
+        meta.withColumn("max_side", longest)
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            scaled("width").alias("new_width"),
+            scaled("height").alias("new_height"),
+        )
+    )
+
+
 def sample_chunks(
     media_df: DataFrame, chunk_size: int, every_k: int
 ) -> DataFrame:

@@ -10,6 +10,8 @@ from seng550_a3_etl_spark.catalog import load_tables
 from seng550_a3_etl_spark.operators.multimodal import (
     attach_media,
     decode_media_batch,
+    extract_features,
+    resize_meta,
 )
 from seng550_a3_etl_spark.suite.registry import query
 
@@ -35,3 +37,68 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     media = attach_media(t.documents, "doc_id", "text")
     return decode_media_batch(media)
+
+
+_N_BINS = 16
+_FEATURE_ENTRIES = ",\n           ".join(
+    f"CAST(len(list_filter(bs, b -> b % {_N_BINS} = {i})) AS BIGINT)"
+    for i in range(_N_BINS)
+)
+
+
+@query(
+    "multimodal_features",
+    oracle=f"""
+    WITH bytes AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, octet_length(encode(text)) + 1),
+               i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS bs
+      FROM documents
+    )
+    SELECT doc_id,
+           [{_FEATURE_ENTRIES}] AS feature
+    FROM bytes
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary media (the CNN-embedding /
+    spectrogram slot): one Arrow pass through mapInPandas, binary in,
+    fixed-width ``array<bigint>`` out, zero shuffle. The deterministic
+    stand-in feature is a byte histogram mod 16, which the oracle
+    replays per-character (the document fixture is ASCII, so bytes and
+    code points coincide)."""
+    t = load_tables(spark, sf_dir)
+    media = attach_media(t.documents, "doc_id", "text")
+    return extract_features(media, n_bins=_N_BINS)
+
+
+@query(
+    "multimodal_resize_meta",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+             CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 1
+                       ELSE ascii(substr(text, 1, 1)) % 480 + 1 END
+                  AS BIGINT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CASE WHEN greatest(width, height) > 64
+                THEN greatest(1, width * 64 // greatest(width, height))
+                ELSE width END AS new_width,
+           CASE WHEN greatest(width, height) > 64
+                THEN greatest(1, height * 64 // greatest(width, height))
+                ELSE height END AS new_height
+    FROM meta
+    """,
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning (shrink longest side to 64):
+    decode metadata via the Arrow batch path, then pure integer-DIV
+    column math — per-row, JVM-side, zero shuffle. The pixel resample
+    itself is the stubbed external step (SURVEY §2.10 X13)."""
+    t = load_tables(spark, sf_dir)
+    media = attach_media(t.documents, "doc_id", "text")
+    return resize_meta(media, max_dim=64)
