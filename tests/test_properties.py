@@ -1,0 +1,193 @@
+"""Property-based tests (hypothesis) for the semantically-hard operators
+(SURVEY §7 "hard parts"): merge-upsert guard + idempotence, as-of join
+vs brute force, sessionization vs brute force, and point-in-polygon vs
+an independent pure-Python ray cast.
+
+Examples are derandomized so CI is stable; each example runs one small
+Spark job on inline data.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SET = dict(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# key -> (version, value): unique keys per side, colliding across sides
+_side = st.dictionaries(
+    st.integers(0, 6),
+    st.tuples(st.integers(0, 4), st.integers(-9, 9)),
+    max_size=8,
+)
+
+
+@given(target=_side, source=_side)
+@settings(**SET)
+def test_merge_upsert_matches_brute_force_and_is_idempotent(
+    spark, target, source
+):
+    from seng550_a3_etl_spark.operators.dedup import merge_upsert
+
+    schema = "k long, ver long, val long"
+    t = spark.createDataFrame(
+        [(k, v, x) for k, (v, x) in target.items()], schema
+    )
+    s = spark.createDataFrame(
+        [(k, v, x) for k, (v, x) in source.items()], schema
+    )
+
+    expect = dict(target)
+    for k, (v, x) in source.items():
+        if k not in expect or v > expect[k][0]:  # strictly-newer guard
+            expect[k] = (v, x)
+
+    merged = merge_upsert(t, s, ["k"], "ver")
+    got = {(r.k, r.ver, r.val) for r in merged.collect()}
+    assert got == {(k, v, x) for k, (v, x) in expect.items()}
+
+    again = {(r.k, r.ver, r.val) for r in merge_upsert(merged, s, ["k"], "ver").collect()}
+    assert again == got  # replaying the same batch is a no-op
+
+
+_left_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 20)), max_size=8
+)
+_right_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(-9, 9)),
+    max_size=8,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(left=_left_rows, right=_right_rows, backward=st.booleans())
+@settings(**SET)
+def test_asof_join_matches_brute_force(spark, left, right, backward):
+    from seng550_a3_etl_spark.operators.joins import asof_join
+
+    left_rows = [(k, t, i) for i, (k, t) in enumerate(left)]
+    l = spark.createDataFrame(left_rows or [(0, 0, 0)], "k long, lt long, lid long")
+    r = spark.createDataFrame(right or [(99, 0, 0)], "k long, rt long, rv long")
+    if not left_rows:
+        l = l.limit(0)
+    if not right:
+        r = r.limit(0)
+
+    out = asof_join(
+        l, r, ["k"], "lt", "rt",
+        direction="backward" if backward else "forward",
+    )
+    got = {r_.lid: (r_.rt, r_.rv) for r_ in out.collect()}
+
+    expect = {}
+    for k, t, i in left_rows:
+        cands = [
+            (rt, rv) for rk, rt, rv in right
+            if rk == k and (rt <= t if backward else rt >= t)
+        ]
+        if cands:
+            pick = max(cands) if backward else min(cands)
+            expect[i] = pick
+        else:
+            expect[i] = (None, None)
+    assert got == expect
+
+
+_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 40)), max_size=12
+)
+
+
+@given(events=_events)
+@settings(**SET)
+def test_sessionize_matches_brute_force(spark, events):
+    from seng550_a3_etl_spark.operators.sessionize import sessionize
+
+    base = dt.datetime(2020, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(seconds=s), i)
+        for i, (u, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows or [(0, base, 0)], "user long, ts timestamp, id long"
+    )
+    if not rows:
+        df = df.limit(0)
+
+    out = sessionize(df, "user", "ts", gap="5 seconds", tiebreak=["id"])
+    got = {r.id: r.session_seq for r in out.collect()}
+
+    expect = {}
+    by_user: dict[int, list] = {}
+    for u, ts, i in rows:
+        by_user.setdefault(u, []).append((ts, i))
+    for u, evs in by_user.items():
+        seq, prev = 0, None
+        for ts, i in sorted(evs):
+            if prev is None or ts > prev + dt.timedelta(seconds=5):
+                seq += 1
+            expect[i] = seq
+            prev = ts
+    assert got == expect
+
+
+def _py_ray_cast(ring, x, y):
+    """Independent even-odd crossing count (half-open edges)."""
+    n = 0
+    for (ax, ay), (bx, by) in zip(ring, ring[1:]):
+        if (ay > y) != (by > y):
+            xi = (bx - ax) * (y - ay) / (by - ay) + ax
+            if x < xi:
+                n += 1
+    return n
+
+
+@given(
+    radii=st.lists(st.integers(1, 5), min_size=3, max_size=8),
+    pts=st.lists(
+        st.tuples(st.integers(-6, 6), st.integers(-6, 6)),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@settings(**SET)
+def test_contains_matches_python_ray_cast(spark, radii, pts):
+    from seng550_a3_etl_spark.functions.geo import multipolygon_contains
+
+    # star-shaped simple polygon: vertex i at angle 2πi/n, radius radii[i]
+    n = len(radii)
+    ring = [
+        (r * math.cos(2 * math.pi * i / n), r * math.sin(2 * math.pi * i / n))
+        for i, r in enumerate(radii)
+    ]
+    ring.append(ring[0])
+    # offset keeps query points off edges/vertices (no boundary ambiguity)
+    points = [(x + 0.1234567, y + 0.7654321) for x, y in pts]
+
+    poly_lit = F.array(
+        F.array(*[F.array(F.lit(x), F.lit(y)) for x, y in ring])
+    )
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(points)],
+        "pid long, x double, y double",
+    ).withColumn("polys", F.array(poly_lit))
+    got = {
+        r.pid: r.inside
+        for r in df.select(
+            "pid",
+            multipolygon_contains(F.col("polys"), F.col("x"), F.col("y")).alias(
+                "inside"
+            ),
+        ).collect()
+    }
+    for i, (x, y) in enumerate(points):
+        assert got[i] == (_py_ray_cast(ring, x, y) % 2 == 1), (i, x, y)
