@@ -1,0 +1,110 @@
+"""KMV (k-minimum-values) distinct-count sketch.
+
+The reference has no approximate aggregates; at 100 TB, exact
+COUNT(DISTINCT) shuffles every distinct value. Spark's built-in
+``approx_count_distinct`` (HLL++) covers that, but its estimate is not
+replayable by another engine, so it can only get a rows-only check. KMV
+(Bar-Yossef et al. 2002, "Counting distinct elements in a data stream")
+is the sketch that IS exactly replayable: keep the k smallest distinct
+hash values; if fewer than k exist the answer is exact, else estimate
+``(k-1) / u_(k)`` where ``u_(k)`` is the k-th minimum normalized to
+[0,1). With the cross-engine md5-60bit hash, Spark and DuckDB derive
+bit-identical estimates — an oracle-checkable approximate aggregate.
+
+Scale shape: a partition-local min-k combine (Arrow batches, O(k) state
+per key) bounds the shuffle to ≤ k hashes per key per partition —
+the same partial/final split a native UDAF would get — then one
+groupBy merge re-takes the global min-k. min-k-of-distinct is a
+semilattice merge, so the two-level result equals the single-pass
+result exactly (property-tested in tests/test_sketch.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from seng550_a3_etl_spark.functions.hashing import HASH_BITS, hash64
+
+_H = "__kmv_h"
+
+
+def _estimate(hs: Column, k: int) -> Column:
+    """hs = sorted array of ≤ |distinct| merged hash minima."""
+    m = F.size(hs)
+    scale = float((k - 1) * (1 << HASH_BITS))  # 6 sig bits — exact double
+    return F.when(m < k, m.cast("double")).otherwise(
+        F.lit(scale) / F.element_at(hs, k).cast("double")
+    )
+
+
+def duck_kmv_estimate(hs_expr: str, k: int) -> str:
+    """DuckDB SQL computing exactly :func:`_estimate` over a sorted list."""
+    scale = (k - 1) * (1 << HASH_BITS)
+    return (
+        f"CASE WHEN len({hs_expr}) < {k} THEN CAST(len({hs_expr}) AS DOUBLE) "
+        f"ELSE CAST({scale} AS DOUBLE) / CAST({hs_expr}[{k}] AS DOUBLE) END"
+    )
+
+
+def _partition_minks(
+    keys: Sequence[str], k: int
+) -> "callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]":
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[tuple, list] = {}
+        for pdf in batches:
+            for key_vals, grp in pdf.groupby(list(keys), dropna=False, sort=False):
+                if not isinstance(key_vals, tuple):
+                    key_vals = (key_vals,)
+                merged = state.get(key_vals)
+                hs = grp[_H].unique()
+                if merged is None:
+                    pool = set(hs)
+                else:
+                    pool = set(merged)
+                    pool.update(hs)
+                state[key_vals] = sorted(pool)[:k]
+            # O(k · n_keys) state regardless of partition size
+        rows = [
+            (*key_vals, h) for key_vals, hs in state.items() for h in hs
+        ]
+        yield pd.DataFrame(rows, columns=[*keys, _H])
+
+    return combine
+
+
+def kmv_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    k: int = 64,
+    est_col: str = "est_distinct",
+) -> DataFrame:
+    """Per-``keys`` distinct-count estimate of ``value`` (string column).
+
+    Exact below k distinct values, (k-1)/u_(k) above; relative error
+    ~1/sqrt(k-2). Deterministic: same inputs → same estimate, in Spark
+    and in the DuckDB oracle (build its SQL with
+    :func:`duck_kmv_estimate`).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    keys = list(keys)
+    hashed = (
+        df.select(*keys, value.alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .select(*keys, hash64(F.col("__v")).alias(_H))
+    )
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in hashed.schema.fields
+    )
+    partial = hashed.mapInPandas(_partition_minks(keys, k), schema)
+    return partial.groupBy(*keys).agg(
+        _estimate(F.slice(F.array_sort(F.collect_set(_H)), 1, k), k).alias(
+            est_col
+        )
+    )

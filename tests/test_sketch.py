@@ -1,0 +1,83 @@
+"""KMV sketch tests: exactness below k, two-level == single-pass
+semilattice property under repartitioning, error bounds above k, and
+parity with the DuckDB replay of the estimate."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from seng550_a3_etl_spark.functions.hashing import duck_hash64
+from seng550_a3_etl_spark.operators.sketch import (
+    duck_kmv_estimate,
+    kmv_distinct,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "grp string, v string")
+
+
+def test_exact_below_k(spark):
+    rows = [("a", f"u{i}") for i in range(10) for _ in range(3)] + [
+        ("b", "solo")
+    ]
+    got = {
+        r.grp: r.est_distinct
+        for r in kmv_distinct(_mk(spark, rows), ["grp"], F.col("v"), k=64)
+        .collect()
+    }
+    assert got == {"a": 10.0, "b": 1.0}
+
+
+def test_partitioning_invariance(spark):
+    rows = [("g", f"user-{i}") for i in range(500)]
+    df = _mk(spark, rows)
+    ests = {
+        kmv_distinct(df.repartition(n), ["grp"], F.col("v"), k=16)
+        .collect()[0]
+        .est_distinct
+        for n in (1, 3, 17)
+    }
+    assert len(ests) == 1  # min-k merge is partitioning-invariant
+
+
+@pytest.mark.parametrize("n_true", [200, 1000])
+def test_error_bound_above_k(spark, n_true):
+    k = 64
+    rows = [("g", f"item:{i}") for i in range(n_true)]
+    est = (
+        kmv_distinct(_mk(spark, rows), ["grp"], F.col("v"), k=k)
+        .collect()[0]
+        .est_distinct
+    )
+    # ~1/sqrt(k-2) relative error; allow 4 sigma
+    assert abs(est - n_true) / n_true < 4 / (k - 2) ** 0.5
+
+
+def test_estimate_matches_duckdb_replay(spark):
+    k = 8
+    rows = [("x", f"val{i}") for i in range(50)] + [
+        ("y", f"val{i}") for i in range(5)
+    ]
+    got = {
+        r.grp: r.est_distinct
+        for r in kmv_distinct(_mk(spark, rows), ["grp"], F.col("v"), k=k)
+        .collect()
+    }
+    con = duckdb.connect()
+    vals = ", ".join(f"('{g}', '{v}')" for g, v in rows)
+    want = {
+        g: e
+        for g, e in con.sql(
+            f"""
+            WITH t(grp, v) AS (VALUES {vals}),
+            hashed AS (SELECT DISTINCT grp, {duck_hash64("v")} AS h FROM t),
+            minima AS (SELECT grp, list_sort(list(h))[1:{k}] AS hs
+                       FROM hashed GROUP BY grp)
+            SELECT grp, {duck_kmv_estimate("hs", k)} FROM minima
+            """
+        ).fetchall()
+    }
+    assert got == want  # bit-identical doubles, not approximately equal
