@@ -27,11 +27,15 @@ def main() -> None:
     spark = get_spark("seng550-a3-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen path once so per-query timings measure the
-    # engine, not first-job startup.
+    # Warm the JVM/codegen path AND the Python worker pool once so
+    # per-query timings measure the engine, not first-job startup or
+    # the first mapInPandas call's worker spawn.
     QUERIES["nation_order_counts"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    spark.range(spark.sparkContext.defaultParallelism).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):

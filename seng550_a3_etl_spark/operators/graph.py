@@ -24,6 +24,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_find_labels(edge_rows, spark, node_type: str) -> DataFrame:
+    """Driver-side union-find for edge lists below the adaptive
+    threshold — same min-label-per-component fixpoint as the iterative
+    path, without ~10 Spark jobs of per-job overhead on tiny graphs."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, t in edge_rows:
+        parent.setdefault(s, s)
+        parent.setdefault(t, t)
+        rs, rt = find(s), find(t)
+        if rs != rt:
+            parent[max(rs, rt)] = min(rs, rt)
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(
+        rows, f"node {node_type}, label {node_type}"
+    )
+
+
+# Below this many edges the graph fits trivially on the driver and the
+# distributed loop's per-job overhead dominates; mirror Spark's own
+# size-gated physical planning (broadcast-vs-shuffle) and solve locally.
+DRIVER_EDGE_THRESHOLD = 200_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -32,17 +64,42 @@ def connected_components(
 ) -> DataFrame:
     """(node, label) for every node in ``edges``; label = min node id in
     the node's component. Edges are treated as undirected; iteration
-    stops at fixpoint (or ``max_iter`` as a runaway bound)."""
+    stops at fixpoint (or ``max_iter`` as a runaway bound).
+
+    Adaptive physical strategy: edge lists under
+    :data:`DRIVER_EDGE_THRESHOLD` are solved by driver-side union-find
+    (exactly equal output); larger graphs run the distributed min-label
+    loop, whose state never leaves the executors."""
+    # Pre-partition both sides on their join keys: Dataset.localCheckpoint
+    # preserves outputPartitioning, so every round's two joins are
+    # co-partitioned zero-exchange joins and the only shuffle left per
+    # round is the neighbor-min groupBy. The change flag rides along in
+    # the checkpointed round output, so detecting the fixpoint is a scan
+    # of in-memory data, not an extra join job.
+    # Materialize the incoming edge list ONCE before symmetrizing: the
+    # union references it twice, and Spark replans (recomputes) each
+    # reference — for edges produced by an expensive near-dup pair scan
+    # that would double the dominant cost.
+    e0 = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t")
+    ).localCheckpoint(eager=True)
+    if e0.count() <= DRIVER_EDGE_THRESHOLD:
+        return _union_find_labels(
+            [(r.s, r.t) for r in e0.collect()],
+            edges.sparkSession,
+            edges.schema[src].dataType.simpleString(),
+        )
     sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        e0.union(e0.select(F.col("t"), F.col("s")))
         .distinct()
+        .repartition("t")
         .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .repartition("node")
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
@@ -58,17 +115,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "__chg"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("__chg").limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     return labels

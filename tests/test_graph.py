@@ -1,0 +1,87 @@
+"""Connected-components tests: the driver-side union-find path and the
+distributed min-label loop must produce identical labelings, and both
+must match brute-force reachability."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from seng550_a3_etl_spark.operators import graph
+
+
+def _brute_components(edge_rows):
+    adj: dict = {}
+    for s, t in edge_rows:
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    labels = {}
+    for start in adj:
+        if start in labels:
+            continue
+        seen, stack = {start}, [start]
+        while stack:
+            n = stack.pop()
+            for m in adj[n]:
+                if m not in seen:
+                    seen.add(m)
+                    stack.append(m)
+        lo = min(seen)
+        for n in seen:
+            labels[n] = lo
+    return labels
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)), max_size=15
+)
+
+
+@given(edges=_edges)
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_both_paths_match_brute_force(spark, edges):
+    df = spark.createDataFrame(
+        edges or [(0, 0)], "src long, dst long"
+    )
+    if not edges:
+        df = df.limit(0)
+    expect = _brute_components(edges)
+
+    fast = {
+        (r.node, r.label)
+        for r in graph.connected_components(df).collect()
+    }
+    assert fast == set(expect.items())
+
+    orig = graph.DRIVER_EDGE_THRESHOLD
+    try:
+        graph.DRIVER_EDGE_THRESHOLD = -1  # force the distributed loop
+        dist = {
+            (r.node, r.label)
+            for r in graph.connected_components(df).collect()
+        }
+    finally:
+        graph.DRIVER_EDGE_THRESHOLD = orig
+    assert dist == set(expect.items())
+
+
+def test_long_chain_converges(spark):
+    # a path graph is the worst case for min-label propagation
+    # (diameter = n); labels must still reach the global minimum
+    chain = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    orig = graph.DRIVER_EDGE_THRESHOLD
+    try:
+        graph.DRIVER_EDGE_THRESHOLD = -1
+        got = {
+            (r.node, r.label)
+            for r in graph.connected_components(df).collect()
+        }
+    finally:
+        graph.DRIVER_EDGE_THRESHOLD = orig
+    assert got == {(i, 0) for i in range(13)}
