@@ -58,6 +58,49 @@ def stream_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicates(list(keys))
 
 
+def attribution_join_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each ``purchase`` event matched with
+    the same user's ``click`` events in the preceding ``lookback`` —
+    click-to-purchase attribution.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both sides, so Spark can expire join state: a click is held only
+    ``lookback + watermark`` past its event time, a purchase only
+    ``watermark`` — state is O(events within the horizon), not O(stream).
+    Works identically on a batch frame (same equi+range join, no state).
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col(user_col),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col(user_col).alias("__c_user"),
+        F.col(ts_col).alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    if events.isStreaming:
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+        clicks = clicks.withWatermark("click_ts", watermark)
+    joined = purchases.join(
+        clicks,
+        (F.col(user_col) == F.col("__c_user"))
+        & F.col("click_ts").between(
+            F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"),
+            F.col("purchase_ts"),
+        ),
+    )
+    return joined.select(
+        user_col, "purchase_id", "purchase_ts", "click_id", "click_ts"
+    )
+
+
 def streaming_fact_upsert(
     spark: SparkSession,
     source_path: str,

@@ -600,3 +600,36 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events")
     )
     return users.join(events, "event_type")
+
+
+@query(
+    "salted_segment_revenue",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-spread join: the fact side's key is salted across 8 reducer
+    slices and the dim side replicated per salt (operators/skew.py), so
+    one hot customer key can no longer pin a single reducer — the manual
+    counterpart of AQE skew-join for hash-join/pre-partitioned cases.
+    The join result is provably the plain join, so the oracle is the
+    unsalted SQL."""
+    from seng550_a3_etl_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    joined = salted_join(
+        t.orders.select("o_custkey", "o_totalprice"),
+        t.customer.select("c_custkey", "c_mktsegment"),
+        ["o_custkey"],
+        ["c_custkey"],
+        n_salt=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -12,11 +12,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from seng550_a3_etl_spark.streaming.jobs import windowed_event_counts
+from seng550_a3_etl_spark.streaming.jobs import (
+    attribution_join_stream,
+    windowed_event_counts,
+)
 from seng550_a3_etl_spark.suite.registry import query
 from seng550_a3_etl_spark.suite.windows import _TS_FMT, _TS_FMT_DUCK
 
 _TABLE = "stream_hourly_windows_sink"
+_ATTR_TABLE = "stream_attribution_sink"
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded file stream over the events fixture (nanos ts handled)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
 
 
 @query(
@@ -37,19 +57,7 @@ def stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow). Bounded input makes it deterministic and equal to the
     batch plan, so the same oracle applies — this checks the streaming
     runtime, not just the expression logic."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # The file stream source wants a directory; glob-filter to the one
-    # fixture file inside it.
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    stream = _event_stream(spark, sf_dir)
     q = (
         windowed_event_counts(stream)
         .writeStream.format("memory")
@@ -64,4 +72,46 @@ def stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         "total_value",
+    )
+
+
+@query(
+    "stream_click_attribution",
+    oracle=f"""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           strftime(CAST(p.ts AS TIMESTAMP), '{_TS_FMT_DUCK}') AS purchase_ts,
+           c.event_id AS click_id,
+           strftime(CAST(c.ts AS TIMESTAMP), '{_TS_FMT_DUCK}') AS click_ts
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join executed on the streaming runtime:
+    watermarks on both sides + an event-time range condition let Spark
+    expire join state (clicks held lookback+watermark, purchases held
+    watermark — bounded state at any stream length). Bounded input +
+    append mode makes the result equal to the batch join, so the batch
+    oracle checks the streaming state machinery end-to-end."""
+    stream = _event_stream(spark, sf_dir)
+    q = (
+        attribution_join_stream(stream)
+        .writeStream.format("memory")
+        .queryName(_ATTR_TABLE)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(_ATTR_TABLE).select(
+        "user_id",
+        "purchase_id",
+        F.date_format("purchase_ts", _TS_FMT).alias("purchase_ts"),
+        "click_id",
+        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
     )
