@@ -345,3 +345,107 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "curation_pipeline",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS t
+                  FROM documents),
+    scored AS (
+      SELECT doc_id, text, t,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             {_duck_marker('en')} AS c_en, {_duck_marker('es')} AS c_es,
+             {_duck_marker('de')} AS c_de, {_duck_marker('fr')} AS c_fr,
+             {_duck_marker('zh')} AS c_zh,
+             least(len(t) / 100.0, 1.0) * 0.25
+               + (len(list_distinct(t)) / greatest(len(t), 1)) * 0.25
+               + least(((length(text) - (len(t) - 1)) / greatest(len(t), 1))
+                       / 8.0, 1.0) * 0.25
+               + least(({_duck_marker('en')} / greatest(len(t), 1)) * 10.0,
+                       1.0) * 0.25 AS quality
+      FROM toks),
+    kept AS (
+      SELECT doc_id, text, t, n_tokens, quality
+      FROM (SELECT *, greatest(c_en, c_es, c_de, c_fr, c_zh) AS best
+            FROM scored)
+      WHERE (CASE {_LANG_CASE} ELSE 'und' END) = 'en'
+        AND quality >= 0.45),
+    uniq AS (
+      SELECT * FROM (
+        SELECT k.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+        FROM kept k)
+      WHERE doc_id = canon),
+    sets_ AS (SELECT doc_id AS doc, list_distinct({_duck_shingles(3)}) AS sh
+              FROM uniq),
+    sizes AS (SELECT doc, CAST(len(sh) AS BIGINT) AS n_sh FROM sets_),
+    ex AS (SELECT doc, unnest(sh) AS s FROM sets_),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b USING (s)
+      WHERE a.doc < b.doc GROUP BY 1, 2),
+    near_dupes AS (
+      SELECT DISTINCT doc_b FROM inter
+      JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.8),
+    final AS (
+      SELECT doc_id, n_tokens, ROUND(quality, 6) AS quality FROM uniq
+      WHERE doc_id NOT IN (SELECT doc_b FROM near_dupes))
+    SELECT doc_id, n_tokens, quality, cum_tokens FROM (
+      SELECT doc_id, n_tokens, quality,
+             CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+                  AS BIGINT) AS cum_tokens
+      FROM final)
+    WHERE cum_tokens <= 8000
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus curation pipeline, composed from
+    the engine's own operators: language filter + quality threshold →
+    exact dedup (min-id per content hash) → near-dup removal (drop the
+    doc_b side of every exact-Jaccard ≥0.8 pair) → greedy token-budget
+    selection (highest quality first, 8k-token budget).
+
+    Every stage is shuffle-bounded: per-row scoring (zero shuffle), one
+    hash-window dedup shuffle, the posting self-join, and a final
+    cumulative window over the tiny surviving set (the only
+    single-partition step — acceptable because the budget bounds it)."""
+    from pyspark.sql.window import Window
+
+    from seng550_a3_etl_spark.operators.text_dedup import ngram_jaccard_pairs
+
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    feat = t.documents.select(
+        "doc_id",
+        "text",
+        F.size(toks).cast("long").alias("n_tokens"),
+        lang_id(toks).alias("lang_pred"),
+        quality_score(F.col("text"), toks).alias("q_raw"),
+    )
+    kept = feat.filter(
+        (F.col("lang_pred") == "en") & (F.col("q_raw") >= 0.45)
+    )
+    w_hash = Window.partitionBy(F.md5("text"))
+    uniq = (
+        kept.withColumn("__canon", F.min("doc_id").over(w_hash))
+        .filter(F.col("doc_id") == F.col("__canon"))
+        .drop("__canon", "lang_pred")
+    )
+    near = (
+        ngram_jaccard_pairs(uniq, "doc_id", "text", n=3, threshold=0.8)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = uniq.join(near, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", F.round("q_raw", 6).alias("quality")
+    )
+    w_budget = Window.orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return final.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        F.sum("n_tokens").over(w_budget).alias("cum_tokens"),
+    ).filter(F.col("cum_tokens") <= 8000)
