@@ -132,3 +132,37 @@ def test_plan_pages(spark):
     assert len(urls) == 3
     assert "$offset=0" in urls[0] and "$limit=4" in urls[0]
     assert "$offset=8" in urls[2]
+
+
+def test_file_format_roundtrips(spark, tmp_path):
+    """CSV / JSON-lines / ORC round-trip through the format-dispatched
+    reader/writer; Parquet is the catalog's native path."""
+    from seng550_a3_etl_spark.sources.files import read_files, write_files
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, None)],
+        "id long, name string, score double",
+    )
+    want = {(r.id, r.name, r.score) for r in df.collect()}
+    schema = "id long, name string, score double"
+    for fmt in ("csv", "json", "orc"):
+        path = str(tmp_path / fmt)
+        write_files(df, path, fmt=fmt)
+        back = read_files(spark, path, fmt=fmt, schema=schema)
+        assert {(r.id, r.name, r.score) for r in back.collect()} == want, fmt
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from seng550_a3_etl_spark.sources.files import read_files, write_files
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, bucket long"
+    )
+    path = str(tmp_path / "part_orc")
+    write_files(df, path, fmt="orc", partition_by=["bucket"])
+    back = read_files(spark, path, fmt="orc").filter(F.col("bucket") == 1)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert back.count() == 10
