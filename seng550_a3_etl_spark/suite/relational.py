@@ -633,3 +633,86 @@ def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@query(
+    "order_priority_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts per priority, one column per
+    status — the dashboard cross-tab shape the reference builds
+    client-side in pandas (viz.py:234-238 analog).
+
+    Scale: the pivot values are passed EXPLICITLY — without them Spark
+    runs an extra distinct-collection job over the full table to
+    discover columns. With fixed values this is one partial+final hash
+    agg (|groups|×|values| cells shuffled), same cost as the groupBy.
+    """
+    t = load_tables(spark, sf_dir)
+    out = (
+        t.orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_filled"),
+        F.coalesce("P", F.lit(0)).alias("n_partial"),
+    )
+
+
+@query(
+    "price_tier_orders",
+    oracle="""
+    WITH tiers(tier, lo, hi) AS (VALUES
+      ('budget', 0.0, 75000.0),
+      ('mid', 75000.0, 200000.0),
+      ('premium', 200000.0, 1000000000.0))
+    SELECT t.tier,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS tier_revenue
+    FROM orders o
+    JOIN tiers t ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+    GROUP BY t.tier
+    """,
+)
+def price_tier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: bucket each order into a price tier by a
+    non-equi [lo, hi) predicate — the banding join the reference's
+    dead-code lateral join gestures at (queries.py:176-190), on a
+    numeric axis.
+
+    Scale: the tier table is tiny and broadcast, so this is a
+    BroadcastNestedLoopJoin — each fact row tests |tiers| intervals
+    with zero shuffle of the fact side. With a large band table the
+    plan would switch to bucketing facts by a computed band key first
+    (equi-join on the key); for a handful of tiers the direct theta
+    join is strictly cheaper.
+    """
+    t = load_tables(spark, sf_dir)
+    tiers = spark.createDataFrame(
+        [
+            ("budget", 0.0, 75_000.0),
+            ("mid", 75_000.0, 200_000.0),
+            ("premium", 200_000.0, 1_000_000_000.0),
+        ],
+        "tier string, lo double, hi double",
+    )
+    joined = t.orders.join(
+        F.broadcast(tiers),
+        (F.col("o_totalprice") >= F.col("lo"))
+        & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("tier_revenue"),
+    )

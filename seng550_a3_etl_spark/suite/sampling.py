@@ -1,0 +1,88 @@
+"""Deterministic hash-based sampling — training-data-pipeline extension.
+
+The reference has no sampling surface; a 100 TB curation pipeline needs
+one constantly (corpus subsetting, per-source rebalancing, held-out
+splits). Spark's ``TABLESAMPLE`` / ``df.sample`` are seeded per-partition
+and NOT stable across partition counts or reruns, so a pipeline built on
+them can't reproduce a training set. We sample by hashing a stable key
+(`hash64(doc_id) mod D < rate*D`): rerun-stable, partition-layout-
+independent, uniformly spread (md5 avalanche), and pushed to each row
+with zero shuffle — the filter evaluates inside the scan stage. The
+DuckDB oracle replays the identical hash, so the check validates the
+construction bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seng550_a3_etl_spark.catalog import load_tables
+from seng550_a3_etl_spark.functions.hashing import duck_hash64, hash64
+from seng550_a3_etl_spark.suite.registry import query
+
+_DENOM = 10_000  # rate granularity: 1/10000
+
+
+@query(
+    "uniform_doc_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {duck_hash64("CAST(doc_id AS VARCHAR)", seed=7)} % {_DENOM} < 2000
+    """,
+)
+def uniform_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20% uniform sample of the corpus by stable key hash.
+
+    Scale: a pure per-row filter — no shuffle, no sort, no sampling
+    state; at 100 TB it runs inside the parquet scan stage and the
+    selected set is identical regardless of cluster size or file split.
+    """
+    t = load_tables(spark, sf_dir)
+    bucket = hash64(F.col("doc_id").cast("string"), seed=7) % _DENOM
+    return t.documents.filter(bucket < 2000).select("doc_id", "lang", "source")
+
+
+# Per-language keep-rates (basis points of _DENOM): downsample the
+# dominant language, keep the tail whole — the standard rebalancing move
+# when mixing a multilingual training corpus.
+_RATES = {"en": 2500, "fr": 7500, "de": 7500}
+_DEFAULT_RATE = _DENOM  # unknown langs kept entirely
+
+
+@query(
+    "stratified_doc_sample",
+    oracle=f"""
+    WITH rates(lang, rate) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in _RATES.items())})
+    SELECT d.lang,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sampled_chars
+    FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+    WHERE {duck_hash64("CAST(d.doc_id AS VARCHAR)", seed=11)} % {_DENOM}
+          < COALESCE(r.rate, {_DEFAULT_RATE})
+    GROUP BY d.lang
+    """,
+)
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) hash sample, reported per stratum.
+
+    The rate table is broadcast (it is tiny by construction); the hash
+    filter again evaluates row-local inside the scan, so stratification
+    adds no shuffle over the uniform case. Per-stratum counts verify
+    both the join and every stratum's threshold.
+    """
+    t = load_tables(spark, sf_dir)
+    spark_rates = spark.createDataFrame(
+        list(_RATES.items()), "lang string, rate int"
+    )
+    bucket = hash64(F.col("doc_id").cast("string"), seed=11) % _DENOM
+    return (
+        t.documents.join(F.broadcast(spark_rates), "lang", "left")
+        .filter(bucket < F.coalesce(F.col("rate"), F.lit(_DEFAULT_RATE)))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )

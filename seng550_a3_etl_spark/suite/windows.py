@@ -9,7 +9,7 @@ matches the catalog's ns→us truncation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from seng550_a3_etl_spark.catalog import load_tables
@@ -244,4 +244,41 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_end", _TS_FMT).alias("session_end"),
         "n_events",
         F.round("total_value", 4).alias("total_value"),
+    )
+
+
+@query(
+    "event_gaps_quartiles",
+    oracle=f"""
+    SELECT user_id, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us,
+           LEAD(event_type) OVER w AS next_type,
+           NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+             AS value_quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def event_gaps_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation + distribution windows (lead/lag/ntile): per-user
+    inter-event gap in microseconds, the following event's type, and
+    the event's value quartile within the user — the window surface a
+    feature-engineering pipeline derives from an event stream.
+
+    Scale: all three windows share the user_id partitioning, so Spark
+    computes them in ONE shuffle + two sorts within each partition (ts
+    order and value order). gap is integer microseconds — exact in both
+    engines, no float time arithmetic.
+    """
+    t = load_tables(spark, sf_dir)
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_val = Window.partitionBy("user_id").orderBy("value", "event_id")
+    us = F.unix_micros("ts")
+    return t.events.select(
+        "user_id",
+        "event_id",
+        (us - F.lag(us).over(w_ts)).alias("gap_us"),
+        F.lead("event_type").over(w_ts).alias("next_type"),
+        F.ntile(4).over(w_val).alias("value_quartile"),
     )
