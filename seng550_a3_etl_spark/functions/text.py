@@ -105,3 +105,28 @@ def doc_fingerprint(toks: Column, n: int = 5) -> Column:
     documents sharing their minimal shingle — a cheap first-pass grouping
     key for near-dup candidate generation."""
     return F.array_min(F.transform(shingles(toks, n), lambda s: hash64(s)))
+
+
+def token_chunks(toks: Column, size: int) -> Column:
+    """Split a token array into consecutive fixed-``size`` windows —
+    the context-window chunking step that turns curated documents into
+    training sequences. Returns an array of (chunk_id, chunk_toks)
+    structs; the final chunk is the (possibly shorter) remainder.
+
+    Pure per-row array math (sequence + slice under transform): no
+    shuffle, no explode until the caller chooses row granularity, so
+    the chunk count never inflates the shuffle before it has to.
+    """
+    n = F.size(toks)
+    ids = F.sequence(F.lit(0), F.ceil(n / F.lit(size)).cast("int") - 1)
+    return F.when(n <= 0, F.array().cast(
+        "array<struct<chunk_id:int,chunk_toks:array<string>>>"
+    )).otherwise(
+        F.transform(
+            ids,
+            lambda cid: F.struct(
+                cid.alias("chunk_id"),
+                F.slice(toks, cid * size + 1, size).alias("chunk_toks"),
+            ),
+        )
+    )

@@ -21,6 +21,7 @@ from seng550_a3_etl_spark.functions.text import (
     doc_fingerprint,
     lang_id,
     quality_score,
+    token_chunks,
     tokens,
 )
 from seng550_a3_etl_spark.operators.text_dedup import (
@@ -449,3 +450,45 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         F.sum("n_tokens").over(w_budget).alias("cum_tokens"),
     ).filter(F.col("cum_tokens") <= 8000)
+
+
+@query(
+    "doc_token_chunks",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                  FROM documents),
+    ch AS (SELECT doc_id, t,
+                  unnest(range(0, CAST(ceil(len(t) / 16.0) AS BIGINT)))
+                    AS chunk_id
+           FROM toks WHERE len(t) > 0)
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(t[chunk_id * 16 + 1 : chunk_id * 16 + 16], ' ')
+             AS chunk_text,
+           CAST(least(len(t), chunk_id * 16 + 16) - chunk_id * 16 AS BIGINT)
+             AS n_chunk_tokens
+    FROM ch
+    """,
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into consecutive
+    16-token windows (final remainder kept) — the step that turns a
+    curated corpus into fixed-length training sequences.
+
+    Scale: chunking is per-row array math followed by one explode — no
+    shuffle at all; the output lands pre-sharded exactly like its input,
+    ready for a partitioned training-shard write. Chunk size is a
+    parameter (16 here so the small fixture still yields multi-chunk
+    docs; 512-2048 in a real pipeline)."""
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    chunked = t.documents.select(
+        "doc_id",
+        F.explode(token_chunks(toks, 16)).alias("ch"),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("ch.chunk_id").alias("chunk_id"),
+        F.array_join("ch.chunk_toks", " ").alias("chunk_text"),
+        F.size("ch.chunk_toks").cast("long").alias("n_chunk_tokens"),
+    )

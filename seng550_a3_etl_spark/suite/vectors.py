@@ -177,3 +177,47 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionAll(jitter)
     return cosine_dedup_pairs(corpus, threshold=0.95, planes=32, bands=4, dim=64)
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 127.0 / NULLIF(list_max(list_transform(v, x -> abs(x))), 0)
+                   AS scale
+          FROM e)
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale_r,
+           array_to_string(
+             list_transform(v, x -> CAST(round(x * scale) AS INT)), ',')
+             AS q_vec,
+           CAST(list_sum(
+             list_transform(v, x -> CAST(round(x * scale) AS INT)))
+             AS BIGINT) AS q_sum
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantize the embedding corpus (symmetric, per-vector scale)
+    and emit the quantized codes plus a checksum — the compression pass
+    a 100 TB embedding store runs before ANN indexing or training-shard
+    export. Pure per-row math: no shuffle, codegen end-to-end; the
+    oracle recomputes the identical scale and rounding."""
+    from seng550_a3_etl_spark.operators.similarity import quantize_int8
+
+    t = load_tables(spark, sf_dir)
+    qz = t.embeddings.select(
+        "vec_id", quantize_int8(F.col("embedding")).alias("z")
+    )
+    return qz.select(
+        "vec_id",
+        F.round("z.scale", 6).alias("scale_r"),
+        F.array_join(F.transform("z.q", lambda x: x.cast("string")), ",")
+          .alias("q_vec"),
+        F.aggregate(
+            "z.q", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+    )
