@@ -59,3 +59,40 @@ def write_files(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+    sort_by: Sequence[str] = (),
+    fmt: str = "parquet",
+) -> None:
+    """Export a curated corpus as ``n_shards`` deterministic shards —
+    the final step of a training-data pipeline, where downstream loaders
+    expect a fixed shard count with stable membership (resumable reads,
+    per-shard checksums, reproducible data order).
+
+    Shard membership is ``hash64(key) mod n_shards`` — a function of the
+    row alone, so it is stable across reruns, cluster sizes, and input
+    partitioning (unlike ``repartition(n)`` round-robin, whose
+    assignment depends on the input split). One ``repartition`` on the
+    shard id co-locates each shard, ``sortWithinPartitions`` fixes the
+    in-shard order, and ``partitionBy`` writes one directory per shard.
+    """
+    from pyspark.sql import functions as F
+
+    from seng550_a3_etl_spark.functions.hashing import hash64
+
+    sharded = df.withColumn(
+        "shard", hash64(F.col(key_col).cast("string")) % n_shards
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", *sort_by)
+        .write.format(fmt)
+        .mode("overwrite")
+        .partitionBy("shard")
+        .save(path)
+    )

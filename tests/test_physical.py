@@ -28,6 +28,8 @@ INVARIANT_QUERIES = [
     "minhash_dup_pairs",
     "embedding_cosine_dedup",
     "asof_signup_for_purchase",
+    # hash-mod sampling must select the same rows under any layout
+    "uniform_doc_sample",
 ]
 
 VARIANTS = {

@@ -166,3 +166,35 @@ def test_partitioned_write_prunes(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "bucket" in plan.split("PartitionFilters")[1].split("]")[0]
     assert back.count() == 10
+
+
+def test_training_shards_deterministic(spark, tmp_path):
+    """Shard membership is a pure row function: identical across reruns
+    and input partitionings; every row lands in hash64(key) mod n."""
+    from pyspark.sql import functions as F
+
+    from seng550_a3_etl_spark.functions.hashing import hash64
+    from seng550_a3_etl_spark.sources.files import write_training_shards
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("txt-"), F.col("id")).alias("text"),
+    )
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(df, p1, 4, "doc_id", sort_by=["doc_id"])
+    write_training_shards(df.repartition(13), p2, 4, "doc_id", sort_by=["doc_id"])
+
+    back1 = spark.read.parquet(p1)
+    back2 = spark.read.parquet(p2)
+    rows1 = {(r.doc_id, r.text, r.shard) for r in back1.collect()}
+    rows2 = {(r.doc_id, r.text, r.shard) for r in back2.collect()}
+    assert rows1 == rows2 and len(rows1) == 200
+
+    want = {
+        (r.doc_id, r.s)
+        for r in df.select(
+            "doc_id", (hash64(F.col("doc_id").cast("string")) % 4).alias("s")
+        ).collect()
+    }
+    assert {(d, s) for d, _, s in rows1} == want
+    assert set(back1.select("shard").distinct().toPandas()["shard"]) == {0, 1, 2, 3}
