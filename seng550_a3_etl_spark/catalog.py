@@ -85,3 +85,39 @@ def register_views(spark: SparkSession, sf_dir: str) -> Tables:
     for name, df in tables:
         df.createOrReplaceTempView(name)
     return tables
+
+
+def ensure_database(spark: SparkSession, name: str) -> bool:
+    """Idempotent database bootstrap (SURVEY §2.1 S7 — the reference's
+    create_database_if_not_exists + CREATE EXTENSION dance at
+    etl.py:33-59 collapses to one catalog DDL; no extension needed).
+    Returns True when the database already existed."""
+    existed = spark.catalog.databaseExists(name)
+    if not existed:
+        # Identifier is quoted via the catalog, not interpolated raw —
+        # the reference's f-string DDL (etl.py:44-50) is injection-prone.
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{name}`")
+    return existed
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """Existence probe (SURVEY §2.2 P11 — the reference's pg_database /
+    information_schema SELECTs, etl.py:44-48,295-302)."""
+    return spark.catalog.tableExists(name)
+
+
+def save_table_if_absent(df: DataFrame, name: str, **options: str) -> bool:
+    """Create-if-absent persisted table (SURVEY §2.5 W3 — the
+    reference's fact table is created once and preserved across reruns,
+    etl.py:290-315). Returns True when this call created the table;
+    False leaves the existing table untouched, making reruns no-ops so
+    the incremental refresh (plans/gold.py) owns all subsequent writes.
+    """
+    spark = df.sparkSession
+    if table_exists(spark, name):
+        return False
+    writer = df.write
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.saveAsTable(name)
+    return True

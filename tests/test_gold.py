@@ -70,3 +70,27 @@ def test_refresh_gold_incremental(spark, tmp_path):
         spark, path, batch, keys=["k"], version_col="ts", partition_by=["d"]
     )
     assert {r.k: r.v for r in again.collect()} == got
+
+
+def test_catalog_ddl_idempotent(spark, tmp_path):
+    """S7/P11/W3: database bootstrap, existence probes, and
+    create-if-absent are all idempotent — reruns are no-ops."""
+    from seng550_a3_etl_spark.catalog import (
+        ensure_database,
+        save_table_if_absent,
+        table_exists,
+    )
+
+    assert ensure_database(spark, "a3_db") is False  # created now
+    assert ensure_database(spark, "a3_db") is True   # already there
+
+    df = spark.range(5).toDF("id")
+    name = "a3_db.facts_once"
+    assert not table_exists(spark, name)
+    assert save_table_if_absent(df, name) is True
+    assert table_exists(spark, name)
+    # rerun with different data: table untouched (reference semantics)
+    assert save_table_if_absent(spark.range(99).toDF("id"), name) is False
+    assert spark.table(name).count() == 5
+    spark.sql("DROP TABLE a3_db.facts_once")
+    spark.sql("DROP DATABASE a3_db")
