@@ -191,3 +191,50 @@ def test_contains_matches_python_ray_cast(spark, radii, pts):
     }
     for i, (x, y) in enumerate(points):
         assert got[i] == (_py_ray_cast(ring, x, y) % 2 == 1), (i, x, y)
+
+
+@given(
+    toks=st.lists(st.text("abc", min_size=1, max_size=3), max_size=20),
+    size=st.integers(1, 7),
+)
+@settings(**SET)
+def test_token_chunks_reconstruct(spark, toks, size):
+    """Chunking partitions the token array exactly: concatenating the
+    chunks in chunk_id order reproduces the input, every chunk but the
+    last is full-size, and the last is non-empty."""
+    from seng550_a3_etl_spark.functions.text import token_chunks
+
+    df = spark.createDataFrame([(toks,)], "t array<string>")
+    [row] = df.select(token_chunks(F.col("t"), size).alias("c")).collect()
+    chunks = sorted(row.c, key=lambda x: x.chunk_id)
+    rebuilt = [tok for ch in chunks for tok in ch.chunk_toks]
+    if not toks:
+        assert rebuilt == []
+        return
+    assert rebuilt == toks
+    assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+    assert all(len(c.chunk_toks) == size for c in chunks[:-1])
+    assert 1 <= len(chunks[-1].chunk_toks) <= size
+
+
+@given(
+    vec=st.lists(
+        st.floats(-100, 100, allow_nan=False, width=32), min_size=1, max_size=12
+    )
+)
+@settings(**SET)
+def test_quantize_int8_bounds(spark, vec):
+    """Quantized codes stay in [-127, 127] and dequantization error is
+    at most half a quantization step (0.5/scale) per element; all-zero
+    vectors yield null scale."""
+    from seng550_a3_etl_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame([(vec,)], "v array<float>")
+    [row] = df.select(quantize_int8(F.col("v")).alias("z")).collect()
+    if max(abs(x) for x in vec) == 0:
+        assert row.z.scale is None
+        return
+    scale = row.z.scale
+    assert all(-127 <= q <= 127 for q in row.z.q)
+    for x, q in zip(vec, row.z.q):
+        assert abs(q / scale - x) <= 0.5 / scale + 1e-12
