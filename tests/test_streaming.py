@@ -166,3 +166,47 @@ def test_sessionize_stream_closes_on_gap_and_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert batch[(1, 1)] == got[0][1:]
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """stream_dedup keeps exactly one row per key even when the
+    duplicate arrives in a LATER micro-batch — i.e. the dedup state
+    actually persists across batches rather than deduping per-batch."""
+    from seng550_a3_etl_spark.streaming.jobs import stream_dedup
+
+    schema = "event_id int, ts timestamp, v string"
+    b1 = spark.createDataFrame(
+        [(i, _ts("2024-01-01T00:10:00"), "first") for i in range(1, 8)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        # 5-7 duplicate batch 1 keys (same event time), 8-12 are new
+        [(i, _ts("2024-01-01T00:10:00"), "dup") for i in range(5, 8)]
+        + [(i, _ts("2024-01-01T00:30:00"), "new") for i in range(8, 13)],
+        schema,
+    )
+    src = str(tmp_path / "dedup_src")
+    b1.write.parquet(src)
+    b2.write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
+        .parquet(src)
+    )
+    q = (
+        stream_dedup(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_d"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id, v FROM dedup_sink").collect()
+    assert sorted(r.event_id for r in got) == list(range(1, 13))
+    # batch-1 rows won the race for keys 5-7 in every case where both
+    # copies were seen (ordering across files is by path: b1 first)
+    by_key = {r.event_id: r.v for r in got}
+    assert all(by_key[k] == "first" for k in range(1, 8))
