@@ -139,3 +139,33 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.date_format("click_ts", _TS_FMT).alias("click_ts"),
     )
+
+
+_DEDUP_TABLE = "stream_dedup_sink"
+
+
+@query(
+    "stream_distinct_users",
+    oracle="SELECT DISTINCT user_id FROM events",
+)
+def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup (W1 as a stream): first-seen row per
+    user_id with state bounded by the watermark horizon. Which row wins
+    a tie is arrival-order-dependent, so the oracle checks the invariant
+    part — the distinct key set — while the cross-micro-batch state
+    behavior is pinned by tests/test_streaming.py."""
+    from seng550_a3_etl_spark.streaming.jobs import stream_dedup
+
+    stream = _event_stream(spark, sf_dir)
+    with _state_partitions(spark, 8):
+        q = (
+            stream_dedup(stream, ["user_id"])
+            .select("user_id")
+            .writeStream.format("memory")
+            .queryName(_DEDUP_TABLE)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(_DEDUP_TABLE)
