@@ -748,3 +748,46 @@ def status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "lineitem_profile",
+    oracle="""
+    WITH s AS (
+      SELECT
+        SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nn_q,
+        COUNT(DISTINCT l_quantity) AS nd_q,
+        CAST(MIN(l_quantity) AS VARCHAR) AS mn_q,
+        CAST(MAX(l_quantity) AS VARCHAR) AS mx_q,
+        SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nn_r,
+        COUNT(DISTINCT l_returnflag) AS nd_r,
+        MIN(l_returnflag) AS mn_r, MAX(l_returnflag) AS mx_r,
+        SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS nn_s,
+        COUNT(DISTINCT l_shipdate) AS nd_s,
+        strftime(CAST(MIN(l_shipdate) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS mn_s,
+        strftime(CAST(MAX(l_shipdate) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS mx_s
+      FROM lineitem)
+    SELECT 'l_quantity' AS column_name, CAST(nn_q AS BIGINT) AS n_nulls,
+           CAST(nd_q AS BIGINT) AS n_distinct, mn_q AS min_s, mx_q AS max_s
+    FROM s
+    UNION ALL
+    SELECT 'l_returnflag', CAST(nn_r AS BIGINT), CAST(nd_r AS BIGINT), mn_r, mx_r
+    FROM s
+    UNION ALL
+    SELECT 'l_shipdate', CAST(nn_s AS BIGINT), CAST(nd_s AS BIGINT), mn_s, mx_s
+    FROM s
+    """,
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile (nulls / distincts / min / max per
+    column) — the ANALYZE-style data-quality scan run on every new data
+    drop. One aggregate covers all profiled columns in one table scan;
+    a literal stack unpivots the stats row. The oracle recomputes each
+    statistic independently, so the single-pass fusion is verified
+    against the straightforward form."""
+    from seng550_a3_etl_spark.operators.profile import profile_columns
+
+    t = load_tables(spark, sf_dir)
+    return profile_columns(
+        t.lineitem, ["l_quantity", "l_returnflag", "l_shipdate"]
+    )
