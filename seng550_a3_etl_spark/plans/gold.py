@@ -108,3 +108,37 @@ def dedup_incidents(
     return latest_wins(
         incidents, keys, [F.desc(modified_col), F.desc(tiebreak)]
     )
+
+
+def merge_aggregates(
+    old: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    count_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Incremental maintenance of an algebraic aggregate table: combine
+    a persisted per-key aggregate with the aggregate of a new data slice
+    — sum+sum, count+count, min(min), max(max) — instead of
+    re-aggregating the full history.
+
+    This is the gold-table pattern that keeps a 100 TB rollup cheap: the
+    nightly job aggregates ONLY the new partition (its size, not the
+    table's) and folds it in with a shuffle on |keys| rows of the two
+    aggregate tables. Works for any algebraic aggregate; averages are
+    carried as (sum, count) and divided at read time. Non-algebraic
+    aggregates (exact median, distinct) need their own sketch — see
+    operators/sketch.py for the KMV distinct path, which merges the
+    same way.
+    """
+    keys = list(keys)
+    combined = old.unionByName(delta).groupBy(*keys)
+    aggs = (
+        [F.sum(c).alias(c) for c in sum_cols]
+        + [F.sum(c).alias(c) for c in count_cols]  # counts add
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    return combined.agg(*aggs)

@@ -791,3 +791,59 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         t.lineitem, ["l_quantity", "l_returnflag", "l_shipdate"]
     )
+
+
+@query(
+    "incremental_nation_revenue",
+    oracle="""
+    SELECT c_nationkey,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_order,
+           CAST(MAX(o_orderkey) AS BIGINT) AS last_order
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def incremental_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-nation rollup is
+    computed as two independent slice aggregates (orders split by a
+    hash of the key — standing in for 'history' and 'today's
+    partition') folded with plans.gold.merge_aggregates. The oracle is
+    the plain full aggregate, so the algebraic merge is verified to be
+    exactly recompute-equivalent — the property that lets a 100 TB gold
+    rollup update at the cost of the new slice only."""
+    from seng550_a3_etl_spark.functions.hashing import hash64
+    from seng550_a3_etl_spark.plans.gold import merge_aggregates
+
+    t = load_tables(spark, sf_dir)
+    joined = t.orders.join(
+        F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("c_nationkey", "o_totalprice", "o_orderkey")
+    is_new = hash64(F.col("o_orderkey").cast("string")) % 4 == 0
+
+    def slice_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("c_nationkey").agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("first_order"),
+            F.max("o_orderkey").alias("last_order"),
+        )
+
+    merged = merge_aggregates(
+        slice_agg(joined.filter(~is_new)),
+        slice_agg(joined.filter(is_new)),
+        keys=["c_nationkey"],
+        sum_cols=["revenue"],
+        count_cols=["n_orders"],
+        min_cols=["first_order"],
+        max_cols=["last_order"],
+    )
+    return merged.select(
+        "c_nationkey",
+        F.round("revenue", 2).alias("revenue"),
+        "n_orders",
+        "first_order",
+        "last_order",
+    )
