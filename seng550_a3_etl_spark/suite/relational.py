@@ -779,12 +779,12 @@ def status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass column profile (nulls / distincts / min / max per
-    column) — the ANALYZE-style data-quality scan run on every new data
-    drop. One aggregate covers all profiled columns in one table scan;
-    a literal stack unpivots the stats row. The oracle recomputes each
-    statistic independently, so the single-pass fusion is verified
-    against the straightforward form."""
+    """Column profile (nulls / distincts / min / max per column) — the
+    ANALYZE-style data-quality scan run on every new data drop. One
+    pruned-scan aggregate per column, unioned: on a columnar store that
+    reads the same bytes as a fused single scan while avoiding the
+    multi-count-distinct Expand (see operators/profile.py). The oracle
+    recomputes each statistic independently."""
     from seng550_a3_etl_spark.operators.profile import profile_columns
 
     t = load_tables(spark, sf_dir)
