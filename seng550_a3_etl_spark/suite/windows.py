@@ -282,3 +282,54 @@ def event_gaps_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w_ts).alias("next_type"),
         F.ntile(4).over(w_val).alias("value_quartile"),
     )
+
+
+@query(
+    "events_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT event_id, value FROM events
+      WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT) % 7 != 0
+    ),
+    new AS (
+      SELECT event_id,
+             CASE WHEN (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT) % 5 = 0 THEN value * 2 ELSE value END AS value
+      FROM events
+      WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT) % 11 != 0
+    )
+    SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+           CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                WHEN o.value = n.value THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           ROUND(o.value, 4) AS old_value,
+           ROUND(n.value, 4) AS new_value
+    FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    """,
+)
+def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (added/removed/changed/unchanged) between two
+    deterministic variants of the events table — the pipeline-regression
+    check, and the suite's full-outer-join exercise (absent from the
+    reference, exposed by the engine per SURVEY §2.3). One full-outer
+    shuffle join on the key; change detection is a null-safe column
+    compare, no hashing pass."""
+    from seng550_a3_etl_spark.functions.hashing import hash64
+    from seng550_a3_etl_spark.operators.dedup import snapshot_diff
+
+    t = load_tables(spark, sf_dir)
+    h = lambda: hash64(F.col("event_id").cast("string"))  # noqa: E731
+    old = t.events.filter(h() % 7 != 0).select("event_id", "value")
+    new = t.events.filter(h() % 11 != 0).select(
+        "event_id",
+        F.when(h() % 5 == 0, F.col("value") * 2)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    out = snapshot_diff(old, new, ["event_id"], ["value"])
+    return out.select(
+        "event_id",
+        "status",
+        F.round("old_value", 4).alias("old_value"),
+        F.round("new_value", 4).alias("new_value"),
+    )
