@@ -13,6 +13,7 @@ from seng550_a3_etl_spark.suite.registry import ORACLES, QUERIES  # noqa: F401
 
 # Import for registration side effects.
 from seng550_a3_etl_spark.suite import (  # noqa: E402,F401
+    analytics,
     multimodal,
     relational,
     sampling,

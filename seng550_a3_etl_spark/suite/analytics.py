@@ -1,0 +1,483 @@
+"""Windowed / statistical analytics extensions (SURVEY.md §2.10 X38-X46).
+
+The reference's dashboard does all of this client-side in pandas over a
+full-table extract (/root/reference/viz.py:200-255); here each shape is a
+distributed, oracle-checked operator. Cross-engine float determinism
+follows the suite's standing rules: money is summed as integer *cents*
+(``ROUND(x*100)::BIGINT`` — exact in both engines), ratios are formed by
+one fixed-order division, and DuckDB ``SUM(BIGINT)`` results are cast
+back to BIGINT (DuckDB widens to HUGEINT, Spark stays long).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from seng550_a3_etl_spark.catalog import load_tables
+from seng550_a3_etl_spark.functions.hashing import duck_hash64, hash64
+from seng550_a3_etl_spark.suite.registry import query
+
+
+def _cents(col: str) -> Column:
+    """Money column → exact integer cents (cross-engine deterministic)."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+_DUCK_CENTS = "CAST(ROUND({col} * 100) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# X38 — rolling window frames (ROWS + RANGE) over a per-day rollup.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "daily_revenue_rolling",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             COUNT(*) AS n_orders,
+             CAST(SUM({_DUCK_CENTS.format(col="o_totalprice")}) AS BIGINT)
+               AS day_cents
+      FROM orders GROUP BY 1
+    ),
+    d2 AS (
+      SELECT *, CAST(day - DATE '1970-01-01' AS BIGINT) AS day_num FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           n_orders,
+           day_cents,
+           CAST(SUM(day_cents) OVER w7 AS BIGINT) AS cents_7d,
+           CAST(SUM(day_cents) OVER w3 AS BIGINT) AS cents_3rows,
+           COUNT(*) OVER w7 AS days_in_7d
+    FROM d2
+    WINDOW w7 AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+           w3 AS (ORDER BY day_num ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def daily_revenue_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving aggregates with both frame kinds: a calendar-aware 7-day
+    RANGE frame (gaps in the date axis shrink the window) and a 3-row
+    ROWS frame, over per-day revenue.
+
+    Scale: the window runs over the per-DAY rollup, not raw orders — the
+    unpartitioned window's input cardinality is |distinct days| (grows
+    with time, not data volume), so the single-partition global sort is
+    a few thousand rows even at 100 TB of orders. The heavy reduction
+    (orders → days) is a partial+final hash agg on integer cents.
+    """
+    t = load_tables(spark, sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        t.orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("day_cents"),
+        )
+        .withColumn("day_num", F.datediff(F.col("day"), epoch))
+    )
+    w7 = Window.orderBy("day_num").rangeBetween(-6, Window.currentRow)
+    w3 = Window.orderBy("day_num").rowsBetween(-2, Window.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_orders",
+        "day_cents",
+        F.sum("day_cents").over(w7).alias("cents_7d"),
+        F.sum("day_cents").over(w3).alias("cents_3rows"),
+        F.count(F.lit(1)).over(w7).alias("days_in_7d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X39 — gaps-and-islands: consecutive-order-day streaks per customer.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_order_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day FROM orders
+    ),
+    numbered AS (
+      SELECT o_custkey,
+             CAST(day - DATE '1970-01-01' AS BIGINT) AS day_num,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY day) AS rn
+      FROM days
+    ),
+    streaks AS (
+      SELECT o_custkey, day_num - rn AS grp, COUNT(*) AS len
+      FROM numbered GROUP BY o_custkey, day_num - rn
+    )
+    SELECT o_custkey,
+           MAX(len) AS longest_streak,
+           COUNT(*) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM streaks GROUP BY o_custkey
+    """,
+)
+def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands via the row_number-difference trick: runs of
+    consecutive order days share a constant ``day_num - row_number``
+    group label; no self-join, no iteration.
+
+    Scale: one shuffle on the customer key serves the distinct, the
+    window, and both aggregates (Catalyst reuses the hash partitioning);
+    all arithmetic is integer day counts.
+    """
+    t = load_tables(spark, sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    days = (
+        t.orders.select(
+            "o_custkey", F.col("o_orderdate").cast("date").alias("day")
+        )
+        .distinct()
+        .withColumn("day_num", F.datediff(F.col("day"), epoch).cast("long"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_num")
+    streaks = (
+        days.select(
+            "o_custkey",
+            "day_num",
+            (F.col("day_num") - F.row_number().over(w)).alias("grp"),
+        )
+        .groupBy("o_custkey", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return streaks.groupBy("o_custkey").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X40 — fixed-width histogram (width_bucket shape).
+# --------------------------------------------------------------------------
+
+_HIST_WIDTH = 25_000
+_HIST_BUCKETS = 24
+
+
+@query(
+    "order_price_histogram",
+    oracle=f"""
+    SELECT LEAST(CAST(FLOOR(o_totalprice / {_HIST_WIDTH}) AS BIGINT),
+                 {_HIST_BUCKETS - 1}) AS bucket,
+           LEAST(CAST(FLOOR(o_totalprice / {_HIST_WIDTH}) AS BIGINT),
+                 {_HIST_BUCKETS - 1}) * {_HIST_WIDTH} AS bucket_lo,
+           COUNT(*) AS n_orders,
+           CAST(SUM({_DUCK_CENTS.format(col="o_totalprice")}) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width price histogram (the ``width_bucket`` shape, built
+    from floor-division so both engines share the exact IEEE ops; the
+    top bucket is open-ended via LEAST).
+
+    Scale: pure scan → per-row bucket arithmetic → partial+final hash
+    agg on ≤24 groups; the shuffle carries ≤24 rows per task.
+    """
+    t = load_tables(spark, sf_dir)
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / _HIST_WIDTH),
+        F.lit(_HIST_BUCKETS - 1),
+    ).cast("long")
+    return (
+        t.orders.select(
+            bucket.alias("bucket"), _cents("o_totalprice").alias("cents")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * _HIST_WIDTH).alias("bucket_lo"),
+            "n_orders",
+            "total_cents",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X41 — discrete quantiles (percentile_disc) per group, exact cross-engine.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "status_price_quartiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           MAX(n) AS n_orders,
+           ROUND(MAX(CASE WHEN rn = CEIL(n * 0.25) THEN o_totalprice END), 2)
+             AS p25,
+           ROUND(MAX(CASE WHEN rn = CEIL(n * 0.50) THEN o_totalprice END), 2)
+             AS p50,
+           ROUND(MAX(CASE WHEN rn = CEIL(n * 0.75) THEN o_totalprice END), 2)
+             AS p75
+    FROM ranked GROUP BY o_orderstatus
+    """,
+)
+def status_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete per-group quartiles (percentile_disc semantics: the
+    element at rank ceil(q·n), ties broken by key) — engines disagree on
+    *interpolated* percentile implementations, but rank selection is
+    exact, so the oracle checks values bit-for-bit. The A8 median analog
+    (viz.py:228-229) as a grouped, distributed operator.
+
+    Scale: one shuffle on the group key; the rank window and the count
+    window share its sort; the final agg folds each group to one row.
+    The multiplier 0.25/0.5/0.75 are binary-exact doubles, so CEIL(n*q)
+    is deterministic in both engines.
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wc = Window.partitionBy("o_orderstatus")
+    ranked = t.orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def pick(q: float, name: str) -> Column:
+        at = F.ceil(F.col("n") * q)
+        return F.round(
+            F.max(F.when(F.col("rn") == at, F.col("o_totalprice"))), 2
+        ).alias(name)
+
+    return ranked.groupBy("o_orderstatus").agg(
+        F.max("n").alias("n_orders"),
+        pick(0.25, "p25"),
+        pick(0.50, "p50"),
+        pick(0.75, "p75"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X42 — conditional / filtered aggregation (FILTER clause shape).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "monthly_order_mix",
+    oracle=f"""
+    SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderpriority LIKE '1-%') AS n_urgent,
+           CAST(COALESCE(SUM({_DUCK_CENTS.format(col="o_totalprice")})
+                  FILTER (WHERE o_orderpriority LIKE '1-%'), 0) AS BIGINT)
+             AS urgent_cents,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_fulfilled
+    FROM orders GROUP BY 1
+    """,
+)
+def monthly_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregation (SQL FILTER clause ≡ sum-of-CASE): several
+    differently-predicated aggregates out of ONE scan — the idiom that
+    replaces N separate filtered queries with one pass at 100 TB.
+
+    Scale: single scan, per-row predicates, partial+final hash agg on
+    the month key; no join, no window.
+    """
+    t = load_tables(spark, sf_dir)
+    urgent = F.col("o_orderpriority").startswith("1-")
+    return (
+        t.orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("n_urgent"),
+            F.sum(
+                F.when(urgent, _cents("o_totalprice")).otherwise(F.lit(0))
+            ).alias("urgent_cents"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("n_fulfilled"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X43 — order-preserving array aggregation (basket building).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "order_part_baskets",
+    oracle=f"""
+    SELECT l_orderkey,
+           COUNT(*) AS n_items,
+           string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey)
+             AS parts
+    FROM lineitem
+    WHERE {duck_hash64("CAST(l_orderkey AS VARCHAR)", seed=3)} % 50 = 0
+    GROUP BY l_orderkey
+    """,
+)
+def order_part_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order sorted part basket: collect_list → sort_array →
+    array_join makes the inherently unordered distributed collect
+    deterministic (DuckDB replays it as an ordered string_agg). The
+    basket string is the input shape for co-occurrence / market-basket
+    feature pipelines.
+
+    Scale: the 2% hash filter evaluates inside the scan (no shuffle for
+    sampling); collected baskets are bounded by lines-per-order (≤7 in
+    TPC-H-shaped data), so collect_list state stays tiny; one shuffle
+    on the order key.
+    """
+    t = load_tables(spark, sf_dir)
+    keep = hash64(F.col("l_orderkey").cast("string"), seed=3) % 50 == 0
+    return (
+        t.lineitem.filter(keep)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(l_partkey)),"
+                " x -> cast(x as string)), ',')"
+            ).alias("parts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X44 — correlated-subquery decorrelation (above-group-average filter).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "parts_above_type_avg",
+    oracle=f"""
+    SELECT p_partkey, p_type, ROUND(p_retailprice, 2) AS p_retailprice
+    FROM part p
+    WHERE {_DUCK_CENTS.format(col="p_retailprice")} > 1.05 * (
+      SELECT CAST(SUM({_DUCK_CENTS.format(col="p2.p_retailprice")}) AS DOUBLE)
+             / COUNT(*)
+      FROM part p2 WHERE p2.p_type = p.p_type
+    )
+    """,
+)
+def parts_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts priced >5% above their type's average — the correlated
+    scalar subquery, hand-decorrelated into aggregate + broadcast join
+    (exactly what Catalyst's RewriteCorrelatedScalarSubquery produces).
+    The average is formed as exact integer cents divided once, so the
+    threshold comparison is bit-identical in both engines.
+
+    Scale: the per-type aggregate is |types| rows → broadcast; the part
+    table streams through map-side with no shuffle at all.
+    """
+    t = load_tables(spark, sf_dir)
+    parts = t.part.select(
+        "p_partkey", "p_type", "p_retailprice",
+        _cents("p_retailprice").alias("cents"),
+    )
+    stats = parts.groupBy("p_type").agg(
+        F.sum("cents").alias("sum_cents"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        parts.join(F.broadcast(stats), "p_type")
+        .filter(
+            F.col("cents")
+            > 1.05 * (F.col("sum_cents").cast("double") / F.col("n"))
+        )
+        .select(
+            "p_partkey",
+            "p_type",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X45 — weighted deterministic sampling (quality/length-proportional).
+# --------------------------------------------------------------------------
+
+_W_DENOM = 10_000
+
+
+@query(
+    "weighted_doc_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {duck_hash64("CAST(doc_id AS VARCHAR)", seed=13)} % {_W_DENOM}
+          < LEAST(n_chars, 5000) * 2
+    """,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample: each document's keep
+    probability is proportional to min(n_chars, 5000) — the curation
+    move that biases a training mix toward substantive documents without
+    an ML scorer. Same stable-hash construction as X26, so membership
+    is rerun- and layout-invariant and the oracle replays it exactly.
+
+    Scale: per-row integer arithmetic inside the scan stage; zero
+    shuffle, zero sampling state.
+    """
+    t = load_tables(spark, sf_dir)
+    rate = F.least(F.col("n_chars"), F.lit(5000)) * 2
+    keep = hash64(F.col("doc_id").cast("string"), seed=13) % _W_DENOM < rate
+    return t.documents.filter(keep).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# --------------------------------------------------------------------------
+# X46 — distribution windows: percent_rank / cume_dist.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "order_price_ranks",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS cume
+    FROM orders
+    WHERE {duck_hash64("CAST(o_orderkey AS VARCHAR)", seed=5)} % 20 = 0
+    WINDOW w AS (
+      PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+    )
+    """,
+)
+def order_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (percent_rank = (rank-1)/(n-1), cume_dist =
+    peers-at-or-below/n): both are single integer divisions, so the
+    doubles agree bit-for-bit cross-engine; the key tiebreak in the
+    window order makes ranks deterministic.
+
+    Scale: the 5% hash filter runs in the scan; one shuffle on the
+    status key; both distribution functions share one window sort.
+    """
+    t = load_tables(spark, sf_dir)
+    keep = hash64(F.col("o_orderkey").cast("string"), seed=5) % 20 == 0
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return t.orders.filter(keep).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
