@@ -192,6 +192,149 @@ def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sliding_event_windows",
+    oracle=f"""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    offs(k) AS (VALUES (0), (1))
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts) - k * INTERVAL 1 HOUR,
+                    '{_TS_FMT_DUCK}') AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM e CROSS JOIN offs
+    GROUP BY 1
+    """,
+)
+def sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows — 2-hour windows every hour, so each
+    event lands in exactly two overlapping windows. The streaming-native
+    smoothing operator (same F.window the tumbling query uses, plus a
+    slide); the oracle replays the expansion as a 2-offset cross join.
+
+    Scale: Spark expands each row into size/slide = 2 window rows before
+    the hash agg — state and shuffle are 2× the tumbling case, bounded
+    and predictable (vs an unbounded self-join formulation).
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "session_window_stats",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    lagged AS (
+      SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM o
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev IS NULL
+                       OR ts > prev + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+      FROM lagged
+    ),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '{_TS_FMT_DUCK}')
+             AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via the BUILT-IN F.session_window operator (the
+    operator X11 hand-builds with lag+running-sum; this is the form that
+    transfers directly to Structured Streaming state). Boundary
+    semantics pinned empirically: an event exactly gap-after the
+    previous one MERGES (new session only when the gap strictly
+    exceeds 30 min), and session_end = last event + gap — the oracle
+    encodes both.
+
+    Scale: one shuffle on user_id; Spark merges candidate [ts, ts+gap)
+    windows in a sort within each partition, state O(sessions), not
+    O(events).
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT).alias("session_start"),
+            F.date_format(F.col("w.end"), _TS_FMT).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "top_user_per_event_type",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id, COUNT(*) AS n_events
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, n_events, user_id AS top_user
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY n_events DESC, user_id DESC
+      ) AS rn FROM per_user
+    ) WHERE rn = 1
+    """,
+)
+def top_user_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max per group (O3's top-1 generalized): the most active user
+    per event type via struct-max — max over (n_events, user_id) pairs
+    orders lexicographically, making the tie-break explicit where
+    max_by's is unspecified.
+
+    Scale: struct-max is an ordinary partial+final aggregate — each
+    group folds to ONE row map-side (vs the window formulation, which
+    shuffles every per-user row and sorts). The oracle keeps the
+    window form, proving the two formulations agree.
+    """
+    t = load_tables(spark, sf_dir)
+    per_user = t.events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(F.max(F.struct("n_events", "user_id")).alias("m"))
+        .select(
+            "event_type",
+            F.col("m.n_events").alias("n_events"),
+            F.col("m.user_id").alias("top_user"),
+        )
+    )
+
+
+@query(
     "user_sessions",
     oracle=f"""
     WITH o AS (

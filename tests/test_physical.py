@@ -178,3 +178,41 @@ def test_gold_partitioning_prunes_scan(spark, tmp_path):
     assert read.count() == facts.filter(
         F.col("order_date") == "1995-01-01"
     ).count()
+
+
+def test_hash_sample_plans_have_no_exchange(spark):
+    # Deterministic hash sampling (X26/X45) must be a pure scan-stage
+    # filter — any Exchange would mean the "zero-shuffle sampling"
+    # claim is wrong.
+    for name in ("uniform_doc_sample", "weighted_doc_sample"):
+        plan = _executed_plan(QUERIES[name](spark, SF_ORACLE))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_decorrelated_avg_join_broadcasts(spark):
+    # parts_above_type_avg (X44): the per-type aggregate must reach the
+    # join as a broadcast — the part table itself must not shuffle for
+    # the join (its only Exchange is the aggregate's partial+final).
+    plan = _executed_plan(QUERIES["parts_above_type_avg"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_struct_argmax_is_pure_aggregate(spark):
+    # top_user_per_event_type: the struct-max formulation must stay an
+    # ordinary two-level hash aggregate (2 shuffles), never a window —
+    # a window would sort and shuffle every per-user row to one task
+    # per event_type.
+    plan = _executed_plan(QUERIES["top_user_per_event_type"](spark, SF_ORACLE))
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_rolling_window_input_is_day_rollup(spark):
+    # daily_revenue_rolling (X38): the single-partition global window
+    # must consume the per-day aggregate (small), i.e. the plan shows
+    # the hash agg BELOW the window's SinglePartition exchange.
+    plan = _executed_plan(QUERIES["daily_revenue_rolling"](spark, SF_ORACLE))
+    assert "Window" in plan, plan
+    single = plan.index("Exchange SinglePartition")
+    agg = plan.rindex("HashAggregate")
+    assert agg > single, f"window not fed by rollup:\n{plan}"

@@ -238,3 +238,26 @@ def test_quantize_int8_bounds(spark, vec):
     assert all(-127 <= q <= 127 for q in row.z.q)
     for x, q in zip(vec, row.z.q):
         assert abs(q / scale - x) <= 0.5 / scale + 1e-12
+
+
+def test_session_window_boundary_semantics(spark):
+    """Pin F.session_window's merge rule (session_window_stats oracle
+    depends on it): an event exactly gap-after the previous MERGES;
+    strictly more than gap starts a new session; end = last + gap."""
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),  # exactly 30 min → same session
+            (1, "2024-01-01 01:30:00.000001"),  # > 30 min after 00:30+30m? no:
+            # 01:30:00.000001 vs prev end 01:00 → new session
+        ],
+        "user_id int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .count()
+        .orderBy("w.start")
+        .collect()
+    )
+    assert [r["count"] for r in out] == [2, 1]
+    assert str(out[0]["w"]["end"]) == "2024-01-01 01:00:00"
