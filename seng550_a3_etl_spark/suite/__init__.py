@@ -15,6 +15,7 @@ from seng550_a3_etl_spark.suite.registry import ORACLES, QUERIES  # noqa: F401
 from seng550_a3_etl_spark.suite import (  # noqa: E402,F401
     analytics,
     multimodal,
+    quality,
     relational,
     sampling,
     sketch,
