@@ -335,6 +335,70 @@ def top_user_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_segment_history",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type AS segment, CAST(ts AS TIMESTAMP) AS ts,
+             event_id
+      FROM events
+    ),
+    lagged AS (
+      SELECT *, LAG(segment) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+      ) AS prev_seg
+      FROM e
+    ),
+    changes AS (
+      SELECT user_id, segment, ts FROM lagged
+      WHERE prev_seg IS NULL OR segment != prev_seg
+    )
+    SELECT user_id, segment,
+           strftime(ts, '{_TS_FMT_DUCK}') AS valid_from,
+           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, segment),
+                    '{_TS_FMT_DUCK}') AS valid_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, segment)
+                IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    """,
+)
+def customer_segment_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from an event log: collapse consecutive
+    duplicate states per user (run-length compression via lag-compare),
+    then derive [valid_from, valid_to) validity intervals with lead —
+    the slowly-changing-dimension table a warehouse derives from CDC.
+
+    Scale: both windows and the filter share ONE user-key shuffle (the
+    change-point filter runs between two window functions over the same
+    partitioning, so Catalyst plans a single Exchange); output size is
+    |state changes|, typically ≪ |events|.
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        t.events.select(
+            "user_id",
+            F.col("event_type").alias("segment"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("prev_seg", F.lag("segment").over(w))
+        .filter(
+            F.col("prev_seg").isNull()
+            | (F.col("segment") != F.col("prev_seg"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "segment")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "segment",
+        F.date_format("ts", _TS_FMT).alias("valid_from"),
+        F.date_format(nxt, _TS_FMT).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@query(
     "user_sessions",
     oracle=f"""
     WITH o AS (

@@ -8,10 +8,13 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
+from seng550_a3_etl_spark.catalog import load_tables
 from seng550_a3_etl_spark.plans.gold import (
     refresh_gold_incremental,
     save_gold,
 )
+from tests.conftest import SF_ORACLE
+from tests.oracle_harness import canonical_rows
 
 
 def _ts(s):
@@ -164,3 +167,44 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
     l_hit, l_total = files_overlapping_y(lin_path, 100, 200)
     assert l_hit == l_total  # x-sort: every file spans the y domain
     assert z_hit <= z_total // 2  # z-order: most files skipped
+
+
+def test_compaction_reduces_file_count_preserving_rows(spark, tmp_path):
+    # plans/maintenance.compact: 32 tiny files → few target-sized files,
+    # bit-identical content; with sort_by the output is range-clustered.
+    from seng550_a3_etl_spark.plans.maintenance import compact
+
+    t = load_tables(spark, SF_ORACLE)
+    src = str(tmp_path / "frag")
+    t.orders.repartition(32).write.parquet(src)
+
+    dest = str(tmp_path / "compacted")
+    stats = compact(spark, src, dest, target_file_mb=128)
+    assert stats["n_files_in"] == 32
+    assert stats["n_files_out"] <= 2
+    assert stats["n_files_out"] == stats["n_files_target"]
+
+    before = canonical_rows(spark.read.parquet(src).toPandas())
+    after = canonical_rows(spark.read.parquet(dest).toPandas())
+    assert before == after
+
+    # sorted variant: each output file's [min,max] o_orderkey ranges are
+    # disjoint, so a point predicate can skip all but one file
+    dest2 = str(tmp_path / "clustered")
+    t.orders.repartition(8).write.parquet(str(tmp_path / "frag2"))
+    compact(
+        spark, str(tmp_path / "frag2"), dest2,
+        target_file_mb=0.05, sort_by=["o_orderkey"],
+    )
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in (tmp_path / "clustered").glob("*.parquet"):
+        pf = pq.ParquetFile(str(f))
+        keys = pf.read(columns=["o_orderkey"])["o_orderkey"].to_pylist()
+        if keys:
+            ranges.append((min(keys), max(keys)))
+    ranges.sort()
+    assert len(ranges) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: {ranges}"

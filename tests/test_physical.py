@@ -216,3 +216,39 @@ def test_rolling_window_input_is_day_rollup(spark):
     single = plan.index("Exchange SinglePartition")
     agg = plan.rindex("HashAggregate")
     assert agg > single, f"window not fed by rollup:\n{plan}"
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    # A date-partitioned gold table joined to a selectively-filtered dim
+    # must scan only the partitions the dim's filter selects — Spark's
+    # runtime replacement for the reference's B-tree date index when the
+    # filter value set is only known at join time.
+    from pyspark.sql import functions as F
+
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.plans.gold import save_gold
+
+    t = load_tables(spark, SF_ORACLE)
+    facts = t.orders.withColumn(
+        "order_date", F.col("o_orderdate").cast("date")
+    )
+    path = str(tmp_path / "gold_dpp")
+    save_gold(facts, path, partition_by=["order_date"])
+    fact = spark.read.parquet(path)
+
+    dim = (
+        facts.select("order_date").distinct()
+        .withColumn("flag", F.dayofmonth("order_date"))
+    ).filter(F.col("flag") == 1).drop("flag")
+
+    joined = fact.join(dim, "order_date").groupBy("order_date").count()
+    plan = _executed_plan(joined)
+    assert "dynamicpruning" in plan, plan
+
+    expected = (
+        facts.filter(F.dayofmonth("order_date") == 1)
+        .groupBy("order_date").count()
+    )
+    assert canonical_rows(joined.toPandas()) == canonical_rows(
+        expected.toPandas()
+    )
