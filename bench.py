@@ -5,6 +5,11 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
 
 Execution is forced with a noop sink (full compute, no driver collect).
+
+Run bench ALONE: a concurrent `pytest` run (its own local[32] JVM)
+contends for the same 32 cores and has been observed to inflate the
+suite total from ~82 s to ~133 s. Timings are only comparable across
+rounds when the box is otherwise idle.
 """
 
 from __future__ import annotations
@@ -71,8 +76,19 @@ def _ladder(spark, sf_dir: str) -> dict:
     configurations, wall seconds as mean of 3 runs + speedup vs naive.
 
     no-index      → cross join, exact containment on every pair
-    GIST-indexed  → grid-cell prefilter + bbox short-circuit join
-    matview/fact  → scan+agg over a pre-joined gold parquet table
+    GIST-indexed  → the engine's indexed plans, both physical variants:
+                    * broadcast bbox short-circuit join — the plan the
+                      engine actually picks at this scale (small polygon
+                      side), mirrors the reference's "index ⇒ faster"
+                    * grid-cell prefilter equi-join — the plan for when
+                      NEITHER side broadcasts; at bench scale it pays
+                      cell-explode overhead it only earns back at 100×,
+                      so it is annotated expected_at_scale rather than
+                      expected to beat naive here
+    matview/fact  → scan+agg over a pre-joined gold parquet table,
+                    reconstructed through the same zero-preserving join
+                    as the other configs so all rungs compute the same
+                    logical result
     """
     import shutil
     import tempfile
@@ -108,7 +124,14 @@ def _ladder(spark, sf_dir: str) -> dict:
             )
         )
 
-    def grid():
+    def broadcast():  # the plan the engine picks at this scale
+        return zero_counts(
+            points_in_polygons_join(
+                pts, polys, "px", "py", "polys", how="inner", cell_size=None
+            )
+        )
+
+    def grid():  # the plan for when neither side broadcasts
         return zero_counts(
             points_in_polygons_join(
                 pts, polys, "px", "py", "polys", how="inner", cell_size=7.0
@@ -121,12 +144,9 @@ def _ladder(spark, sf_dir: str) -> dict:
             pts, polys, "px", "py", "polys", how="inner", cell_size=7.0
         ).write.mode("overwrite").parquet(f"{gold_dir}/facts")
 
-        def gold():  # the reference's matview config: scan + agg only
-            return (
-                spark.read.parquet(f"{gold_dir}/facts")
-                .groupBy("n_name")
-                .agg(F.count("c_custkey").alias("point_count"))
-            )
+        def gold():  # the reference's matview config: scan + agg, same
+            # zero-preserving reconstruction as every other rung
+            return zero_counts(spark.read.parquet(f"{gold_dir}/facts"))
 
         def mean3(build) -> float:
             runs = []
@@ -136,17 +156,30 @@ def _ladder(spark, sf_dir: str) -> dict:
                 runs.append(time.perf_counter() - start)
             return round(sum(runs) / len(runs), 3)
 
-        naive_s, grid_s, gold_s = mean3(naive), mean3(grid), mean3(gold)
+        naive_s, bcast_s, grid_s, gold_s = (
+            mean3(naive),
+            mean3(broadcast),
+            mean3(grid),
+            mean3(gold),
+        )
     finally:
         shutil.rmtree(gold_dir, ignore_errors=True)
     return {
         "query": "district_point_counts",
         "runs_per_config": 3,
         "no_index_s": naive_s,
+        "broadcast_s": bcast_s,
         "grid_prefilter_s": grid_s,
         "gold_table_s": gold_s,
+        "speedup_broadcast": round(naive_s / bcast_s, 2) if bcast_s else None,
         "speedup_grid": round(naive_s / grid_s, 2) if grid_s else None,
         "speedup_gold": round(naive_s / gold_s, 2) if gold_s else None,
+        "grid_prefilter_note": (
+            "expected_at_scale: the grid equi-join exists for polygon "
+            "sides too big to broadcast; at bench scale the broadcast "
+            "rung is the engine's chosen plan and the grid rung pays "
+            "cell-explode overhead it earns back at 100x"
+        ),
     }
 
 

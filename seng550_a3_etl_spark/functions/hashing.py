@@ -144,11 +144,15 @@ def simhash_fingerprints(
     with map-side partial aggregation, and the shuffle carries one
     60-long row per (document, partition). Documents whose token array
     is empty/null surface with fp = 0 via the closing left join."""
-    # Pack 4 per-bit counters into each 64-bit sum (16 bits/counter, safe
-    # to 65535 tokens/doc): 16 aggregate columns instead of 61. The sign
-    # test becomes 2*ones_j > n_tokens, which equals the ±1-sum's > 0 —
-    # bit-identical fingerprints, ~4× less aggregation state.
-    ctr_bits, per_long = 16, 4
+    # Pack 2 per-bit counters into each 64-bit sum (32 bits/counter): 31
+    # aggregate columns instead of 61. The sign test becomes
+    # 2*ones_j > n_tokens, which equals the ±1-sum's > 0 — bit-identical
+    # fingerprints, ~2× less aggregation state. Counter capacity bounds
+    # tokens/doc at 2^31 (the packed SUM itself would overflow signed 64
+    # first) — a multi-GB single document; 16-bit packing was rejected
+    # because its 65535-token bound is realistic for long documents and
+    # overflow silently corrupts neighboring counters.
+    ctr_bits, per_long = 32, 2
     n_longs = (bits + per_long - 1) // per_long
     hashed = df.select(F.col(id_col), F.explode(tokens).alias("__t")).select(
         id_col, hash64(F.col("__t")).alias("__h")

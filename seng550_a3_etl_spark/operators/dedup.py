@@ -92,21 +92,22 @@ def snapshot_diff(
     join checks).
     """
     keys = list(keys)
+    # Explicit presence markers: deriving presence from compare-column
+    # nullness would misclassify rows whose compare columns are all NULL
+    # (present-but-NULL old vs new would read as "added"/"removed").
     o = old.select(
-        *keys, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+        *keys,
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
     )
     n = new.select(
-        *keys, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+        *keys,
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
     )
     joined = o.join(n, keys, "full_outer")
-    in_old = reduce(
-        lambda a, b: a | b,
-        [F.col(f"old_{c}").isNotNull() for c in compare_cols],
-    )
-    in_new = reduce(
-        lambda a, b: a | b,
-        [F.col(f"new_{c}").isNotNull() for c in compare_cols],
-    )
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
     same = reduce(
         lambda a, b: a & b,
         [

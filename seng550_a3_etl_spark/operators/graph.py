@@ -102,6 +102,7 @@ def connected_components(
         .repartition("node")
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["t"] == labels["node"])
@@ -125,4 +126,13 @@ def connected_components(
         labels = new_labels.drop("__chg")
         if changed == 0:
             break
+    if changed != 0:
+        # One round propagates labels one hop, so a component with
+        # diameter > max_iter exits here with labels that are NOT a valid
+        # component labeling — never report that silently as converged.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds (label propagation still changing); "
+            f"raise max_iter — rounds needed equals the graph diameter"
+        )
     return labels

@@ -40,13 +40,19 @@ def check_rules(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
         for i, pred in enumerate(rules.values())
     ]
     wide = df.agg(*aggs, F.count(F.lit(1)).alias("__n"))
-    stack_args = ", ".join(
-        f"'{name}', __v_{i}" for i, name in enumerate(rules)
+    # Long-format pivot via explode(map(...)) built from Column literals —
+    # rule names never pass through a SQL parser, so a name containing
+    # quotes (or anything else) cannot break or alter the expression (the
+    # f-string-interpolation hazard catalog.py documents for DDL).
+    name_to_count = F.create_map(
+        *[
+            c
+            for i, name in enumerate(rules)
+            for c in (F.lit(name), F.col(f"__v_{i}"))
+        ]
     )
     return wide.select(
-        F.expr(
-            f"stack({len(rules)}, {stack_args}) AS (check_name, n_violations)"
-        ),
+        F.explode(name_to_count).alias("check_name", "n_violations"),
         F.col("__n").alias("n_rows"),
     )
 

@@ -5,6 +5,7 @@ decode is deterministic arithmetic on the bytes."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from seng550_a3_etl_spark.catalog import load_tables
 from seng550_a3_etl_spark.operators.multimodal import (
@@ -57,7 +58,7 @@ _FEATURE_ENTRIES = ",\n           ".join(
       FROM documents
     )
     SELECT doc_id,
-           [{_FEATURE_ENTRIES}] AS feature
+           array_to_string([{_FEATURE_ENTRIES}], ',') AS feature
     FROM bytes
     """,
 )
@@ -67,10 +68,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width ``array<bigint>`` out, zero shuffle. The deterministic
     stand-in feature is a byte histogram mod 16, which the oracle
     replays per-character (the document fixture is ASCII, so bytes and
-    code points coincide)."""
+    code points coincide).
+
+    The suite query serializes the vector as a comma-joined string so
+    the driver's pandas canonicalizer (which sorts column values and
+    cannot hash Python lists) gets a scalar column; the operator itself
+    keeps the production ``array<bigint>`` shape."""
     t = load_tables(spark, sf_dir)
     media = attach_media(t.documents, "doc_id", "text")
-    return extract_features(media, n_bins=_N_BINS)
+    feats = extract_features(media, n_bins=_N_BINS)
+    return feats.select(
+        "doc_id",
+        F.array_join(F.col("feature").cast("array<string>"), ",").alias(
+            "feature"
+        ),
+    )
 
 
 @query(

@@ -66,6 +66,31 @@ def test_merge_upsert_idempotent(spark):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
 
 
+def test_snapshot_diff_null_compare_columns(spark):
+    """Presence must come from join-side membership, not compare-column
+    nullness: a present-but-all-NULL row is 'changed' when the other
+    side has a value, 'unchanged' when both sides are NULL, and
+    added/removed strictly reflect key membership."""
+    from seng550_a3_etl_spark.operators.dedup import snapshot_diff
+
+    schema = "k int, v int"
+    old = spark.createDataFrame(
+        [(1, None), (2, 1), (3, None), (4, 7)], schema
+    )
+    new = spark.createDataFrame(
+        [(1, 1), (2, None), (3, None), (5, None)], schema
+    )
+    out = snapshot_diff(old, new, ["k"], ["v"])
+    got = {r.k: r.status for r in out.collect()}
+    assert got == {
+        1: "changed",  # old NULL → new 1 (not "added")
+        2: "changed",  # old 1 → new NULL (not "removed")
+        3: "unchanged",  # NULL on both sides, key present in both
+        4: "removed",
+        5: "added",  # new row whose only compare column is NULL
+    }
+
+
 def test_asof_join_edges(spark):
     from seng550_a3_etl_spark.operators.joins import asof_join
 

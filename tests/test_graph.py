@@ -70,6 +70,22 @@ def test_both_paths_match_brute_force(spark, edges):
     assert dist == set(expect.items())
 
 
+def test_non_convergence_raises(spark):
+    """A diameter->max_iter graph must fail loudly, not return a partial
+    labeling as if it converged."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    orig = graph.DRIVER_EDGE_THRESHOLD
+    try:
+        graph.DRIVER_EDGE_THRESHOLD = -1
+        with pytest.raises(RuntimeError, match="did not converge"):
+            graph.connected_components(df, max_iter=3)
+    finally:
+        graph.DRIVER_EDGE_THRESHOLD = orig
+
+
 def test_long_chain_converges(spark):
     # a path graph is the worst case for min-label propagation
     # (diameter = n); labels must still reach the global minimum

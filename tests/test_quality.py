@@ -43,6 +43,18 @@ def test_multiple_rules_share_one_pass(spark):
     assert final.count("Scan ExistingRDD") == 1
 
 
+def test_rule_names_are_not_parsed(spark):
+    """Rule names carrying quotes/SQL must pass through verbatim — the
+    long-format pivot is built from Column literals, never interpolated
+    into a SQL string."""
+    df = spark.createDataFrame([(1,), (None,)], "x int")
+    hostile = "price 'USD' > 0; DROP TABLE t--"
+    report = check_rules(df, {hostile: F.col("x") > 0}).collect()
+    assert len(report) == 1
+    assert report[0]["check_name"] == hostile
+    assert report[0]["n_violations"] == 1
+
+
 def test_empty_rules_rejected(spark):
     df = spark.createDataFrame([(1,)], "x int")
     with pytest.raises(ValueError):
