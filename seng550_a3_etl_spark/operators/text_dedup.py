@@ -5,10 +5,11 @@ for a pretraining-corpus pipeline:
 
 1. **exact_dedup** — hash-groupBy on content hash. One shuffle of
    (hash, id); at 100 TB this is the cheapest possible full-corpus op.
-2. **ngram_jaccard_pairs** — exact shingle-set Jaccard via a self-join on
-   exploded distinct shingles. Quadratic in documents *per shared
-   shingle*; correct baseline, does not survive web scale unfiltered
-   (the ``max_shingle_freq`` knob drops stop-shingles to bound the join).
+2. **ngram_jaccard_pairs** — exact shingle-set Jaccard via posting-list
+   grouping (one groupBy per shingle, C(n,2) pairs per posting list).
+   Quadratic in documents *per shared shingle*; correct baseline, does
+   not survive web scale unfiltered (the ``max_shingle_freq`` knob drops
+   stop-shingle buckets to bound the per-bucket pair explode).
 3. **minhash_lsh_pairs** — MinHash signatures (explode + codegen'd
    affine-reseed min aggregates, map-side combined) → banded LSH
    bucketing (one groupBy shuffle on (band, bucket-key), pairs emitted
@@ -110,40 +111,57 @@ def ngram_jaccard_pairs(
     partial-agg shrinks the pair stream before the final group."""
     sets_ = _shingle_sets(df, id_col, text_col, n)
     # Postings carry the doc's set size so the pair aggregation needs no
-    # back-joins against a sizes table — that shape recomputed the whole
-    # tokenize→shingle pipeline four times (two join sides + two size
-    # scans); this one computes it twice, and the two self-join sides are
-    # identical plans so the shuffle is written once and ReusedExchange
-    # serves the other side.
+    # back-joins against a sizes table. Pairs come from grouping the
+    # postings by shingle and emitting each posting list's C(n,2) pairs
+    # with array HOFs — NOT from a posting self-join: Spark replans each
+    # reference of a renamed self-join side separately (no
+    # ReusedExchange), so the join shape ran the tokenize→shingle
+    # pipeline twice; this shape scans the corpus ONCE and shuffles
+    # postings once (measured ~2× on the whole query at sf0.1).
+    # The grouping key is xxhash64 of the shingle: an 8-byte shuffle key
+    # instead of the ~n-word string (64-bit collisions are negligible at
+    # any corpus size this exact-Jaccard baseline can reach).
     postings = sets_.select(
         "doc",
         F.size("sh").cast("long").alias("n_sh"),
         F.explode("sh").alias("s"),
+    ).select("doc", "n_sh", F.xxhash64("s").alias("hs"))
+    buckets = postings.groupBy("hs").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("doc"), F.col("n_sh")))
+        ).alias("__ms")
     )
     if max_shingle_freq is not None:
-        freq_ok = (
-            postings.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("__f"))
-            .filter(F.col("__f") <= max_shingle_freq)
-            .select("s")
-        )
-        postings = postings.join(freq_ok, "s")
-    # The self-join key is an xxhash64 of the shingle: an 8-byte shuffle
-    # key instead of the ~n-word string (64-bit collisions are
-    # negligible at any corpus size this exact-Jaccard baseline can
-    # reach). shuffle_hash beats the default sort-merge: the pair stream
-    # feeds a hash aggregate, so SMJ's sort of millions of postings buys
-    # nothing (measured 2.3× on the full stage).
-    postings = postings.withColumn("hs", F.xxhash64("s")).drop("s")
-    a = postings.select(
-        F.col("doc").alias("doc_a"), F.col("n_sh").alias("size_a"), "hs"
-    )
-    b = postings.select(
-        F.col("doc").alias("doc_b"), F.col("n_sh").alias("size_b"), "hs"
+        # Stop-shingle bound: a shingle shared by more than this many
+        # docs contributes O(freq²) pairs; dropping it here is a plain
+        # filter on the already-collected bucket — no extra aggregate,
+        # no join. Pairs whose intersection includes dropped shingles
+        # undercount `inter`, so this is the documented approximation
+        # for web-scale corpora, exact whenever no shingle exceeds the
+        # bound.
+        buckets = buckets.filter(F.size("__ms") <= max_shingle_freq)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "__ms",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("__ms"), i + F.lit(2), F.size(F.col("__ms"))
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("__p")
+    ).select(
+        F.col("__p.a.doc").alias("doc_a"),
+        F.col("__p.a.n_sh").alias("size_a"),
+        F.col("__p.b.doc").alias("doc_b"),
+        F.col("__p.b.n_sh").alias("size_b"),
     )
     return (
-        a.join(b.hint("shuffle_hash"), "hs")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        pairs.filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
         .withColumn(

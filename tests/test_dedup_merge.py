@@ -66,6 +66,50 @@ def test_merge_upsert_idempotent(spark):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
 
 
+def test_merge_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
+    """The incremental merge must (a) equal a full-table merge logically
+    and (b) physically leave partitions without source rows untouched."""
+    import os
+
+    from seng550_a3_etl_spark.operators.dedup import merge_upsert_partitioned
+
+    path = str(tmp_path / "fact")
+    schema = "k int, d string, ts timestamp, v string"
+    target = spark.createDataFrame(
+        [
+            (1, "2024-01-01", _ts("2024-01-01T10:00:00"), "t1"),
+            (2, "2024-01-02", _ts("2024-01-02T10:00:00"), "t2"),
+            (3, "2024-01-03", _ts("2024-01-03T10:00:00"), "t3"),
+        ],
+        schema,
+    )
+    target.write.partitionBy("d").parquet(path)
+
+    def files(day):
+        p = f"{path}/d={day}"
+        return sorted(
+            (f, os.path.getmtime(f"{p}/{f}"), os.path.getsize(f"{p}/{f}"))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+
+    before_d2, before_d3 = files("2024-01-02"), files("2024-01-03")
+    source = spark.createDataFrame(
+        [
+            (1, "2024-01-01", _ts("2024-01-01T11:00:00"), "s1"),  # fresher
+            (4, "2024-01-01", _ts("2024-01-01T09:00:00"), "s4"),  # insert
+        ],
+        schema,
+    )
+    merge_upsert_partitioned(spark, path, source, ["k"], "ts", "d")
+
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "s1", 2: "t2", 3: "t3", 4: "s4"}
+    # untouched partitions: same files, same mtimes, same sizes
+    assert files("2024-01-02") == before_d2
+    assert files("2024-01-03") == before_d3
+
+
 def test_snapshot_diff_null_compare_columns(spark):
     """Presence must come from join-side membership, not compare-column
     nullness: a present-but-all-NULL row is 'changed' when the other

@@ -180,6 +180,57 @@ def test_gold_partitioning_prunes_scan(spark, tmp_path):
     ).count()
 
 
+def test_grid_spatial_join_survives_no_broadcast(spark):
+    # The grid prefilter exists for polygon sides too big to broadcast —
+    # the configuration the small fixtures never force naturally. Disable
+    # broadcast entirely (the 100×-scale stand-in), assert the grid path
+    # (cell_size != None) executes as a shuffle equi-join on the cell id,
+    # and that both inner and left variants match the broadcast path's
+    # results exactly.
+    from pyspark.sql import functions as F
+
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.operators.spatial import points_in_polygons_join
+    from seng550_a3_etl_spark.suite.spatial import customer_points, district_rects
+
+    t = load_tables(spark, SF_ORACLE)
+    pts, polys = customer_points(t), district_rects(t)
+
+    def canon(df):
+        return canonical_rows(df.select("c_custkey", "n_name").toPandas())
+
+    base_inner = canon(
+        points_in_polygons_join(
+            pts, polys, "px", "py", "polys", how="inner", cell_size=None
+        )
+    )
+    base_left = canon(
+        points_in_polygons_join(
+            pts, polys, "px", "py", "polys", how="left", cell_size=None
+        )
+    )
+    with _conf(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        grid_inner = points_in_polygons_join(
+            pts, polys, "px", "py", "polys", how="inner", cell_size=7.0
+        )
+        plan = _executed_plan(grid_inner)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert canon(grid_inner) == base_inner
+        grid_left = points_in_polygons_join(
+            pts,
+            polys,
+            "px",
+            "py",
+            "polys",
+            how="left",
+            cell_size=7.0,
+            point_key="c_custkey",
+        )
+        assert canon(grid_left) == base_left
+
+
 def test_hash_sample_plans_have_no_exchange(spark):
     # Deterministic hash sampling (X26/X45) must be a pure scan-stage
     # filter — any Exchange would mean the "zero-shuffle sampling"

@@ -168,6 +168,99 @@ def test_sessionize_stream_closes_on_gap_and_matches_batch(spark, tmp_path):
     assert batch[(1, 1)] == got[0][1:]
 
 
+import pytest
+
+
+@pytest.mark.parametrize("gap_minutes", [10, 30])
+def test_sessionize_batch_stream_parity_at_gap_boundary(
+    spark, tmp_path, gap_minutes
+):
+    """Batch and streaming sessionization must agree at the EXACT gap
+    boundary: an event arriving precisely ``gap`` after the previous one
+    stays in the session (both implement strict `>`); one second past
+    the gap starts a new session. Parametrized over two gaps so the
+    boundary logic is pinned as a function of the gap, not one value."""
+    from seng550_a3_etl_spark.operators.sessionize import session_stats
+    from seng550_a3_etl_spark.streaming.jobs import sessionize_stream
+
+    schema = "event_id int, ts timestamp, user_id long, value double"
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    out = str(tmp_path / "sess_out")
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double"
+    )
+    base = _ts("2024-01-01T00:00:00")
+    gap = dt.timedelta(minutes=gap_minutes)
+    # user 1: event at t0, then at EXACTLY t0+gap (same session — the
+    # boundary row), then at t0+2*gap+1s (> gap after the boundary row →
+    # closes session 1 and starts session 2)
+    spark.createDataFrame(
+        [
+            (1, base, 1, 1.0),
+            (2, base + gap, 1, 2.0),
+        ],
+        schema,
+    ).write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            sessionize_stream(stream, gap_minutes=gap_minutes)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    closer = base + gap + gap + dt.timedelta(seconds=1)
+    spark.createDataFrame(
+        [(3, closer, 1, 4.0)], schema
+    ).write.mode("append").parquet(src)
+    run()
+    got = [
+        (
+            r.user_id,
+            str(r.session_start),
+            str(r.session_end),
+            r.n_events,
+            r.total_value,
+        )
+        for r in spark.read.schema(out_schema).parquet(out).collect()
+    ]
+    # exactly one closed session containing BOTH events (boundary row
+    # stayed in), ending at the boundary row's timestamp
+    assert got == [
+        (1, str(base), str(base + gap), 2, 3.0)
+    ], f"gap={gap_minutes}: {got}"
+
+    batch = {
+        (r.user_id, r.session_seq): (
+            str(r.session_start),
+            str(r.session_end),
+            r.n_events,
+            r.total_value,
+        )
+        for r in session_stats(
+            spark.read.parquet(src),
+            "user_id",
+            "ts",
+            "value",
+            gap=f"{gap_minutes} minutes",
+            tiebreak=["event_id"],
+        ).collect()
+    }
+    # the batch operator groups the same two events into session 1 and
+    # the closer into session 2
+    assert batch[(1, 1)] == got[0][1:]
+    assert batch[(1, 2)] == (str(closer), str(closer), 1, 4.0)
+
+
 def test_stream_dedup_across_microbatches(spark, tmp_path):
     """stream_dedup keeps exactly one row per key even when the
     duplicate arrives in a LATER micro-batch — i.e. the dedup state
