@@ -107,6 +107,62 @@ def doc_fingerprint(toks: Column, n: int = 5) -> Column:
     return F.array_min(F.transform(shingles(toks, n), lambda s: hash64(s)))
 
 
+# PII patterns kept to regex constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): character classes, bounded repeats, \b.
+# Order matters: emails first so their digits never half-match as phones.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and phone-shaped numbers with
+    typed placeholder tokens — the scrubbing pass a training corpus runs
+    before anything else sees the text. Chained ``regexp_replace``:
+    per-row, JVM-side, zero shuffle; patterns are deliberately portable
+    so the DuckDB oracle replays the exact same redaction."""
+    out = text
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def repetition_stats(toks: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals over a token array:
+
+    - ``top_token_frac`` — occurrences of the most frequent token / total
+      tokens (boilerplate and keyword-stuffed pages score high)
+    - ``dup_3gram_frac`` — 1 − distinct/total 3-gram shingles (internally
+      repeated passages score high)
+
+    Pure per-row HOF expressions (no shuffle, no UDF): the mode count is
+    an O(unique × n) filter-count over the distinct tokens — bounded and
+    codegen'd for real document lengths. Returns named columns so the
+    caller selects/aliases as needed; both are NULL-safe via greatest(1).
+    """
+    n = F.size(toks)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda x: F.size(F.filter(toks, lambda y: y == x)),
+        )
+    )
+    sh3 = shingles(toks, 3)
+    n_sh = F.size(sh3)
+    dup_frac = F.when(
+        n_sh > 0,
+        1 - F.size(F.array_distinct(sh3)) / n_sh,
+    ).otherwise(F.lit(0.0))
+    return {
+        "top_token_frac": F.coalesce(
+            top / F.greatest(n, F.lit(1)), F.lit(0.0)
+        ),
+        "dup_3gram_frac": dup_frac,
+    }
+
+
 def token_chunks(toks: Column, size: int) -> Column:
     """Split a token array into consecutive fixed-``size`` windows —
     the context-window chunking step that turns curated documents into

@@ -100,3 +100,56 @@ def asof_join(
         *left_payload,
         *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in [right_ts, *right_payload]],
     )
+
+
+_BUCKET = "__range_bucket"
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_size: int,
+) -> DataFrame:
+    """Interval join: every (point, range) pair with
+    ``start_col <= point_col <= end_col`` (inclusive both ends).
+
+    ``point_col``/``start_col``/``end_col`` must be integer-valued (cast
+    timestamps to epoch seconds/days upstream). Spark has no interval
+    index; the scale-correct plan is the same bucketing idea as the
+    spatial grid join (operators/spatial.py): each range explodes to the
+    ``bucket_size``-wide buckets it spans, each point computes its single
+    bucket, an ordinary shuffle equi-join on the bucket id pairs each
+    point only with ranges overlapping its bucket, and the exact
+    between-filter prunes false candidates. A point has exactly one
+    bucket, so no post-join dedup is needed — unlike the naive
+    theta-join, which Spark executes as a cross product and which does
+    not survive either side being large.
+
+    Pick ``bucket_size`` near the typical range length: ranges explode
+    to ``len/bucket_size + 1`` rows, points never replicate. Rows with
+    ``end < start`` define empty intervals and are dropped. Both input
+    column sets must be disjoint.
+    """
+    overlap = set(points.columns) & set(ranges.columns)
+    if overlap:
+        raise ValueError(f"colliding columns: {sorted(overlap)}")
+    p = points.withColumn(
+        _BUCKET, F.floor(F.col(point_col) / bucket_size)
+    )
+    r = ranges.filter(F.col(start_col) <= F.col(end_col)).withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_size),
+                F.floor(F.col(end_col) / bucket_size),
+            )
+        ),
+    )
+    return (
+        p.join(r, _BUCKET)
+        .filter(F.col(point_col).between(F.col(start_col), F.col(end_col)))
+        .drop(_BUCKET)
+    )

@@ -65,6 +65,13 @@ _PRIORITY = [
     "top_user_per_event_type",
     "customer_segment_history",
     "event_gaps_quartiles",
+    # new this round (X54-X59) — need their first driver rows
+    "decontaminate_docs",
+    "doc_repetition_stats",
+    "pii_redacted_docs",
+    "fuzzy_dup_pairs",
+    "event_time_rollup",
+    "promo_range_join",
 ]
 
 

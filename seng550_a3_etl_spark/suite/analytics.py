@@ -481,3 +481,109 @@ def order_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume"),
     )
+
+
+@query(
+    "event_time_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('month', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS month,
+           strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS day,
+           strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY ROLLUP(month, day, hour)
+    """,
+)
+def event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (X58): hour, day, month,
+    and grand-total grains of the event stream from ONE aggregate pass —
+    ROLLUP over the hierarchical truncations expands grains inside the
+    Expand operator before a single shuffle, with map-side partial
+    aggregation per grain; N grains never cost N scans or N jobs.
+    Money-typed values sum as integer cents (cross-engine exact)."""
+    from seng550_a3_etl_spark.operators.rollup import time_rollup
+
+    t = load_tables(spark, sf_dir)
+    return time_rollup(
+        t.events,
+        "ts",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        ],
+    )
+
+
+@query(
+    "promo_range_join",
+    oracle=f"""
+    WITH promos AS (
+      SELECT o_orderkey AS promo_id,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS start_day,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' + 6 AS end_day
+      FROM orders
+      WHERE {duck_hash64("CAST(o_orderkey AS VARCHAR)", seed=9)} % 97 = 0
+    )
+    SELECT promo_id,
+           COUNT(l_orderkey) AS n_shipments,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS shipped_cents
+    FROM promos
+    LEFT JOIN lineitem
+      ON (CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+         BETWEEN start_day AND end_day
+    GROUP BY 1
+    """,
+)
+def promo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (X59): shipments falling inside week-long promo
+    windows (a ~1% hash sample of orders defines the windows), rolled up
+    per window with zero-preserving LEFT semantics.
+
+    Scale: operators/joins.range_join buckets the day line into
+    7-day cells — ranges explode to the cells they span, each point
+    computes one cell, and the equi-join on the cell id replaces the
+    cross product a naive theta join would execute; the exact BETWEEN
+    prunes false candidates after the join. Zero-preservation comes from
+    a LEFT join of the promo table onto the aggregated matches (the same
+    pattern as the reference's zero-count districts)."""
+    from seng550_a3_etl_spark.operators.joins import range_join
+
+    t = load_tables(spark, sf_dir)
+    promos = t.orders.filter(
+        hash64(F.col("o_orderkey").cast("string"), seed=9) % 97 == 0
+    ).select(
+        F.col("o_orderkey").alias("promo_id"),
+        F.unix_date(F.to_date("o_orderdate")).alias("start_day"),
+        (F.unix_date(F.to_date("o_orderdate")) + 6).alias("end_day"),
+    )
+    points = t.lineitem.select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.unix_date(F.to_date("l_shipdate")).alias("ship_day"),
+    )
+    matched = range_join(
+        points, promos, "ship_day", "start_day", "end_day", bucket_size=7
+    )
+    counts = matched.groupBy("promo_id").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        F.sum("price_cents").cast("long").alias("shipped_cents"),
+    )
+    return (
+        promos.select("promo_id")
+        .join(counts, "promo_id", "left")
+        .select(
+            "promo_id",
+            F.coalesce("n_shipments", F.lit(0)).alias("n_shipments"),
+            F.col("shipped_cents"),
+        )
+    )

@@ -14,6 +14,7 @@ from seng550_a3_etl_spark.functions.hashing import (
     duck_hash64,
     duck_minhash_signature,
     duck_simhash,
+    hash64,
 )
 from seng550_a3_etl_spark.functions.text import (
     LANG_MARKERS,
@@ -502,4 +503,190 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ch.chunk_id").alias("chunk_id"),
         F.array_join("ch.chunk_toks", " ").alias("chunk_text"),
         F.size("ch.chunk_toks").cast("long").alias("n_chunk_tokens"),
+    )
+
+
+_DECON_EVAL = f"{duck_hash64('CAST(doc_id AS VARCHAR)')} % 19 = 0"
+
+
+@query(
+    "decontaminate_docs",
+    oracle=f"""
+    WITH toks AS {_TOKS},
+    sh AS (SELECT doc_id, list_distinct({_duck_shingles(5)}) AS sh,
+                  {_DECON_EVAL} AS is_eval
+           FROM toks),
+    eval_sh AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE is_eval),
+    train AS (SELECT doc_id, sh FROM sh WHERE NOT is_eval),
+    tr_ex AS (SELECT doc_id, unnest(sh) AS s FROM train),
+    ov AS (SELECT doc_id, COUNT(*) AS n_overlap
+           FROM tr_ex JOIN eval_sh USING (s) GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           COALESCE(ov.n_overlap, 0) >= 1 AS contaminated
+    FROM train t LEFT JOIN ov ON ov.doc_id = t.doc_id
+    """,
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination (X54): flag every training document
+    sharing a 5-gram shingle with the held-out eval slice (a
+    deterministic ~5% hash split stands in for a benchmark corpus).
+
+    Scale: the eval shingle set broadcasts (benchmarks are tiny), the
+    training corpus scans once with zero replication, and only matching
+    (doc, shingle) rows shuffle into the per-doc overlap count — a clean
+    100 TB corpus costs one scan. See operators/decontaminate.py."""
+    from seng550_a3_etl_spark.operators.decontaminate import decontaminate
+
+    t = load_tables(spark, sf_dir)
+    is_eval = hash64(F.col("doc_id").cast("string")) % 19 == 0
+    return decontaminate(
+        t.documents.filter(~is_eval),
+        t.documents.filter(is_eval),
+        "doc_id",
+        "text",
+        "text",
+        n=5,
+        min_overlap=1,
+    )
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, t, {_duck_shingles(3)} AS sh3 FROM {_TOKS}
+    )
+    SELECT doc_id,
+           ROUND(COALESCE(
+             list_max(list_transform(list_distinct(t),
+                      x -> len(list_filter(t, y -> y = x))))
+               / greatest(len(t), 1), 0), 6) AS top_token_frac,
+           ROUND(CASE WHEN len(sh3) > 0
+                      THEN 1 - len(list_distinct(sh3)) / len(sh3)
+                      ELSE 0 END, 6) AS dup_3gram_frac
+    FROM base
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (X55): most-frequent-token
+    fraction and duplicate-3-gram fraction per document — the signals
+    that catch boilerplate and internally-repeated pages. Pure per-row
+    HOF expressions, zero shuffle; both fractions are single divisions
+    so the doubles agree bit-for-bit cross-engine."""
+    from seng550_a3_etl_spark.functions.text import repetition_stats
+
+    t = load_tables(spark, sf_dir)
+    stats = repetition_stats(tokens(F.col("text")))
+    return t.documents.select(
+        "doc_id",
+        F.round(stats["top_token_frac"], 6).alias("top_token_frac"),
+        F.round(stats["dup_3gram_frac"], 6).alias("dup_3gram_frac"),
+    )
+
+
+def _pii_oracle() -> str:
+    from seng550_a3_etl_spark.functions.text import PII_PATTERNS
+
+    expr = (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR) "
+        "|| '@mail.example.org or 10.0.' || CAST(doc_id % 256 AS VARCHAR) "
+        "|| '.7 tel 555-123-4567'"
+    )
+    for pattern, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pattern}', '{token}', 'g')"
+    return f"SELECT doc_id, {expr} AS redacted FROM documents"
+
+
+@query("pii_redacted_docs", oracle=_pii_oracle())
+def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (X56): emails, IPv4s, and phone-shaped numbers
+    replaced with typed placeholders. The fixture text carries no PII, so
+    the query plants a deterministic synthetic contact line per document
+    and redacts it — the oracle replays both the planting and the
+    scrubbing, so every pattern is value-checked end to end.
+
+    Scale: chained regexp_replace in one projection — per-row, JVM-side,
+    zero shuffle, pipelined into whatever scan feeds it."""
+    from seng550_a3_etl_spark.functions.text import redact_pii
+
+    t = load_tables(spark, sf_dir)
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel 555-123-4567"),
+    )
+    return t.documents.select(
+        "doc_id", redact_pii(synth).alias("redacted")
+    )
+
+
+@query(
+    "fuzzy_dup_pairs",
+    oracle=f"""
+    WITH toks AS {_TOKS},
+    fp AS (
+      SELECT doc_id, text,
+             list_aggregate(list_transform({_duck_shingles(5)},
+                            s -> {duck_hash64('s')}), 'min') AS fp
+      FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    WHERE a.fp IS NOT NULL
+      AND levenshtein(a.text, b.text)
+            <= 0.2 * greatest(length(a.text), length(b.text))
+    """,
+)
+def fuzzy_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification (X57): candidate pairs from
+    shared content fingerprints (min-shingle-hash — the cheap first-pass
+    grouping key), verified by Levenshtein distance ≤ 20% of the longer
+    text. The string-similarity complement to the set-based (Jaccard)
+    and bit-based (SimHash) dedup tiers.
+
+    Scale: candidates come from ONE groupBy on the fingerprint (never an
+    all-pairs join); texts for the surviving pairs are fetched by a
+    single melt-join pass over the corpus, so the quadratic Levenshtein
+    only ever runs on fingerprint-collision pairs."""
+    from seng550_a3_etl_spark.operators.text_dedup import _bucket_pairs
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    fps = docs.select(
+        "doc_id",
+        doc_fingerprint(tokens(F.col("text")), n=5).alias("fp"),
+    ).filter(F.col("fp").isNotNull())
+    cand = (
+        _bucket_pairs(fps, ["fp"], F.col("doc_id"))
+        .toDF("doc_a", "doc_b")
+        .distinct()
+    )
+    melted = cand.select(
+        F.struct("doc_a", "doc_b").alias("__pair"),
+        F.posexplode(F.array("doc_a", "doc_b")).alias("__side", "doc_id"),
+    )
+    paired = (
+        melted.join(docs, "doc_id")
+        .groupBy("__pair")
+        .agg(
+            F.first(
+                F.when(F.col("__side") == 0, F.col("text")), ignorenulls=True
+            ).alias("ta"),
+            F.first(
+                F.when(F.col("__side") == 1, F.col("text")), ignorenulls=True
+            ).alias("tb"),
+        )
+    )
+    lev = F.levenshtein("ta", "tb")
+    return paired.filter(
+        lev <= 0.2 * F.greatest(F.length("ta"), F.length("tb"))
+    ).select(
+        F.col("__pair.doc_a").alias("doc_a"),
+        F.col("__pair.doc_b").alias("doc_b"),
+        lev.cast("long").alias("lev"),
     )

@@ -1,0 +1,103 @@
+"""Unit tests for the round-2 operators: range_join boundary semantics,
+decontaminate overlap counting, and time_rollup grain structure."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from seng550_a3_etl_spark.operators.decontaminate import decontaminate
+from seng550_a3_etl_spark.operators.joins import range_join
+from seng550_a3_etl_spark.operators.rollup import time_rollup
+
+
+def test_range_join_boundaries(spark):
+    points = spark.createDataFrame(
+        [(1, 10), (2, 15), (3, 20), (4, 21), (5, 9)], "pid int, p long"
+    )
+    ranges = spark.createDataFrame(
+        [(100, 10, 20), (200, 30, 25)],  # 200 is an empty interval
+        "rid int, s long, e long",
+    )
+    got = {
+        (r.pid, r.rid)
+        for r in range_join(points, ranges, "p", "s", "e", 4).collect()
+    }
+    # inclusive both ends; 21 and 9 outside; empty interval matches nothing
+    assert got == {(1, 100), (2, 100), (3, 100)}
+
+
+def test_range_join_spanning_many_buckets_no_dups(spark):
+    # one range spanning 10 buckets must still match each point once
+    points = spark.createDataFrame(
+        [(i, i * 7) for i in range(12)], "pid int, p long"
+    )
+    ranges = spark.createDataFrame([(1, 0, 70)], "rid int, s long, e long")
+    rows = range_join(points, ranges, "p", "s", "e", 7).collect()
+    assert sorted(r.pid for r in rows) == list(range(11))  # 77 > 70 excluded
+    assert len(rows) == len({r.pid for r in rows})  # no duplicate pairs
+
+
+def test_range_join_rejects_colliding_columns(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(ValueError, match="colliding"):
+        range_join(df, df, "x", "x", "x", 1)
+
+
+def test_decontaminate_counts_distinct_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            # shares "a b c" (twice in text — counted once) with eval
+            (1, "a b c x a b c"),
+            (2, "q r s t u"),  # clean
+            # shares two distinct eval shingles
+            (3, "a b c d e"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(10, "a b c d z z z")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in decontaminate(
+            docs, eval_docs, "doc_id", "text", "text", n=3, min_overlap=2
+        ).collect()
+    }
+    # eval 3-shingles: {a b c, b c d, c d z, d z z, z z z}
+    # doc 1 distinct overlap = {a b c} → 1 (< min_overlap → clean)
+    # doc 3 overlap = {a b c, b c d} → 2 → contaminated
+    assert got == {1: (1, False), 2: (0, False), 3: (2, True)}
+
+
+def test_time_rollup_grain_structure(spark):
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    events = spark.createDataFrame(
+        [
+            (base, 1.0),
+            (base + dt.timedelta(hours=1), 2.0),
+            (base + dt.timedelta(days=1), 4.0),
+        ],
+        "ts timestamp, value double",
+    )
+    out = time_rollup(
+        events, "ts", [F.count(F.lit(1)).alias("n")]
+    ).collect()
+    rows = {(r.month, r.day, r.hour): r.n for r in out}
+    # 3 hour rows + 2 day rows + 1 month row + 1 grand total
+    assert len(rows) == 7
+    assert rows[(None, None, None)] == 3  # grand total
+    assert rows[("2024-03-01 00:00:00", None, None)] == 3  # month
+    assert rows[("2024-03-01 00:00:00", "2024-03-01 00:00:00", None)] == 2
+    assert (
+        rows[
+            (
+                "2024-03-01 00:00:00",
+                "2024-03-01 00:00:00",
+                "2024-03-01 10:00:00",
+            )
+        ]
+        == 1
+    )
