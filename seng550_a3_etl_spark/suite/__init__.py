@@ -72,6 +72,8 @@ _PRIORITY = [
     "fuzzy_dup_pairs",
     "event_time_rollup",
     "promo_range_join",
+    "per_source_doc_sample",
+    "source_curation_report",
 ]
 
 

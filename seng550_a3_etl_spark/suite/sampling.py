@@ -86,3 +86,41 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sampled_chars"),
         )
     )
+
+
+@query(
+    "per_source_doc_sample",
+    oracle=f"""
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {duck_hash64("CAST(doc_id AS VARCHAR)", seed=13)},
+                        doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def per_source_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sample (X60): exactly
+    min(k, group size) docs per source, chosen by stable key hash — the
+    bounded per-domain eval subset every curation pipeline carves out.
+    Hash order makes the choice uniform AND rerun/layout-stable (a
+    seeded df.sample is neither); the doc_id tiebreak makes it total.
+
+    Scale: one shuffle on the group key + a per-group sort that a
+    row_number top-k prunes early (rank pushdown); the sampled set never
+    changes when the corpus is repartitioned or appended-to elsewhere.
+    """
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        hash64(F.col("doc_id").cast("string"), seed=13), "doc_id"
+    )
+    return (
+        t.documents.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("source", "doc_id", "n_chars")
+    )

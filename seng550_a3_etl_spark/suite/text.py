@@ -690,3 +690,57 @@ def fuzzy_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__pair.doc_b").alias("doc_b"),
         lev.cast("long").alias("lev"),
     )
+
+
+@query(
+    "source_curation_report",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, len(t) AS n_tok,
+             CAST(ROUND((
+               least(len(t) / 100.0, 1.0) * 0.25
+               + (len(list_distinct(t)) / greatest(len(t), 1)) * 0.25
+               + least(((length(text) - (len(t) - 1)) / greatest(len(t), 1))
+                       / 8.0, 1.0) * 0.25
+               + least(({_duck_marker('en')} / greatest(len(t), 1)) * 10.0,
+                       1.0) * 0.25
+             ) * 1000000) AS BIGINT) AS q_micros
+      FROM (SELECT doc_id, text, source,
+                   string_split_regex(text, '\\s+') AS t
+            FROM documents)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(q_micros) AS BIGINT) AS total_quality_micros
+    FROM scored GROUP BY source
+    """,
+)
+def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation rollup (X61): document count, token volume,
+    and summed quality per origin — the report that decides which
+    domains/sources to keep, cap, or drop. Quality is quantized to
+    integer micro-units BEFORE summing so the aggregate is exact in any
+    summation order (float sums are order-dependent; integer sums are
+    not) — the cross-engine-determinism pattern used for money columns.
+
+    Scale: per-row scoring in the scan + one partial+final aggregate on
+    the source key; the report size is |sources|, not |docs|."""
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    q_micros = F.round(
+        quality_score(F.col("text"), toks) * 1_000_000
+    ).cast("long")
+    return (
+        t.documents.select(
+            "source",
+            F.size(toks).cast("long").alias("n_tok"),
+            q_micros.alias("q_micros"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum("q_micros").cast("long").alias("total_quality_micros"),
+        )
+    )

@@ -240,6 +240,46 @@ def test_hash_sample_plans_have_no_exchange(spark):
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    # When the dim side of a shuffle join is selectively filtered, Spark
+    # injects a runtime bloom filter (might_contain) on the fact side —
+    # the 100 TB semi-join reduction that drops non-joining fact rows at
+    # the scan instead of carrying them through the shuffle. Fixtures sit
+    # under the 10 GB application-side default, so the test lowers that
+    # threshold to observe the injection, and checks the filtered plan
+    # still produces the exact join result.
+    from pyspark.sql import functions as F
+
+    from seng550_a3_etl_spark.catalog import load_tables
+
+    t = load_tables(spark, SF_ORACLE)
+    dim = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    joined = (
+        t.lineitem.join(dim, t.lineitem.l_orderkey == dim.o_orderkey)
+        .groupBy("l_returnflag")
+        .count()
+    )
+    baseline = canonical_rows(joined.toPandas())
+    with _conf(
+        spark,
+        {
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        bloomed = (
+            t.lineitem.join(dim, t.lineitem.l_orderkey == dim.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = bloomed._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert canonical_rows(bloomed.toPandas()) == baseline
+
+
 def test_decorrelated_avg_join_broadcasts(spark):
     # parts_above_type_avg (X44): the per-type aggregate must reach the
     # join as a broadcast — the part table itself must not shuffle for
