@@ -101,6 +101,43 @@ def attribution_join_stream(
     )
 
 
+def enriched_windowed_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    join_left: str,
+    join_right: str,
+    dim_attr: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream to a broadcast
+    dimension table, then windowed counts per dimension attribute — the
+    canonical "enrich then aggregate" streaming topology (user → segment,
+    device → model, doc → source).
+
+    A stream-static equi-join needs NO state at all: the static side is
+    broadcast and each micro-batch joins map-side, so the only stateful
+    operator remains the windowed aggregate (watermark-bounded). Works
+    identically on a batch frame, which is what the oracle checks.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    enriched = df.join(
+        F.broadcast(dim.select(F.col(join_right), F.col(dim_attr))),
+        F.col(join_left) == F.col(join_right),
+    )
+    # (no distinct aggregates here — they are unsupported on streams;
+    # use stream_dedup upstream when per-key uniqueness is needed)
+    return enriched.groupBy(
+        F.window(F.col(ts_col), window).alias("w"), dim_attr
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
 def streaming_fact_upsert(
     spark: SparkSession,
     source_path: str,

