@@ -75,6 +75,7 @@ _PRIORITY = [
     "per_source_doc_sample",
     "source_curation_report",
     "stream_segment_windows",
+    "seq_packed_chunks",
 ]
 
 

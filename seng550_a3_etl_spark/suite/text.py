@@ -751,3 +751,75 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("q_micros").cast("long").alias("total_quality_micros"),
         )
     )
+
+
+@query(
+    "seq_packed_chunks",
+    oracle=rf"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+             CAST(least(len(t), chunk_id * 16 + 16) - chunk_id * 16
+                  AS BIGINT) AS n_tok
+      FROM (SELECT doc_id, t,
+                   unnest(range(0, CAST(ceil(len(t) / 16.0) AS BIGINT)))
+                     AS chunk_id
+            FROM toks WHERE len(t) > 0)
+    ),
+    sh AS (
+      SELECT {duck_hash64("CAST(doc_id AS VARCHAR)", seed=17)} % 8 AS shard,
+             doc_id, chunk_id, n_tok,
+             ROW_NUMBER() OVER (
+               PARTITION BY {duck_hash64("CAST(doc_id AS VARCHAR)", seed=17)} % 8
+               ORDER BY doc_id, chunk_id) AS rn
+      FROM ch
+    ),
+    pack(shard, rn, doc_id, chunk_id, n_tok, seq_id, seq_fill) AS (
+      SELECT shard, rn, doc_id, chunk_id, n_tok,
+             CAST(0 AS BIGINT), n_tok
+      FROM sh WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.rn, s.doc_id, s.chunk_id, s.n_tok,
+             CASE WHEN p.seq_fill + s.n_tok > 48
+                  THEN p.seq_id + 1 ELSE p.seq_id END,
+             CASE WHEN p.seq_fill + s.n_tok > 48
+                  THEN s.n_tok ELSE p.seq_fill + s.n_tok END
+      FROM pack p JOIN sh s ON s.shard = p.shard AND s.rn = p.rn + 1
+    )
+    SELECT shard, doc_id, chunk_id, n_tok, seq_id, seq_fill FROM pack
+    """,
+)
+def seq_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (X63): 16-token chunks greedily packed
+    into 48-token sequences per hash shard — the sample-packing step
+    between curation and training export. The greedy fill is a linear
+    recurrence no built-in window expresses (the running sum resets
+    conditionally on its own value), so it runs as an Arrow-batched
+    grouped-map (operators/packing.py) — and the DuckDB oracle replays
+    the same recurrence with WITH RECURSIVE, keeping even this custom
+    stateful operator fully value-checked.
+
+    Scale: one shuffle on the shard key, O(n) per-shard fill, one
+    integer of state per shard; shard count is the parallelism knob."""
+    from seng550_a3_etl_spark.operators.packing import pack_sequences
+
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    chunks = (
+        t.documents.select(
+            "doc_id", F.explode(token_chunks(toks, 16)).alias("ch")
+        )
+        .select(
+            (hash64(F.col("doc_id").cast("string"), seed=17) % 8).alias(
+                "shard"
+            ),
+            "doc_id",
+            F.col("ch.chunk_id").alias("chunk_id"),
+            F.size("ch.chunk_toks").cast("long").alias("n_tok"),
+        )
+    )
+    return pack_sequences(
+        chunks, "shard", ["doc_id", "chunk_id"], "n_tok", capacity=48
+    )

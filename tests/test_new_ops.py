@@ -72,6 +72,107 @@ def test_decontaminate_counts_distinct_overlap(spark):
     assert got == {1: (1, False), 2: (0, False), 3: (2, True)}
 
 
+def test_pack_sequences_boundaries(spark):
+    from seng550_a3_etl_spark.operators.packing import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [
+            # shard 1: 10+10 fills to exactly capacity (stays), next starts new
+            (1, 1, 10),
+            (1, 2, 10),
+            (1, 3, 5),
+            # oversized chunk gets its own sequence; successor starts fresh
+            (1, 4, 99),
+            (1, 5, 1),
+            # second shard independent
+            (2, 1, 20),
+        ],
+        "shard int, ord int, n int",
+    )
+    out = pack_sequences(chunks, "shard", ["ord"], "n", capacity=20)
+    got = {(r.shard, r.ord): (r.seq_id, r.seq_fill) for r in out.collect()}
+    assert got == {
+        (1, 1): (0, 10),
+        (1, 2): (0, 20),  # exact capacity stays in sequence 0
+        (1, 3): (1, 5),
+        (1, 4): (2, 99),  # oversized → own sequence
+        (1, 5): (3, 1),
+        (2, 1): (0, 20),
+    }
+
+
+def test_priority_names_all_registered():
+    # _reorder silently skips unknown names — a typo in _PRIORITY would
+    # silently demote a query out of the driver's checked window.
+    from seng550_a3_etl_spark.suite import _PRIORITY, QUERIES
+
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate priority names"
+
+
+def test_decontaminate_eval_side_broadcasts(spark):
+    # the training corpus must not shuffle for the overlap join: the
+    # deduplicated eval shingle set is the broadcast side.
+    from seng550_a3_etl_spark.suite import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    df = QUERIES["decontaminate_docs"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_range_join_survives_no_broadcast(spark):
+    # the bucketed interval join must execute as a shuffle equi-join
+    # (never a cartesian/BNLJ) when the range side cannot broadcast,
+    # with identical results — the reason the operator exists.
+    from pyspark.sql import functions as F
+
+    from seng550_a3_etl_spark.operators.joins import range_join
+    from tests.oracle_harness import canonical_rows
+
+    points = spark.range(0, 2000).select(
+        F.col("id").alias("pid"), (F.col("id") % 500).alias("p")
+    )
+    ranges = spark.range(0, 100).select(
+        (F.col("id") + 10_000).alias("rid"),
+        (F.col("id") * 5).alias("s"),
+        (F.col("id") * 5 + 9).alias("e"),
+    )
+    base = canonical_rows(
+        range_join(points, ranges, "p", "s", "e", 10).toPandas()
+    )
+    from tests.test_physical import _conf
+
+    with _conf(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        got = range_join(points, ranges, "p", "s", "e", 10)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert canonical_rows(got.toPandas()) == base
+
+
+def test_time_rollup_single_shuffle(spark):
+    # all grains must come from ONE aggregate: exactly one Expand and at
+    # most one hash-partitioned exchange in the plan — never a union of
+    # per-grain scans.
+    from seng550_a3_etl_spark.suite import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    df = QUERIES["event_time_rollup"](spark, SF_ORACLE)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert plan.count("events.parquet") == 1, plan
+
+
 def test_time_rollup_grain_structure(spark):
     base = dt.datetime(2024, 3, 1, 10, 0, 0)
     events = spark.createDataFrame(
