@@ -76,6 +76,7 @@ _PRIORITY = [
     "source_curation_report",
     "stream_segment_windows",
     "seq_packed_chunks",
+    "multimodal_frame_sample",
 ]
 
 

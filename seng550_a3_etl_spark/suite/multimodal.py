@@ -13,6 +13,7 @@ from seng550_a3_etl_spark.operators.multimodal import (
     decode_media_batch,
     extract_features,
     resize_meta,
+    sample_chunks,
 )
 from seng550_a3_etl_spark.suite.registry import query
 
@@ -114,3 +115,44 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     media = attach_media(t.documents, "doc_id", "text")
     return resize_meta(media, max_dim=64)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(n_bytes / 32.0) AS BIGINT), 2))
+               AS chunk_index
+      FROM meta WHERE n_bytes > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_index AS BIGINT) AS chunk_index,
+           md5(substr(text, CAST(chunk_index * 32 + 1 AS INTEGER), 32))
+             AS chunk_md5,
+           CAST(octet_length(encode(substr(text,
+                CAST(chunk_index * 32 + 1 AS INTEGER), 32))) AS BIGINT)
+             AS n_chunk_bytes
+    FROM frames
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media (the video-keyframe access
+    pattern): every 2nd 32-byte chunk of each blob, via the Arrow
+    mapInPandas path (operators/multimodal.py:sample_chunks). The binary
+    chunks surface to the driver as (md5, byte count) so the comparison
+    key is a sortable scalar; the oracle recomputes both from the text
+    stand-in (documents are ASCII, so byte slices equal char slices)."""
+    t = load_tables(spark, sf_dir)
+    media = attach_media(t.documents, "doc_id", "text")
+    chunks = sample_chunks(media, chunk_size=32, every_k=2)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_index").alias("chunk_index"),
+        F.md5(F.col("chunk").cast("string")).alias("chunk_md5"),
+        F.length("chunk").cast("long").alias("n_chunk_bytes"),
+    )

@@ -343,7 +343,8 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     pairs = ngram_jaccard_pairs(
-        t.documents, "doc_id", "text", n=3, threshold=0.8
+        t.documents, "doc_id", "text", n=3, threshold=0.8,
+        max_shingle_freq=64,
     ).select("doc_a", "doc_b")
     labels = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
         "node", "doc_id"
@@ -453,7 +454,10 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the checkpoint is cheap at any scale.
     uniq = uniq.localCheckpoint(eager=True)
     near = (
-        ngram_jaccard_pairs(uniq, "doc_id", "text", n=3, threshold=0.8)
+        ngram_jaccard_pairs(
+            uniq, "doc_id", "text", n=3, threshold=0.8,
+            max_shingle_freq=64,
+        )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
