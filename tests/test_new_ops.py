@@ -101,6 +101,51 @@ def test_pack_sequences_boundaries(spark):
     }
 
 
+def test_pack_sequences_invariants_random(spark):
+    """Property check over random chunk sizes: (a) a sequence's fill
+    never exceeds capacity unless it is a single oversized chunk, (b)
+    seq_ids are contiguous from 0 per shard, (c) packing preserves the
+    chunk order (seq_id non-decreasing in walk order), (d) greedy: a new
+    sequence only starts when the previous could not fit the chunk."""
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (s, i, rng.choice([1, 3, 7, 10, 25]))
+        for s in range(3)
+        for i in range(40)
+    ]
+    from seng550_a3_etl_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(rows, "shard int, ord int, n int")
+    out = sorted(
+        (
+            (r.shard, r.ord, r.n, r.seq_id, r.seq_fill)
+            for r in pack_sequences(
+                df, "shard", ["ord"], "n", capacity=20
+            ).collect()
+        )
+    )
+    by_shard: dict = {}
+    for shard, ordv, n, seq, fill in out:
+        by_shard.setdefault(shard, []).append((ordv, n, seq, fill))
+    for shard, chunks in by_shard.items():
+        seqs: dict = {}
+        prev_seq = 0
+        for ordv, n, seq, fill in chunks:  # already ord-sorted
+            assert seq in (prev_seq, prev_seq + 1)  # (c) contiguous
+            if seq != prev_seq or not seqs:
+                # (d) greedy: previous sequence couldn't fit this chunk
+                if seq > 0:
+                    assert seqs[seq - 1] + n > 20
+            prev_seq = seq
+            seqs[seq] = fill
+        for seq, fill in seqs.items():
+            members = [n for _, n, s, _ in chunks if s == seq]
+            assert fill == sum(members)
+            assert fill <= 20 or len(members) == 1  # (a)
+
+
 def test_priority_names_all_registered():
     # _reorder silently skips unknown names — a typo in _PRIORITY would
     # silently demote a query out of the driver's checked window.
