@@ -130,7 +130,9 @@ def range_join(
 
     Pick ``bucket_size`` near the typical range length: ranges explode
     to ``len/bucket_size + 1`` rows, points never replicate. Rows with
-    ``end < start`` define empty intervals and are dropped. Both input
+    ``end < start`` define empty intervals and are dropped. Rows with a
+    NULL point or NULL bound never match (inner-join semantics — their
+    bucket expression is NULL, which explode/join drop). Both input
     column sets must be disjoint.
     """
     overlap = set(points.columns) & set(ranges.columns)

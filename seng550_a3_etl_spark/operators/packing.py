@@ -41,6 +41,11 @@ def pack_sequences(
     sequential fill under ``capacity`` tokens; also emits ``seq_fill``,
     the running token count of the chunk's sequence up to and including
     the chunk. Input columns pass through unchanged.
+
+    ``size_col`` must be non-null (it comes from a size()/count upstream
+    — filter or fillna first if the source allows nulls); ``order_cols``
+    must totally order each shard's chunks or the packing is
+    nondeterministic.
     """
     order_cols = list(order_cols)
     fields = ", ".join(

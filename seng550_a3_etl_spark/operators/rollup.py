@@ -38,6 +38,11 @@ def time_rollup(
     grand-total row has all three NULL. Emitting formatted strings keeps
     the bucket keys engine-portable (DATE/TIMESTAMP round-tripping
     differs between engines; strings never do).
+
+    ``ts_col`` must be non-null: a NULL timestamp would produce NULL
+    truncations indistinguishable from the rollup's own subtotal rows —
+    filter NULL timestamps upstream (use GROUPING() columns instead if
+    the source allows them).
     """
     truncs = [
         F.date_format(F.date_trunc(g, F.col(ts_col)), fmt).alias(g)

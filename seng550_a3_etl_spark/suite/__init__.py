@@ -77,6 +77,7 @@ _PRIORITY = [
     "stream_segment_windows",
     "seq_packed_chunks",
     "multimodal_frame_sample",
+    "incremental_exact_dedup",
 ]
 
 

@@ -827,3 +827,52 @@ def seq_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         chunks, "shard", ["doc_id", "chunk_id"], "n_tok", capacity=48
     )
+
+
+_DELTA_SPLIT = f"{duck_hash64('CAST(doc_id AS VARCHAR)', seed=23)} % 5 = 0"
+
+
+@query(
+    "incremental_exact_dedup",
+    oracle=f"""
+    WITH idx AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS canonical_id
+      FROM documents WHERE NOT ({_DELTA_SPLIT})
+      GROUP BY 1
+    ),
+    batch AS (SELECT doc_id, md5(text) AS h FROM documents
+              WHERE {_DELTA_SPLIT})
+    SELECT b.doc_id,
+           COALESCE(i.canonical_id, b.doc_id) AS canonical_id,
+           i.canonical_id IS NOT NULL AS known_content
+    FROM batch b LEFT JOIN idx i ON i.h = b.h
+    """,
+)
+def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup (X64): a new document batch (a ~20%
+    hash split stands in for today's crawl) checked against the hash
+    index of the EXISTING corpus — each new doc resolves to the known
+    canonical id when its content hash already exists, else to itself.
+
+    Scale: this is the shape that makes daily ingestion O(batch), not
+    O(corpus): the corpus is touched only through its (hash, canonical)
+    index — in production a bucketed/persisted table maintained by
+    merge_upsert, so the daily cost is one scan of the batch plus an
+    index join (broadcast when the batch's hash set is small, bucketed
+    co-located join otherwise), never a rescan of 100 TB of text."""
+    t = load_tables(spark, sf_dir)
+    is_new = hash64(F.col("doc_id").cast("string"), seed=23) % 5 == 0
+    corpus = t.documents.filter(~is_new)
+    index = (
+        corpus.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    batch = t.documents.filter(is_new).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    return batch.join(index, "h", "left").select(
+        "doc_id",
+        F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
+        F.col("canonical_id").isNotNull().alias("known_content"),
+    )
