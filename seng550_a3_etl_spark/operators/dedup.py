@@ -102,9 +102,23 @@ def merge_upsert_partitioned(
     (PartitionFilters), the merge shuffles only those rows + the source,
     and the collect() gathers one value per touched partition, not rows.
     """
+    # Materialize the source once: it is executed both for the partition
+    # collect and inside the merge write — for an expensive incremental
+    # feed the dominant cost would otherwise double (Spark replans each
+    # DataFrame reference).
+    source = source.localCheckpoint(eager=True)
     parts = [
         r[0] for r in source.select(partition_col).distinct().collect()
     ]
+    if None in parts:
+        # A NULL partition value cannot be matched by the pruning filter
+        # (NULL never equals anything), but dynamic overwrite would still
+        # replace the default-partition directory — silently dropping its
+        # existing rows. Refuse instead of corrupting.
+        raise ValueError(
+            f"source has NULL values in partition column "
+            f"'{partition_col}' — fill or filter them before merging"
+        )
     if not parts:
         return
     target = spark.read.parquet(target_path).filter(

@@ -102,8 +102,12 @@ def connected_components(
         .repartition("node")
         .localCheckpoint(eager=True)
     )
+    # max_iter + 1: a diameter-d component needs d label-update rounds
+    # plus ONE zero-change round to confirm the fixpoint — without the
+    # extra round, convergence exactly at round max_iter would be
+    # indistinguishable from non-convergence and raise spuriously.
     changed = 0
-    for _ in range(max_iter):
+    for _ in range(max_iter + 1):
         nbr_min = (
             sym.join(labels, sym["t"] == labels["node"])
             .groupBy("s")

@@ -135,6 +135,8 @@ def range_join(
     bucket expression is NULL, which explode/join drop). Both input
     column sets must be disjoint.
     """
+    if bucket_size <= 0:
+        raise ValueError(f"bucket_size must be > 0, got {bucket_size}")
     overlap = set(points.columns) & set(ranges.columns)
     if overlap:
         raise ValueError(f"colliding columns: {sorted(overlap)}")

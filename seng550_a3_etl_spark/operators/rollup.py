@@ -44,12 +44,15 @@ def time_rollup(
     filter NULL timestamps upstream (use GROUPING() columns instead if
     the source allows them).
     """
+    reserved = set(_GRAINS) & set(events.columns)
+    if reserved:
+        raise ValueError(
+            f"input already has grain column(s) {sorted(reserved)} — "
+            f"rename them before time_rollup (output reserves "
+            f"{list(_GRAINS)})"
+        )
     truncs = [
         F.date_format(F.date_trunc(g, F.col(ts_col)), fmt).alias(g)
         for g in _GRAINS
     ]
-    return (
-        events.select(*truncs, *[c for c in events.columns])
-        .rollup(*_GRAINS)
-        .agg(*aggs)
-    )
+    return events.select(*truncs, *events.columns).rollup(*_GRAINS).agg(*aggs)

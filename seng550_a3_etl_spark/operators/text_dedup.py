@@ -58,7 +58,7 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _bucket_pairs(banded: DataFrame, key_cols: list[str], member: Column) -> DataFrame:
+def bucket_pairs(banded: DataFrame, key_cols: list[str], member: Column) -> DataFrame:
     """All ordered member pairs sharing an LSH bucket, as one groupBy.
 
     A self-join on the bucket key would evaluate the (expensive)
@@ -223,7 +223,7 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("doc", "bk.band", "bk.key")
     cand = (
-        _bucket_pairs(banded, ["band", "key"], F.col("doc"))
+        bucket_pairs(banded, ["band", "key"], F.col("doc"))
         .toDF("doc_a", "doc_b")
         .distinct()
     )
@@ -306,7 +306,7 @@ def simhash_pairs(
     ).select("doc", "fp", "bk.band", "bk.key")
     member = F.struct(F.col("doc"), F.col("fp"))
     return (
-        _bucket_pairs(banded, ["band", "key"], member)
+        bucket_pairs(banded, ["band", "key"], member)
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("a.fp").alias("fp_a"),

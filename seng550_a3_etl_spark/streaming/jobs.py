@@ -110,6 +110,7 @@ def enriched_windowed_counts(
     ts_col: str = "ts",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    aggs: Sequence | None = None,
 ) -> DataFrame:
     """Stream-static enrichment: join the event stream to a broadcast
     dimension table, then windowed counts per dimension attribute — the
@@ -130,12 +131,16 @@ def enriched_windowed_counts(
     )
     # (no distinct aggregates here — they are unsupported on streams;
     # use stream_dedup upstream when per-key uniqueness is needed)
+    if aggs is None:
+        # default matches the events fixture schema; pass explicit aggs
+        # for streams without a 'value' column
+        aggs = [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        ]
     return enriched.groupBy(
         F.window(F.col(ts_col), window).alias("w"), dim_attr
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
-    )
+    ).agg(*aggs)
 
 
 def streaming_fact_upsert(

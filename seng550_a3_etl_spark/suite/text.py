@@ -605,7 +605,11 @@ def _pii_oracle() -> str:
         "|| '.7 tel 555-123-4567'"
     )
     for pattern, token in PII_PATTERNS:
-        expr = f"regexp_replace({expr}, '{pattern}', '{token}', 'g')"
+        # escape single quotes so a future pattern containing one cannot
+        # break or alter the oracle SQL (same hazard class check_rules
+        # fixed for rule names)
+        p, tk = pattern.replace("'", "''"), token.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{tk}', 'g')"
     return f"SELECT doc_id, {expr} AS redacted FROM documents"
 
 
@@ -664,7 +668,7 @@ def fuzzy_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs join); texts for the surviving pairs are fetched by a
     single melt-join pass over the corpus, so the quadratic Levenshtein
     only ever runs on fingerprint-collision pairs."""
-    from seng550_a3_etl_spark.operators.text_dedup import _bucket_pairs
+    from seng550_a3_etl_spark.operators.text_dedup import bucket_pairs
 
     t = load_tables(spark, sf_dir)
     docs = t.documents.select("doc_id", "text")
@@ -673,7 +677,7 @@ def fuzzy_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_fingerprint(tokens(F.col("text")), n=5).alias("fp"),
     ).filter(F.col("fp").isNotNull())
     cand = (
-        _bucket_pairs(fps, ["fp"], F.col("doc_id"))
+        bucket_pairs(fps, ["fp"], F.col("doc_id"))
         .toDF("doc_a", "doc_b")
         .distinct()
     )

@@ -110,6 +110,23 @@ def test_merge_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
     assert files("2024-01-03") == before_d3
 
 
+def test_merge_upsert_partitioned_rejects_null_partition(spark, tmp_path):
+    import pytest
+
+    from seng550_a3_etl_spark.operators.dedup import merge_upsert_partitioned
+
+    path = str(tmp_path / "fact_null")
+    schema = "k int, d string, ts timestamp, v string"
+    spark.createDataFrame(
+        [(1, "2024-01-01", _ts("2024-01-01T10:00:00"), "t1")], schema
+    ).write.partitionBy("d").parquet(path)
+    source = spark.createDataFrame(
+        [(2, None, _ts("2024-01-01T11:00:00"), "s2")], schema
+    )
+    with pytest.raises(ValueError, match="NULL values in partition column"):
+        merge_upsert_partitioned(spark, path, source, ["k"], "ts", "d")
+
+
 def test_snapshot_diff_null_compare_columns(spark):
     """Presence must come from join-side membership, not compare-column
     nullness: a present-but-all-NULL row is 'changed' when the other

@@ -86,6 +86,25 @@ def test_non_convergence_raises(spark):
         graph.DRIVER_EDGE_THRESHOLD = orig
 
 
+def test_convergence_exactly_at_max_iter_does_not_raise(spark):
+    """A diameter-d graph with max_iter=d must succeed: the implementation
+    allows one extra zero-change round to confirm the fixpoint, so
+    finishing on the last permitted update round is not an error."""
+    d = 5
+    chain = [(i, i + 1) for i in range(d)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    orig = graph.DRIVER_EDGE_THRESHOLD
+    try:
+        graph.DRIVER_EDGE_THRESHOLD = -1
+        got = {
+            (r.node, r.label)
+            for r in graph.connected_components(df, max_iter=d).collect()
+        }
+    finally:
+        graph.DRIVER_EDGE_THRESHOLD = orig
+    assert got == {(i, 0) for i in range(d + 1)}
+
+
 def test_long_chain_converges(spark):
     # a path graph is the worst case for min-label propagation
     # (diameter = n); labels must still reach the global minimum
