@@ -78,6 +78,7 @@ _PRIORITY = [
     "seq_packed_chunks",
     "multimodal_frame_sample",
     "incremental_exact_dedup",
+    "hybrid_retrieval",
 ]
 
 

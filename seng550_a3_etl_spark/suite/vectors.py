@@ -221,3 +221,177 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z.q", F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("q_sum"),
     )
+
+
+_Q_TERMS = ("spark", "join", "table")
+_RRF_K = 60
+_TOP_N = 50
+
+
+def _hybrid_oracle() -> str:
+    kw_terms = " + ".join(
+        f"(len(list_filter(t, x -> x = '{term}')) * n_docs "
+        f"/ greatest(len(t), 1) / df_{i})"
+        for i, term in enumerate(_Q_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN len(list_filter(t, x -> x = '{term}')) > 0 "
+        f"THEN 1 ELSE 0 END) AS df_{i}"
+        for i, term in enumerate(_Q_TERMS)
+    )
+    return rf"""
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                  FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, {df_cols} FROM toks),
+    kw AS (
+      SELECT doc_id, ROUND({kw_terms}, 6) AS kw_score
+      FROM toks, stats
+    ),
+    kw_ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (
+        ORDER BY kw_score DESC, doc_id) AS kw_rank
+      FROM kw WHERE kw_score > 0
+    ),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    vec AS (
+      SELECT vec_id AS doc_id,
+             ROUND({_cos('embedding', 'q')}, 6) AS cosine
+      FROM embeddings, qv WHERE vec_id != 0
+    ),
+    vec_ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (
+        ORDER BY cosine DESC, doc_id) AS vec_rank
+      FROM vec
+    ),
+    fused AS (
+      SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+             k.kw_rank, v.vec_rank,
+             ROUND(COALESCE(1.0 / ({_RRF_K} + k.kw_rank), 0)
+                   + COALESCE(1.0 / ({_RRF_K} + v.vec_rank), 0), 9) AS rrf
+      FROM (SELECT * FROM kw_ranked WHERE kw_rank <= {_TOP_N}) k
+      FULL OUTER JOIN
+           (SELECT * FROM vec_ranked WHERE vec_rank <= {_TOP_N}) v
+        ON k.doc_id = v.doc_id
+    )
+    SELECT doc_id, kw_rank, vec_rank, rrf FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS final
+      FROM fused
+    ) WHERE final <= 20
+    """
+
+
+@query("hybrid_retrieval", oracle=_hybrid_oracle())
+def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (X65): keyword TF-IDF retrieval and embedding
+    cosine retrieval fused by reciprocal-rank fusion (RRF, k=60) — the
+    standard two-channel retrieval stack (BM25-ish + dense) expressed as
+    one DataFrame program: both channels produce a top-N ranked list,
+    the fusion is a full-outer join on the doc id, and the final ranking
+    is 1/(k+rank_kw) + 1/(k+rank_vec).
+
+    Determinism: term scores are rational chains evaluated left-to-right
+    (tf·N/len/df), cosine follows the suite's double-precision sequence,
+    ranks are integers, and the RRF terms are single divisions summed in
+    a fixed order — every double agrees bit-for-bit cross-engine.
+
+    Scale: both channels prune to top-N BEFORE the fusion join (the
+    standard practice — fuse lists, not corpora); the keyword scores
+    evaluate in the scan, the cosine channel broadcasts the single query
+    vector, and only 2·N rows ever reach the fusion join. The global
+    rank windows here sort bounded candidate lists; a multi-query
+    deployment ranks per query id exactly like cosine_topk."""
+    from seng550_a3_etl_spark.functions.text import tokens
+    from seng550_a3_etl_spark.functions.vectors import dot
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+
+    # closure factory, NOT a default-arg lambda: pyspark derives HOF
+    # lambda arity from the Python signature INCLUDING defaults, so
+    # `lambda x, term=term` would become the (element, index) form
+    def _is(term: str):
+        return lambda x: x == F.lit(term)
+
+    counted = t.documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("len"),
+        *[
+            F.size(F.filter(toks, _is(term))).cast("long").alias(f"c_{i}")
+            for i, term in enumerate(_Q_TERMS)
+        ],
+    )
+    stats = counted.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum((F.col(f"c_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_Q_TERMS))
+        ],
+    )
+    kw_score = None
+    for i in range(len(_Q_TERMS)):
+        term_score = (
+            F.col(f"c_{i}")
+            * F.col("n_docs")
+            / F.greatest(F.col("len"), F.lit(1))
+            / F.col(f"df_{i}")
+        )
+        kw_score = term_score if kw_score is None else kw_score + term_score
+    kw = (
+        counted.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(kw_score, 6).alias("kw_score"))
+        .filter(F.col("kw_score") > 0)
+    )
+    w_kw = Window.orderBy(F.desc("kw_score"), F.asc("doc_id"))
+    kw_ranked = kw.select(
+        "doc_id", F.row_number().over(w_kw).cast("long").alias("kw_rank")
+    ).filter(F.col("kw_rank") <= _TOP_N)
+
+    qv = t.embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    vec = (
+        t.embeddings.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot(F.col("embedding"), F.col("q"))
+                / (
+                    F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(dot(F.col("q"), F.col("q")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w_vec = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    vec_ranked = vec.select(
+        "doc_id", F.row_number().over(w_vec).cast("long").alias("vec_rank")
+    ).filter(F.col("vec_rank") <= _TOP_N)
+
+    fused = (
+        kw_ranked.join(vec_ranked, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "kw_rank",
+            "vec_rank",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("kw_rank")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias("rrf"),
+        )
+    )
+    w_final = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("final", F.row_number().over(w_final))
+        .filter(F.col("final") <= 20)
+        .drop("final")
+    )
