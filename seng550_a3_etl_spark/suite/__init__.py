@@ -79,6 +79,7 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "incremental_exact_dedup",
     "hybrid_retrieval",
+    "kmeans_step_clusters",
 ]
 
 

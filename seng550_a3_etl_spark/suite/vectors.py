@@ -395,3 +395,64 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("final") <= 20)
         .drop("final")
     )
+
+
+@query(
+    "kmeans_step_clusters",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+    cent AS (SELECT vec_id AS bid, embedding AS bv
+             FROM embeddings WHERE vec_id % 100 = 0),
+    assign AS (
+      SELECT cid, cv, bid FROM (
+        SELECT cid, cv, bid, ROW_NUMBER() OVER (
+          PARTITION BY cid ORDER BY sim DESC, bid
+        ) AS rn
+        FROM (SELECT cid, cv, bid, ROUND({_cos('cv', 'bv')}, 6) AS sim
+              FROM c, cent)
+      ) WHERE rn = 1
+    ),
+    ex AS (
+      SELECT bid, i AS dim,
+             CAST(ROUND(cv[CAST(i AS INT)]::DOUBLE * 1000000) AS BIGINT)
+               AS micro
+      FROM assign, range(1, 65) t(i)
+    ),
+    sums AS (
+      SELECT bid, dim, SUM(micro) AS s, COUNT(*) AS n
+      FROM ex GROUP BY 1, 2
+    )
+    SELECT bid,
+           CAST(MAX(n) AS BIGINT) AS n_members,
+           array_to_string(
+             list(CAST(CAST(ROUND(s / n) AS BIGINT) AS VARCHAR)
+                  ORDER BY dim), ',') AS centroid_q
+    FROM sums GROUP BY bid
+    """,
+)
+def kmeans_step_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means E+M step (X66): every 100th vector seeds a
+    centroid, the corpus assigns by max cosine (the IVF coarse
+    quantizer), and new centroids are element-wise means computed in
+    integer micro-units so the result is exact in any summation order —
+    the pattern that makes iterative ML reductions oracle-checkable.
+    Full Lloyd's iterates this step driver-side; each step is one
+    broadcast join + one (cluster, dim) shuffle with map-side partial
+    sums (k·dim groups regardless of corpus size)."""
+    from seng550_a3_etl_spark.operators.clustering import kmeans_step
+
+    t = load_tables(spark, sf_dir)
+    corpus = t.embeddings.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cent = t.embeddings.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")
+    )
+    out = kmeans_step(corpus, cent)
+    return out.select(
+        "bid",
+        "n_members",
+        F.array_join(
+            F.col("centroid_micros").cast("array<string>"), ","
+        ).alias("centroid_q"),
+    )
