@@ -446,13 +446,12 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("__canon"))
         .drop("__canon", "lang_pred")
     )
-    # Materialize the curated survivor set ONCE: it feeds both the
-    # near-dup pair scan and the final anti-join, and carrying the full
-    # score+dedup subplan into each reference doubles analysis/codegen
-    # and recompute (measured 2.2× on the cold end-to-end run). The
-    # survivor set is small by construction (post-filter, post-dedup),
-    # so the checkpoint is cheap at any scale.
-    uniq = uniq.localCheckpoint(eager=True)
+    # uniq feeds both the near-dup scan and the final anti-join and is
+    # deliberately NOT checkpointed: fresh-session A/B shows the eager
+    # materialization costs more than the double recompute here (the two
+    # consumers are independent scan pipelines that parallelize freely,
+    # while the checkpoint serializes on the uniq job first) — the same
+    # measurement that keeps minhash's shingle sets unpersisted.
     near = (
         ngram_jaccard_pairs(
             uniq, "doc_id", "text", n=3, threshold=0.8,
