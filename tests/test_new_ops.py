@@ -40,6 +40,59 @@ def test_range_join_spanning_many_buckets_no_dups(spark):
     assert len(rows) == len({r.pid for r in rows})  # no duplicate pairs
 
 
+def test_range_join_matches_brute_force_random(spark):
+    """Property check: bucketed interval join equals the O(n*m) nested
+    loop for random points/ranges across several bucket sizes (including
+    bucket sizes smaller and larger than every range)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    pts_st = st.lists(
+        st.integers(-50, 50), min_size=0, max_size=15, unique=True
+    )
+    rng_st = st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(-20, 20)),
+        min_size=0,
+        max_size=8,
+    )
+
+    @given(pts=pts_st, rngs=rng_st, bucket=st.sampled_from([1, 7, 100]))
+    @settings(
+        max_examples=5,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(pts, rngs, bucket):
+        points = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(pts)] or [(0, 0)],
+            "pid int, p long",
+        )
+        if not pts:
+            points = points.limit(0)
+        ranges = spark.createDataFrame(
+            [(i, s, s + w) for i, (s, w) in enumerate(rngs)] or [(0, 0, 0)],
+            "rid int, s long, e long",
+        )
+        if not rngs:
+            ranges = ranges.limit(0)
+        got = {
+            (r.pid, r.rid)
+            for r in range_join(
+                points, ranges, "p", "s", "e", bucket
+            ).collect()
+        }
+        want = {
+            (pi, ri)
+            for pi, p in enumerate(pts)
+            for ri, (s, w) in enumerate(rngs)
+            if s <= p <= s + w
+        }
+        assert got == want
+
+    check()
+
+
 def test_range_join_rejects_colliding_columns(spark):
     df = spark.createDataFrame([(1,)], "x int")
     with pytest.raises(ValueError, match="colliding"):
