@@ -68,7 +68,10 @@ def kmeans_step(
         )
         .groupBy(centroid_id)
         .agg(
-            F.first("__n").alias("n_members"),
+            # max, not first: first() over the per-dim counts is
+            # nondeterministic, and per-dim counts can differ for ragged
+            # vectors — max matches the oracle's MAX(n)
+            F.max("__n").alias("n_members"),
             F.array_sort(
                 F.collect_list(F.struct(F.col("__dim"), F.col("__m")))
             ).alias("__dm"),

@@ -121,7 +121,12 @@ def merge_upsert_partitioned(
         )
     if not parts:
         return
-    target = spark.read.parquet(target_path).filter(
+    # Explicit schema: partition-directory type INFERENCE would re-type
+    # e.g. a string partition value '01' as int 1, landing the merged
+    # rows in a differently-named directory (d=1) while the stale d=01
+    # directory survives — duplicate keys after merge. The source schema
+    # is the contract for both data and partition column types.
+    target = spark.read.schema(source.schema).parquet(target_path).filter(
         F.col(partition_col).isin(parts)
     )
     merged = merge_upsert(target, source, keys, version_col)

@@ -48,8 +48,11 @@ def pack_sequences(
     nondeterministic.
     """
     order_cols = list(order_cols)
+    # backtick-quote names so columns named like reserved words (or
+    # containing spaces) survive the DDL parser
     fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in chunks.schema.fields
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in chunks.schema.fields
     )
     out_schema = f"{fields}, seq_id bigint, seq_fill bigint"
 

@@ -28,8 +28,8 @@ def check_rules(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
 
     Scale: all rules fold into one partial+final aggregate — the scan is
     shared, the shuffle carries a single wide row, and the long-format
-    pivot (``stack``) runs on that one row. Rule count N costs N per-row
-    predicate evaluations, zero extra jobs.
+    pivot (``explode`` of a Column-literal map) runs on that one row.
+    Rule count N costs N per-row predicate evaluations, zero extra jobs.
     """
     if not rules:
         raise ValueError("check_rules needs at least one rule")

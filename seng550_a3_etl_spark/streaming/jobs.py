@@ -125,10 +125,15 @@ def enriched_windowed_counts(
     df = events
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
-    enriched = df.join(
-        F.broadcast(dim.select(F.col(join_right), F.col(dim_attr))),
-        F.col(join_left) == F.col(join_right),
+    # Alias the dim key before the join: with the common shape where
+    # both sides share the key name ('user_id' = 'user_id'), unaliased
+    # F.col references would resolve ambiguously against both children.
+    d = dim.select(
+        F.col(join_right).alias("__dim_key"), F.col(dim_attr)
     )
+    enriched = df.join(
+        F.broadcast(d), F.col(join_left) == F.col("__dim_key")
+    ).drop("__dim_key")
     # (no distinct aggregates here — they are unsupported on streams;
     # use stream_dedup upstream when per-key uniqueness is needed)
     if aggs is None:

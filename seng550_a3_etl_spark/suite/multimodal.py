@@ -153,6 +153,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.select(
         "doc_id",
         F.col("chunk_index").alias("chunk_index"),
-        F.md5(F.col("chunk").cast("string")).alias("chunk_md5"),
+        # md5 over the BINARY column directly: casting to string would
+        # mangle non-UTF8 bytes through replacement characters before
+        # hashing (the ASCII fixture hides it; real media would not)
+        F.md5(F.col("chunk")).alias("chunk_md5"),
         F.length("chunk").cast("long").alias("n_chunk_bytes"),
     )

@@ -230,8 +230,8 @@ _TOP_N = 50
 
 def _hybrid_oracle() -> str:
     kw_terms = " + ".join(
-        f"(len(list_filter(t, x -> x = '{term}')) * n_docs "
-        f"/ greatest(len(t), 1) / df_{i})"
+        f"COALESCE(len(list_filter(t, x -> x = '{term}')) * n_docs "
+        f"/ greatest(len(t), 1) / df_{i}, 0)"
         for i, term in enumerate(_Q_TERMS)
     )
     df_cols = ", ".join(
@@ -330,11 +330,15 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kw_score = None
     for i in range(len(_Q_TERMS)):
-        term_score = (
+        # coalesce: a term with df=0 (absent from the corpus) yields
+        # 0/0 → NULL, and NULL + x would poison the whole sum — an
+        # absent term must contribute 0, not erase the keyword channel
+        term_score = F.coalesce(
             F.col(f"c_{i}")
             * F.col("n_docs")
             / F.greatest(F.col("len"), F.lit(1))
-            / F.col(f"df_{i}")
+            / F.col(f"df_{i}"),
+            F.lit(0.0),
         )
         kw_score = term_score if kw_score is None else kw_score + term_score
     kw = (

@@ -110,6 +110,28 @@ def test_merge_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
     assert files("2024-01-03") == before_d3
 
 
+def test_merge_upsert_partitioned_string_partition_roundtrip(spark, tmp_path):
+    """Partition values that don't survive directory-name type inference
+    (zero-padded strings) must still merge in place: reading the target
+    with inferred types would re-type d='01' as int 1 and write a NEW
+    d=1 directory while the stale d=01 row survives."""
+    from seng550_a3_etl_spark.operators.dedup import merge_upsert_partitioned
+
+    path = str(tmp_path / "fact_pad")
+    schema = "k int, d string, ts timestamp, v string"
+    spark.createDataFrame(
+        [(1, "01", _ts("2024-01-01T10:00:00"), "t1")], schema
+    ).write.partitionBy("d").parquet(path)
+    source = spark.createDataFrame(
+        [(1, "01", _ts("2024-01-01T11:00:00"), "s1")], schema
+    )
+    merge_upsert_partitioned(spark, path, source, ["k"], "ts", "d")
+    rows = (
+        spark.read.schema(schema).parquet(path).collect()
+    )
+    assert [(r.k, r.d, r.v) for r in rows] == [(1, "01", "s1")]
+
+
 def test_merge_upsert_partitioned_rejects_null_partition(spark, tmp_path):
     import pytest
 

@@ -199,6 +199,41 @@ def test_pack_sequences_invariants_random(spark):
             assert fill <= 20 or len(members) == 1  # (a)
 
 
+def test_shingle_freq_bound_is_exact_at_fixture_scales():
+    """The suite's ngram queries pass max_shingle_freq=64 while their
+    DuckDB oracles stay unbounded — exact only while no 3-gram shingle
+    is shared by more than 64 documents. Pin that claim against BOTH
+    fixture scales so fixture growth turns a silent undercount into a
+    loud failure here first."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        max_f = con.sql(
+            rf"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(text, '\s+') AS t
+              FROM read_parquet('/root/testdata/{sf}/documents.parquet')
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> array_to_string(t[i:i+2], ' ')))) AS s
+              FROM toks
+            )
+            SELECT COALESCE(MAX(f), 0) FROM (
+              SELECT COUNT(*) AS f FROM sh GROUP BY s)
+            """
+        ).fetchone()[0]
+        con.close()
+        assert max_f <= 64, (
+            f"{sf}: a shingle is shared by {max_f} > 64 docs — "
+            f"max_shingle_freq=64 is no longer exact; raise the bound "
+            f"in suite/text.py or bound the oracles"
+        )
+
+
 def test_priority_names_all_registered():
     # _reorder silently skips unknown names — a typo in _PRIORITY would
     # silently demote a query out of the driver's checked window.
