@@ -132,6 +132,38 @@ def test_merge_upsert_partitioned_string_partition_roundtrip(spark, tmp_path):
     assert [(r.k, r.d, r.v) for r in rows] == [(1, "01", "s1")]
 
 
+def test_merge_upsert_partitioned_idempotent(spark, tmp_path):
+    """Re-applying the same source must be a no-op — the property that
+    makes the per-partition-directory swap safe to rerun after a partial
+    failure (the replacement for transactional atomicity)."""
+    from seng550_a3_etl_spark.operators.dedup import merge_upsert_partitioned
+
+    path = str(tmp_path / "fact_idem")
+    schema = "k int, d string, ts timestamp, v string"
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01", _ts("2024-01-01T10:00:00"), "t1"),
+            (2, "2024-01-02", _ts("2024-01-02T10:00:00"), "t2"),
+        ],
+        schema,
+    ).write.partitionBy("d").parquet(path)
+    source = spark.createDataFrame(
+        [(1, "2024-01-01", _ts("2024-01-01T11:00:00"), "s1")], schema
+    )
+
+    def snapshot():
+        return sorted(
+            (r.k, r.d, str(r.ts), r.v)
+            for r in spark.read.schema(schema).parquet(path).collect()
+        )
+
+    merge_upsert_partitioned(spark, path, source, ["k"], "ts", "d")
+    once = snapshot()
+    merge_upsert_partitioned(spark, path, source, ["k"], "ts", "d")
+    assert snapshot() == once
+    assert [(r[0], r[3]) for r in once] == [(1, "s1"), (2, "t2")]
+
+
 def test_merge_upsert_partitioned_rejects_null_partition(spark, tmp_path):
     import pytest
 
