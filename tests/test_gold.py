@@ -165,8 +165,13 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
     # where pruning degrades toward 2x the touched files.
     z_hit, z_total = files_overlapping_y(z_path, 100, 200)
     l_hit, l_total = files_overlapping_y(lin_path, 100, 200)
-    assert l_hit == l_total  # x-sort: every file spans the y domain
-    assert z_hit <= z_total // 2  # z-order: most files skipped
+    # x-sort: files span the y domain, so (almost) none can be skipped.
+    # Not exactly all: repartitionByRange samples its boundaries with an
+    # RDD-id-dependent seed, so an occasional small tail file can miss
+    # the band — assert the fraction, not equality, to keep the test
+    # deterministic in what it actually claims.
+    assert l_hit >= 0.85 * l_total, (l_hit, l_total)
+    assert z_hit <= z_total // 2, (z_hit, z_total)  # z-order skips most
 
 
 def test_compaction_reduces_file_count_preserving_rows(spark, tmp_path):
