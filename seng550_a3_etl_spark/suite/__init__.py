@@ -80,6 +80,7 @@ _PRIORITY = [
     "incremental_exact_dedup",
     "hybrid_retrieval",
     "kmeans_step_clusters",
+    "user_funnel",
 ]
 
 

@@ -540,3 +540,97 @@ def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("old_value", 4).alias("old_value"),
         F.round("new_value", 4).alias("new_value"),
     )
+
+
+@query(
+    "user_funnel",
+    oracle=f"""
+    WITH v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+               FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1
+          GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2
+          GROUP BY 1),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_stage,
+           strftime(t1, '{_TS_FMT_DUCK}') AS view_ts,
+           strftime(t2, '{_TS_FMT_DUCK}') AS click_ts,
+           strftime(t3, '{_TS_FMT_DUCK}') AS purchase_ts
+    FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+           LEFT JOIN p USING (user_id)
+    """,
+)
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (X67): per user, the first view, the first click
+    STRICTLY after it, and the first purchase strictly after that —
+    staged conversion over an event stream.
+
+    Spark-first shape: ONE user-key shuffle — events collect into a
+    sorted array per user and a single ``F.aggregate`` fold walks the
+    sequence with a (stage, t1, t2, t3) struct accumulator. The oracle
+    computes the same funnel as three chained stepwise MIN aggregates
+    (the relational form, 3 shuffles) — the equivalence of the two
+    formulations is exactly what the hash check proves. Strict-ts
+    advancement makes tie order irrelevant, so both engines agree
+    bit-for-bit.
+
+    Scale: map-side partial collect keeps the shuffle at |user events|;
+    the fold is O(events/user) with constant state. The stepwise form
+    re-scans events per stage — at 100 TB the one-pass fold wins by
+    stage count."""
+    t = load_tables(spark, sf_dir)
+    evs = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("ts"), F.col("event_type").alias("et"))
+        )
+    )
+    acc0 = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.lit(None).cast("timestamp").alias("t3"),
+    )
+
+    def step(acc, e):
+        adv1 = (acc["stage"] == 0) & (e["et"] == "view")
+        adv2 = (
+            (acc["stage"] == 1)
+            & (e["et"] == "click")
+            & (e["ts"] > acc["t1"])
+        )
+        adv3 = (
+            (acc["stage"] == 2)
+            & (e["et"] == "purchase")
+            & (e["ts"] > acc["t2"])
+        )
+        return F.struct(
+            F.when(adv1, F.lit(1))
+            .when(adv2, F.lit(2))
+            .when(adv3, F.lit(3))
+            .otherwise(acc["stage"])
+            .alias("stage"),
+            F.when(adv1, e["ts"]).otherwise(acc["t1"]).alias("t1"),
+            F.when(adv2, e["ts"]).otherwise(acc["t2"]).alias("t2"),
+            F.when(adv3, e["ts"]).otherwise(acc["t3"]).alias("t3"),
+        )
+
+    folded = (
+        t.events.groupBy("user_id")
+        .agg(evs.alias("__evs"))
+        .select("user_id", F.aggregate("__evs", acc0, step).alias("f"))
+    )
+    return folded.select(
+        "user_id",
+        F.col("f.stage").cast("long").alias("funnel_stage"),
+        F.date_format("f.t1", _TS_FMT).alias("view_ts"),
+        F.date_format("f.t2", _TS_FMT).alias("click_ts"),
+        F.date_format("f.t3", _TS_FMT).alias("purchase_ts"),
+    )
