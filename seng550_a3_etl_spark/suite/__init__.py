@@ -81,6 +81,7 @@ _PRIORITY = [
     "hybrid_retrieval",
     "kmeans_step_clusters",
     "user_funnel",
+    "cohort_retention",
 ]
 
 

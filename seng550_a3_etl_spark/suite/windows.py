@@ -634,3 +634,71 @@ def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("f.t2", _TS_FMT).alias("click_ts"),
         F.date_format("f.t3", _TS_FMT).alias("purchase_ts"),
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id,
+             date_trunc('month', MIN(CAST(ts AS TIMESTAMP))) AS cohort
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             date_trunc('month', CAST(e.ts AS TIMESTAMP)) AS m
+      FROM events e JOIN signup s USING (user_id)
+      WHERE date_trunc('month', CAST(e.ts AS TIMESTAMP)) >= s.cohort
+    )
+    SELECT strftime(s.cohort, '%Y-%m') AS cohort_month,
+           CAST(date_diff('month', s.cohort, a.m) AS BIGINT)
+             AS months_since_signup,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN signup s USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (X68): users grouped by signup month; for each
+    cohort and month-offset since signup, how many distinct users were
+    active — the classic retention triangle, the funnel's companion.
+
+    Scale: ONE user-key shuffle derives both the cohort (min signup ts)
+    and the distinct active-month set in the same aggregate (collect_set
+    of month truncations — bounded by calendar months, not events), then
+    an explode + (cohort, offset) count. Month arithmetic is integer
+    (12*year + month deltas), so both engines agree exactly."""
+    t = load_tables(spark, sf_dir)
+    per_user = (
+        t.events.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("event_type") == "signup",
+                    F.date_trunc("month", F.col("ts")),
+                )
+            ).alias("cohort"),
+            F.collect_set(F.date_trunc("month", F.col("ts"))).alias(
+                "months"
+            ),
+        )
+        .filter(F.col("cohort").isNotNull())
+    )
+    exploded = per_user.select(
+        "user_id",
+        "cohort",
+        F.explode("months").alias("m"),
+    ).filter(F.col("m") >= F.col("cohort"))
+    offset = (
+        (F.year("m") - F.year("cohort")) * 12
+        + (F.month("m") - F.month("cohort"))
+    ).cast("long")
+    return (
+        exploded.select(
+            "user_id",
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            offset.alias("months_since_signup"),
+        )
+        .groupBy("cohort_month", "months_since_signup")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
