@@ -82,6 +82,7 @@ _PRIORITY = [
     "kmeans_step_clusters",
     "user_funnel",
     "cohort_retention",
+    "price_quantity_corr",
 ]
 
 

@@ -587,3 +587,69 @@ def promo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shipped_cents"),
         )
     )
+
+
+@query(
+    "price_quantity_corr",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sx,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS sy,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_quantity * 100) AS BIGINT))
+                  AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                      * CAST(ROUND(l_quantity * 100) AS BIGINT))
+                  AS HUGEINT) AS syy
+      FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+           9) AS corr
+    FROM s
+    """,
+)
+def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent Pearson correlation (X69): F.corr's streaming
+    float accumulation is summation-order-dependent (nondeterministic
+    under repartitioning and unverifiable cross-engine), so the
+    correlation is assembled from five EXACT integer aggregates
+    (Σx, Σy, Σxy, Σx², Σy² over cents) followed by one fixed
+    double-precision formula — the pattern for any order-independent
+    distributed statistic. One pass, one shuffled row, no precision
+    drift at any cluster size."""
+    t = load_tables(spark, sf_dir)
+    x = F.round(F.col("l_extendedprice") * 100).cast("long")
+    y = F.round(F.col("l_quantity") * 100).cast("long")
+    s = t.lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            9,
+        ).alias("corr"),
+    )
