@@ -83,6 +83,8 @@ _PRIORITY = [
     "user_funnel",
     "cohort_retention",
     "price_quantity_corr",
+    "cluster_best_doc",
+    "leakage_free_split",
 ]
 
 

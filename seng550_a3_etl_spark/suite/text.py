@@ -879,3 +879,114 @@ def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
         F.col("canonical_id").isNotNull().alias("known_content"),
     )
+
+
+def _labels_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, canonical_id) dup-cluster labels — shared by the
+    survivor-selection and leakage-free-split queries."""
+    from seng550_a3_etl_spark.operators.graph import connected_components
+
+    t = load_tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        t.documents, "doc_id", "text", n=3, threshold=0.8,
+        max_shingle_freq=64,
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    return (
+        t.documents.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).cast("long").alias(
+                "canonical_id"
+            ),
+        )
+    )
+
+
+def _cluster_best_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return f"""
+    WITH labels AS ({ORACLES["dup_clusters"]}),
+    q AS (
+      SELECT doc_id,
+             CAST(ROUND((
+               least(len(t) / 100.0, 1.0) * 0.25
+               + (len(list_distinct(t)) / greatest(len(t), 1)) * 0.25
+               + least(((length(text) - (len(t) - 1)) / greatest(len(t), 1))
+                       / 8.0, 1.0) * 0.25
+               + least(({_duck_marker('en')} / greatest(len(t), 1)) * 10.0,
+                       1.0) * 0.25
+             ) * 1000000) AS BIGINT) AS q_micros
+      FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS t
+            FROM documents)
+    )
+    SELECT canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(struct_pack(q := q_micros, d := doc_id)).q AS BIGINT)
+             AS best_q_micros,
+           CAST(MAX(struct_pack(q := q_micros, d := doc_id)).d AS BIGINT)
+             AS best_doc_id
+    FROM labels JOIN q USING (doc_id)
+    GROUP BY canonical_id
+    """
+
+
+@query("cluster_best_doc", oracle=_cluster_best_oracle())
+def cluster_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based dedup survivor selection (X70): within each near-dup
+    cluster keep the HIGHEST-quality document (min-id is the usual
+    arbitrary canonical; real curation keeps the best copy). The argmax
+    is a struct-max aggregate — (quality_micros, doc_id) lexicographic,
+    so ties break on the larger doc_id — folding map-side to one row per
+    cluster, never a per-row window sort."""
+    labels = _labels_df(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    q = t.documents.select(
+        "doc_id",
+        F.round(quality_score(F.col("text"), toks) * 1_000_000)
+        .cast("long")
+        .alias("q_micros"),
+    )
+    best = F.max(F.struct(F.col("q_micros"), F.col("doc_id")))
+    return (
+        labels.join(q, "doc_id")
+        .groupBy("canonical_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            best["q_micros"].alias("best_q_micros"),
+            best["doc_id"].cast("long").alias("best_doc_id"),
+        )
+    )
+
+
+def _leakage_split_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    h = duck_hash64("CAST(canonical_id AS VARCHAR)", seed=31)
+    return f"""
+    WITH labels AS ({ORACLES["dup_clusters"]})
+    SELECT doc_id, canonical_id,
+           CASE WHEN {h} % 10 < 8 THEN 'train' ELSE 'eval' END AS split
+    FROM labels
+    """
+
+
+@query("leakage_free_split", oracle=_leakage_split_oracle())
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/eval split (X71): the 80/20 hash split keys on
+    the dup-CLUSTER canonical id, not the document id, so near-duplicate
+    documents can never straddle the boundary — the eval set cannot leak
+    paraphrases of training documents. Same zero-shuffle stable-hash
+    construction as X26 once labels exist; the cluster labels are the
+    only shuffled stage."""
+    labels = _labels_df(spark, sf_dir)
+    split = F.when(
+        hash64(F.col("canonical_id").cast("string"), seed=31) % 10 < 8,
+        F.lit("train"),
+    ).otherwise(F.lit("eval"))
+    return labels.select("doc_id", "canonical_id", split.alias("split"))
