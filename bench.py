@@ -6,6 +6,14 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Execution is forced with a noop sink (full compute, no driver collect).
 
+The driver keeps only the LAST 2000 characters of bench stdout and
+parses the JSON out of that tail (BENCH_r01/r02 both recorded
+``parsed: null`` because the full per-query dict overflowed the
+buffer). So stdout carries exactly ONE compact line (< ~1800 chars):
+totals + a fixed headline-query subset + any failures + the ladder.
+The complete per-query timing dict goes to ``bench_full.json`` next to
+this file, and everything else prints to stderr.
+
 Run bench ALONE: a concurrent `pytest` run (its own local[32] JVM)
 contends for the same 32 cores and has been observed to inflate the
 suite total from ~82 s to ~133 s. Timings are only comparable across
@@ -19,6 +27,67 @@ import os
 import re
 import sys
 import time
+
+# Fixed representative subset for the size-bounded stdout line: the
+# flagship query of each operator family (relational / spatial /
+# window / dedup / ANN / streaming / curation). Full timings always
+# land in bench_full.json.
+HEADLINE = [
+    "nation_order_counts",
+    "daily_event_stats",
+    "pricing_summary",
+    "region_revenue",
+    "top_order_per_customer",
+    "scalar_stats",
+    "merge_upsert_events",
+    "latest_event_per_user",
+    "point_district_assignment",
+    "district_point_counts",
+    "nearest_supplier_per_customer",
+    "asof_signup_for_purchase",
+    "exact_dedup_docs",
+    "minhash_dup_pairs",
+    "simhash_near_pairs",
+    "ngram_dup_pairs",
+    "dup_clusters",
+    "embedding_topk",
+    "embedding_topk_ivf",
+    "embedding_cosine_dedup",
+    "tfidf_top_terms",
+    "curation_pipeline",
+    "user_sessions",
+    "session_window_stats",
+    "stream_hourly_windows",
+    "stream_click_attribution",
+    "salted_segment_revenue",
+    "event_time_rollup",
+    "promo_range_join",
+    "seq_packed_chunks",
+    "kmeans_step_clusters",
+]
+
+
+def _compact_line(total: float, timings: dict, sf, ladder: dict) -> str:
+    failed = sorted(n for n, v in timings.items() if v < 0)
+    qs = {n: timings[n] for n in HEADLINE if n in timings}
+    for n in failed:  # failures always surface, headline or not
+        qs[n] = -1.0
+    payload = {
+        "metric": "suite_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+        "queries": qs,
+        "ladder": ladder,
+        "full_timings": "bench_full.json",
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    while len(line) > 1800 and qs:  # hard cap under the driver's buffer
+        qs.popitem()
+        line = json.dumps(payload, separators=(",", ":"))
+    return line
 
 
 def main() -> None:
@@ -54,19 +123,24 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "ladder": _ladder(spark, sf_dir),
-            }
-        )
-    )
+    ladder = _ladder(spark, sf_dir)
+    full = {
+        "metric": "suite_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "ladder": ladder,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    print(f"bench: full timings -> {full_path}", file=sys.stderr)
     spark.stop()
+    # The compact line is the very last stdout write (after spark.stop())
+    # so nothing can land between it and the driver's 2000-char tail.
+    print(_compact_line(total, timings, sf, ladder), flush=True)
 
 
 def _ladder(spark, sf_dir: str) -> dict:
@@ -174,11 +248,10 @@ def _ladder(spark, sf_dir: str) -> dict:
         "speedup_broadcast": round(naive_s / bcast_s, 2) if bcast_s else None,
         "speedup_grid": round(naive_s / grid_s, 2) if grid_s else None,
         "speedup_gold": round(naive_s / gold_s, 2) if gold_s else None,
+        # kept short: this note rides inside the size-bounded stdout line
         "grid_prefilter_note": (
-            "expected_at_scale: the grid equi-join exists for polygon "
-            "sides too big to broadcast; at bench scale the broadcast "
-            "rung is the engine's chosen plan and the grid rung pays "
-            "cell-explode overhead it earns back at 100x"
+            "expected_at_scale: grid is the no-broadcast plan; at bench "
+            "scale the engine picks the broadcast rung"
         ),
     }
 

@@ -61,10 +61,11 @@ class Tables:
 def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; with nanosAsLong it arrives as epoch-nanos long.
-        # Truncate to micros — DuckDB does the same ns→us truncation when
-        # it casts to its native TIMESTAMP, so the oracle agrees.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (rejected by
+        # the vectorized reader; nanosAsLong surfaces epoch-nanos longs)
+        # and as TIMESTAMP(MICROS). Normalize both to plain TIMESTAMP:
+        # DuckDB reads the same values as naive-UTC, so the oracle
+        # agrees under a UTC session zone.
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
@@ -73,9 +74,24 @@ def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def set_parquet_ts_confs(spark: SparkSession) -> None:
+    """Timestamp-read confs every fixture consumer needs, settable on ANY
+    session at runtime — the driver runs a plain SparkSession, not our
+    tuned factory, so these cannot live only in session.py defaults:
+
+    - nanosAsLong: TIMESTAMP(NANOS) parquet (early fixture vintage) reads
+      as epoch-nanos longs instead of throwing PARQUET_TYPE_ILLEGAL;
+    - inferTimestampNTZ off: timezone-less parquet timestamps (current
+      fixture vintage) load as plain TIMESTAMP, which watermarks and
+      unix_micros require, with values matching the naive-UTC oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
     """Lazy catalog over every fixture table in ``sf_dir``."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    set_parquet_ts_confs(spark)
     return Tables(spark, sf_dir)
 
 

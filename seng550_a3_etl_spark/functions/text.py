@@ -138,16 +138,32 @@ def repetition_stats(toks: Column) -> dict[str, Column]:
       repeated passages score high)
 
     Pure per-row HOF expressions (no shuffle, no UDF): the mode count is
-    an O(unique × n) filter-count over the distinct tokens — bounded and
-    codegen'd for real document lengths. Returns named columns so the
-    caller selects/aliases as needed; both are NULL-safe via greatest(1).
+    the longest run in the SORTED token array — one array_sort
+    (O(n log n)) plus a single aggregate pass with (prev, run, best)
+    state, instead of the O(unique × n) filter-count-per-distinct-token
+    form it replaces (quadratic on long high-diversity documents, a
+    per-row hotspot at web scale). Returns named columns so the caller
+    selects/aliases as needed; both are NULL-safe via greatest(1).
     """
     n = F.size(toks)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda x: F.size(F.filter(toks, lambda y: y == x)),
+    run_state = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def _step(acc: Column, t: Column) -> Column:
+        run = F.when(acc["prev"].eqNullSafe(t), acc["run"] + 1).otherwise(
+            F.lit(1)
         )
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top = F.aggregate(
+        F.array_sort(toks), run_state, _step, lambda acc: acc["best"]
     )
     sh3 = shingles(toks, 3)
     n_sh = F.size(sh3)

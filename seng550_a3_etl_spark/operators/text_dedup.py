@@ -126,20 +126,32 @@ def ngram_jaccard_pairs(
         F.size("sh").cast("long").alias("n_sh"),
         F.explode("sh").alias("s"),
     ).select("doc", "n_sh", F.xxhash64("s").alias("hs"))
+    if max_shingle_freq is not None:
+        # Stop-shingle bound: a shingle shared by more than this many
+        # docs contributes O(freq²) pairs. The bound is applied BEFORE
+        # collect_list so a web-scale stop-shingle never materializes
+        # its full posting list in one aggregation buffer: a map-side-
+        # combined count per shingle hash (the shuffle moves one
+        # (hs, partial_count) row per partition, not the postings), then
+        # a semi-join keeps only postings of shingles within the bound.
+        # The join shuffles postings by hs — the same key the groupBy
+        # below needs — so Catalyst reuses that partitioning and the
+        # total postings shuffles stay at one. Pairs whose intersection
+        # includes dropped shingles undercount `inter`, so this is the
+        # documented approximation for web-scale corpora, exact whenever
+        # no shingle exceeds the bound.
+        ok = (
+            postings.groupBy("hs")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .filter(F.col("__f") <= max_shingle_freq)
+            .select("hs")
+        )
+        postings = postings.join(ok, "hs", "left_semi")
     buckets = postings.groupBy("hs").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("doc"), F.col("n_sh")))
         ).alias("__ms")
     )
-    if max_shingle_freq is not None:
-        # Stop-shingle bound: a shingle shared by more than this many
-        # docs contributes O(freq²) pairs; dropping it here is a plain
-        # filter on the already-collected bucket — no extra aggregate,
-        # no join. Pairs whose intersection includes dropped shingles
-        # undercount `inter`, so this is the documented approximation
-        # for web-scale corpora, exact whenever no shingle exceeds the
-        # bound.
-        buckets = buckets.filter(F.size("__ms") <= max_shingle_freq)
     pairs = buckets.select(
         F.explode(
             F.flatten(

@@ -27,6 +27,11 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic timestamp semantics vs the DuckDB oracle (naive UTC).
     "spark.sql.session.timeZone": "UTC",
+    # Parquet timestamps without a timezone flag (the testdata fixtures)
+    # load as plain TIMESTAMP, not TIMESTAMP_NTZ: watermarks/unix_micros
+    # require TIMESTAMP, and with the UTC session zone the wall-clock
+    # values are identical to what the naive-UTC DuckDB oracle reads.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
 }

@@ -46,8 +46,10 @@ def _state_partitions(spark: SparkSession, n: int):
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded file stream over the events fixture (nanos ts handled)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Bounded file stream over the events fixture (nanos/NTZ ts handled)."""
+    from seng550_a3_etl_spark.catalog import set_parquet_ts_confs
+
+    set_parquet_ts_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema)
