@@ -130,23 +130,30 @@ def ngram_jaccard_pairs(
         # Stop-shingle bound: a shingle shared by more than this many
         # docs contributes O(freq²) pairs. The bound is applied BEFORE
         # collect_list so a web-scale stop-shingle never materializes
-        # its full posting list in one aggregation buffer: a map-side-
-        # combined count per shingle hash (the shuffle moves one
-        # (hs, partial_count) row per partition, not the postings), then
-        # a semi-join keeps only postings of shingles within the bound.
-        # The join shuffles postings by hs — the same key the groupBy
-        # below needs — so Catalyst reuses that partitioning and the
-        # total postings shuffles stay at one. Pairs whose intersection
-        # includes dropped shingles undercount `inter`, so this is the
-        # documented approximation for web-scale corpora, exact whenever
-        # no shingle exceeds the bound.
-        ok = (
-            postings.groupBy("hs")
-            .agg(F.count(F.lit(1)).alias("__f"))
+        # its full posting list in one aggregation buffer. Implemented
+        # as a count over Window.partitionBy(hs) + filter, NOT as a
+        # count-aggregate + semi-join: the aggregate branch is a
+        # separately pruned subplan of the postings lineage (no
+        # ReusedExchange), so the join form re-ran the tokenize→
+        # shingle→explode pipeline — one extra corpus scan and one
+        # extra Exchange. The window form scans the corpus ONCE and
+        # shuffles postings ONCE on hs; the groupBy below consumes the
+        # window's hash partitioning with no further Exchange. Hot
+        # shingle groups stream through WindowExec's spillable row
+        # buffer (disk-backed), never an in-memory aggregation buffer.
+        # Pairs whose intersection includes dropped shingles undercount
+        # `inter`, so this is the documented approximation for
+        # web-scale corpora, exact whenever no shingle exceeds the
+        # bound.
+        from pyspark.sql.window import Window
+
+        postings = (
+            postings.withColumn(
+                "__f", F.count(F.lit(1)).over(Window.partitionBy("hs"))
+            )
             .filter(F.col("__f") <= max_shingle_freq)
-            .select("hs")
+            .drop("__f")
         )
-        postings = postings.join(ok, "hs", "left_semi")
     buckets = postings.groupBy("hs").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("doc"), F.col("n_sh")))
