@@ -337,28 +337,12 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard pairs; every document maps to its component's minimum doc_id
     (itself when unpaired). The oracle computes the same fixpoint as a
     recursive reachability closure — an *iterative* Spark operator that
-    is still fully oracle-checked."""
-    from seng550_a3_etl_spark.operators.graph import connected_components
-    from seng550_a3_etl_spark.operators.text_dedup import ngram_jaccard_pairs
+    is still fully oracle-checked.
 
-    t = load_tables(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(
-        t.documents, "doc_id", "text", n=3, threshold=0.8,
-        max_shingle_freq=64,
-    ).select("doc_a", "doc_b")
-    labels = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
-        "node", "doc_id"
-    )
-    return (
-        t.documents.select("doc_id")
-        .join(labels, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("label", F.col("doc_id")).cast("long").alias(
-                "canonical_id"
-            ),
-        )
-    )
+    Labels come from the shared per-session materialization
+    (:func:`_labels_df`) — the pair scan + CC subgraph runs once per
+    session no matter how many label consumers execute."""
+    return _labels_df(spark, sf_dir)
 
 
 @query(
@@ -881,9 +865,27 @@ def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _labels_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, canonical_id) dup-cluster labels — shared by the
-    survivor-selection and leakage-free-split queries."""
+    """(doc_id, canonical_id) dup-cluster labels — computed ONCE per
+    (Spark application, sf_dir) and shared by every consumer
+    (dup_clusters / cluster_best_doc / leakage_free_split).
+
+    At 100 TB cluster labels are a materialized artifact — computed by
+    one job and persisted (the plans/gold.py shape), then consumed by
+    survivor selection, splitting, and reporting without re-running the
+    pair scan + connected components. ``localCheckpoint(eager=True)`` is
+    the session-scoped analog of that gold write: the label rows (two
+    longs per document — tiny relative to the text) materialize on first
+    use and the subgraph never recomputes; lineage truncation also keeps
+    downstream plans independent of the iterative CC job."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LABELS_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     from seng550_a3_etl_spark.operators.graph import connected_components
 
     t = load_tables(spark, sf_dir)
@@ -894,7 +896,7 @@ def _labels_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
         "node", "doc_id"
     )
-    return (
+    out = (
         t.documents.select("doc_id")
         .join(labels, "doc_id", "left")
         .select(
@@ -903,7 +905,10 @@ def _labels_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "canonical_id"
             ),
         )
+        .localCheckpoint(eager=True)
     )
+    _LABELS_CACHE[key] = out
+    return out
 
 
 def _cluster_best_oracle() -> str:
