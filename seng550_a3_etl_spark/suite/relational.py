@@ -175,6 +175,34 @@ def scalar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("scalar_stats_approx")  # no oracle: sketch estimates are
+# engine-specific (GK quantile summary / HyperLogLog++), so the driver
+# records the weaker rows+schema check; tests/test_new_ops.py pins the
+# rank-error bound against the exact median and tests/test_physical.py
+# pins the single-pass sketch plan.
+def scalar_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8's 100 TB path: single-pass bounded-memory sketches instead of
+    the exact forms. ``percentile_approx`` (Greenwald-Khanna summary,
+    rank error ≤ n/accuracy, O(accuracy) state per partition — the
+    partial aggregates merge map-side, so one scan and one O(sketch)
+    final merge replace funneling every value through a single exact
+    aggregation buffer) and ``approx_count_distinct`` (HLL++, O(KB)
+    state vs a full distinct shuffle). `scalar_stats` keeps the exact
+    median as the oracle-checked baseline; this is the form a cluster
+    actually runs."""
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.percentile_approx("l_extendedprice", 0.5, 10000), 4
+        ).alias("approx_median_price"),
+        F.round(
+            F.percentile_approx("l_extendedprice", 0.95, 10000), 4
+        ).alias("approx_p95_price"),
+        F.approx_count_distinct("l_partkey").alias("approx_distinct_parts"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Filters / projections (P1-P10).
 # --------------------------------------------------------------------------

@@ -335,3 +335,32 @@ def test_time_rollup_grain_structure(spark):
         ]
         == 1
     )
+
+
+def test_approx_median_rank_tolerance(spark):
+    # scalar_stats_approx: percentile_approx(accuracy=10000) guarantees
+    # the returned value's rank is within n/accuracy of the target rank
+    # (Greenwald-Khanna bound). Assert it against the actual data.
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.suite import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    row = QUERIES["scalar_stats_approx"](spark, SF_ORACLE).collect()[0]
+    price = F.col("l_extendedprice")
+    lineitem = load_tables(spark, SF_ORACLE).lineitem
+    n = row.n_rows
+    tol = n / 10000.0
+    eps = 1e-6  # the query rounds to 4 decimals
+    for value, q in (
+        (row.approx_median_price, 0.5),
+        (row.approx_p95_price, 0.95),
+    ):
+        below, at_or_below = (
+            lineitem.agg(
+                F.count(F.when(price < value - eps, 1)),
+                F.count(F.when(price <= value + eps, 1)),
+            ).collect()[0]
+        )
+        target = q * n
+        assert below <= target + tol, (q, value, below, target)
+        assert at_or_below >= target - tol, (q, value, at_or_below, target)

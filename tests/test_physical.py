@@ -343,3 +343,20 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     assert canonical_rows(joined.toPandas()) == canonical_rows(
         expected.toPandas()
     )
+
+
+def test_approx_stats_plan_is_single_pass_sketch(spark):
+    # scalar_stats_approx (A8 scale path): the plan must be ONE scan +
+    # map-side partial sketches + a single O(sketch) SinglePartition
+    # merge — never the exact percentile (which funnels every distinct
+    # value through one aggregation buffer) and never a global sort.
+    plan = _executed_plan(QUERIES["scalar_stats_approx"](spark, SF_ORACLE))
+    assert "partial_percentile_approx" in plan, plan
+    assert "partial_approx_count_distinct" in plan, plan
+    # the only exchange is the final sketch merge
+    assert plan.count("Exchange") == 1, plan
+    assert "Exchange SinglePartition" in plan, plan
+    assert "Sort" not in plan, plan
+    # the exact forms must be absent (median/percentile without approx)
+    assert "median(" not in plan, plan
+    assert " percentile(" not in plan, plan
