@@ -27,64 +27,75 @@ from seng550_a3_etl_spark.suite import (  # noqa: E402,F401
 )
 
 # Driver-facing registration order. The driver checks queries in
-# registration order under a per-round cap/budget (round 1 stopped at
-# exactly the first 50), so the queries that most need a driver
-# CORRECTNESS row — the round-1-unchecked text/vector/streaming/windows
-# flagship set, anything new this round, and any previously-red row —
-# are registered FIRST; queries already driver-green in a prior round
-# fill the tail.
+# registration order under a per-round 50-row cap, so each round the
+# first 50 slots go to the queries that most need a FRESH driver
+# CORRECTNESS row. Round 4: the 44 core §2 queries whose only driver
+# verdict is round 1 (rotated out by the round-2/3 extension sets while
+# code under them — catalog timestamp confs, session confs — changed),
+# plus this round's new query and the five whose code changed this
+# round (shared dup-cluster labels + the ngram stop-shingle window
+# rewrite). Everything driver-green in round 3 fills the tail; the
+# pytest oracle mirror (tests/test_suite_parity.py) still covers all
+# queries every session regardless of the cap.
 _PRIORITY = [
-    # round-1 red row (fixed this round)
-    "multimodal_features",
-    # text-dedup / curation flagships (no driver row in round 1)
-    "exact_dedup_docs",
-    "minhash_dup_pairs",
-    "simhash_near_pairs",
+    # the judge's named must-refresh set first (reference's own surface)
+    "nation_order_counts",
+    "district_point_counts",
+    "point_district_assignment",
+    "merge_upsert_events",
+    "date_key_join",
+    "daily_event_stats",
+    "json_extract_events",
+    # remaining core relational / analytics (r1-only verdicts)
+    "pricing_summary",
+    "scalar_stats",
+    "filter_suite",
+    "distinct_domain",
+    "customer_order_join",
+    "customers_with_orders",
+    "customers_without_orders",
+    "region_revenue",
+    "top_order_per_customer",
+    "running_customer_revenue",
+    "order_status_rollup",
+    "segment_setops",
+    "status_priority_cube",
+    "status_priority_grouping_sets",
+    "distinct_users_per_type",
+    "salted_segment_revenue",
+    "order_priority_pivot",
+    "price_tier_orders",
+    "lineitem_profile",
+    "incremental_nation_revenue",
+    "order_part_baskets",
+    "parts_above_type_avg",
+    "order_price_ranks",
+    "orders_quality_report",
+    # sampling / sketch (r1-only)
+    "uniform_doc_sample",
+    "stratified_doc_sample",
+    "weighted_doc_sample",
+    "kmv_distinct_users",
+    # spatial / as-of (r1-only)
+    "wkt_point_roundtrip",
+    "incident_facts_pipeline",
+    "supplier_customer_dwithin",
+    "nearest_supplier_per_customer",
+    # windows / dedup (r1-only)
+    "latest_event_per_user",
+    "asof_signup_for_purchase",
+    "hourly_event_windows",
+    # multimodal (r1-only)
+    "multimodal_decode_meta",
+    "multimodal_resize_meta",
+    # new in round 4 — first driver row
+    "scalar_stats_approx",
+    # code changed in round 4 (shared labels + ngram window rewrite)
     "ngram_dup_pairs",
     "dup_clusters",
-    "curation_pipeline",
-    "doc_token_stats",
-    "doc_lang_quality",
-    "doc_fingerprints",
-    "doc_token_chunks",
-    "tfidf_top_terms",
-    # vector / ANN flagships (no driver row in round 1)
-    "embedding_topk",
-    "embedding_topk_ivf",
-    "embedding_cosine_dedup",
-    "embedding_quantize_int8",
-    # streaming (no driver row in round 1)
-    "stream_hourly_windows",
-    "stream_click_attribution",
-    "stream_distinct_users",
-    # windows tail (no driver row in round 1)
-    "user_sessions",
-    "events_snapshot_diff",
-    "sliding_event_windows",
-    "session_window_stats",
-    "top_user_per_event_type",
-    "customer_segment_history",
-    "event_gaps_quartiles",
-    # new this round (X54-X59) — need their first driver rows
-    "decontaminate_docs",
-    "doc_repetition_stats",
-    "pii_redacted_docs",
-    "fuzzy_dup_pairs",
-    "event_time_rollup",
-    "promo_range_join",
-    "per_source_doc_sample",
-    "source_curation_report",
-    "stream_segment_windows",
-    "seq_packed_chunks",
-    "multimodal_frame_sample",
-    "incremental_exact_dedup",
-    "hybrid_retrieval",
-    "kmeans_step_clusters",
-    "user_funnel",
-    "cohort_retention",
-    "price_quantity_corr",
     "cluster_best_doc",
     "leakage_free_split",
+    "curation_pipeline",
 ]
 
 
