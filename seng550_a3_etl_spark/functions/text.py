@@ -144,8 +144,16 @@ def repetition_stats(toks: Column) -> dict[str, Column]:
     form it replaces (quadratic on long high-diversity documents, a
     per-row hotspot at web scale). Returns named columns so the caller
     selects/aliases as needed; both are NULL-safe via greatest(1).
+
+    Contract: ``toks`` is ``array<string>`` (the run-state accumulator
+    pins the element type). NULL tokens never count toward the mode —
+    they are filtered before the sort, matching the filter-count form
+    this replaced (eqNullSafe over a raw sort would otherwise count a
+    run of NULLs); the denominator stays the UNfiltered length so a
+    null-heavy array cannot inflate top_token_frac.
     """
     n = F.size(toks)
+    non_null = F.filter(toks, lambda x: x.isNotNull())
     run_state = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).alias("run"),
@@ -163,7 +171,7 @@ def repetition_stats(toks: Column) -> dict[str, Column]:
         )
 
     top = F.aggregate(
-        F.array_sort(toks), run_state, _step, lambda acc: acc["best"]
+        F.array_sort(non_null), run_state, _step, lambda acc: acc["best"]
     )
     sh3 = shingles(toks, 3)
     n_sh = F.size(sh3)

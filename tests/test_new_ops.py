@@ -364,3 +364,23 @@ def test_approx_median_rank_tolerance(spark):
         target = q * n
         assert below <= target + tol, (q, value, below, target)
         assert at_or_below >= target - tol, (q, value, at_or_below, target)
+
+
+def test_repetition_stats_ignores_null_tokens(spark):
+    # The mode count must never count runs of NULL tokens (ADVICE r3):
+    # [null, null, null, 'a', 'b'] has top token count 1, denominator 5.
+    from seng550_a3_etl_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", None, None, None]), (2, ["x", "x", "y", None])],
+        "id int, toks array<string>",
+    )
+    stats = repetition_stats(F.col("toks"))
+    rows = {
+        r.id: r.top_token_frac
+        for r in df.select("id", stats["top_token_frac"].alias(
+            "top_token_frac"
+        )).collect()
+    }
+    assert rows[1] == pytest.approx(1 / 5)  # not 3/5 (the NULL run)
+    assert rows[2] == pytest.approx(2 / 4)
