@@ -67,7 +67,9 @@ HEADLINE = [
 ]
 
 
-def _compact_line(total: float, timings: dict, sf, ladder: dict) -> str:
+def _compact_line(
+    total: float, timings: dict, sf, ladder: dict, idle_check: dict
+) -> str:
     failed = sorted(n for n, v in timings.items() if v < 0)
     qs = {n: timings[n] for n in HEADLINE if n in timings}
     for n in failed:  # failures always surface, headline or not
@@ -79,21 +81,43 @@ def _compact_line(total: float, timings: dict, sf, ladder: dict) -> str:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": len(failed),
+        "idle_check": idle_check,
         "queries": qs,
         "ladder": ladder,
         "full_timings": "bench_full.json",
     }
     line = json.dumps(payload, separators=(",", ":"))
     while len(line) > 1800 and qs:  # hard cap under the driver's buffer
-        qs.popitem()
+        # Shrink by dropping non-failed headline entries (insertion
+        # order); failed entries are only sacrificed once nothing else
+        # remains — overflow is most likely exactly when many queries
+        # fail, and those names must survive the cut.
+        droppable = [n for n in qs if n not in failed]
+        qs.pop(droppable[0] if droppable else next(iter(qs)))
         line = json.dumps(payload, separators=(",", ":"))
     return line
+
+
+def _idle_check() -> dict:
+    """1-min load average BEFORE the JVM starts — timings are only
+    comparable across rounds when the box is otherwise idle (a
+    concurrent pytest JVM has been observed to inflate the suite total
+    ~60%). Recorded in the bench line so cross-round deltas can be
+    discounted when the box was busy."""
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover
+        return {"load1": None, "idle": None}
+    ncpu = os.cpu_count() or 1
+    return {"load1": load1, "idle": load1 < 0.1 * ncpu}
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    idle_check = _idle_check()
 
     from seng550_a3_etl_spark.session import get_spark
     from seng550_a3_etl_spark.suite import QUERIES
@@ -110,6 +134,7 @@ def main() -> None:
     spark.range(spark.sparkContext.defaultParallelism).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    _warm_streaming(spark)
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
@@ -130,6 +155,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "idle_check": idle_check,
         "ladder": ladder,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -140,7 +166,30 @@ def main() -> None:
     spark.stop()
     # The compact line is the very last stdout write (after spark.stop())
     # so nothing can land between it and the driver's 2000-char tail.
-    print(_compact_line(total, timings, sf, ladder), flush=True)
+    print(_compact_line(total, timings, sf, ladder, idle_check), flush=True)
+
+
+def _warm_streaming(spark) -> None:
+    """Run one tiny stateful availableNow streaming job so the first
+    TIMED streaming query doesn't pay the one-off streaming-runtime
+    costs (query-execution thread pool, checkpoint/offsets log setup,
+    state-store provider class init) — the round-over-round 1.4-1.5×
+    jitter on stream_* queries tracked to cold streaming machinery, not
+    plan changes."""
+    from pyspark.sql import functions as F
+
+    q = (
+        spark.readStream.format("rate")
+        .option("numPartitions", "1")
+        .load()
+        .groupBy(F.window("timestamp", "1 hour"))
+        .count()
+        .writeStream.format("noop")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
 
 
 def _ladder(spark, sf_dir: str) -> dict:
@@ -253,7 +302,58 @@ def _ladder(spark, sf_dir: str) -> dict:
             "expected_at_scale: grid is the no-broadcast plan; at bench "
             "scale the engine picks the broadcast rung"
         ),
+        "design_point_10x": _design_point(spark, pts, polys),
     }
+
+
+def _design_point(spark, pts, polys) -> dict:
+    """Measure the grid rung AT ITS DESIGN POINT (VERDICT r3 #6): the
+    grid prefilter exists for when NEITHER side broadcasts and the point
+    side is large. Inflate points 10× (deterministic jitter keeps them
+    in-domain) and run with broadcast disabled: grid equi-join vs the
+    exact theta join, which degrades to a CartesianProduct. One run per
+    config — the gap, not the precision, is the result."""
+    from pyspark.sql import functions as F
+
+    from seng550_a3_etl_spark.functions.geo import multipolygon_contains
+    from seng550_a3_etl_spark.operators.spatial import points_in_polygons_join
+
+    big = pts.withColumn(
+        "__r", F.explode(F.sequence(F.lit(0), F.lit(9)))
+    ).select(
+        "c_custkey",
+        (F.col("px") + F.col("__r") * 1e-4).alias("px"),
+        (F.col("py") + F.col("__r") * 1e-4).alias("py"),
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+
+        def one(build) -> float:
+            start = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - start, 3)
+
+        grid_s = one(
+            lambda: points_in_polygons_join(
+                big, polys, "px", "py", "polys", how="inner", cell_size=7.0
+            )
+        )
+        theta_s = one(
+            lambda: big.crossJoin(polys).filter(
+                multipolygon_contains(F.col("polys"), F.col("px"), F.col("py"))
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    out = {
+        "points_x": 10,
+        "grid_s": grid_s,
+        "theta_nobcast_s": theta_s,
+        "speedup_grid_vs_theta": round(theta_s / grid_s, 2) if grid_s else None,
+    }
+    print(f"bench: design_point_10x {out}", file=sys.stderr)
+    return out
 
 
 if __name__ == "__main__":
