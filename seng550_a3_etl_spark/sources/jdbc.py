@@ -7,8 +7,12 @@ readback (/root/reference/etl.py:162-221) and ``pd.read_sql`` reads
 engine's primary storage is Parquet (catalog.py), JDBC is the edge
 connector.
 
-Untestable in this container (no JDBC driver jar / database); kept thin
-so the logic surface is the Spark API itself.
+Integration-tested against embedded Apache Derby (the JDBC database
+already on Spark's default classpath for the Hive metastore) in
+tests/test_sources.py — full write → count-verify → partitioned-read
+round trip. No server database exists in this container; Derby-embedded
+exercises the same Spark JDBC source/sink code paths (dialect, driver
+option, partitioned range reads) that a PostgreSQL URL would.
 """
 
 from __future__ import annotations
