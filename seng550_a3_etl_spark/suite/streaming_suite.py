@@ -218,3 +218,77 @@ def stream_segment_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+_INCR_TABLE = "stream_incr_dedup_sink"
+
+
+def _incr_dedup_oracle() -> str:
+    # Same SQL as the batch twin's oracle (suite/text.py
+    # incremental_exact_dedup) — rebuilt here because this module
+    # registers before suite.text populates the registry.
+    from seng550_a3_etl_spark.functions.hashing import duck_hash64
+
+    split = f"{duck_hash64('CAST(doc_id AS VARCHAR)', seed=23)} % 5 = 0"
+    return f"""
+    WITH idx AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS canonical_id
+      FROM documents WHERE NOT ({split})
+      GROUP BY 1
+    ),
+    batch AS (SELECT doc_id, md5(text) AS h FROM documents
+              WHERE {split})
+    SELECT b.doc_id,
+           COALESCE(i.canonical_id, b.doc_id) AS canonical_id,
+           i.canonical_id IS NOT NULL AS known_content
+    FROM batch b LEFT JOIN idx i ON i.h = b.h
+    """
+
+
+@query("stream_incremental_dedup", oracle=_incr_dedup_oracle())
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup (X74): the X64 daily-crawl dedup run as
+    a CONTINUOUS job — new documents arrive as a file stream and resolve
+    against the static (content-hash → canonical id) corpus index via a
+    stream-static LEFT join. Same oracle as the batch twin, so the
+    driver checks the streaming execution of the identical contract.
+
+    Scale: the stream-static join holds ZERO streaming state (the index
+    joins map-side per micro-batch — broadcast when small, else a
+    shuffled join whose static side Spark re-plans per batch); the job
+    never rescans corpus text, only its index, so per-batch cost is
+    O(batch). Append mode, no watermark needed — nothing is stateful."""
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.functions.hashing import hash64
+
+    t = load_tables(spark, sf_dir)
+    is_new = hash64(F.col("doc_id").cast("string"), seed=23) % 5 == 0
+    index = (
+        t.documents.filter(~is_new)
+        .select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    batch = stream.filter(is_new).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    out = batch.join(index, "h", "left").select(
+        "doc_id",
+        F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
+        F.col("canonical_id").isNotNull().alias("known_content"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_INCR_TABLE)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(_INCR_TABLE)

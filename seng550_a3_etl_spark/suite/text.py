@@ -995,3 +995,125 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("train"),
     ).otherwise(F.lit("eval"))
     return labels.select("doc_id", "canonical_id", split.alias("split"))
+
+
+_DUCK_QUALITY = f"""
+             least(len(t) / 100.0, 1.0) * 0.25
+               + (len(list_distinct(t)) / greatest(len(t), 1)) * 0.25
+               + least(((length(text) - (len(t) - 1)) / greatest(len(t), 1))
+                       / 8.0, 1.0) * 0.25
+               + least(({_duck_marker('en')} / greatest(len(t), 1)) * 10.0,
+                       1.0) * 0.25
+"""
+
+
+@query(
+    "source_mix_budget",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, source, text,
+                         string_split_regex(text, '\s+') AS t
+                  FROM documents),
+    scored AS (
+      SELECT doc_id, source,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             {_DUCK_QUALITY} AS quality,
+             (CAST(regexp_extract(source, '[0-9]+') AS INT) % 3 + 1) * 1000
+               AS src_budget
+      FROM toks),
+    sel AS (
+      SELECT source, doc_id, n_tokens, src_budget,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id
+             ) AS BIGINT) AS cum_tokens
+      FROM scored)
+    SELECT source, doc_id, n_tokens, cum_tokens,
+           CAST(src_budget AS BIGINT) AS src_budget
+    FROM sel WHERE cum_tokens <= src_budget
+    """,
+)
+def source_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture token-budget sampling (X73): every pretraining
+    corpus is assembled to a TARGET MIXTURE — per-domain token budgets
+    (web 60%, code 20%, ...), filled with each domain's best documents
+    first. Weights here derive deterministically from the source name
+    (1-3 kilotokens); selection is greedy by quality within source.
+
+    Scale: per-row scoring in the scan (zero shuffle), then ONE shuffle
+    on the source key for the per-source ordered cumulative window —
+    state per group is a running sum, and the per-source sort is the
+    same work a per-domain curation job already does. Domains far too
+    large to sort wholesale first prune with a quality threshold (the
+    curation_pipeline stage) so the window only sees plausible
+    survivors."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    w_src = (
+        F.regexp_extract("source", r"(\d+)", 1).cast("int") % 3 + 1
+    ) * 1000
+    scored = t.documents.select(
+        "source",
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        quality_score(F.col("text"), toks).alias("__q"),
+        w_src.cast("long").alias("src_budget"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("__q"), F.asc("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.col("src_budget"))
+        .select("source", "doc_id", "n_tokens", "cum_tokens", "src_budget")
+    )
+
+
+@query(
+    "vocab_top_tokens",
+    oracle=r"""
+    WITH tf AS (
+      SELECT t AS token, doc_id, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT token,
+             CAST(SUM(cnt) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM tf GROUP BY 1
+    )
+    SELECT token, n_total, n_docs
+    FROM vocab ORDER BY n_total DESC, token LIMIT 50
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters (X75): the top-50 tokens by
+    total occurrences with their document frequencies — stopword
+    discovery, tokenizer sanity checks, and the df table that TF-IDF /
+    stop-shingle bounds consume.
+
+    Scale: two hash aggregations with map-side combine — (doc, token)
+    partials shrink the explode before the token-level shuffle, and the
+    final top-k is a TakeOrdered over |vocab| rows, never a global
+    sort of the corpus. The exact two-pass form; sub-pass heavy-hitter
+    sketches (Misra-Gries) only become necessary when even |vocab|
+    overflows, which natural-language vocabularies do not."""
+    t = load_tables(spark, sf_dir)
+    tf = (
+        t.documents.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.sum("cnt").alias("n_total"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("token"))
+        .limit(50)
+    )

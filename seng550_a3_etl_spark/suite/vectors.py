@@ -460,3 +460,62 @@ def kmeans_step_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("centroid_micros").cast("array<string>"), ","
         ).alias("centroid_q"),
     )
+
+
+def _ann_recall_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return f"""
+    WITH exact AS ({ORACLES["embedding_topk"]}),
+         approx AS ({ORACLES["embedding_topk_ivf"]})
+    SELECT e.qid,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.cid) AS BIGINT) AS n_hit,
+           COUNT(a.cid) / COUNT(*) AS recall
+    FROM exact e
+    LEFT JOIN approx a ON a.qid = e.qid AND a.cid = e.cid
+    GROUP BY e.qid
+    """
+
+
+@query("ann_recall_ivf", oracle=_ann_recall_oracle())
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation (X72): per-query recall@5 of the IVF
+    probe path against the exact brute-force ranking — the acceptance
+    gate every approximate index must pass before it replaces the exact
+    scan in a retrieval pipeline (tune nprobe until recall clears the
+    bar).
+
+    Scale: both inputs are already top-k-pruned (k rows per query), so
+    the comparison join and per-query fold move k·|queries| rows —
+    nothing touches the corpus again. recall = hit/total is a small
+    integer ratio, bit-identical cross-engine."""
+    from seng550_a3_etl_spark.operators.similarity import cosine_topk, ivf_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    cent = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")
+    )
+    exact = cosine_topk(q, c, k=5).select("qid", "cid")
+    approx = ivf_topk(q, c, cent, k=5, nprobe=3).select(
+        "qid", "cid", F.lit(1).alias("__hit")
+    )
+    return (
+        exact.join(approx, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            "qid",
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        )
+    )
