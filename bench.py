@@ -134,6 +134,7 @@ def main() -> None:
     spark.range(spark.sparkContext.defaultParallelism).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    _warm_text_pipeline(spark, sf_dir)
     _warm_streaming(spark)
 
     timings: dict[str, float] = {}
@@ -167,6 +168,25 @@ def main() -> None:
     # The compact line is the very last stdout write (after spark.stop())
     # so nothing can land between it and the driver's 2000-char tail.
     print(_compact_line(total, timings, sf, ladder, idle_check), flush=True)
+
+
+def _warm_text_pipeline(spark, sf_dir: str) -> None:
+    """Warm the tokenize→shingle→hash→explode codegen path on a tiny
+    document slice. The wide HOF pipeline's one-off JIT compile (~2 s)
+    otherwise lands entirely on whichever text query runs FIRST in the
+    sorted loop (cluster_best_doc), misattributing a fixed session cost
+    to one query's timing."""
+    from pyspark.sql import functions as F
+
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.functions.text import shingles, tokens
+
+    docs = load_tables(spark, sf_dir).documents.limit(64)
+    docs.select(
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col("text")), 3))
+        ).alias("s")
+    ).select(F.xxhash64("s")).write.format("noop").mode("overwrite").save()
 
 
 def _warm_streaming(spark) -> None:

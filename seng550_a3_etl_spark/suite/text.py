@@ -1117,3 +1117,122 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_total"), F.asc("token"))
         .limit(50)
     )
+
+
+@query(
+    "length_bucket_padding",
+    oracle=r"""
+    WITH lens AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT CAST((n_tokens - 1) // 64 AS BIGINT) AS bucket, n_tokens
+      FROM lens WHERE n_tokens > 0
+    )
+    SELECT bucket,
+           CAST((bucket + 1) * 64 AS BIGINT) AS padded_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * (bucket + 1) * 64 AS BIGINT) AS padded_tokens,
+           1.0 - SUM(n_tokens) / (COUNT(*) * (bucket + 1) * 64.0)
+             AS waste_frac
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketing padding-efficiency report (X76): group documents
+    into 64-token length buckets and compute the padding waste a batch
+    of each bucket pays when padded to the bucket ceiling — the report
+    that decides training batch-shape policy (bucketed batching vs
+    packing; X63 is the packing alternative this quantifies against).
+
+    Scale: per-row bucket arithmetic in the scan, one partial+final agg
+    over |buckets| groups (≤ max_len/64 — dozens, regardless of corpus
+    size). waste_frac is a single division of exact integer sums, so
+    bit-identical cross-engine."""
+    t = load_tables(spark, sf_dir)
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    padded = (F.col("bucket") + 1) * 64
+    return (
+        t.documents.select(n_tok.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .select(F.floor((F.col("n_tokens") - 1) / 64).alias("bucket"),
+                "n_tokens")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            padded.alias("padded_len"),
+            "n_docs",
+            "sum_tokens",
+            (F.col("n_docs") * padded).alias("padded_tokens"),
+            (
+                1.0
+                - F.col("sum_tokens")
+                / (F.col("n_docs") * padded.cast("double"))
+            ).alias("waste_frac"),
+        )
+    )
+
+
+@query(
+    "doc_novelty_frac",
+    oracle=f"""
+    WITH sets_ AS {_DUCK_SETS3},
+    ex AS (SELECT doc, unnest(sh) AS s FROM sets_),
+    freq AS (SELECT s, COUNT(*) AS f FROM ex GROUP BY 1)
+    SELECT doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sh,
+           CAST(COUNT(CASE WHEN f = 1 THEN 1 END) AS BIGINT)
+             AS n_corpus_unique,
+           COUNT(CASE WHEN f = 1 THEN 1 END) / COUNT(*) AS novelty_frac
+    FROM ex JOIN freq USING (s)
+    GROUP BY doc
+    """,
+)
+def doc_novelty_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document novelty score (X77): per document, the fraction of
+    its distinct 3-gram shingles that appear NOWHERE else in the corpus
+    — the across-corpus complement of the within-document repetition
+    stats (X55); low novelty flags boilerplate and template farms that
+    per-pair dedup misses (no single pair clears the Jaccard bar, but
+    the text is corpus-wide stock phrasing).
+
+    Scale: the same one-shuffle shape as the ngram stop-shingle bound —
+    postings shuffle ONCE on the shingle hash, corpus frequency is a
+    count over Window.partitionBy(hs) (spillable, no posting-list
+    aggregation buffer), and the per-doc fold is the second, doc-keyed
+    shuffle. novelty_frac is one integer division; docs with zero
+    shingles (< n tokens) don't appear, matching the oracle join."""
+    from pyspark.sql.window import Window
+
+    from seng550_a3_etl_spark.functions.text import shingles
+
+    t = load_tables(spark, sf_dir)
+    postings = t.documents.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col("text")), 3))
+        ).alias("s"),
+    ).select("doc_id", F.xxhash64("s").alias("hs"))
+    with_freq = postings.withColumn(
+        "f", F.count(F.lit(1)).over(Window.partitionBy("hs"))
+    )
+    return (
+        with_freq.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count(F.when(F.col("f") == 1, 1)).alias("n_corpus_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_corpus_unique",
+            (F.col("n_corpus_unique") / F.col("n_sh")).alias("novelty_frac"),
+        )
+    )
