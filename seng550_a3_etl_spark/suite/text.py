@@ -1236,3 +1236,78 @@ def doc_novelty_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_corpus_unique") / F.col("n_sh")).alias("novelty_frac"),
         )
     )
+
+
+def _dedup_accounting_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return rf"""
+    WITH labels AS ({ORACLES["dup_clusters"]}),
+    toks AS (SELECT doc_id, source,
+                    CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                      AS n_tokens
+             FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS raw_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+           CAST(COUNT(CASE WHEN canonical_id = doc_id THEN 1 END) AS BIGINT)
+             AS surviving_docs,
+           CAST(SUM(CASE WHEN canonical_id = doc_id THEN n_tokens
+                         ELSE 0 END) AS BIGINT) AS surviving_tokens,
+           1.0 - SUM(CASE WHEN canonical_id = doc_id THEN n_tokens
+                          ELSE 0 END) / (1.0 * SUM(n_tokens))
+             AS token_loss_frac
+    FROM labels JOIN toks USING (doc_id)
+    GROUP BY source
+    """
+
+
+@query("dedup_token_accounting", oracle=_dedup_accounting_oracle())
+def dedup_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-adjusted corpus accounting (X78): per source, raw vs
+    SURVIVING docs/tokens under the keep-canonical near-dup policy —
+    the report that tells a data team how much of each acquisition
+    actually contributes to the training mix once global dedup runs
+    (a source can lose a doc to a canonical that lives in ANOTHER
+    source, which is exactly what global near-dup dedup does).
+
+    Scale: consumes the once-per-session cluster labels (zero marginal
+    subgraph cost — the gold-table shape), joins the tiny (doc_id,
+    canonical) pairs to per-row token counts, and folds to |sources|
+    rows in one partial+final agg. token_loss_frac divides exact
+    integer sums."""
+    labels = _labels_df(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    surv_tok = F.sum(
+        F.when(F.col("canonical_id") == F.col("doc_id"), F.col("n_tokens"))
+        .otherwise(F.lit(0))
+    )
+    return (
+        labels.join(toks, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("raw_docs"),
+            F.sum("n_tokens").alias("raw_tokens"),
+            F.count(
+                F.when(F.col("canonical_id") == F.col("doc_id"), 1)
+            ).alias("surviving_docs"),
+            surv_tok.alias("surviving_tokens"),
+        )
+        .select(
+            "source",
+            "raw_docs",
+            "raw_tokens",
+            "surviving_docs",
+            "surviving_tokens",
+            (
+                1.0
+                - F.col("surviving_tokens")
+                / (1.0 * F.col("raw_tokens"))
+            ).alias("token_loss_frac"),
+        )
+    )
