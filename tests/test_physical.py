@@ -360,3 +360,30 @@ def test_approx_stats_plan_is_single_pass_sketch(spark):
     # the exact forms must be absent (median/percentile without approx)
     assert "median(" not in plan, plan
     assert " percentile(" not in plan, plan
+
+
+def test_vocab_topk_plan_avoids_global_sort(spark):
+    # vocab_top_tokens (X75): final top-50 must be TakeOrderedAndProject
+    # (per-partition heaps + driver merge), never a rangepartitioning
+    # global sort of the vocabulary.
+    plan = _executed_plan(QUERIES["vocab_top_tokens"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_novelty_single_scan_single_key_shuffle(spark):
+    # doc_novelty_frac (X77): corpus frequency via count-over-window must
+    # keep ONE corpus scan (the agg+semi-join form scans twice) and
+    # exactly two hash shuffles (shingle hash, then doc key).
+    plan = _executed_plan(QUERIES["doc_novelty_frac"](spark, SF_ORACLE))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Window" in plan, plan
+
+
+def test_mix_budget_single_shuffle(spark):
+    # source_mix_budget (X73): per-row scoring in the scan + ONE shuffle
+    # on the source key for the ordered cumulative window.
+    plan = _executed_plan(QUERIES["source_mix_budget"](spark, SF_ORACLE))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan, plan
