@@ -179,14 +179,25 @@ def _warm_text_pipeline(spark, sf_dir: str) -> None:
     from pyspark.sql import functions as F
 
     from seng550_a3_etl_spark.catalog import load_tables
-    from seng550_a3_etl_spark.functions.text import shingles, tokens
+    from seng550_a3_etl_spark.functions.text import (
+        hashed_shingles,
+        shingles,
+        tokens,
+    )
 
     docs = load_tables(spark, sf_dir).documents.limit(64)
+    # string shingles (minhash/fuzzy/fingerprint path)
     docs.select(
         F.explode(
             F.array_distinct(shingles(tokens(F.col("text")), 3))
         ).alias("s")
     ).select(F.xxhash64("s")).write.format("noop").mode("overwrite").save()
+    # hashed shingles (ngram posting path)
+    docs.select(
+        F.explode(
+            F.array_distinct(hashed_shingles(tokens(F.col("text")), 3))
+        ).alias("hs")
+    ).write.format("noop").mode("overwrite").save()
 
 
 def _warm_streaming(spark) -> None:

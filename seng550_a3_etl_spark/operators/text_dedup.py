@@ -109,7 +109,8 @@ def ngram_jaccard_pairs(
     Output: doc_a < doc_b, inter, size_a, size_b, jaccard. The
     intersection is counted by self-joining exploded distinct shingles —
     partial-agg shrinks the pair stream before the final group."""
-    sets_ = _shingle_sets(df, id_col, text_col, n)
+    from seng550_a3_etl_spark.functions.text import hashed_shingles
+
     # Postings carry the doc's set size so the pair aggregation needs no
     # back-joins against a sizes table. Pairs come from grouping the
     # postings by shingle and emitting each posting list's C(n,2) pairs
@@ -118,14 +119,22 @@ def ngram_jaccard_pairs(
     # ReusedExchange), so the join shape ran the tokenize→shingle
     # pipeline twice; this shape scans the corpus ONCE and shuffles
     # postings once (measured ~2× on the whole query at sf0.1).
-    # The grouping key is xxhash64 of the shingle: an 8-byte shuffle key
-    # instead of the ~n-word string (64-bit collisions are negligible at
-    # any corpus size this exact-Jaccard baseline can reach).
+    # Shingle identity is hashed_shingles' 64-bit key — no shingle
+    # string is ever built and the shuffle key is 8 bytes instead of the
+    # ~n-word string (collisions negligible at any corpus size this
+    # exact-Jaccard baseline can reach; minhash_lsh_pairs keeps string
+    # shingles because its oracle replays the md5 signature math).
+    sets_ = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            hashed_shingles(tokens(F.col(text_col)), n)
+        ).alias("sh"),
+    )
     postings = sets_.select(
         "doc",
         F.size("sh").cast("long").alias("n_sh"),
-        F.explode("sh").alias("s"),
-    ).select("doc", "n_sh", F.xxhash64("s").alias("hs"))
+        F.explode("sh").alias("hs"),
+    )
     if max_shingle_freq is not None:
         # Stop-shingle bound: a shingle shared by more than this many
         # docs contributes O(freq²) pairs. The bound is applied BEFORE
