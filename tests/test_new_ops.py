@@ -384,3 +384,23 @@ def test_repetition_stats_ignores_null_tokens(spark):
     }
     assert rows[1] == pytest.approx(1 / 5)  # not 3/5 (the NULL run)
     assert rows[2] == pytest.approx(2 / 4)
+
+
+def test_labels_cache_is_per_sf_dir(spark):
+    # The per-session dup-cluster label materialization must key on the
+    # data directory (distinct frames per dir — sharing one frame across
+    # dirs would silently serve the wrong labels), and repeated calls
+    # for the same dir must return the SAME checkpointed frame, never
+    # recompute the pair+CC subgraph.
+    from seng550_a3_etl_spark.suite.text import _labels_df
+    from tests.conftest import SF_ORACLE, SF_SMOKE
+
+    small = _labels_df(spark, SF_SMOKE)
+    big = _labels_df(spark, SF_ORACLE)
+    assert small is not big
+    assert _labels_df(spark, SF_SMOKE) is small
+    assert _labels_df(spark, SF_ORACLE) is big
+    # the cached frame is materialized: its plan must be a checkpoint
+    # scan, not the live pair-scan + connected-components pipeline
+    assert "Scan ExistingRDD" in small._jdf.queryExecution(
+    ).executedPlan().toString()
