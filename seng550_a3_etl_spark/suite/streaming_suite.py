@@ -292,3 +292,80 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(_INCR_TABLE)
+
+
+_SESS_TABLE = "stream_session_windows_sink"
+
+
+@query(
+    "stream_session_windows",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    lagged AS (
+      SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM o
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev IS NULL
+                       OR ts > prev + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+      FROM lagged
+    ),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '{_TS_FMT_DUCK}')
+             AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows executed on the STREAMING runtime (X79): the
+    built-in F.session_window aggregation (batch twin:
+    session_window_stats / X48) as a stateful streaming job — candidate
+    [ts, ts+gap) windows merge in the state store as events arrive,
+    which is exactly the per-user session state a production clickstream
+    job keeps. Bounded input + complete mode makes the result equal the
+    batch form, so the batch oracle checks the streaming session-merge
+    machinery (gap-boundary semantics included: a gap of exactly 30 min
+    merges).
+
+    Scale: state is O(open sessions) per user — the watermark expires
+    sessions whose close precedes it in update/append deployments;
+    complete mode here is the bounded-fixture harness, not the
+    production output mode."""
+    stream = _event_stream(spark, sf_dir)
+    with _state_partitions(spark, 8):
+        q = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("w")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+            .writeStream.format("memory")
+            .queryName(_SESS_TABLE)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(_SESS_TABLE).select(
+        "user_id",
+        F.date_format(F.col("w.start"), _TS_FMT).alias("session_start"),
+        F.date_format(F.col("w.end"), _TS_FMT).alias("session_end"),
+        "n_events",
+        "total_value",
+    )
