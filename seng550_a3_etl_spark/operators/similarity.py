@@ -221,9 +221,15 @@ def cosine_dedup_pairs(
     over bands — at near-dup thresholds recall is ~1 while candidate
     volume stays ~linear in corpus size. Output: id_a, id_b, cosine.
 
-    At 100 TB: the signature pass is a shuffle-free projection; the only
-    shuffles are the (band, key) candidate join and the two id-keyed
-    vector-fetch joins for verification."""
+    At 100 TB: the signature pass is a shuffle-free projection run ONCE
+    (candidates come from grouping the band keys — bucket_pairs — not a
+    self-join: Spark replans each side of a self-join separately, so the
+    join form pushed every vector through the 24 interpreted hyperplane
+    folds twice); verification fetches vectors with ONE melt-join pass
+    over the corpus instead of two id-keyed joins. The only shuffles are
+    the (band, key) grouping and the candidate-pair fold."""
+    from seng550_a3_etl_spark.operators.text_dedup import bucket_pairs
+
     rows = planes // bands
     if rows * bands != planes:
         raise ValueError("planes must be divisible by bands")
@@ -238,17 +244,8 @@ def cosine_dedup_pairs(
         ),
     )
     cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        bucket_pairs(banded, ["band", "bkey"], F.col(id_col))
+        .toDF("id_a", "id_b")
         .distinct()
     )
     # Precompute each vector's norm once (|corpus| sqrts) so verification
@@ -270,26 +267,36 @@ def cosine_dedup_pairs(
             )
         ).alias("__n"),
     )
-    va = vn.select(
-        F.col(id_col).alias("id_a"),
-        F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
+    # Fetch both sides' vectors with ONE pass over vn: melt each pair
+    # to (pair, side, id), join once, fold the sides back per pair —
+    # the same shape minhash_lsh_pairs uses for its shingle-set verify.
+    melted = cand.select(
+        F.struct("id_a", "id_b").alias("__pair"),
+        F.posexplode(F.array("id_a", "id_b")).alias("__side", id_col),
     )
-    vb = vn.select(
-        F.col(id_col).alias("id_b"),
-        F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"),
-    )
+
+    def side(i: int, c: str) -> Column:
+        return F.first(
+            F.when(F.col("__side") == i, F.col(c)), ignorenulls=True
+        )
+
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn(
-            "cosine",
+        melted.join(vn, id_col)
+        .groupBy("__pair")
+        .agg(
+            side(0, "__v").alias("__va"),
+            side(0, "__n").alias("__na"),
+            side(1, "__v").alias("__vb"),
+            side(1, "__n").alias("__nb"),
+        )
+        .select(
+            F.col("__pair.id_a").alias("id_a"),
+            F.col("__pair.id_b").alias("id_b"),
             F.round(
                 dot(F.col("__va"), F.col("__vb"))
                 / (F.col("__na") * F.col("__nb")),
                 6,
-            ),
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
