@@ -1,0 +1,57 @@
+"""Plan audit: physical-plan shape statistics for every batch suite query.
+
+Run: python scripts/plan_audit.py [sf_dir]
+
+For each non-streaming suite query, prints exchanges / single-partition
+exchanges / cartesian products / broadcast-nested-loop joins / parquet
+scans, and flags suspicious shapes (any CartesianProduct, >=5 hash
+exchanges, >=4 scans). The flagged set should stay explainable:
+multi-aggregate shapes (tfidf, region_revenue), set operations
+(segment_setops), incremental-maintenance comparisons
+(incremental_nation_revenue), and intentional broadcast theta joins
+(BNLJ rows) are by design; a new unexplained flag is a regression.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from seng550_a3_etl_spark.session import get_spark
+    from seng550_a3_etl_spark.suite import QUERIES
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"{'query':34s} {'ex':>3s} {'sp':>3s} {'cart':>4s} {'bnlj':>4s} {'scans':>5s}")
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith("stream_"):
+            continue  # streaming queries execute eagerly on build
+        try:
+            plan = (
+                fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:34s} ERROR {str(exc)[:60]}")
+            continue
+        ex = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+        sp = plan.count("Exchange SinglePartition")
+        cart = plan.count("CartesianProduct")
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        scans = plan.count("Scan parquet")
+        flag = "  <== " if (cart or ex >= 5 or scans >= 4) else ""
+        print(f"{name:34s} {ex:3d} {sp:3d} {cart:4d} {bnlj:4d} {scans:5d}{flag}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
