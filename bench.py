@@ -64,6 +64,10 @@ HEADLINE = [
     "promo_range_join",
     "seq_packed_chunks",
     "kmeans_step_clusters",
+    "ann_recall_ivf",
+    "source_mix_budget",
+    "vocab_top_tokens",
+    "stream_session_windows",
 ]
 
 
@@ -88,12 +92,13 @@ def _compact_line(
     }
     line = json.dumps(payload, separators=(",", ":"))
     while len(line) > 1800 and qs:  # hard cap under the driver's buffer
-        # Shrink by dropping non-failed headline entries (insertion
-        # order); failed entries are only sacrificed once nothing else
-        # remains — overflow is most likely exactly when many queries
-        # fail, and those names must survive the cut.
+        # Shrink by dropping non-failed headline entries from the TAIL
+        # (head entries are the core flagships); failed entries are only
+        # sacrificed once nothing else remains — overflow is most likely
+        # exactly when many queries fail, and those names must survive
+        # the cut.
         droppable = [n for n in qs if n not in failed]
-        qs.pop(droppable[0] if droppable else next(iter(qs)))
+        qs.pop(droppable[-1] if droppable else next(iter(qs)))
         line = json.dumps(payload, separators=(",", ":"))
     return line
 
