@@ -221,14 +221,20 @@ def minhash_lsh_pairs(
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
-    sets_ = _shingle_sets(df, id_col, text_col, n).filter(F.size("sh") > 0)
     # sets_ feeds two asymmetric consumers (signatures; exact-Jaccard
     # verify join) and Spark replans each reference, so the tokenize→
-    # shingle scan runs twice. Deliberately NOT persisted: measured on
-    # the bench box (32 cores), caching the shingle arrays costs 2× more
-    # than recomputing them — both consumers are independent scan
-    # pipelines that parallelize freely, while a persist serializes the
-    # arrays through storage and gates both branches on materialization.
+    # shingle pipeline would run twice. localCheckpoint(eager) computes
+    # it ONCE and truncates lineage — measured ~40% faster end-to-end at
+    # sf0.1 (a StorageLevel persist was slower when first measured in
+    # round 2; the checkpoint write of the small shingle arrays is not).
+    # Local checkpoints don't survive executor loss — a production run
+    # on a real cluster would persist the shingle table to parquet (the
+    # gold-table shape) instead.
+    sets_ = (
+        _shingle_sets(df, id_col, text_col, n)
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=True)
+    )
     signed = minhash_signatures(sets_, "doc", F.col("sh"), num_perm)
     banded = signed.select(
         "doc",

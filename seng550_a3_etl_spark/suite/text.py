@@ -431,11 +431,13 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__canon", "lang_pred")
     )
     # uniq feeds both the near-dup scan and the final anti-join and is
-    # deliberately NOT checkpointed: fresh-session A/B shows the eager
-    # materialization costs more than the double recompute here (the two
-    # consumers are independent scan pipelines that parallelize freely,
-    # while the checkpoint serializes on the uniq job first) — the same
-    # measurement that keeps minhash's shingle sets unpersisted.
+    # deliberately NOT checkpointed: fresh-session A/B (re-run round 4)
+    # shows the eager materialization costs more than the double
+    # recompute here — uniq carries the full lang/quality scoring and
+    # text columns, so writing it out gates both branches on a fat
+    # materialization. Contrast minhash_lsh_pairs, where checkpointing
+    # the narrow shingle sets measured ~40% faster; the decision is
+    # per-shape, re-measured, not a blanket rule.
     near = (
         ngram_jaccard_pairs(
             uniq, "doc_id", "text", n=3, threshold=0.8,
