@@ -653,3 +653,82 @@ def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("corr"),
     )
+
+
+@query(
+    "event_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT *,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_days,
+             CAST(SUM(n_events) OVER w AS BIGINT) AS s1,
+             CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS s2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY event_date
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_date, n_events,
+           CASE WHEN n_days > 1
+                     AND (n_days * s2 - s1 * s1) > 0
+                THEN ROUND(
+                  (n_events - s1 / (1.0 * n_days))
+                  / sqrt((n_days * s2 - s1 * s1)
+                         / (1.0 * n_days * (n_days - 1))), 4)
+           END AS zscore
+    FROM stats
+    """,
+)
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (X80): per event type, each
+    day's count scored against its trailing 7-day window — the volume
+    monitor every ingestion pipeline runs to catch crawler outages and
+    traffic spikes before they poison a training snapshot. NULL zscore
+    for warm-up rows (n<2) and zero-variance windows.
+
+    Scale: the window runs over the per-(type, day) rollup — input
+    cardinality is |types|·|days|, independent of event volume; the
+    heavy reduction is a partial+final integer count. The z-score uses
+    the X69 pattern (exact integer sums s1/s2, ONE closing double
+    formula) so results are order-independent and bit-identical
+    cross-engine."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias(
+            "event_date"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_date")
+        .rowsBetween(-6, 0)
+    )
+    stats = daily.select(
+        "event_type",
+        "event_date",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("n_days"),
+        F.sum("n_events").over(w).alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("s2"),
+    )
+    n, s1, s2 = F.col("n_days"), F.col("s1"), F.col("s2")
+    var_num = n * s2 - s1 * s1
+    z = F.round(
+        (F.col("n_events") - s1 / (1.0 * n))
+        / F.sqrt(var_num / (1.0 * n * (n - 1))),
+        4,
+    )
+    return stats.select(
+        "event_type",
+        "event_date",
+        "n_events",
+        F.when((n > 1) & (var_num > 0), z).alias("zscore"),
+    )

@@ -1313,3 +1313,49 @@ def dedup_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_loss_frac"),
         )
     )
+
+
+@query(
+    "source_quality_calibration",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, source, text,
+                         string_split_regex(text, '\s+') AS t
+                  FROM documents),
+    scored AS (
+      SELECT doc_id, source, {_DUCK_QUALITY} AS quality FROM toks
+    )
+    SELECT doc_id, source, ROUND(quality, 6) AS quality,
+           PERCENT_RANK() OVER (
+             PARTITION BY source ORDER BY quality, doc_id
+           ) AS calibrated
+    FROM scored
+    """,
+)
+def source_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration (X81): raw quality scores are not
+    comparable across sources (a mediocre academic page outscores a
+    good forum post), so mixture selection ranks WITHIN source —
+    percent_rank maps every doc to its source-relative quantile, and
+    cross-source thresholds ("keep the top 30% of each domain") become
+    meaningful. The standard fix before X73's budget fill.
+
+    Scale: one shuffle on the source key; percent_rank is
+    (rank-1)/(n-1) — two integers and one division, bit-identical
+    cross-engine, ordered on the raw double quality (identical IEEE
+    sequence both engines) with doc_id tie-break."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    scored = t.documents.select(
+        "doc_id",
+        "source",
+        quality_score(F.col("text"), toks).alias("__q"),
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("__q"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "source",
+        F.round("__q", 6).alias("quality"),
+        F.percent_rank().over(w).alias("calibrated"),
+    )
