@@ -732,3 +732,49 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.when((n > 1) & (var_num > 0), z).alias("zscore"),
     )
+
+
+@query(
+    "key_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys
+            FROM k)
+    SELECT key, cnt, total, n_keys, cnt / (1.0 * total) AS share
+    FROM k CROSS JOIN tot
+    ORDER BY cnt DESC, key LIMIT 20
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics (X82): the top-20 heaviest values of a
+    join key with their row share — the report that decides whether a
+    join needs the X23 salting treatment or AQE skew handling, and the
+    first thing to pull when one reducer runs 50× longer than the rest.
+
+    Scale: per-key counts are ONE partial+final hash agg; the top-20 is
+    a TakeOrdered over |keys| (never a global sort); the total/key-count
+    scalar broadcasts onto the 20 survivors. The counts lineage is
+    evaluated twice (top-k branch + total branch) — two map-side-
+    combined aggregates over the key column only, the deliberate trade
+    against materializing |keys| rows."""
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t.orders.select(F.col("o_custkey").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(20)
+    return top.crossJoin(F.broadcast(totals)).select(
+        "key",
+        "cnt",
+        "total",
+        "n_keys",
+        (F.col("cnt") / (1.0 * F.col("total"))).alias("share"),
+    )

@@ -213,3 +213,21 @@ def test_compaction_reduces_file_count_preserving_rows(spark, tmp_path):
     assert len(ranges) > 1
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, f"overlapping file ranges: {ranges}"
+
+
+def test_labels_gold_roundtrip(spark, tmp_path):
+    # The session-scoped label materialization (suite.text._labels_df)
+    # documents "write via plans/gold.py" as its production shape — prove
+    # that path: persist the labels as a gold table, read back, exact
+    # same (doc_id, canonical_id) mapping.
+    from seng550_a3_etl_spark.plans.gold import save_gold
+    from seng550_a3_etl_spark.suite.text import _labels_df
+    from tests.conftest import SF_ORACLE
+
+    labels = _labels_df(spark, SF_ORACLE)
+    path = str(tmp_path / "labels_gold")
+    save_gold(labels, path)
+    back = spark.read.parquet(path)
+    want = {(r.doc_id, r.canonical_id) for r in labels.collect()}
+    got = {(r.doc_id, r.canonical_id) for r in back.collect()}
+    assert got == want and len(got) == labels.count()
