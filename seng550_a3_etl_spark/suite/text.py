@@ -1359,3 +1359,57 @@ def source_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("__q", 6).alias("quality"),
         F.percent_rank().over(w).alias("calibrated"),
     )
+
+
+@query(
+    "doc_overlap_chunks",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                  FROM documents),
+    ch AS (SELECT doc_id, t,
+                  unnest(range(0,
+                    1 + CAST(ceil(greatest(len(t) - 16, 0) / 12.0) AS BIGINT)
+                  )) AS chunk_id
+           FROM toks WHERE len(t) > 0)
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(t[chunk_id * 12 + 1 : chunk_id * 12 + 16], ' ')
+             AS chunk_text,
+           CAST(least(len(t), chunk_id * 12 + 16) - chunk_id * 12 AS BIGINT)
+             AS n_chunk_tokens
+    FROM ch
+    """,
+)
+def doc_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (strided) context chunks (X83): windows of 16 tokens
+    every 12 (4-token overlap) — the RAG-retrieval chunking shape, where
+    overlap keeps sentences that straddle a boundary retrievable from
+    both sides (plain X30 chunking loses them). Chunk count per doc is
+    1 + ceil(max(n-size,0)/stride); the final window is the (possibly
+    short) remainder.
+
+    Scale: identical to X30 — per-row sequence+slice array math, one
+    explode, ZERO shuffle; the 16/12 here are fixture-sized stand-ins
+    for 512/384."""
+    t = load_tables(spark, sf_dir)
+    size, stride = 16, 12
+    n = F.size(F.col("__t"))
+    n_chunks = 1 + F.ceil(
+        F.greatest(n - size, F.lit(0)) / F.lit(float(stride))
+    ).cast("int")
+    chunked = (
+        t.documents.select("doc_id", tokens(F.col("text")).alias("__t"))
+        .filter(F.size("__t") > 0)
+        .select(
+            "doc_id",
+            "__t",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+    )
+    piece = F.slice(F.col("__t"), F.col("chunk_id") * stride + 1, size)
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+    )

@@ -702,3 +702,66 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_month", "months_since_signup")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "cdc_apply_latest",
+    oracle=f"""
+    WITH oplog AS (
+      SELECT user_id,
+             CAST(ts AS TIMESTAMP) AS ts,
+             event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM oplog
+      ) WHERE rn = 1
+    )
+    SELECT user_id,
+           strftime(ts, '{_TS_FMT_DUCK}') AS last_ts,
+           ROUND(value, 4) AS value
+    FROM latest WHERE op != 'D'
+    """,
+)
+def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log apply WITH DELETES (X84): collapse an upsert/delete
+    operation log to current table state — last op per key wins, and a
+    terminal delete removes the key entirely (the half of CDC that
+    merge_upsert/W2 does not model; 'error' events stand in for delete
+    ops on the fixture). This is the change-data shape every
+    lakehouse ingestion job applies from a Debezium/binlog feed.
+
+    Scale: one shuffle on the key + a row_number window — identical
+    cost to the W1 dedup it extends; the delete filter is free. With a
+    transactional table format the same collapsed frame drives
+    MERGE ... WHEN MATCHED AND s.op = 'D' THEN DELETE."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    oplog = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        oplog.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.date_format("ts", _TS_FMT).alias("last_ts"),
+            F.round("value", 4).alias("value"),
+        )
+    )
