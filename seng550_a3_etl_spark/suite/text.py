@@ -1413,3 +1413,28 @@ def doc_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("long").alias("n_chunk_tokens"),
     )
+
+
+def _prefix_pairs_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return ORACLES["ngram_dup_pairs"]
+
+
+@query("prefix_filter_dup_pairs", oracle=_prefix_pairs_oracle())
+def prefix_filter_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact similarity join (X86, SSJoin/PPJoin
+    family): candidates come from an equi-join on each document's
+    RAREST ``|s| - ceil(t|s|) + 1`` shingles under a global
+    frequency order — any pair with Jaccard >= t provably shares one —
+    so stop-shingles never generate candidates and the result is EXACT
+    with no frequency-cap approximation. The oracle is deliberately the
+    ngram_dup_pairs SQL: identical output is the correctness proof of
+    the prefix construction (same pairs, same intersections, same
+    Jaccards)."""
+    from seng550_a3_etl_spark.operators.text_dedup import prefix_filter_pairs
+
+    t = load_tables(spark, sf_dir)
+    return prefix_filter_pairs(
+        t.documents, "doc_id", "text", n=3, threshold=0.8
+    )

@@ -404,3 +404,32 @@ def test_labels_cache_is_per_sf_dir(spark):
     # scan, not the live pair-scan + connected-components pipeline
     assert "Scan ExistingRDD" in small._jdf.queryExecution(
     ).executedPlan().toString()
+
+
+def test_prefix_filter_finds_pair_exactly_at_threshold(spark):
+    # Prefix length |s| - ceil(t*|s|) + 1 must catch a pair sitting
+    # EXACTLY at the threshold: 11-token docs differing in the last
+    # token share 8 of their 9 3-gram shingles -> J = 8/10 = 0.8.
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    words = [f"w{i}" for i in range(11)]
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(words)),
+            (2, " ".join(words[:10] + ["different"])),
+            (3, "completely unrelated text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = prefix_filter_pairs(df, "doc_id", "text", n=3, threshold=0.8)
+    rows = got.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b, r.inter, r.size_a, r.size_b) == (1, 2, 8, 9, 9)
+    assert r.jaccard == pytest.approx(0.8)
+    # and it agrees with the posting-list baseline
+    base = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.8)
+    assert {tuple(x) for x in base.collect()} == {tuple(x) for x in rows}
