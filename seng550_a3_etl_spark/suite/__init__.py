@@ -9,6 +9,10 @@ value hash at sf=0.01.
 Importing this package populates the registries.
 """
 
+import json
+import re
+from pathlib import Path
+
 from seng550_a3_etl_spark.suite.registry import ORACLES, QUERIES  # noqa: F401
 
 # Import for registration side effects.
@@ -28,80 +32,78 @@ from seng550_a3_etl_spark.suite import (  # noqa: E402,F401
 
 # Driver-facing registration order. The driver checks queries in
 # registration order under a per-round 50-row cap, so each round the
-# first 50 slots go to the queries that most need a FRESH driver
-# CORRECTNESS row. Round 4: the 44 core §2 queries whose only driver
-# verdict is round 1 (rotated out by the round-2/3 extension sets while
-# code under them — catalog timestamp confs, session confs — changed),
-# plus this round's new query and the five whose code changed this
-# round (shared dup-cluster labels + the ngram stop-shingle window
-# rewrite). Everything driver-green in round 3 fills the tail; the
-# pytest oracle mirror (tests/test_suite_parity.py) still covers all
-# queries every session regardless of the cap.
-_PRIORITY = [
-    # the judge's named must-refresh set first (reference's own surface)
-    "nation_order_counts",
-    "district_point_counts",
-    "point_district_assignment",
-    "merge_upsert_events",
-    "date_key_join",
-    "daily_event_stats",
-    "json_extract_events",
-    # remaining core relational / analytics (r1-only verdicts)
-    "pricing_summary",
-    "scalar_stats",
-    "filter_suite",
-    "distinct_domain",
-    "customer_order_join",
-    "customers_with_orders",
-    "customers_without_orders",
-    "region_revenue",
-    "top_order_per_customer",
-    "running_customer_revenue",
-    "order_status_rollup",
-    "segment_setops",
-    "status_priority_cube",
-    "status_priority_grouping_sets",
-    "distinct_users_per_type",
-    "salted_segment_revenue",
-    "order_priority_pivot",
-    "price_tier_orders",
-    "lineitem_profile",
-    "incremental_nation_revenue",
-    "order_part_baskets",
-    "parts_above_type_avg",
-    "order_price_ranks",
-    "orders_quality_report",
-    # sampling / sketch (r1-only)
-    "uniform_doc_sample",
-    "stratified_doc_sample",
-    "weighted_doc_sample",
-    "kmv_distinct_users",
-    # spatial / as-of (r1-only)
-    "wkt_point_roundtrip",
-    "incident_facts_pipeline",
-    "supplier_customer_dwithin",
-    "nearest_supplier_per_customer",
-    # windows / dedup (r1-only)
-    "latest_event_per_user",
-    "asof_signup_for_purchase",
-    "hourly_event_windows",
-    # multimodal (r1-only)
-    "multimodal_decode_meta",
-    "multimodal_resize_meta",
-    # new in round 4 — first driver row
-    "scalar_stats_approx",
-    # code changed in round 4 (shared labels + ngram window rewrite)
-    "ngram_dup_pairs",
-    "dup_clusters",
-    "cluster_best_doc",
-    "leakage_free_split",
-    "curation_pipeline",
-]
+# first 50 slots must go to the queries that most need a FRESH driver
+# CORRECTNESS row. Rather than a hand-maintained priority list (which
+# went stale between rounds 1 and 4), staleness is computed from the
+# committed CORRECTNESS_r*.json files themselves:
+#
+#   1. queries with no driver row in ANY round (new this round) first,
+#   2. then queries whose implementation changed after their last green
+#      row (declared in _CHANGED, self-expiring — see below),
+#   3. then everything else, oldest green row first.
+#
+# Within each tier, registration order breaks ties. The pytest oracle
+# mirror (tests/test_suite_parity.py) still covers every query each
+# session regardless of the driver cap.
+
+# Queries whose implementation (or any operator under them) changed in
+# a given round, mapped to that round number. An entry only boosts the
+# query while its last green driver row is OLDER than the change — once
+# the driver re-checks it, the entry expires on its own, so this dict
+# never needs pruning, only appending when code under a query changes.
+_CHANGED: dict[str, int] = {
+    # round 5: shared shingle-set cache across the near-dup family
+    "ngram_dup_pairs": 5,
+    "fuzzy_dup_pairs": 5,
+    "minhash_dup_pairs": 5,
+    # round 5: bounds-verified deterministic output + oracle added
+    "scalar_stats_approx": 5,
+}
 
 
-def _reorder() -> None:
-    ordered = [n for n in _PRIORITY if n in QUERIES]
-    ordered += [n for n in QUERIES if n not in _PRIORITY]
+def _last_driver_round(repo_root: "Path | None" = None) -> dict[str, int]:
+    """Map query name -> last round with a green driver row.
+
+    Green means hash_match true, or a rows-only check for the no-oracle
+    queries (err == "no_oracle" with a row count recorded). Rows that
+    were checked but FAILED do not count — the query stays stale and
+    sorts back into the checked window.
+    """
+    root = repo_root or Path(__file__).resolve().parents[2]
+    last: dict[str, int] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            ok = bool(row.get("hash_match")) or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if ok:
+                last[name] = max(last.get(name, 0), rnd)
+            else:
+                last.setdefault(name, 0)
+    return last
+
+
+def _reorder(repo_root: "Path | None" = None) -> None:
+    last = _last_driver_round(repo_root)
+    reg_pos = {name: i for i, name in enumerate(QUERIES)}
+
+    def sort_key(name: str) -> tuple[int, int, int]:
+        if name not in last:
+            return (0, 0, reg_pos[name])  # never driver-checked
+        if _CHANGED.get(name, 0) > last[name]:
+            return (1, 0, reg_pos[name])  # changed since last green row
+        return (2, last[name], reg_pos[name])  # oldest green first
+
+    ordered = sorted(QUERIES, key=sort_key)
     for reg in (QUERIES, ORACLES):
         snap = dict(reg)
         reg.clear()

@@ -175,31 +175,90 @@ def scalar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scalar_stats_approx")  # no oracle: sketch estimates are
-# engine-specific (GK quantile summary / HyperLogLog++), so the driver
-# records the weaker rows+schema check; tests/test_new_ops.py pins the
-# rank-error bound against the exact median and tests/test_physical.py
-# pins the single-pass sketch plan.
+_APPROX_ACCURACY = 10000
+_HLL_RSD = 0.05  # approx_count_distinct default relative standard deviation
+
+
+def approx_scalar_sketch(lineitem: DataFrame) -> DataFrame:
+    """The pure single-pass sketch aggregate — A8's 100 TB path.
+
+    ``percentile_approx`` (Greenwald-Khanna summary, rank error ≤
+    n/accuracy, O(accuracy) state per partition — partial aggregates
+    merge map-side, so one scan and one O(sketch) final merge replace
+    funneling every value through a single exact aggregation buffer) and
+    ``approx_count_distinct`` (HLL++, O(KB) state vs a full distinct
+    shuffle). tests/test_physical.py pins this plan to one scan + one
+    exchange; tests/test_new_ops.py pins the rank-error bound.
+    """
+    return lineitem.agg(
+        F.percentile_approx(
+            "l_extendedprice",
+            F.array(F.lit(0.5), F.lit(0.95)),
+            _APPROX_ACCURACY,
+        ).alias("qs"),
+        F.approx_count_distinct("l_partkey", _HLL_RSD).alias("apx_distinct"),
+    )
+
+
+@query(
+    "scalar_stats_approx",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(1 AS BIGINT) AS median_rank_ok,
+           CAST(1 AS BIGINT) AS p95_rank_ok,
+           CAST(1 AS BIGINT) AS distinct_rsd_ok
+    FROM lineitem
+    """,
+)
 def scalar_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8's 100 TB path: single-pass bounded-memory sketches instead of
-    the exact forms. ``percentile_approx`` (Greenwald-Khanna summary,
-    rank error ≤ n/accuracy, O(accuracy) state per partition — the
-    partial aggregates merge map-side, so one scan and one O(sketch)
-    final merge replace funneling every value through a single exact
-    aggregation buffer) and ``approx_count_distinct`` (HLL++, O(KB)
-    state vs a full distinct shuffle). `scalar_stats` keeps the exact
-    median as the oracle-checked baseline; this is the form a cluster
-    actually runs."""
+    """A8's scale path, made driver-checkable: instead of emitting the
+    engine-specific sketch estimates (GK summary / HLL++ values differ
+    across engines, so DuckDB can't oracle them), verify the sketch's
+    own error contract IN-QUERY and emit deterministic booleans.
+
+    The 1-row sketch result is broadcast back over the table; one more
+    aggregate counts rows strictly below / at-or-below each returned
+    quantile value, and the GK guarantee — the returned value's rank
+    lies within n/accuracy of the target rank — becomes a 1/0 flag. The
+    HLL++ estimate is checked against the exact distinct count at 3×
+    the configured relative standard deviation. All flags are
+    deterministic for a fixed dataset, so ``SELECT 1...`` oracles them.
+    `scalar_stats` keeps the exact median as the value-level baseline;
+    ``approx_scalar_sketch`` above is the plan a cluster actually runs.
+    """
     t = load_tables(spark, sf_dir)
-    return t.lineitem.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round(
-            F.percentile_approx("l_extendedprice", 0.5, 10000), 4
-        ).alias("approx_median_price"),
-        F.round(
-            F.percentile_approx("l_extendedprice", 0.95, 10000), 4
-        ).alias("approx_p95_price"),
-        F.approx_count_distinct("l_partkey").alias("approx_distinct_parts"),
+    price = F.col("l_extendedprice")
+    med, p95 = F.col("qs")[0], F.col("qs")[1]
+    counted = (
+        t.lineitem.crossJoin(F.broadcast(approx_scalar_sketch(t.lineitem)))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(price < med, 1)).alias("med_below"),
+            F.count(F.when(price <= med, 1)).alias("med_at_or_below"),
+            F.count(F.when(price < p95, 1)).alias("p95_below"),
+            F.count(F.when(price <= p95, 1)).alias("p95_at_or_below"),
+            F.count_distinct("l_partkey").alias("exact_distinct"),
+            F.first("apx_distinct").alias("apx_distinct"),
+        )
+    )
+    n = F.col("n_rows")
+    tol = n / F.lit(float(_APPROX_ACCURACY))
+
+    def rank_ok(below: str, at_or_below: str, q: float):
+        target = F.lit(q) * n
+        return (
+            (F.col(below) <= target + tol)
+            & (F.col(at_or_below) >= target - tol)
+        ).cast("long")
+
+    return counted.select(
+        n,
+        rank_ok("med_below", "med_at_or_below", 0.5).alias("median_rank_ok"),
+        rank_ok("p95_below", "p95_at_or_below", 0.95).alias("p95_rank_ok"),
+        (
+            F.abs(F.col("apx_distinct") - F.col("exact_distinct"))
+            <= F.lit(3.0 * _HLL_RSD) * F.col("exact_distinct")
+        ).cast("long").alias("distinct_rsd_ok"),
     )
 
 

@@ -234,14 +234,75 @@ def test_shingle_freq_bound_is_exact_at_fixture_scales():
         )
 
 
-def test_priority_names_all_registered():
-    # _reorder silently skips unknown names — a typo in _PRIORITY would
-    # silently demote a query out of the driver's checked window.
-    from seng550_a3_etl_spark.suite import _PRIORITY, QUERIES
+def test_changed_names_all_registered():
+    # a typo in _CHANGED would silently fail to boost a query back into
+    # the driver's checked window after its code changed.
+    from seng550_a3_etl_spark.suite import _CHANGED, QUERIES
 
-    missing = [n for n in _PRIORITY if n not in QUERIES]
-    assert not missing, f"_PRIORITY names not registered: {missing}"
-    assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate priority names"
+    missing = [n for n in _CHANGED if n not in QUERIES]
+    assert not missing, f"_CHANGED names not registered: {missing}"
+
+
+def test_never_checked_queries_sort_first():
+    # the rotation is computed from the committed CORRECTNESS files: a
+    # query with no driver row in any round must land in the first 50
+    # slots (the driver's per-round cap), ahead of everything green.
+    import json
+
+    from seng550_a3_etl_spark.suite import _last_driver_round, QUERIES
+
+    last = _last_driver_round()
+    assert last, "no CORRECTNESS_r*.json found at repo root"
+    never = [n for n in QUERIES if n not in last]
+    first50 = set(list(QUERIES)[:50])
+    stranded = [n for n in never if n not in first50]
+    assert not stranded, f"never-driver-checked queries outside slot 50: {stranded}"
+
+
+def test_rotation_staleness_ordering(tmp_path):
+    # synthetic CORRECTNESS history: never-checked < changed-since-green
+    # < oldest-green < newest-green, ties broken by registration order.
+    import json
+
+    from seng550_a3_etl_spark import suite as s
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "old_green": {"hash_match": True, "err": None, "spark_rows": 1},
+        "changed_q": {"hash_match": True, "err": None, "spark_rows": 1},
+        "failed_q": {"hash_match": False, "err": "boom", "spark_rows": 0},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "new_green": {"hash_match": True, "err": None, "spark_rows": 1},
+        "no_oracle_q": {"hash_match": None, "err": "no_oracle", "spark_rows": 3},
+    }))
+
+    snapshot_q, snapshot_o = dict(s.QUERIES), dict(s.ORACLES)
+    snapshot_changed = dict(s._CHANGED)
+    try:
+        s.QUERIES.clear()
+        s.ORACLES.clear()
+        s._CHANGED.clear()
+        s._CHANGED.update({"changed_q": 2, "no_oracle_q": 1})  # second entry expired
+        for name in ["new_green", "no_oracle_q", "changed_q", "old_green",
+                     "failed_q", "brand_new"]:
+            s.QUERIES[name] = lambda spark, sf: None
+        s._reorder(tmp_path)
+        order = list(s.QUERIES)
+    finally:
+        s.QUERIES.clear()
+        s.QUERIES.update(snapshot_q)
+        s.ORACLES.clear()
+        s.ORACLES.update(snapshot_o)
+        s._CHANGED.clear()
+        s._CHANGED.update(snapshot_changed)
+
+    assert order[0] == "brand_new"          # never checked
+    assert order[1] == "changed_q"          # changed after its r1 green row
+    assert order[2] == "failed_q"           # checked-but-failed == round 0
+    assert order[3] == "old_green"          # r1 green
+    # no_oracle_q's _CHANGED entry (round 1) expired: its r2 rows-only
+    # check is newer, so it sorts with the r2 tier in registration order.
+    assert order[4:] == ["new_green", "no_oracle_q"]
 
 
 def test_decontaminate_eval_side_broadcasts(spark):
@@ -338,32 +399,42 @@ def test_time_rollup_grain_structure(spark):
 
 
 def test_approx_median_rank_tolerance(spark):
-    # scalar_stats_approx: percentile_approx(accuracy=10000) guarantees
+    # approx_scalar_sketch: percentile_approx(accuracy=10000) guarantees
     # the returned value's rank is within n/accuracy of the target rank
-    # (Greenwald-Khanna bound). Assert it against the actual data.
+    # (Greenwald-Khanna bound). Assert it against the actual data,
+    # independently of the in-query verification the suite query does.
     from seng550_a3_etl_spark.catalog import load_tables
-    from seng550_a3_etl_spark.suite import QUERIES
+    from seng550_a3_etl_spark.suite.relational import approx_scalar_sketch
     from tests.conftest import SF_ORACLE
 
-    row = QUERIES["scalar_stats_approx"](spark, SF_ORACLE).collect()[0]
-    price = F.col("l_extendedprice")
     lineitem = load_tables(spark, SF_ORACLE).lineitem
-    n = row.n_rows
+    sk = approx_scalar_sketch(lineitem).collect()[0]
+    price = F.col("l_extendedprice")
+    n = lineitem.count()
     tol = n / 10000.0
-    eps = 1e-6  # the query rounds to 4 decimals
-    for value, q in (
-        (row.approx_median_price, 0.5),
-        (row.approx_p95_price, 0.95),
-    ):
+    for value, q in ((sk.qs[0], 0.5), (sk.qs[1], 0.95)):
         below, at_or_below = (
             lineitem.agg(
-                F.count(F.when(price < value - eps, 1)),
-                F.count(F.when(price <= value + eps, 1)),
+                F.count(F.when(price < value, 1)),
+                F.count(F.when(price <= value, 1)),
             ).collect()[0]
         )
         target = q * n
         assert below <= target + tol, (q, value, below, target)
         assert at_or_below >= target - tol, (q, value, at_or_below, target)
+
+
+def test_scalar_stats_approx_flags_all_green(spark):
+    # the driver-checkable form: every bounds-verified flag must be 1
+    # (the oracle is SELECT COUNT(*), 1, 1, 1 — a red flag here means a
+    # hash mismatch at the driver too).
+    from seng550_a3_etl_spark.suite import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    row = QUERIES["scalar_stats_approx"](spark, SF_ORACLE).collect()[0]
+    assert row.median_rank_ok == 1, row
+    assert row.p95_rank_ok == 1, row
+    assert row.distinct_rsd_ok == 1, row
 
 
 def test_repetition_stats_ignores_null_tokens(spark):

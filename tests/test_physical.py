@@ -346,11 +346,18 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
 
 
 def test_approx_stats_plan_is_single_pass_sketch(spark):
-    # scalar_stats_approx (A8 scale path): the plan must be ONE scan +
+    # approx_scalar_sketch (A8 scale path): the plan must be ONE scan +
     # map-side partial sketches + a single O(sketch) SinglePartition
     # merge — never the exact percentile (which funnels every distinct
     # value through one aggregation buffer) and never a global sort.
-    plan = _executed_plan(QUERIES["scalar_stats_approx"](spark, SF_ORACLE))
+    # (The suite query scalar_stats_approx wraps this in a verification
+    # harness with deliberate exact aggregates; the scale plan pinned
+    # here is the sketch itself.)
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.suite.relational import approx_scalar_sketch
+
+    lineitem = load_tables(spark, SF_ORACLE).lineitem
+    plan = _executed_plan(approx_scalar_sketch(lineitem))
     assert "partial_percentile_approx" in plan, plan
     assert "partial_approx_count_distinct" in plan, plan
     # the only exchange is the final sketch merge
