@@ -103,12 +103,18 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """All document pairs with n-gram-shingle Jaccard ≥ threshold.
 
     Output: doc_a < doc_b, inter, size_a, size_b, jaccard. The
     intersection is counted by self-joining exploded distinct shingles —
-    partial-agg shrinks the pair stream before the final group."""
+    partial-agg shrinks the pair stream before the final group.
+
+    ``shingle_sets`` optionally supplies a prebuilt (doc, sh) frame of
+    distinct HASHED shingles (the suite's session-cached build — the
+    gold-table shape at 100 TB); when given, ``df``/``text_col``/``n``
+    are not consulted for the set construction."""
     from seng550_a3_etl_spark.functions.text import hashed_shingles
 
     # Postings carry the doc's set size so the pair aggregation needs no
@@ -124,7 +130,7 @@ def ngram_jaccard_pairs(
     # ~n-word string (collisions negligible at any corpus size this
     # exact-Jaccard baseline can reach; minhash_lsh_pairs keeps string
     # shingles because its oracle replays the md5 signature math).
-    sets_ = df.select(
+    sets_ = shingle_sets if shingle_sets is not None else df.select(
         F.col(id_col).alias("doc"),
         F.array_distinct(
             hashed_shingles(tokens(F.col(text_col)), n)
@@ -210,6 +216,7 @@ def minhash_lsh_pairs(
     num_perm: int = 8,
     bands: int = 4,
     threshold: float = 0.8,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
@@ -217,6 +224,10 @@ def minhash_lsh_pairs(
     signature slice → shuffle on (band, key) → candidate pairs sharing
     any band → verify exact Jaccard via array_intersect on the (distinct)
     shingle arrays. Output schema matches :func:`ngram_jaccard_pairs`.
+
+    ``shingle_sets`` optionally supplies a prebuilt, already-materialized
+    (doc, sh) frame of distinct STRING shingles (the suite's
+    session-cached build); it must already exclude empty sets.
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
@@ -230,7 +241,7 @@ def minhash_lsh_pairs(
     # Local checkpoints don't survive executor loss — a production run
     # on a real cluster would persist the shingle table to parquet (the
     # gold-table shape) instead.
-    sets_ = (
+    sets_ = shingle_sets if shingle_sets is not None else (
         _shingle_sets(df, id_col, text_col, n)
         .filter(F.size("sh") > 0)
         .localCheckpoint(eager=True)
@@ -363,6 +374,7 @@ def prefix_filter_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING (SSJoin/PPJoin family):
     order every document's shingles by global rarity (corpus frequency,
@@ -383,12 +395,16 @@ def prefix_filter_pairs(
     frequency is a spillable window count on the shingle hash; per-doc
     prefix selection is one doc-keyed sort of that doc's own shingles;
     candidates explode only ~(1-t)·|s| entries per doc; exact verify
-    fetches both sets with ONE melt-join pass."""
+    fetches both sets with ONE melt-join pass.
+
+    ``shingle_sets`` optionally supplies a prebuilt, already-materialized
+    (doc, sh) frame of distinct HASHED shingles (the suite's
+    session-cached build); it must already exclude empty sets."""
     from pyspark.sql.window import Window
 
     from seng550_a3_etl_spark.functions.text import hashed_shingles
 
-    sets_ = (
+    sets_ = shingle_sets if shingle_sets is not None else (
         df.select(
             F.col(id_col).alias("doc"),
             F.array_distinct(

@@ -53,9 +53,12 @@ from seng550_a3_etl_spark.suite import (  # noqa: E402,F401
 # never needs pruning, only appending when code under a query changes.
 _CHANGED: dict[str, int] = {
     # round 5: shared shingle-set cache across the near-dup family
+    # (includes the dup-cluster label build, which feeds four queries)
     "ngram_dup_pairs": 5,
-    "fuzzy_dup_pairs": 5,
     "minhash_dup_pairs": 5,
+    "dup_clusters": 5,
+    "cluster_best_doc": 5,
+    "leakage_free_split": 5,
     # round 5: bounds-verified deterministic output + oracle added
     "scalar_stats_approx": 5,
 }

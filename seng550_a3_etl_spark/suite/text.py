@@ -202,6 +202,7 @@ def ngram_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         t.documents, "doc_id", "text", n=3, threshold=0.8,
         max_shingle_freq=64,
+        shingle_sets=_shingle_sets_df(spark, sf_dir, n=3, hashed=True),
     )
 
 
@@ -249,7 +250,9 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the identical signature/banding math in SQL."""
     t = load_tables(spark, sf_dir)
     return minhash_lsh_pairs(
-        t.documents, "doc_id", "text", n=3, num_perm=8, bands=4, threshold=0.8
+        t.documents, "doc_id", "text", n=3, num_perm=8, bands=4,
+        threshold=0.8,
+        shingle_sets=_shingle_sets_df(spark, sf_dir, n=3, hashed=False),
     )
 
 
@@ -867,7 +870,68 @@ def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _evict_stopped_sessions(cache: dict) -> None:
+    """Drop cache entries whose owning SparkSession has been stopped
+    (ADVICE r4): a stopped session's localCheckpoint blocks are gone and
+    the DataFrame is unusable, so keeping the entry only pins memory in
+    long-lived processes (e.g. pytest runs spanning many sessions)."""
+    for key, df in list(cache.items()):
+        try:
+            sc = df.sparkSession.sparkContext
+            stopped = sc._jsc is None or sc._jsc.sc().isStopped()
+        except Exception:
+            stopped = True
+        if stopped:
+            del cache[key]
+
+
 _LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# (applicationId, sf_dir, n, representation) -> materialized (doc, sh).
+_SHINGLE_CACHE: dict[tuple[str, str, int, str], DataFrame] = {}
+
+
+def _shingle_sets_df(
+    spark: SparkSession, sf_dir: str, n: int = 3, hashed: bool = True
+) -> DataFrame:
+    """(doc, sh) distinct n-gram shingle sets over ``documents`` —
+    computed ONCE per (Spark application, sf_dir, n, representation) and
+    shared by every near-dup consumer (ngram_dup_pairs /
+    prefix_filter_dup_pairs / doc_novelty_frac / the dup-cluster label
+    build use the hashed form; minhash_dup_pairs needs string shingles
+    because its oracle replays the md5 signature math over the text).
+
+    Same rationale as ``_labels_df``: at 100 TB the shingle table is a
+    materialized artifact written by one job (the plans/gold.py shape)
+    and consumed by the whole dedup family; ``localCheckpoint`` is the
+    session-scoped analog. Docs with fewer than n tokens (empty sets)
+    are excluded — they can't participate in any pair and every consumer
+    treats absence and empty identically."""
+    from seng550_a3_etl_spark.functions.text import hashed_shingles, shingles
+
+    _evict_stopped_sessions(_SHINGLE_CACHE)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        n,
+        "hashed" if hashed else "string",
+    )
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    t = load_tables(spark, sf_dir)
+    make = hashed_shingles if hashed else shingles
+    out = (
+        t.documents.select(
+            F.col("doc_id").alias("doc"),
+            F.array_distinct(make(tokens(F.col("text")), n)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=True)
+    )
+    _SHINGLE_CACHE[key] = out
+    return out
 
 
 def _labels_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,6 +947,7 @@ def _labels_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs per document — tiny relative to the text) materialize on first
     use and the subgraph never recomputes; lineage truncation also keeps
     downstream plans independent of the iterative CC job."""
+    _evict_stopped_sessions(_LABELS_CACHE)
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _LABELS_CACHE.get(key)
     if cached is not None:
@@ -894,6 +959,7 @@ def _labels_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         t.documents, "doc_id", "text", n=3, threshold=0.8,
         max_shingle_freq=64,
+        shingle_sets=_shingle_sets_df(spark, sf_dir, n=3, hashed=True),
     ).select("doc_a", "doc_b")
     labels = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
         "node", "doc_id"
@@ -1210,18 +1276,15 @@ def doc_novelty_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     count over Window.partitionBy(hs) (spillable, no posting-list
     aggregation buffer), and the per-doc fold is the second, doc-keyed
     shuffle. novelty_frac is one integer division; docs with zero
-    shingles (< n tokens) don't appear, matching the oracle join."""
+    shingles (< n tokens) don't appear, matching the oracle join.
+    Shingle identity comes from the session-shared hashed shingle sets
+    (only frequency==1 counts matter, so any injective-enough hash gives
+    the oracle's answer)."""
     from pyspark.sql.window import Window
 
-    from seng550_a3_etl_spark.functions.text import shingles
-
-    t = load_tables(spark, sf_dir)
-    postings = t.documents.select(
-        F.col("doc_id"),
-        F.explode(
-            F.array_distinct(shingles(tokens(F.col("text")), 3))
-        ).alias("s"),
-    ).select("doc_id", F.xxhash64("s").alias("hs"))
+    postings = _shingle_sets_df(spark, sf_dir, n=3, hashed=True).select(
+        F.col("doc").alias("doc_id"), F.explode("sh").alias("hs")
+    )
     with_freq = postings.withColumn(
         "f", F.count(F.lit(1)).over(Window.partitionBy("hs"))
     )
@@ -1436,5 +1499,6 @@ def prefix_filter_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return prefix_filter_pairs(
-        t.documents, "doc_id", "text", n=3, threshold=0.8
+        t.documents, "doc_id", "text", n=3, threshold=0.8,
+        shingle_sets=_shingle_sets_df(spark, sf_dir, n=3, hashed=True),
     )

@@ -305,6 +305,51 @@ def test_rotation_staleness_ordering(tmp_path):
     assert order[4:] == ["new_green", "no_oracle_q"]
 
 
+def test_shingle_cache_shared_within_session(spark):
+    # the near-dup family must reuse ONE materialized shingle-set frame
+    # per (session, sf_dir, n, representation) — the cache is the whole
+    # point (one corpus scan for five consumers).
+    from seng550_a3_etl_spark.suite.text import _shingle_sets_df
+    from tests.conftest import SF_ORACLE
+
+    a = _shingle_sets_df(spark, SF_ORACLE, n=3, hashed=True)
+    b = _shingle_sets_df(spark, SF_ORACLE, n=3, hashed=True)
+    assert a is b
+    s = _shingle_sets_df(spark, SF_ORACLE, n=3, hashed=False)
+    assert s is not a
+    assert dict(s.dtypes)["sh"] == "array<string>"
+    assert dict(a.dtypes)["sh"] == "array<bigint>"
+
+
+def test_session_cache_evicts_stopped_sessions():
+    # ADVICE r4: entries owned by a stopped SparkSession must be dropped
+    # on the next cache access, not pinned forever.
+    from seng550_a3_etl_spark.suite.text import _evict_stopped_sessions
+
+    class _StoppedCtx:
+        _jsc = None
+
+    class _LiveCtx:
+        class _jsc:  # duck-typed py4j handle
+            @staticmethod
+            def sc():
+                class _S:
+                    @staticmethod
+                    def isStopped():
+                        return False
+                return _S()
+
+    class _DF:
+        def __init__(self, ctx):
+            self.sparkSession = type(
+                "S", (), {"sparkContext": ctx}
+            )()
+
+    cache = {"dead": _DF(_StoppedCtx()), "live": _DF(_LiveCtx())}
+    _evict_stopped_sessions(cache)
+    assert set(cache) == {"live"}
+
+
 def test_decontaminate_eval_side_broadcasts(spark):
     # the training corpus must not shuffle for the overlap join: the
     # deduplicated eval shingle set is the broadcast side.
