@@ -100,6 +100,15 @@ def _compact_line(
         droppable = [n for n in qs if n not in failed]
         qs.pop(droppable[-1] if droppable else next(iter(qs)))
         line = json.dumps(payload, separators=(",", ":"))
+    # Floor case (ADVICE r4): if the fixed payload alone still overflows
+    # (e.g. a huge failure list), stub the bulky fixed blocks before
+    # giving up — a parseable line with totals + failure names beats a
+    # complete one the driver can't parse.
+    for block in ("ladder", "idle_check"):
+        if len(line) <= 1800:
+            break
+        payload[block] = {"truncated": True}
+        line = json.dumps(payload, separators=(",", ":"))
     return line
 
 
@@ -225,7 +234,11 @@ def _warm_streaming(spark) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    if not q.awaitTermination(60):
+        # ADVICE r4: a hung warm-up stream must not keep running
+        # concurrently with the timed queries it exists to stabilize.
+        q.stop()
+        print("bench: streaming warm-up timed out; stopped", file=sys.stderr)
 
 
 def _ladder(spark, sf_dir: str) -> dict:

@@ -224,25 +224,12 @@ _INCR_TABLE = "stream_incr_dedup_sink"
 
 
 def _incr_dedup_oracle() -> str:
-    # Same SQL as the batch twin's oracle (suite/text.py
-    # incremental_exact_dedup) — rebuilt here because this module
-    # registers before suite.text populates the registry.
-    from seng550_a3_etl_spark.functions.hashing import duck_hash64
+    # The batch twin's oracle, imported from the shared single source of
+    # truth (ADVICE r4: a verbatim copy here could silently drift from
+    # suite/text.py's incremental_exact_dedup registration).
+    from seng550_a3_etl_spark.suite.shared_sql import INCR_DEDUP_ORACLE
 
-    split = f"{duck_hash64('CAST(doc_id AS VARCHAR)', seed=23)} % 5 = 0"
-    return f"""
-    WITH idx AS (
-      SELECT md5(text) AS h, MIN(doc_id) AS canonical_id
-      FROM documents WHERE NOT ({split})
-      GROUP BY 1
-    ),
-    batch AS (SELECT doc_id, md5(text) AS h FROM documents
-              WHERE {split})
-    SELECT b.doc_id,
-           COALESCE(i.canonical_id, b.doc_id) AS canonical_id,
-           i.canonical_id IS NOT NULL AS known_content
-    FROM batch b LEFT JOIN idx i ON i.h = b.h
-    """
+    return INCR_DEDUP_ORACLE
 
 
 @query("stream_incremental_dedup", oracle=_incr_dedup_oracle())

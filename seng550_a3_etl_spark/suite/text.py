@@ -821,25 +821,12 @@ def seq_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DELTA_SPLIT = f"{duck_hash64('CAST(doc_id AS VARCHAR)', seed=23)} % 5 = 0"
-
-
-@query(
-    "incremental_exact_dedup",
-    oracle=f"""
-    WITH idx AS (
-      SELECT md5(text) AS h, MIN(doc_id) AS canonical_id
-      FROM documents WHERE NOT ({_DELTA_SPLIT})
-      GROUP BY 1
-    ),
-    batch AS (SELECT doc_id, md5(text) AS h FROM documents
-              WHERE {_DELTA_SPLIT})
-    SELECT b.doc_id,
-           COALESCE(i.canonical_id, b.doc_id) AS canonical_id,
-           i.canonical_id IS NOT NULL AS known_content
-    FROM batch b LEFT JOIN idx i ON i.h = b.h
-    """,
+from seng550_a3_etl_spark.suite.shared_sql import (  # noqa: E402
+    INCR_DEDUP_ORACLE as _INCR_DEDUP_ORACLE,
 )
+
+
+@query("incremental_exact_dedup", oracle=_INCR_DEDUP_ORACLE)
 def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup (X64): a new document batch (a ~20%
     hash split stands in for today's crawl) checked against the hash

@@ -46,3 +46,29 @@ def test_compact_line_drops_headline_tail_first():
     kept = list(d["queries"])
     if kept:  # head flagships survive when anything does
         assert kept[0] == bench.HEADLINE[0]
+
+
+def test_compact_line_floor_stubs_fixed_payload(monkeypatch):
+    # ADVICE r4 floor case: when even an empty qs leaves the line over
+    # the cap (a fixed payload — here a pathological ladder — alone
+    # exceeds it), the bulky fixed blocks are stubbed so the emitted
+    # line still honors the 1800-char cap and stays parseable.
+    timings = {f"q{i:03d}": -1.0 for i in range(40)}
+    fat_ladder = {"pad": "y" * 5000}
+    line = bench._compact_line(100.0, timings, 0.1, fat_ladder, IDLE)
+    assert len(line) <= 1800
+    d = json.loads(line)
+    assert d["ladder"] == {"truncated": True}
+    assert d["n_failed"] == 40
+
+
+def test_streaming_oracle_shares_batch_twin_sql():
+    # ADVICE r4: the streaming twin must check the SAME oracle SQL as
+    # the batch query — a drifted copy would silently validate stale
+    # semantics.
+    from seng550_a3_etl_spark.suite import ORACLES
+
+    assert (
+        ORACLES["stream_incremental_dedup"]
+        == ORACLES["incremental_exact_dedup"]
+    )
