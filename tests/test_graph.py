@@ -105,6 +105,39 @@ def test_convergence_exactly_at_max_iter_does_not_raise(spark):
     assert got == {(i, 0) for i in range(d + 1)}
 
 
+def test_threshold_boundary_parity(spark):
+    """Exercise the adaptive gate AT its boundary (VERDICT r4 #7): with
+    the threshold set to exactly the edge count the union-find path runs
+    (<=), one below it the distributed loop runs — both must label a
+    random-ish graph identically and match brute force."""
+    import random
+
+    rng = random.Random(550)
+    edges = list({
+        tuple(sorted((rng.randrange(40), rng.randrange(40))))
+        for _ in range(60)
+    })
+    df = spark.createDataFrame(edges, "src long, dst long")
+    expect = set(_brute_components(edges).items())
+
+    orig = graph.DRIVER_EDGE_THRESHOLD
+    try:
+        graph.DRIVER_EDGE_THRESHOLD = len(edges)  # == count: union-find
+        below = {
+            (r.node, r.label)
+            for r in graph.connected_components(df).collect()
+        }
+        graph.DRIVER_EDGE_THRESHOLD = len(edges) - 1  # distributed loop
+        above = {
+            (r.node, r.label)
+            for r in graph.connected_components(df).collect()
+        }
+    finally:
+        graph.DRIVER_EDGE_THRESHOLD = orig
+    assert below == expect
+    assert above == expect
+
+
 def test_long_chain_converges(spark):
     # a path graph is the worst case for min-label propagation
     # (diameter = n); labels must still reach the global minimum
