@@ -34,6 +34,13 @@ _DEFAULTS = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
+    # In local mode the driver JVM IS every executor, and Spark's default
+    # heap is 1g regardless of machine size — the sf1 spot-run OOM'd the
+    # whole session inside a 1 GiB heap on a 128 GiB box. Size the heap
+    # to the harness (local[32], 128 GiB); on a real cluster this comes
+    # from spark-submit instead. Only honored when the config is present
+    # BEFORE the JVM launches (getOrCreate on a live session ignores it).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
 }
 
 

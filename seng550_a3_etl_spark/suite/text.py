@@ -1489,3 +1489,126 @@ def prefix_filter_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents, "doc_id", "text", n=3, threshold=0.8,
         shingle_sets=_shingle_sets_df(spark, sf_dir, n=3, hashed=True),
     )
+
+
+@query(
+    "unigram_logprob_quality",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS n FROM freq)
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(LN(freq.cnt / tot.n)), 6) AS avg_logp
+    FROM tok, freq, tot
+    WHERE tok.token = freq.token
+    GROUP BY tok.doc_id
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (X87): each document's mean
+    log-probability under a unigram LM fit on the corpus itself — the
+    CCNet/RedPajama-style perplexity-proxy filter (docs whose tokens are
+    systematically rare under the corpus distribution score low and are
+    candidates for dropping or down-weighting). Self-trained, so fully
+    deterministic and oracle-checkable.
+
+    Scale: the model table is |vocab| rows — orders of magnitude
+    smaller than the corpus — so the scoring join broadcasts the model
+    to the exploded token stream (no corpus shuffle), and the per-doc
+    mean partial-aggregates map-side before the single doc_id shuffle.
+    The frequency build itself is one hash aggregation with map-side
+    combine. At 100 TB the only change is capping |vocab| (top-K by
+    count) so the broadcast stays bounded; natural-language vocabularies
+    make the cap a no-op at sf0.1.
+    """
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n"))
+    model = freq.crossJoin(F.broadcast(total)).select(
+        "token", F.log(F.col("cnt") / F.col("n")).alias("logp")
+    )
+    return (
+        tok.join(F.broadcast(model), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("avg_logp"),
+        )
+    )
+
+
+@query(
+    "corpus_zipf_stats",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    top AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, token ASC) AS r
+      FROM freq ORDER BY cnt DESC, token ASC LIMIT 1000
+    ),
+    fit AS (
+      SELECT ROUND(regr_slope(LN(cnt), LN(r)), 6) AS zipf_slope,
+             ROUND(regr_r2(LN(cnt), LN(r)), 6) AS zipf_r2,
+             CAST(COUNT(*) AS BIGINT) AS n_fit_terms
+      FROM top
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             ROUND(AVG(CASE WHEN cnt = 1 THEN 1.0 ELSE 0.0 END), 6)
+               AS hapax_frac
+      FROM freq
+    )
+    SELECT n_types, n_tokens, hapax_frac, n_fit_terms, zipf_slope, zipf_r2
+    FROM stats, fit
+    """,
+)
+def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary-health diagnostic (X88): type count, total
+    token count, hapax-legomena fraction, and a least-squares Zipf fit
+    (slope + R² of log-frequency on log-rank over the top 1000 types).
+    A natural-language corpus fits Zipf with slope ≈ −1; a corpus
+    poisoned by boilerplate, template spam, or tokenizer breakage
+    bends away from it — this is the one-row monitor a pretraining
+    pipeline alarms on.
+
+    Scale: one token hash-aggregation (map-side combined), then the
+    rank is assigned only to the top-1000 rows, fetched via
+    TakeOrdered (orderBy+limit — never a global sort of |vocab|), so
+    the single-partition window is over exactly 1000 rows. The fit
+    itself is Spark's built-in ``regr_slope``/``regr_r2`` aggregates.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(F.explode(tokens(F.col("text"))).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = freq.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("cnt").alias("n_tokens"),
+        F.round(F.avg((F.col("cnt") == 1).cast("double")), 6).alias(
+            "hapax_frac"
+        ),
+    )
+    top = freq.orderBy(F.desc("cnt"), F.asc("token")).limit(1000)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = top.select(
+        F.log("cnt").alias("y"),
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+    )
+    fit = ranked.agg(
+        F.round(F.regr_slope("y", "x"), 6).alias("zipf_slope"),
+        F.round(F.regr_r2("y", "x"), 6).alias("zipf_r2"),
+        F.count(F.lit(1)).alias("n_fit_terms"),
+    )
+    return stats.crossJoin(F.broadcast(fit))

@@ -14,16 +14,53 @@ import bench  # noqa: E402
 
 IDLE = {"load1": 1.0, "idle": True}
 
+SPOT = {
+    "x": 10,
+    "scale_build_s": 8.0,
+    "queries": {n: [12.34, 9.9, "ok"] for n in bench.SF1_SPOT},
+}
+
 
 def test_compact_line_fits_with_full_headline():
     timings = {n: 1.234 for n in bench.HEADLINE}
     ladder = {"query": "district_point_counts", "no_index_s": 1.0,
               "design_point_10x": {"grid_s": 1.0, "theta_nobcast_s": 5.0}}
-    line = bench._compact_line(100.0, timings, 0.1, ladder, IDLE)
+    line = bench._compact_line(100.0, timings, 0.1, ladder, IDLE, SPOT)
     assert len(line) <= 1800
     d = json.loads(line)
     assert d["idle_check"] == IDLE
     assert d["queries"]  # headline present
+    assert d["sf1_spot"]["queries"]  # spot block rides the line
+
+
+def test_compact_line_realistic_payload_keeps_spot_and_ladder():
+    # A full realistic payload — real ladder shape (r4 values), the
+    # complete sf1_spot block, idle_check with the wait fields — must
+    # fit WITHOUT dropping the sf1_spot or ladder blocks; only headline
+    # queries are sacrificed.
+    timings = {n: 1.234 for n in bench.HEADLINE}
+    ladder = {
+        "query": "district_point_counts", "runs_per_config": 3,
+        "no_index_s": 0.988, "broadcast_s": 0.515,
+        "grid_prefilter_s": 0.568, "gold_table_s": 0.257,
+        "speedup_broadcast": 1.92, "speedup_grid": 1.74,
+        "speedup_gold": 3.84,
+        "grid_prefilter_note": (
+            "expected_at_scale: grid is the no-broadcast plan; at bench "
+            "scale the engine picks the broadcast rung"
+        ),
+        "design_point_10x": {
+            "points_x": 10, "grid_s": 0.945, "theta_nobcast_s": 5.53,
+            "speedup_grid_vs_theta": 5.85,
+        },
+    }
+    idle = {"load1_initial": 4.11, "waited_s": 120.0,
+            "load1": 0.4, "idle": True}
+    line = bench._compact_line(110.8, timings, 0.1, ladder, idle, SPOT)
+    assert len(line) <= 1800
+    d = json.loads(line)
+    assert d["sf1_spot"] == SPOT
+    assert d["ladder"]["design_point_10x"]["points_x"] == 10
 
 
 def test_compact_line_keeps_all_failures_under_overflow():
@@ -55,11 +92,81 @@ def test_compact_line_floor_stubs_fixed_payload(monkeypatch):
     # line still honors the 1800-char cap and stays parseable.
     timings = {f"q{i:03d}": -1.0 for i in range(40)}
     fat_ladder = {"pad": "y" * 5000}
-    line = bench._compact_line(100.0, timings, 0.1, fat_ladder, IDLE)
+    line = bench._compact_line(100.0, timings, 0.1, fat_ladder, IDLE, SPOT)
     assert len(line) <= 1800
     d = json.loads(line)
     assert d["ladder"] == {"truncated": True}
+    # sf1_spot is stubbed BEFORE ladder in the floor path
+    assert d["sf1_spot"] == {"truncated": True}
     assert d["n_failed"] == 40
+
+
+def test_scale_10x_preserves_structure(spark, tmp_path):
+    # The sf1 spot-run's 10× replica must scale WORK linearly, which
+    # hinges on three structural invariants the docstring promises:
+    # disjoint token universes across document replicas, norm-preserving
+    # vector rotation with replica 0 identical to the original, and
+    # constant per-user event counts (only the number of users grows).
+    import math
+
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path / "scaled")
+    import os as _os
+    _os.makedirs(out)
+    bench._scale_10x(spark, src, out)
+
+    docs0 = spark.read.parquet(f"{src}/documents.parquet")
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    n0, n = docs0.count(), docs.count()
+    assert n == 10 * n0
+    assert docs.select("doc_id").distinct().count() == n  # ids unique
+
+    # replicas r=0 and r=1 of the same source doc share ZERO tokens
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("t")
+    )
+    a = tok.filter(F.col("doc_id") < 10_000_000).select("t").distinct()
+    b = tok.filter(
+        (F.col("doc_id") >= 10_000_000) & (F.col("doc_id") < 20_000_000)
+    ).select("t").distinct()
+    assert a.join(b, "t").count() == 0
+
+    emb0 = spark.read.parquet(f"{src}/embeddings.parquet")
+    emb = spark.read.parquet(f"{out}/embeddings.parquet")
+    assert emb.count() == 10 * emb0.count()
+    first0 = emb0.orderBy("vec_id").first()
+    r0 = emb.filter(F.col("vec_id") == first0.vec_id).first()
+    assert r0.embedding == first0.embedding  # replica 0 is the identity
+    r3 = emb.filter(F.col("vec_id") == first0.vec_id + 3 * 10_000_000).first()
+    assert len(r3.embedding) == len(first0.embedding)
+    assert r3.embedding == (
+        list(first0.embedding[3:]) + list(first0.embedding[:3])
+    )  # rotation by r, norm-preserving by construction
+    assert math.isclose(
+        sum(x * x for x in r3.embedding),
+        sum(x * x for x in first0.embedding),
+        rel_tol=1e-6,
+    )
+
+    ev0 = spark.read.parquet(f"{src}/events.parquet")
+    ev = spark.read.parquet(f"{out}/events.parquet")
+    assert ev.count() == 10 * ev0.count()
+    # per-user event-count histogram is 10 copies of the original's
+    h0 = {
+        r["cnt"]: r["users"]
+        for r in ev0.groupBy("user_id").count()
+        .groupBy(F.col("count").alias("cnt"))
+        .agg(F.count("*").alias("users")).collect()
+    }
+    h = {
+        r["cnt"]: r["users"]
+        for r in ev.groupBy("user_id").count()
+        .groupBy(F.col("count").alias("cnt"))
+        .agg(F.count("*").alias("users")).collect()
+    }
+    assert h == {k: 10 * v for k, v in h0.items()}
 
 
 def test_streaming_oracle_shares_batch_twin_sql():
