@@ -29,10 +29,13 @@ xxhash64 instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from seng550_a3_etl_spark.functions.hashing import (
+    hash64,
     minhash_signatures,
     simhash_fingerprints,
 )
@@ -55,6 +58,92 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         df.select(F.col(id_col), h)
         .join(groups, "__h")
         .select(id_col, "canonical_id", "group_size")
+    )
+
+
+def canonical_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalize: Callable[[Column], Column],
+) -> DataFrame:
+    """Exact dedup under a canonicalization: documents whose
+    ``normalize(text)`` agree form one group (rung 1.5 of the ladder —
+    catches trivially-reformatted copies byte-exact dedup misses with
+    no similarity threshold to tune). Output adds ``n_raw_variants``:
+    the number of distinct RAW contents inside the normalized group
+    (>1 ⇒ the normalization, not byte equality, did the merging).
+
+    Scale: identical to :func:`exact_dedup` — normalization runs as
+    codegen'd string ops in the scan, then ONE (hash, id) shuffle;
+    the variant count aggregates 128-bit digests, never texts."""
+    hashed = df.select(
+        F.col(id_col),
+        F.md5(normalize(F.col(text_col))).alias("__h"),
+        F.md5(F.col(text_col)).alias("__raw"),
+    )
+    groups = hashed.groupBy("__h").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct("__raw").alias("n_raw_variants"),
+    )
+    return hashed.join(groups, "__h").select(
+        id_col, "canonical_id", "group_size", "n_raw_variants"
+    )
+
+
+def dup_span_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Exact duplicated-span detection: per document, how many of its
+    overlapping k-token window positions hold a span that also occurs
+    in at least one OTHER document. The substring-granularity dedup
+    signal — a doc assembled from boilerplate spans scores high even
+    when no single pairwise Jaccard (doc-level near-dup) fires.
+    Output: id, n_windows, n_dup_windows, dup_frac (NULL when the doc
+    has fewer than k tokens).
+
+    Scale: windows are k-shingles built per-row (zero shuffle) and
+    hashed to 60-bit longs BEFORE they shuffle. Two hash shuffles
+    total, both on the window hash — the distinct-doc posting count
+    (map-side combined) and the join back to positions (the shared
+    set is corpus-sized at web scale, so no broadcast) — then the
+    per-doc fold partial-aggregates map-side."""
+    docs = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tk")
+    )
+    wins = docs.filter(F.size("__tk") >= k).select(
+        id_col,
+        F.explode(F.transform(shingles(F.col("__tk"), k), hash64)).alias(
+            "__h"
+        ),
+    )
+    shared = (
+        wins.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    dupc = (
+        wins.join(shared, "__h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__dup"))
+    )
+    n_windows = F.greatest(F.size("__tk") - (k - 1), F.lit(0)).cast("long")
+    return (
+        docs.join(dupc, id_col, "left")
+        .select(
+            id_col,
+            n_windows.alias("n_windows"),
+            F.coalesce("__dup", F.lit(0)).cast("long").alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("n_dup_windows") / F.nullif(F.col("n_windows"), F.lit(0)),
+                6,
+            ),
+        )
     )
 
 

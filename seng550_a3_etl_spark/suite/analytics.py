@@ -778,3 +778,102 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_keys",
         (F.col("cnt") / (1.0 * F.col("total"))).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# X90 — equi-depth histogram (bounds from a frequency rollup, no global
+# sort of the fact table).
+# --------------------------------------------------------------------------
+
+_ED_BUCKETS = 8
+
+
+@query(
+    "price_equidepth_hist",
+    oracle=f"""
+    WITH c AS (
+      SELECT {_DUCK_CENTS.format(col="o_totalprice")} AS cents FROM orders
+    ),
+    n AS (SELECT COUNT(*) AS n FROM c),
+    freq AS (SELECT cents, COUNT(*) AS cnt FROM c GROUP BY 1),
+    cum AS (
+      SELECT cents, cnt, SUM(cnt) OVER (ORDER BY cents) AS cum FROM freq
+    ),
+    bounds AS (
+      SELECT list_sort(list_distinct(list(cents))) AS bs
+      FROM cum, n, LATERAL unnest(range(1, {_ED_BUCKETS})) AS r(j)
+      WHERE (j * n.n + {_ED_BUCKETS - 1}) // {_ED_BUCKETS} <= cum
+        AND (j * n.n + {_ED_BUCKETS - 1}) // {_ED_BUCKETS} > cum - cnt
+    )
+    SELECT CAST(len(list_filter(bs, b -> cents > b)) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(cents) AS lo_cents,
+           MAX(cents) AS hi_cents,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM c, bounds GROUP BY 1
+    """,
+)
+def price_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) price histogram (X90): 8 buckets
+    whose boundaries are the exact octiles of ``o_totalprice`` — the
+    histogram shape optimizers and data-profiling tools actually keep
+    (X40's fixed-width buckets starve on skewed money columns: most
+    rows land in two buckets). Boundary value b_j is the element at
+    rank ceil(j·n/8) (percentile_disc semantics, exact cross-engine);
+    a row belongs to bucket |{j : value > b_j}|, so ties never split
+    across buckets and the output is deterministic.
+
+    Scale: the naive plan (ntile window) global-sorts the fact table.
+    Here bounds come from a frequency ROLLUP: one hash agg to
+    |distinct prices| rows (domain-bounded — cents values, not rows),
+    a cumulative-count window over that rollup (the X38
+    window-over-rollup justification), and each octile rank is claimed
+    by exactly the rollup row whose [cum-cnt, cum) interval contains
+    it — one pass, no per-quantile jobs. The ≤7 boundary values
+    broadcast back as ONE array; bucket assignment is scan-stage
+    arithmetic and the final agg folds to ≤8 groups map-side. For a
+    column with unbounded distinct values, swap the exact rollup for
+    approx_percentile bounds (the scalar_stats_approx trade)."""
+    t = load_tables(spark, sf_dir)
+    vals = t.orders.select(_cents("o_totalprice").alias("cents"))
+    freq = vals.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = freq.select("cents", "cnt", F.sum("cnt").over(w).alias("cum"))
+    tot = vals.agg(F.count(F.lit(1)).alias("n"))
+
+    def target(j: Column) -> Column:
+        # ceil(j*n/K) as exact integer math: floor((j*n + K-1) / K).
+        return (
+            (j.cast("long") * F.col("n") + (_ED_BUCKETS - 1)) / _ED_BUCKETS
+        ).cast("long")
+
+    claimed = F.filter(
+        F.sequence(F.lit(1), F.lit(_ED_BUCKETS - 1)),
+        lambda j: (target(j) <= F.col("cum"))
+        & (target(j) > F.col("cum") - F.col("cnt")),
+    )
+    bounds = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(F.explode(claimed).alias("__j"), "cents")
+        .agg(
+            F.sort_array(F.array_distinct(F.collect_list("cents"))).alias(
+                "bs"
+            )
+        )
+    )
+    bucket = F.size(
+        F.filter(F.col("bs"), lambda b: F.col("cents") > b)
+    ).cast("long")
+    return (
+        vals.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "cents")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )

