@@ -319,3 +319,114 @@ def quantize_int8(vec: Column) -> Column:
     scale = F.when(mx > 0, F.lit(127.0) / mx)
     q = F.transform(dv, lambda x: F.round(x * scale).cast("int"))
     return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook_seeds: DataFrame,
+    dim: int,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Product-quantization encode: split every vector into ``m``
+    contiguous subvectors and replace each with the id of its nearest
+    codebook centroid (L2, tie-break by centroid id) — the compressed
+    representation behind IVF-PQ indexes, where a 64-dim float vector
+    becomes m small codes plus a shared codebook. ``codebook_seeds``
+    supplies the centroids as full vectors (same ``id_col``/``vec_col``
+    schema); real systems fit them with k-means (see
+    ``operators.clustering.kmeans_step`` — the assignment mechanics
+    here are identical and k-means-trained codebooks drop straight in).
+
+    Returns (id, sub_id, code_id, dist_micro2): per subspace, the
+    winning centroid id and the exact squared L2 distance in integer
+    micro-units. Elements are quantized to micros FIRST, so the
+    distance is a sum of exact longs — order-independent and
+    engine-portable (the X66 determinism pattern); callers aggregate
+    codes/total distortion per vector.
+
+    Scale: the codebook is m·k rows and BROADCASTS; subvector explode
+    and the distance fold are scan-stage array math; the argmin is a
+    struct-min aggregate on (id, sub_id) — map-side combined, never a
+    per-candidate window sort. Corpus rows shuffle once, on the
+    (id, sub_id) key, carrying one struct per candidate group."""
+    dists = pq_distances(
+        corpus, codebook_seeds, dim, m, id_col, vec_col, micro
+    )
+    return (
+        dists.select(
+            id_col,
+            "sub_id",
+            F.struct(
+                F.col("dist_micro2").alias("d"), F.col("code_id").alias("bid")
+            ).alias("__c"),
+        )
+        .groupBy(id_col, "sub_id")
+        .agg(F.min("__c").alias("__best"))
+        .select(
+            id_col,
+            "sub_id",
+            F.col("__best.bid").alias("code_id"),
+            F.col("__best.d").alias("dist_micro2"),
+        )
+    )
+
+
+def pq_distances(
+    corpus: DataFrame,
+    codebook_seeds: DataFrame,
+    dim: int,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """The full per-subspace distance table behind :func:`pq_encode`:
+    (id, sub_id, code_id, dist_micro2) for EVERY codebook centroid,
+    not just the winner. This is also the ADC lookup table — computed
+    over the query set, it gives the per-(query, subspace, code)
+    distances that compressed-domain search sums over stored codes.
+
+    Scale: the codebook broadcasts; the subvector explode and distance
+    fold are scan-stage array math in codegen; output is m·k rows per
+    input vector (tiny for a query set; for corpus encoding the argmin
+    in :func:`pq_encode` folds it straight back down map-side)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+
+    def micros(col: Column) -> Column:
+        return F.transform(
+            col, lambda x: F.round(x.cast("double") * micro).cast("long")
+        )
+
+    def subspaces(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(
+                    *[
+                        micros(F.slice(F.col(vec_col), s * w + 1, w))
+                        for s in range(m)
+                    ]
+                )
+            ).alias("sub_id", out),
+        )
+
+    cb = subspaces(codebook_seeds, "__bm").select(
+        "sub_id", F.col(id_col).alias("__bid"), "__bm"
+    )
+    sub = subspaces(corpus, "__vm")
+    dist = F.aggregate(
+        F.zip_with("__vm", "__bm", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return sub.join(F.broadcast(cb), "sub_id").select(
+        id_col,
+        "sub_id",
+        F.col("__bid").alias("code_id"),
+        dist.alias("dist_micro2"),
+    )

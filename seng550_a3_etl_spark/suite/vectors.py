@@ -519,3 +519,176 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hit") / F.col("n_exact")).alias("recall"),
         )
     )
+
+
+_PQ_M = 4          # subspaces
+_PQ_W = 16         # dims per subspace (4 x 16 = 64)
+_PQ_SEED_MOD = 256  # every 256th vector seeds a codebook centroid
+
+
+@query(
+    "embedding_pq_codes",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS bid, embedding AS bv FROM embeddings
+      WHERE vec_id % {_PQ_SEED_MOD} = 0
+    ),
+    dists AS (
+      SELECT v.vec_id, s.s, c.bid,
+             list_sum(list_transform(range(1, {_PQ_W + 1}), i ->
+               (CAST(ROUND(v.embedding[CAST(s.s * {_PQ_W} + i AS INT)]::DOUBLE
+                           * 1000000) AS BIGINT)
+                - CAST(ROUND(c.bv[CAST(s.s * {_PQ_W} + i AS INT)]::DOUBLE
+                             * 1000000) AS BIGINT))
+               * (CAST(ROUND(v.embedding[CAST(s.s * {_PQ_W} + i AS INT)]::DOUBLE
+                             * 1000000) AS BIGINT)
+                  - CAST(ROUND(c.bv[CAST(s.s * {_PQ_W} + i AS INT)]::DOUBLE
+                               * 1000000) AS BIGINT)))) AS d
+      FROM embeddings v, range(0, {_PQ_M}) s(s), seeds c
+    ),
+    best AS (
+      SELECT vec_id, s, bid, d FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, s ORDER BY d, bid
+        ) AS rn FROM dists
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           array_to_string(
+             list(CAST(bid // {_PQ_SEED_MOD} AS VARCHAR) ORDER BY s),
+             ',') AS codes,
+           CAST(SUM(d) AS BIGINT) AS err_micro2
+    FROM best GROUP BY vec_id
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (X92): each 64-dim vector becomes
+    4 codebook codes (one per 16-dim subspace, nearest centroid by L2)
+    plus its total quantization distortion — the compressed-domain
+    representation IVF-PQ indexes search over, and the missing rung of
+    the ANN family between int8 quantization (X31, no codebook) and
+    the IVF coarse quantizer (X7, one code per whole vector). Every
+    256th vector seeds the codebook (k-means-trained codebooks drop in
+    via X66); distances are summed in integer micro-units so the
+    argmin and distortion are exact cross-engine.
+
+    Scale: the codebook (m·k subvectors) BROADCASTS; the subspace
+    explode and distance fold are scan-stage array math inside
+    codegen; the per-(vector, subspace) argmin is a struct-min
+    aggregate (map-side combined, no window sort) and the final
+    per-vector regroup moves m rows per vector. The corpus is scanned
+    once and never joins against itself."""
+    from seng550_a3_etl_spark.operators.similarity import pq_encode
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    seeds = emb.filter(F.col("vec_id") % _PQ_SEED_MOD == 0)
+    enc = pq_encode(emb, seeds, dim=_PQ_M * _PQ_W, m=_PQ_M)
+    code = (F.col("code_id") / _PQ_SEED_MOD).cast("long")
+    return (
+        enc.select(
+            "vec_id",
+            F.struct(F.col("sub_id"), code.alias("code")).alias("__sc"),
+            "dist_micro2",
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("__sc")),
+                    lambda s: s["code"].cast("string"),
+                ),
+                ",",
+            ).alias("codes"),
+            F.sum("dist_micro2").alias("err_micro2"),
+        )
+    )
+
+
+@query(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS bid, embedding AS bv FROM embeddings
+      WHERE vec_id % {_PQ_SEED_MOD} = 0
+    ),
+    dists AS (
+      SELECT v.vec_id, s.s, c.bid,
+             list_sum(list_transform(range(1, {_PQ_W + 1}), i ->
+               (CAST(ROUND(v.embedding[CAST(s.s * {_PQ_W} + i AS INT)]::DOUBLE
+                           * 1000000) AS BIGINT)
+                - CAST(ROUND(c.bv[CAST(s.s * {_PQ_W} + i AS INT)]::DOUBLE
+                             * 1000000) AS BIGINT))
+               * (CAST(ROUND(v.embedding[CAST(s.s * {_PQ_W} + i AS INT)]::DOUBLE
+                             * 1000000) AS BIGINT)
+                  - CAST(ROUND(c.bv[CAST(s.s * {_PQ_W} + i AS INT)]::DOUBLE
+                               * 1000000) AS BIGINT)))) AS d
+      FROM embeddings v, range(0, {_PQ_M}) s(s), seeds c
+    ),
+    codes AS (
+      SELECT vec_id, s, bid FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, s ORDER BY d, bid
+        ) AS rn FROM dists
+      ) WHERE rn = 1
+    ),
+    qlut AS (
+      SELECT vec_id AS qid, s, bid, d FROM dists WHERE vec_id < 20
+    ),
+    approx AS (
+      SELECT l.qid, c.vec_id AS cid, CAST(SUM(l.d) AS BIGINT) AS approx_micro2
+      FROM codes c JOIN qlut l ON l.s = c.s AND l.bid = c.bid
+      GROUP BY 1, 2
+    )
+    SELECT qid, cid, approx_micro2 FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY approx_micro2, cid
+      ) AS rn FROM approx
+    ) WHERE rn <= 5
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (X93): retrieval in the
+    COMPRESSED domain — each query precomputes one m·k lookup table of
+    subspace distances to every codebook centroid, and a stored
+    vector's approximate distance is just the sum of m table lookups
+    on its codes. The raw corpus vectors are never touched at query
+    time; this is the search half of IVF-PQ (X92 is the build half,
+    X72's recall-gate pattern is the acceptance test).
+
+    Scale: the per-query LUTs (|q|·m·k rows of longs) BROADCAST; the
+    codes table scans once, each code row fanning out only to the
+    queries (the ADC scan — linear in |corpus|·m·|q|, which IVF
+    bucketing prunes in a full IVF-PQ deployment); the per-(query,
+    candidate) sum partial-aggregates map-side and the final top-k is
+    a bounded per-query window over already-reduced rows."""
+    from pyspark.sql.window import Window
+
+    from seng550_a3_etl_spark.operators.similarity import (
+        pq_distances,
+        pq_encode,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    seeds = emb.filter(F.col("vec_id") % _PQ_SEED_MOD == 0)
+    dim = _PQ_M * _PQ_W
+    codes = pq_encode(emb, seeds, dim=dim, m=_PQ_M).select(
+        F.col("vec_id").alias("cid"), "sub_id", "code_id"
+    )
+    qlut = pq_distances(
+        emb.filter(F.col("vec_id") < 20), seeds, dim=dim, m=_PQ_M
+    ).select(
+        F.col("vec_id").alias("qid"), "sub_id", "code_id", "dist_micro2"
+    )
+    approx = (
+        codes.join(F.broadcast(qlut), ["sub_id", "code_id"])
+        .groupBy("qid", "cid")
+        .agg(F.sum("dist_micro2").alias("approx_micro2"))
+    )
+    w = Window.partitionBy("qid").orderBy("approx_micro2", "cid")
+    return (
+        approx.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("qid", "cid", "approx_micro2")
+    )

@@ -653,3 +653,41 @@ def test_equidepth_hist_no_global_sort_of_fact(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_encode_nearest_and_tiebreak(spark):
+    from seng550_a3_etl_spark.operators.similarity import pq_encode
+
+    # dim=4, m=2 -> subspaces [0:2], [2:4]; two centroids 10 and 20
+    cb = spark.createDataFrame(
+        [(10, [0.0, 0.0, 1.0, 1.0]), (20, [1.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # sub0 ~ (0,0) -> 10; sub1 ~ (0,0) -> 20
+            (1, [0.1, 0.0, 0.1, 0.0]),
+            # equidistant in BOTH subspaces -> tie-break to lower bid 10
+            (2, [0.5, 0.5, 0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        (r.vec_id, r.sub_id): r
+        for r in pq_encode(corpus, cb, dim=4, m=2).collect()
+    }
+    assert rows[(1, 0)].code_id == 10
+    assert rows[(1, 1)].code_id == 20
+    # exact micro distances: sub0 vs (0,0): 0.1^2 = (100000)^2
+    assert rows[(1, 0)].dist_micro2 == 100_000**2
+    assert rows[(2, 0)].code_id == 10 and rows[(2, 1)].code_id == 10
+    # tie distance: 2 * 0.5^2 both sides
+    assert rows[(2, 0)].dist_micro2 == 2 * 500_000**2
+
+
+def test_pq_encode_rejects_bad_split(spark):
+    from seng550_a3_etl_spark.operators.similarity import pq_encode
+
+    df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        pq_encode(df, df, dim=5, m=2)
