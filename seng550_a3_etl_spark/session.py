@@ -36,11 +36,17 @@ _DEFAULTS = {
     "spark.ui.enabled": "false",
     # In local mode the driver JVM IS every executor, and Spark's default
     # heap is 1g regardless of machine size — the sf1 spot-run OOM'd the
-    # whole session inside a 1 GiB heap on a 128 GiB box. Size the heap
-    # to the harness (local[32], 128 GiB); on a real cluster this comes
-    # from spark-submit instead. Only honored when the config is present
-    # BEFORE the JVM launches (getOrCreate on a live session ignores it).
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
+    # whole session inside a 1 GiB heap on a 128 GiB box. But BIGGER IS
+    # NOT BETTER: a 64g heap let garbage accumulate into multi-second
+    # full-GC pauses that landed on whichever query was running (measured
+    # +37% suite total, with innocent-bystander queries "regressing" up
+    # to 10x: bench_full 64g=152.3s vs 16g=111.2s, same code). 16g
+    # clears the 10x spot-run while keeping GC pauses short. On a real
+    # cluster per-executor heaps come from spark-submit and sit in this
+    # same 8-32g sweet spot for the same reason. Only honored when the
+    # config is present BEFORE the JVM launches (getOrCreate on a live
+    # session ignores it).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 

@@ -61,6 +61,18 @@ _CHANGED: dict[str, int] = {
     "leakage_free_split": 5,
     # round 5: bounds-verified deterministic output + oracle added
     "scalar_stats_approx": 5,
+    # round 5: sublinear-k centroid caps (sf0.01 output unchanged — the
+    # cap binds only beyond sf0.1 — but the code under them changed)
+    "embedding_topk_ivf": 5,
+    "kmeans_step_clusters": 5,
+    # round 5: stream sources target the table path directly (the
+    # pathGlobFilter form ran empty on directory-shaped tables)
+    "stream_hourly_windows": 5,
+    "stream_click_attribution": 5,
+    "stream_distinct_users": 5,
+    "stream_segment_windows": 5,
+    "stream_incremental_dedup": 5,
+    "stream_session_windows": 5,
 }
 
 

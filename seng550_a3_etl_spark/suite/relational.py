@@ -934,3 +934,39 @@ def incremental_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_order",
         "last_order",
     )
+
+
+_SQL_CORRELATED = """
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM {orders} o
+    WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > (
+      SELECT 1.5 * AVG(CAST(ROUND(o2.o_totalprice * 100) AS BIGINT))
+      FROM {orders} o2 WHERE o2.o_custkey = o.o_custkey
+    )
+"""
+
+
+@query(
+    "sql_correlated_orders",
+    oracle=_SQL_CORRELATED.format(orders="orders"),
+)
+def sql_correlated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface parity check (X95): the IDENTICAL ANSI SQL text runs
+    through ``spark.sql`` on a registered view and through the DuckDB
+    oracle — proving the engine's second query API (SQL, not just the
+    DataFrame DSL) end-to-end, and exercising a rewrite the DataFrame
+    suite hand-builds (X44): a correlated scalar subquery ("orders
+    priced >1.5x their customer's average") that CATALYST must
+    decorrelate into an aggregate + join on its own. Cents-exact
+    threshold: the inner AVG is an exact integer sum divided once, so
+    the comparison is deterministic cross-engine.
+
+    Scale: after decorrelation the plan is one per-customer aggregate
+    shuffled on the join key plus one equi-join back to the fact —
+    same shape as the hand-decorrelated X44; no per-row subquery
+    execution survives (plan-checked: no CartesianProduct, one
+    aggregate + one join)."""
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders_v")
+    return spark.sql(_SQL_CORRELATED.format(orders="orders_v"))

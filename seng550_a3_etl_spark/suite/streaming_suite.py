@@ -51,10 +51,16 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     set_parquet_ts_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    # Target the table via a path GLOB, not a pathGlobFilter over
+    # sf_dir: the filter matches leaf FILE names, so on a
+    # directory-shaped table (events.parquet/part-*.parquet — any
+    # Spark-written replica, e.g. the bench's 10x spot dir) it silently
+    # matches nothing and the stream runs EMPTY. The glob resolves to
+    # the single fixture file OR the written directory (whose files the
+    # source then lists), and keeps basePath = sf_dir, a directory (a
+    # bare file path fails the source's basePath check).
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/events.parquet*"
     )
     if dict(stream.dtypes)["ts"] == "bigint":
         stream = stream.withColumn(
@@ -257,10 +263,10 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("canonical_id"))
     )
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+    # table-path glob (see _event_stream: pathGlobFilter breaks on
+    # directory-shaped tables, a bare file path fails basePath)
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/documents.parquet*"
     )
     batch = stream.filter(is_new).select(
         "doc_id", F.md5("text").alias("h")
@@ -355,4 +361,66 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("w.end"), _TS_FMT).alias("session_end"),
         "n_events",
         "total_value",
+    )
+
+
+_CDC_TABLE = "stream_cdc_sink"
+
+
+def _cdc_oracle() -> str:
+    # Shared single source of truth with the batch twin (cdc_apply_latest).
+    from seng550_a3_etl_spark.suite.shared_sql import CDC_APPLY_ORACLE
+
+    return CDC_APPLY_ORACLE
+
+
+@query("stream_cdc_apply", oracle=_cdc_oracle())
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (X96): the X84 op-log collapse run as a
+    CONTINUOUS materialization — upserts and deletes arrive as a stream
+    and the job maintains current table state as a per-key last-writer
+    aggregate (one ``max(struct(ts, event_id, op, value))`` per key:
+    the streaming state is exactly one struct per live key, the
+    smallest state that can answer "current row"). Deletes stay IN
+    state as tombstones (op='D') and are filtered at read — dropping
+    them from state would resurrect the key if a stale upsert arrived
+    late. Same oracle as the batch twin, so the driver checks the
+    streaming state machinery against the identical contract.
+
+    Scale: state is O(live keys) regardless of log length; the
+    aggregate partial-merges map-side per micro-batch, so a batch with
+    k touched keys shuffles k structs. With a transactional sink the
+    same frame drives foreachBatch MERGE ... WHEN MATCHED AND op='D'
+    THEN DELETE (the parquet-era fallback the batch twin documents)."""
+    stream = _event_stream(spark, sf_dir)
+    oplog = stream.select(
+        "user_id",
+        F.struct(
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "value",
+        ).alias("rec"),
+    )
+    with _state_partitions(spark, 8):
+        q = (
+            oplog.groupBy("user_id")
+            .agg(F.max("rec").alias("last"))
+            .writeStream.format("memory")
+            .queryName(_CDC_TABLE)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.table(_CDC_TABLE)
+        .filter(F.col("last.op") != "D")
+        .select(
+            "user_id",
+            F.date_format("last.ts", _TS_FMT).alias("last_ts"),
+            F.round("last.value", 4).alias("value"),
+        )
     )

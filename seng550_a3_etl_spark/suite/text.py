@@ -1737,3 +1737,93 @@ def normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return canonical_dedup(t.documents, "doc_id", "text", _spark_norm)
+
+
+def _psi_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return f"""
+    WITH dq AS ({ORACLES["doc_lang_quality"]}),
+    d AS (
+      SELECT d0.source,
+             LEAST(CAST(FLOOR(dq.quality * 10) AS INT), 9) AS bucket
+      FROM dq JOIN documents d0 USING (doc_id)
+    ),
+    sb AS (SELECT source, bucket, COUNT(*) AS c FROM d GROUP BY 1, 2),
+    srcs AS (SELECT source, COUNT(*) AS ns FROM d GROUP BY 1),
+    cb AS (SELECT bucket, COUNT(*) AS cc FROM d GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM d),
+    grid AS (
+      SELECT s.source, s.ns, r.b AS bucket FROM srcs s, range(0, 10) r(b)
+    ),
+    terms AS (
+      SELECT g.source, g.ns,
+             CAST(ROUND(
+               ((COALESCE(sb.c, 0) + 1.0) / (g.ns + 10)
+                - (COALESCE(cb.cc, 0) + 1.0) / (t.n + 10))
+               * LN(((COALESCE(sb.c, 0) + 1.0) / (g.ns + 10))
+                    / ((COALESCE(cb.cc, 0) + 1.0) / (t.n + 10)))
+               * 1000000000) AS BIGINT) AS term_nano
+      FROM grid g
+      LEFT JOIN sb USING (source, bucket)
+      LEFT JOIN cb USING (bucket), tot t
+    )
+    SELECT source,
+           CAST(MAX(ns) AS BIGINT) AS n_docs,
+           ROUND(SUM(term_nano) / 1e9, 6) AS psi
+    FROM terms GROUP BY source
+    """
+
+
+@query("source_psi_drift", oracle=_psi_oracle())
+def source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor (X94): per source, the
+    PSI of its quality-score distribution against the corpus-wide
+    distribution over 10 fixed buckets (Laplace +1 smoothing so empty
+    buckets stay finite) — the standard score a pipeline alarms on
+    when one feed's quality profile shifts between crawls (PSI > 0.25
+    is the conventional "investigate" line). Complements X81 (which
+    re-ranks within a source) by detecting that a source CHANGED.
+
+    Determinism: bucket on the 1e-6-rounded quality (both engines
+    bucket the identical double); each bucket's (p−q)·ln(p/q) term is
+    quantized to integer nanos BEFORE the per-source sum (the X69
+    order-independent-statistics pattern), so summation order cannot
+    change the hash.
+
+    Scale: quality is per-row scan math; the (source, bucket) agg
+    map-side-combines to |sources|·10 rows; corpus bucket totals and
+    the scalar n broadcast; the term grid is |sources|·10 regardless
+    of corpus size."""
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    docs = t.documents.select(
+        "source",
+        F.least(
+            F.floor(
+                F.round(quality_score(F.col("text"), toks), 6) * 10
+            ).cast("int"),
+            F.lit(9),
+        ).alias("bucket"),
+    )
+    sb = docs.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    cb = docs.groupBy("bucket").agg(F.count(F.lit(1)).alias("cc"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    grid = srcs.crossJoin(
+        F.broadcast(spark.range(10).select(F.col("id").cast("int").alias("bucket")))
+    )
+    p = (F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("ns") + 10)
+    q = (F.coalesce(F.col("cc"), F.lit(0)) + 1.0) / (F.col("n") + 10)
+    term_nano = F.round((p - q) * F.log(p / q) * 1e9).cast("long")
+    return (
+        grid.join(sb, ["source", "bucket"], "left")
+        .join(F.broadcast(cb), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "ns", term_nano.alias("term_nano"))
+        .groupBy("source")
+        .agg(
+            F.max("ns").cast("long").alias("n_docs"),
+            F.round(F.sum("term_nano") / 1e9, 6).alias("psi"),
+        )
+    )

@@ -64,7 +64,8 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
     cent AS (SELECT vec_id AS bid, embedding AS bv
-             FROM embeddings WHERE vec_id % 50 = 0),
+             FROM embeddings WHERE vec_id % 50 = 0
+             ORDER BY vec_id LIMIT 100),
     q AS (SELECT vec_id AS qid, embedding AS qv
           FROM embeddings WHERE vec_id < 20),
     assign AS (
@@ -98,7 +99,10 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: every 50th vector is a coarse centroid, corpus is
+    """IVF-style ANN: every 50th vector is a coarse centroid (capped at
+    100 — centroid count must stay SUBLINEAR in the corpus or the n·k
+    assign step grows quadratically, the superlinearity the sf1
+    spot-run caught when seeds scaled with the replica), corpus is
     bucketed by nearest centroid, each query probes its 3 nearest
     buckets. The oracle replays the full quantize→probe→rank pipeline —
     checking the ANN *construction*, not just the arithmetic."""
@@ -108,8 +112,11 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    cent = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")
+    cent = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(100)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
     )
     out = ivf_topk(q, c, cent, k=5, nprobe=3)
     return out.select("qid", "cid", "cosine", F.col("rank").cast("long").alias("rank"))
@@ -406,7 +413,8 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
     cent AS (SELECT vec_id AS bid, embedding AS bv
-             FROM embeddings WHERE vec_id % 100 = 0),
+             FROM embeddings WHERE vec_id % 100 = 0
+             ORDER BY vec_id LIMIT 50),
     assign AS (
       SELECT cid, cv, bid FROM (
         SELECT cid, cv, bid, ROW_NUMBER() OVER (
@@ -449,8 +457,13 @@ def kmeans_step_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = t.embeddings.select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    cent = t.embeddings.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")
+    # k capped (sublinear in the corpus): an E step whose k grows with n
+    # costs n·k — quadratic. Real deployments pick k ~ sqrt(n).
+    cent = (
+        t.embeddings.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(50)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
     )
     out = kmeans_step(corpus, cent)
     return out.select(
@@ -498,8 +511,13 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    cent = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")
+    # same sublinear-k cap as embedding_topk_ivf (and the same seed rule,
+    # so the recall gate grades exactly the index the ivf query serves)
+    cent = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(100)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
     )
     exact = cosine_topk(q, c, k=5).select("qid", "cid")
     approx = ivf_topk(q, c, cent, k=5, nprobe=3).select(
@@ -524,15 +542,26 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M = 4          # subspaces
 _PQ_W = 16         # dims per subspace (4 x 16 = 64)
 _PQ_SEED_MOD = 256  # every 256th vector seeds a codebook centroid
+_PQ_SEED_CAP = 32   # codebook k stays sublinear in the corpus
+
+_PQ_SEEDS_SQL = (
+    f"SELECT vec_id AS bid, embedding AS bv FROM embeddings "
+    f"WHERE vec_id % {_PQ_SEED_MOD} = 0 ORDER BY vec_id LIMIT {_PQ_SEED_CAP}"
+)
+
+
+def _pq_seeds(emb: DataFrame) -> DataFrame:
+    return (
+        emb.filter(F.col("vec_id") % _PQ_SEED_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_PQ_SEED_CAP)
+    )
 
 
 @query(
     "embedding_pq_codes",
     oracle=f"""
-    WITH seeds AS (
-      SELECT vec_id AS bid, embedding AS bv FROM embeddings
-      WHERE vec_id % {_PQ_SEED_MOD} = 0
-    ),
+    WITH seeds AS ({_PQ_SEEDS_SQL}),
     dists AS (
       SELECT v.vec_id, s.s, c.bid,
              list_sum(list_transform(range(1, {_PQ_W + 1}), i ->
@@ -582,7 +611,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     emb = t.embeddings
-    seeds = emb.filter(F.col("vec_id") % _PQ_SEED_MOD == 0)
+    seeds = _pq_seeds(emb)
     enc = pq_encode(emb, seeds, dim=_PQ_M * _PQ_W, m=_PQ_M)
     code = (F.col("code_id") / _PQ_SEED_MOD).cast("long")
     return (
@@ -608,10 +637,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pq_adc_topk",
     oracle=f"""
-    WITH seeds AS (
-      SELECT vec_id AS bid, embedding AS bv FROM embeddings
-      WHERE vec_id % {_PQ_SEED_MOD} = 0
-    ),
+    WITH seeds AS ({_PQ_SEEDS_SQL}),
     dists AS (
       SELECT v.vec_id, s.s, c.bid,
              list_sum(list_transform(range(1, {_PQ_W + 1}), i ->
@@ -671,7 +697,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     emb = t.embeddings
-    seeds = emb.filter(F.col("vec_id") % _PQ_SEED_MOD == 0)
+    seeds = _pq_seeds(emb)
     dim = _PQ_M * _PQ_W
     codes = pq_encode(emb, seeds, dim=dim, m=_PQ_M).select(
         F.col("vec_id").alias("cid"), "sub_id", "code_id"

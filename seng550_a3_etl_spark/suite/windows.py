@@ -17,8 +17,13 @@ from seng550_a3_etl_spark.operators.dedup import latest_wins, merge_upsert
 from seng550_a3_etl_spark.operators.joins import asof_join
 from seng550_a3_etl_spark.suite.registry import query
 
-_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+# Canonical formats live in shared_sql (streaming twins share them);
+# the underscore aliases predate that and are kept for local use.
+from seng550_a3_etl_spark.suite.shared_sql import (  # noqa: E402
+    CDC_APPLY_ORACLE,
+    TS_FMT as _TS_FMT,
+    TS_FMT_DUCK as _TS_FMT_DUCK,
+)
 
 
 @query(
@@ -704,31 +709,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "cdc_apply_latest",
-    oracle=f"""
-    WITH oplog AS (
-      SELECT user_id,
-             CAST(ts AS TIMESTAMP) AS ts,
-             event_id,
-             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-             value
-      FROM events
-    ),
-    latest AS (
-      SELECT * FROM (
-        SELECT *, ROW_NUMBER() OVER (
-          PARTITION BY user_id ORDER BY ts DESC, event_id DESC
-        ) AS rn
-        FROM oplog
-      ) WHERE rn = 1
-    )
-    SELECT user_id,
-           strftime(ts, '{_TS_FMT_DUCK}') AS last_ts,
-           ROUND(value, 4) AS value
-    FROM latest WHERE op != 'D'
-    """,
-)
+@query("cdc_apply_latest", oracle=CDC_APPLY_ORACLE)
 def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC log apply WITH DELETES (X84): collapse an upsert/delete
     operation log to current table state — last op per key wins, and a

@@ -398,3 +398,23 @@ def test_mix_budget_single_shuffle(spark):
     plan = _executed_plan(QUERIES["source_mix_budget"](spark, SF_ORACLE))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Window" in plan, plan
+
+
+def test_sql_correlated_subquery_decorrelates(spark):
+    # sql_correlated_orders (X95): Catalyst must rewrite the correlated
+    # scalar subquery into an aggregate + equi-join — never a per-row
+    # nested loop or a cartesian product.
+    plan = _executed_plan(QUERIES["sql_correlated_orders"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert "Join" in plan or "HashJoin" in plan, plan
+
+
+def test_psi_output_bounded_by_sources(spark):
+    # source_psi_drift (X94): output cardinality is |sources|, psi >= 0
+    # is NOT guaranteed per term but the total must be finite, and every
+    # source of the fixture appears exactly once.
+    rows = QUERIES["source_psi_drift"](spark, SF_ORACLE).collect()
+    assert len(rows) == len({r.source for r in rows})
+    assert all(r.psi is not None and abs(r.psi) < 100 for r in rows)
+    assert sum(r.n_docs for r in rows) > 0

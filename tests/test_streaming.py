@@ -303,3 +303,33 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
     # copies were seen (ordering across files is by path: b1 first)
     by_key = {r.event_id: r.v for r in got}
     assert all(by_key[k] == "first" for k in range(1, 8))
+
+
+def test_event_stream_reads_directory_shaped_table(spark, tmp_path):
+    # The bench's 10x replica writes events.parquet as a DIRECTORY of
+    # part files; the old pathGlobFilter source silently matched nothing
+    # there and streamed zero rows. The glob source must read both
+    # layouts.
+    from tests.conftest import SF_ORACLE
+
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.suite.streaming_suite import _event_stream
+
+    n = load_tables(spark, SF_ORACLE).events.count()
+    out = str(tmp_path / "scaled")
+    import os
+
+    os.makedirs(out)
+    spark.read.parquet(f"{SF_ORACLE}/events.parquet").write.parquet(
+        f"{out}/events.parquet"
+    )
+    q = (
+        _event_stream(spark, out)
+        .writeStream.format("memory")
+        .queryName("dir_shape_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("dir_shape_probe").count() == n
