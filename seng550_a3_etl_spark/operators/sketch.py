@@ -108,3 +108,49 @@ def kmv_distinct(
             est_col
         )
     )
+
+
+def kmv_setops(
+    a: DataFrame, b: DataFrame, a_key: str, b_key: str, k: int
+) -> DataFrame:
+    """KMV set-operation estimates between two key columns (Beyer et
+    al., distinct-value synopses under multiset operations): one row
+    with ``est_union`` ((k-1)/u_k over the merged re-minimized sketch)
+    and ``est_inter`` (union estimate scaled by the fraction of merged
+    minima present in BOTH side sketches). When the true union holds
+    fewer than k keys both estimates degenerate to exact counts
+    (k_eff = |merged|) — the property unit tests pin.
+
+    Scale: each side folds to its k smallest distinct hashes via
+    TakeOrdered (per-partition heaps + driver merge, never a global
+    sort); the algebra then runs on two k-element arrays in one task."""
+
+    def side(df: DataFrame, key: str, out: str) -> DataFrame:
+        hashed = df.select(
+            hash64(F.col(key).cast("string")).alias("h")
+        ).distinct()
+        return (
+            hashed.orderBy("h")
+            .limit(k)
+            .agg(F.sort_array(F.collect_list("h")).alias(out))
+        )
+
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("la", "lb"))), 1, k
+    )
+    m = side(a, a_key, "la").crossJoin(side(b, b_key, "lb")).select(
+        "la", "lb", merged.alias("hm")
+    )
+    est_union = _estimate(F.col("hm"), k)
+    k_int = F.size(
+        F.filter(
+            F.col("hm"),
+            lambda x: F.array_contains("la", x) & F.array_contains("lb", x),
+        )
+    )
+    k_eff = F.least(F.lit(k), F.size("hm"))
+    return m.select(
+        F.lit(k).cast("long").alias("k"),
+        est_union.alias("est_union"),
+        (k_int / k_eff.cast("double") * est_union).alias("est_inter"),
+    )

@@ -12,7 +12,11 @@ from pyspark.sql import functions as F
 
 from seng550_a3_etl_spark.catalog import load_tables
 from seng550_a3_etl_spark.functions.hashing import duck_hash64
-from seng550_a3_etl_spark.operators.sketch import duck_kmv_estimate, kmv_distinct
+from seng550_a3_etl_spark.operators.sketch import (
+    duck_kmv_estimate,
+    kmv_distinct,
+    kmv_setops,
+)
 from seng550_a3_etl_spark.suite.registry import query
 
 _K = 64
@@ -50,3 +54,105 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_K,
         est_col="est_users",
     )
+
+
+_JK = 64  # sketch size for the join-cardinality estimate
+
+
+@query(
+    "kmv_join_cardinality",
+    oracle=f"""
+    WITH ha AS (
+      SELECT DISTINCT {duck_hash64("CAST(o_custkey AS VARCHAR)")} AS h
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    hb AS (
+      SELECT DISTINCT {duck_hash64("CAST(c_custkey AS VARCHAR)")} AS h
+      FROM customer WHERE c_acctbal > 1000
+    ),
+    sa AS (SELECT list_sort(list(h))[1:{_JK}] AS la FROM ha),
+    sb AS (SELECT list_sort(list(h))[1:{_JK}] AS lb FROM hb),
+    m AS (
+      SELECT la, lb,
+             list_sort(list_distinct(la || lb))[1:{_JK}] AS hm
+      FROM sa, sb
+    ),
+    est AS (
+      SELECT {duck_kmv_estimate("hm", _JK)} AS est_union,
+             len(list_filter(hm, x ->
+               list_contains(la, x) AND list_contains(lb, x))) AS k_int,
+             LEAST({_JK}, len(hm)) AS k_eff
+      FROM m
+    ),
+    exact AS (
+      SELECT (SELECT COUNT(DISTINCT o_custkey) FROM orders
+              WHERE o_orderstatus = 'F') AS n_a,
+             (SELECT COUNT(DISTINCT c_custkey) FROM customer
+              WHERE c_acctbal > 1000) AS n_b,
+             (SELECT COUNT(*) FROM
+               (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderstatus = 'F' AND o_custkey IN
+                  (SELECT c_custkey FROM customer WHERE c_acctbal > 1000))
+             ) AS exact_inter
+    )
+    SELECT CAST({_JK} AS BIGINT) AS k,
+           ROUND(est_union, 4) AS est_union,
+           ROUND(k_int / CAST(k_eff AS DOUBLE) * est_union, 4) AS est_inter,
+           CAST(n_a + n_b - exact_inter AS BIGINT) AS exact_union,
+           CAST(exact_inter AS BIGINT) AS exact_inter
+    FROM est, exact
+    """,
+)
+def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates (X97): estimate the distinct-key
+    UNION and INTERSECTION cardinalities between two tables' join keys
+    from two k-minimum-values sketches — the synopsis a planner (or the
+    X82 skew report's big sibling) consults to predict join output size
+    WITHOUT scanning either table twice. Sketch algebra per Beyer et
+    al.: merge both min-k sets, re-take the k smallest for the union
+    estimate; the intersection estimate scales the union estimate by
+    the fraction of merged minima present in BOTH sketches. When the
+    true union has fewer than k keys the sketch degenerates to the
+    exact answer (k_eff = |merged|). Deterministic md5-60bit hashing
+    makes even the *approximate* numbers oracle-checkable; the exact
+    counts ride along so the output doubles as an accuracy report.
+
+    Scale: each side folds to its k smallest distinct hashes via
+    TakeOrdered (per-partition heaps + driver merge — never a global
+    sort); everything after is arithmetic on two k-element arrays. The
+    exact counts are one distinct-agg per side plus a broadcast semi
+    join — they exist for the report; a planner would keep sketches
+    only."""
+    t = load_tables(spark, sf_dir)
+    # two genuinely partial-overlapping key sets (finished orders'
+    # customers vs high-balance customers) so the intersection estimate
+    # exercises the Jaccard scaling, not the degenerate A==B case
+    side_a = t.orders.filter(F.col("o_orderstatus") == "F")
+    side_b = t.customer.filter(F.col("c_acctbal") > 1000)
+    est = kmv_setops(side_a, side_b, "o_custkey", "c_custkey", _JK).select(
+        "k",
+        F.round("est_union", 4).alias("est_union"),
+        F.round("est_inter", 4).alias("est_inter"),
+    )
+    na = side_a.agg(F.countDistinct("o_custkey").alias("n_a"))
+    nb = side_b.agg(F.countDistinct("c_custkey").alias("n_b"))
+    inter = (
+        side_a.select(F.col("o_custkey"))
+        .join(
+            side_b.select(F.col("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .agg(F.countDistinct("o_custkey").alias("exact_inter"))
+    )
+    exact = (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(inter))
+        .select(
+            (F.col("n_a") + F.col("n_b") - F.col("exact_inter")).alias(
+                "exact_union"
+            ),
+            "exact_inter",
+        )
+    )
+    return est.crossJoin(F.broadcast(exact))

@@ -261,3 +261,73 @@ def test_session_window_boundary_semantics(spark):
     )
     assert [r["count"] for r in out] == [2, 1]
     assert str(out[0]["w"]["end"]) == "2024-01-01 01:00:00"
+
+
+# corpora of small docs over a tiny alphabet so span collisions are common
+_docs = st.lists(
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_docs, k=st.integers(2, 4))
+@settings(**SET)
+def test_dup_span_stats_matches_brute_force(spark, docs, k):
+    from seng550_a3_etl_spark.operators.text_dedup import dup_span_stats
+
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in dup_span_stats(df, "doc_id", "text", k).collect()
+    }
+    # brute force: every k-window position; dup iff the exact span occurs
+    # anywhere in another doc
+    spans = [
+        [tuple(t[i : i + k]) for i in range(len(t) - k + 1)]
+        # split('\s+') on "" yields [""] — one empty token, same as Spark
+        for t in ([txt.split() or [""] for txt in texts])
+    ]
+    for i, ws in enumerate(spans):
+        other = set().union(*(set(s) for j, s in enumerate(spans) if j != i)) if len(spans) > 1 else set()
+        n_dup = sum(1 for w in ws if w in other)
+        assert got[i] == (len(ws), n_dup), (i, texts)
+
+
+@given(docs=_docs)
+@settings(**SET)
+def test_canonical_dedup_partition_properties(spark, docs):
+    # groups partition the ids; canonical is the min member; group_size
+    # and n_raw_variants are consistent with a python replay
+    import re
+
+    from seng550_a3_etl_spark.operators.text_dedup import canonical_dedup
+    from seng550_a3_etl_spark.suite.text import _spark_norm
+
+    texts = [
+        " ".join(toks) + ("!" if i % 2 else "")  # punctuation variants
+        for i, toks in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = canonical_dedup(df, "doc_id", "text", _spark_norm).collect()
+
+    def norm(s: str) -> str:
+        return re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", "", s.lower())).strip()
+
+    by_norm: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        by_norm.setdefault(norm(t), []).append(i)
+    got = {r.doc_id: r for r in rows}
+    assert set(got) == set(range(len(texts)))
+    for members in by_norm.values():
+        raws = {texts[i] for i in members}
+        for i in members:
+            r = got[i]
+            assert r.canonical_id == min(members)
+            assert r.group_size == len(members)
+            assert r.n_raw_variants == len(raws)

@@ -81,3 +81,25 @@ def test_estimate_matches_duckdb_replay(spark):
         ).fetchall()
     }
     assert got == want  # bit-identical doubles, not approximately equal
+
+
+def test_kmv_setops_degenerates_to_exact_below_k(spark):
+    from seng550_a3_etl_spark.operators.sketch import kmv_setops
+
+    a = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    b = spark.createDataFrame([(i,) for i in range(5, 15)], "y long")
+    row = kmv_setops(a, b, "x", "y", k=64).collect()[0]
+    # union 15 < k: sketch holds every key, estimates are exact
+    assert row.est_union == 15.0
+    assert row.est_inter == 5.0
+
+
+def test_kmv_setops_disjoint_and_identical(spark):
+    from seng550_a3_etl_spark.operators.sketch import kmv_setops
+
+    a = spark.createDataFrame([(i,) for i in range(8)], "x long")
+    b = spark.createDataFrame([(i,) for i in range(100, 108)], "y long")
+    row = kmv_setops(a, b, "x", "y", k=32).collect()[0]
+    assert row.est_union == 16.0 and row.est_inter == 0.0
+    same = kmv_setops(a, a, "x", "x", k=32).collect()[0]
+    assert same.est_union == 8.0 and same.est_inter == 8.0
