@@ -71,12 +71,15 @@ HEADLINE = [
 ]
 
 
-# The 10 heaviest suite queries (bench_full.json r4 ranking) — the
-# sf1 spot-run re-times each at 10× data to back the linear-scaling
-# claims with a measurement (VERDICT r4 #6).
+# The heaviest suite queries over the REPLICATED tables (documents /
+# embeddings / events — _scale_10x symlinks the rest, so star-schema
+# queries would measure nothing) — the sf1 spot-run re-times each at
+# 10× data to back the linear-scaling claims with a measurement
+# (VERDICT r4 #6). Membership refreshed from the r5 bench_full ranking.
 SF1_SPOT = [
     "cluster_best_doc",
     "curation_pipeline",
+    "dup_span_stats",
     "prefix_filter_dup_pairs",
     "stream_click_attribution",
     "ngram_dup_pairs",
@@ -85,6 +88,7 @@ SF1_SPOT = [
     "fuzzy_dup_pairs",
     "simhash_near_pairs",
     "minhash_dup_pairs",
+    "normalized_exact_dedup",
 ]
 
 

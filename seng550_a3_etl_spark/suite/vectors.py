@@ -718,3 +718,101 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 5)
         .select("qid", "cid", "approx_micro2")
     )
+
+
+@query(
+    "label_embedding_dispersion",
+    oracle="""
+    WITH u AS (
+      SELECT label,
+             list_transform(embedding, x -> CAST(ROUND(
+               x::DOUBLE / sqrt(list_sum(list_transform(
+                 embedding, y -> y::DOUBLE * y::DOUBLE)))
+               * 1000000) AS BIGINT)) AS um
+      FROM embeddings
+      WHERE list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)) > 0
+    ),
+    perdim AS (
+      SELECT label, i AS dim, SUM(um[CAST(i AS INT)]) AS s
+      FROM u, range(1, 65) t(i) GROUP BY 1, 2
+    ),
+    s2 AS (
+      SELECT label,
+             SUM(CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) AS ssq
+      FROM perdim GROUP BY 1
+    ),
+    diag AS (
+      SELECT label, COUNT(*) AS n,
+             SUM(list_sum(list_transform(um, x -> x * x))) AS d
+      FROM u GROUP BY 1
+    )
+    SELECT label,
+           CAST(n AS BIGINT) AS n_vecs,
+           CASE WHEN n > 1 THEN ROUND(
+             CAST(ssq - CAST(d AS DECIMAL(38,0)) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (n - 1) * 1000000000000.0), 6)
+           END AS mean_pairwise_cos
+    FROM s2 JOIN diag USING (label)
+    """,
+)
+def label_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-space dispersion (X99): the mean pairwise
+    cosine similarity inside each label, the curation diagnostic for
+    class redundancy — a label whose members all point the same way
+    (mean cos → 1) is near-duplicate-heavy or template-generated, one
+    near 0 is diverse. Computed WITHOUT forming pairs via the centroid
+    identity over unit vectors: sum of all pairwise dots =
+    ||Σu||² − Σ||u||², so the per-label cost is one vector sum, never
+    C(n,2) — the only way the statistic exists at 100 TB.
+
+    Determinism: each vector normalizes per-row (sequential fold, both
+    engines identical) and quantizes to integer micros BEFORE the
+    cross-row sums; ||Σu||² is decimal(38,0) arithmetic on exact
+    integer per-dim sums (longs overflow at (5e9)²), so partitioning
+    cannot change a bit. Singleton labels emit NULL.
+
+    Scale: per-(label, dim) partial sums map-side combine (k·64 groups
+    regardless of corpus size — the kmeans M-step shuffle shape); the
+    diagonal term folds per-row in the scan."""
+    from pyspark.sql.window import Window  # noqa: F401  (parity w/ siblings)
+
+    t = load_tables(spark, sf_dir)
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    um = F.transform(
+        dv, lambda x: F.round(x / norm * 1_000_000).cast("long")
+    )
+    u = t.embeddings.filter(norm > 0).select("label", um.alias("um"))
+    perdim = (
+        u.select("label", F.posexplode("um").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.sum("v").alias("s"))
+    )
+    dec = F.col("s").cast("decimal(38,0)")
+    s2 = perdim.groupBy("label").agg(F.sum(dec * dec).alias("ssq"))
+    diag = (
+        u.select(
+            "label",
+            F.aggregate(
+                "um", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            ).alias("d2"),
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("d2").alias("d"))
+    )
+    return s2.join(diag, "label").select(
+        "label",
+        F.col("n").cast("long").alias("n_vecs"),
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                (F.col("ssq") - F.col("d").cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / (F.col("n").cast("double") * (F.col("n") - 1) * 1e12),
+                6,
+            ),
+        ).alias("mean_pairwise_cos"),
+    )

@@ -788,3 +788,91 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@query(
+    "gapfill_daily_series",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n, ROUND(SUM(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT CAST(u AS DATE) AS day FROM (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS u
+        FROM bounds
+      )
+    ),
+    grid AS (
+      SELECT t.event_type, s.day
+      FROM (SELECT DISTINCT event_type FROM events) t, spine s
+    ),
+    j AS (
+      SELECT g.event_type, g.day, d.n, d.v
+      FROM grid g LEFT JOIN daily d USING (event_type, day)
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           v AS day_value,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           n IS NULL AS is_gap
+    FROM j
+    """,
+)
+def gapfill_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-filling resample (X98): rebuild each event type's
+    daily value series on a COMPLETE calendar spine (every day between
+    the corpus min and max date, so silent outage days surface as rows,
+    not absences) and forward-fill gaps with the last observed value —
+    the resample → ffill step every monitoring/feature pipeline runs
+    before rates, z-scores (X80), or model features are computed over a
+    series. Leading gaps (before a type's first observation) stay NULL;
+    ``is_gap`` keeps the imputation auditable.
+
+    Scale: the daily rollup is the only corpus-sized aggregation (one
+    map-side-combined shuffle); the spine is date ARITHMETIC (sequence
+    between two scalar bounds — never a scan), the grid is
+    |types|·|days| rollup-sized rows, and the forward-fill window
+    sorts that rollup, not events (the X38 window-over-rollup
+    justification). Values are rounded BEFORE the fill so the carried
+    value is bit-identical to the day it came from."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    day = F.col("ts").cast("date")
+    daily = t.events.groupBy(
+        "event_type", day.alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("v")
+    )
+    bounds = t.events.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    types = t.events.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    j = grid.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.col("v").alias("day_value"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("n").isNull().alias("is_gap"),
+    )
