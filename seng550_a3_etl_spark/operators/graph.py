@@ -140,3 +140,67 @@ def connected_components(
             f"raise max_iter — rounds needed equals the graph diameter"
         )
     return labels
+
+
+def pagerank_step(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    damping: float = 0.85,
+) -> DataFrame:
+    """One weighted-PageRank power iteration from the uniform start —
+    the other iterative graph primitive (besides connected components)
+    a corpus pipeline wants: rank parts/domains/documents by weighted
+    in-link mass. Full PageRank iterates this from the driver exactly
+    like :func:`seng550_a3_etl_spark.operators.clustering.kmeans_step`
+    (each step is bounded-cost; no corpus-sized driver state).
+
+    Returns (node, pr): pr(v) = (1-d)/N + d * sum over in-edges of
+    w(u,v)/outw(u) * 1/N, with each edge contribution quantized to
+    integer PICO units before the per-node sum, so the distributed
+    reduction is order-independent and engine-exact (the X69 pattern;
+    the ~1e-12 per-edge quantization is far below any ranking
+    granularity). Nodes with no in-edges keep the teleport term.
+
+    Scale: out-weights are one partial+final agg over edges; the
+    contribution shuffle carries (dst, long) pairs with map-side
+    combine; N is a scalar broadcast. Per step: two hash shuffles on
+    node ids, nothing corpus-sized on the driver."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outw = edges.groupBy(src).agg(F.sum(weight).alias("__ow"))
+    contrib = (
+        edges.join(outw, src)
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            F.col(dst).alias("node"),
+            F.round(
+                F.lit(damping)
+                * F.col(weight)
+                / F.col("__ow")
+                / F.col("n")
+                * 1e12
+            )
+            .cast("long")
+            .alias("__pico"),
+        )
+        .groupBy("node")
+        .agg(F.sum("__pico").alias("__in"))
+    )
+    return (
+        nodes.join(contrib, "node", "left")
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            "node",
+            F.round(
+                (1.0 - damping) / F.col("n")
+                + F.coalesce("__in", F.lit(0)) / 1e12,
+                9,
+            ).alias("pr"),
+        )
+    )

@@ -104,11 +104,17 @@ def dup_span_stats(
     has fewer than k tokens).
 
     Scale: windows are k-shingles built per-row (zero shuffle) and
-    hashed to 60-bit longs BEFORE they shuffle. Two hash shuffles
-    total, both on the window hash — the distinct-doc posting count
-    (map-side combined) and the join back to positions (the shared
-    set is corpus-sized at web scale, so no broadcast) — then the
-    per-doc fold partial-aggregates map-side."""
+    hashed to 60-bit longs BEFORE they shuffle — the tokenize→hash
+    pipeline runs in ONE corpus pass (the original agg + join-back
+    form evaluated it twice and scanned the corpus three times). The
+    (hash, doc) rollup carries per-doc position counts; the
+    distinct-doc count per hash is a count-over-window on that rollup
+    (the doc_novelty_frac trick — rollup rows ARE the distinct
+    (hash, doc) pairs), and the surviving rows fold per doc. The
+    closing left join restores docs with no duplicated span (and the
+    sub-k-token docs the window builder skips)."""
+    from pyspark.sql.window import Window
+
     docs = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__tk")
     )
@@ -118,16 +124,13 @@ def dup_span_stats(
             "__h"
         ),
     )
-    shared = (
-        wins.groupBy("__h")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .filter(F.col("__nd") >= 2)
-        .select("__h")
-    )
+    per = wins.groupBy("__h", id_col).agg(F.count(F.lit(1)).alias("__c"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("__h"))
     dupc = (
-        wins.join(shared, "__h")
+        per.withColumn("__nd", nd)
+        .filter(F.col("__nd") >= 2)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("__dup"))
+        .agg(F.sum("__c").alias("__dup"))
     )
     n_windows = F.greatest(F.size("__tk") - (k - 1), F.lit(0)).cast("long")
     return (

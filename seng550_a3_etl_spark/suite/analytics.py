@@ -877,3 +877,62 @@ def price_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("total_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X100 — weighted PageRank power-iteration step over the co-purchase graph.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pagerank_step_parts",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
+      FROM op a JOIN op b ON a.o = b.o AND a.p != b.p
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY 1),
+    contrib AS (
+      SELECT e.dst AS node,
+             SUM(CAST(ROUND(0.85 * e.w / ow.ow / n.n * 1000000000000)
+                 AS BIGINT)) AS i
+      FROM e JOIN ow USING (src), n GROUP BY 1
+    )
+    SELECT node, ROUND((1.0 - 0.85) / n.n + COALESCE(i, 0) / 1e12, 9) AS pr
+    FROM nodes LEFT JOIN contrib USING (node), n
+    """,
+)
+def pagerank_step_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-PageRank power iteration (X100) over the part
+    co-purchase graph (edges = parts sharing an order, weight =
+    co-occurrence count): the importance ranking a recommender or
+    link-spam filter seeds from; the operator is one step of the
+    driver-iterated fixpoint, exactly the kmeans_step/connected-
+    components pattern for iterative algorithms on Spark. Teleport
+    constant is computed as (1.0 - 0.85), NOT a 0.15 literal — the two
+    differ in the last ulp and would flip the 9th rounded decimal.
+
+    Scale: the co-purchase self-join fans out C(basket, 2) pairs per
+    order — bounded by the basket size, never |parts|²; out-weights
+    are one partial+final agg; each edge contribution quantizes to
+    integer picos BEFORE the per-node sum so the distributed reduction
+    is order-independent (X69). Two node-key shuffles per step."""
+    from seng550_a3_etl_spark.operators.graph import pagerank_step
+
+    t = load_tables(spark, sf_dir)
+    op = t.lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
+        .groupBy(
+            F.col("a.p").alias("src"), F.col("b.p").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank_step(edges).select("node", "pr")

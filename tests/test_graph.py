@@ -153,3 +153,28 @@ def test_long_chain_converges(spark):
     finally:
         graph.DRIVER_EDGE_THRESHOLD = orig
     assert got == {(i, 0) for i in range(13)}
+
+
+def test_pagerank_step_two_node_cycle(spark):
+    from seng550_a3_etl_spark.operators.graph import pagerank_step
+
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1)], "src long, dst long, w long"
+    )
+    rows = {r.node: r.pr for r in pagerank_step(e).collect()}
+    # symmetric 2-cycle: uniform is the fixpoint, one step preserves it
+    assert rows[1] == rows[2] == 0.5
+
+
+def test_pagerank_step_star_mass_and_sink(spark):
+    from seng550_a3_etl_spark.operators.graph import pagerank_step
+
+    # 3 leaves all pointing at hub 0; leaves get only teleport mass
+    e = spark.createDataFrame(
+        [(i, 0, 1) for i in (1, 2, 3)], "src long, dst long, w long"
+    )
+    rows = {r.node: r.pr for r in pagerank_step(e).collect()}
+    teleport = round((1.0 - 0.85) / 4, 9)
+    assert rows[1] == rows[2] == rows[3] == teleport
+    # hub receives d * (1/N) from each leaf (full out-weight each)
+    assert abs(rows[0] - (teleport + 0.85 * 3 / 4)) < 1e-9
