@@ -124,3 +124,63 @@ def per_source_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("source", "doc_id", "n_chars")
     )
+
+
+_ES_SEED = 31
+_ES_K = 20
+_ES_POW60 = 1152921504606846976.0  # 2^60 as an exact double constant
+
+
+@query(
+    "es_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars,
+           ROUND(LN(({duck_hash64("CAST(doc_id AS VARCHAR)", seed=_ES_SEED)}
+                     + 1) / {_ES_POW60}) / n_chars, 9) AS es_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY LN(({duck_hash64("CAST(doc_id AS VARCHAR)", seed=_ES_SEED)}
+                 + 1) / {_ES_POW60}) / n_chars DESC, doc_id
+    LIMIT {_ES_K}
+    """,
+)
+def es_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sampling without replacement (X101,
+    Efraimidis–Spirakis A-ES): each doc draws key ln(u)/w from a
+    hash-derived uniform u and its weight w = n_chars; the top-k keys
+    ARE a weighted sample without replacement of exactly k items —
+    the op that fills a fixed token budget with inclusion probability
+    proportional to size, where X45's Bernoulli keep-probability
+    yields a RANDOM-sized sample. The hash-uniform makes the "random"
+    keys deterministic and rerun/partition-stable, so even the sample
+    membership is oracle-checked (u = (h+1)/2^60 ∈ (0,1], computed
+    with the identical double constant in both engines; ordering uses
+    the UNROUNDED key, the emitted key is display-rounded).
+
+    Scale: key assignment is scan-stage arithmetic; the top-k is
+    TakeOrdered (per-partition heaps + driver merge of k rows) —
+    never a global sort; no sampling state, any executor count."""
+    t = load_tables(spark, sf_dir)
+    u = (
+        hash64(F.col("doc_id").cast("string"), seed=_ES_SEED) + 1
+    ) / F.lit(_ES_POW60)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        t.documents.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            key.alias("__k"),
+        )
+        .orderBy(F.desc("__k"), F.asc("doc_id"))
+        .limit(_ES_K)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.round("__k", 9).alias("es_key"),
+        )
+    )

@@ -30,6 +30,8 @@ INVARIANT_QUERIES = [
     "asof_signup_for_purchase",
     # hash-mod sampling must select the same rows under any layout
     "uniform_doc_sample",
+    # weighted top-k sampling: membership AND order keys layout-stable
+    "es_weighted_sample",
 ]
 
 VARIANTS = {
