@@ -68,6 +68,8 @@ HEADLINE = [
     "source_mix_budget",
     "vocab_top_tokens",
     "stream_session_windows",
+    "bloom_pruned_revenue",
+    "copurchase_triangles",
 ]
 
 

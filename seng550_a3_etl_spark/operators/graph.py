@@ -204,3 +204,72 @@ def pagerank_step(
             ).alias("pr"),
         )
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle / wedge census over an undirected edge list.
+
+    Returns one row ``(n_edges, n_wedges, n_triangles)`` — the inputs to
+    the global clustering coefficient ``3*T / W`` that graph-quality and
+    community-structure monitors track (e.g. on a near-dup or
+    co-occurrence graph, a sudden clustering jump flags template spam).
+
+    Scale design (Cohen / Suri-Vassilvitskii degree orientation): a
+    naive wedge join fans out C(deg, 2) per node — quadratic in the max
+    degree, fatal on skewed graphs. Orienting every edge from the
+    (degree, id)-SMALLER endpoint to the larger caps every node's
+    out-degree at O(sqrt(m)), so the wedge join emits at most O(m^1.5)
+    candidates TOTAL regardless of skew — the canonical bound. The plan
+    is: one dedup shuffle (canonical a<b edge), one degree aggregate,
+    the wedge self-join on the oriented source, and one closing
+    equi-join back to the oriented edges; every triangle is counted
+    exactly once because orientation is a total order.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient each edge from the (deg, id)-smaller endpoint ("lo") to the
+    # larger ("hi"); ties break on node id so the order is total.
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    lo_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+    )
+    w1 = oriented.select(F.col("lo"), F.col("hi").alias("u"))
+    w2 = oriented.select(F.col("lo"), F.col("hi").alias("v"))
+    wedges = w1.join(w2, "lo").filter(F.col("u") < F.col("v"))
+    closing = e.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    )
+    tri = wedges.join(closing, ["u", "v"], "left_semi")
+    n_wedges = deg.select(
+        F.expr("sum(CAST(deg AS BIGINT) * (deg - 1)) div 2").alias("n_wedges")
+    )
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(F.broadcast(n_wedges))
+        .crossJoin(
+            F.broadcast(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        )
+    )

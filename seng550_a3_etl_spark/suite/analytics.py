@@ -936,3 +936,147 @@ def pagerank_step_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     return pagerank_step(edges).select("node", "pr")
+
+
+@query(
+    "bloom_pruned_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-reduced selective join (X102): revenue of lineitems whose
+    order is 1-URGENT (~20% of orders). The urgent keys build a
+    distributed Bloom bitset (one tiny bit_or aggregate); the lineitem
+    scan probes it through broadcast word-table joins BEFORE any
+    shuffle, so ~80% of the fact table dies map-side; the residual
+    left_semi against the exact key set removes Bloom false positives,
+    making the result identical to the plain join the oracle runs.
+
+    Scale: this is sideways information passing / Spark's AQE runtime
+    bloom filter made explicit — at 100 TB the exchange after the probe
+    carries only matching rows plus an (1-e^{-kn/m})^k false-positive
+    trickle, and the filter itself is O(num_bits/64) rows, never
+    driver-materialized (operators/bloomjoin.py)."""
+    from seng550_a3_etl_spark.operators.bloomjoin import bloom_semi_join
+
+    t = load_tables(spark, sf_dir)
+    urgent = t.orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    li = t.lineitem.select("l_orderkey", "l_returnflag", "l_extendedprice")
+    matched = bloom_semi_join(li, "l_orderkey", urgent, "o_orderkey")
+    return matched.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+
+
+@query(
+    "copurchase_triangles",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT x.p AS a, y.p AS b
+      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+      GROUP BY node
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT CAST(SUM(deg * (deg - 1)) AS BIGINT) // 2 FROM deg)
+             AS n_wedges,
+           (SELECT COUNT(*)
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle census (X103) of the part co-purchase
+    graph — n_edges / n_wedges / n_triangles, the inputs to the global
+    clustering coefficient 3T/W that community-structure and template-
+    spam monitors track on co-occurrence and near-dup graphs.
+
+    Scale: the wedge self-join is the quadratic hazard — C(deg, 2) per
+    node explodes on hub nodes. operators/graph.triangle_count orients
+    every edge from its (degree, id)-smaller endpoint first, capping
+    out-degree at O(sqrt(m)) and total wedge candidates at O(m^1.5)
+    INDEPENDENT of skew (Suri-Vassilvitskii); the close is a left_semi
+    equi-join back to the canonical edge set. The oracle counts the
+    same triangles via the a<b<c triple join DuckDB can afford at
+    sf0.01."""
+    from seng550_a3_etl_spark.operators.graph import triangle_count
+
+    t = load_tables(spark, sf_dir)
+    op = t.lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    x, y = op.alias("x"), op.alias("y")
+    edges = x.join(
+        y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p"))
+    ).select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    return triangle_count(edges)
+
+
+@query(
+    "part_name_edit_pairs",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, p_brand, p_size FROM part
+    )
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM p a
+    JOIN p b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+     AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def part_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance record linkage (X104): near-identical part
+    names (Levenshtein <= 3) within (brand, size) blocks — the classic
+    entity-resolution shape: a cheap equi-join blocking key bounds the
+    candidate set, an exact string metric verifies inside each block;
+    C(block, 2) comparisons, never |parts|^2.
+
+    Scale: blocking keys shuffle once (sort-merge self-join on the
+    block columns); Spark's three-argument levenshtein(a, b, 3) runs
+    the BANDED O(len * threshold) DP and bails to -1 past the bound
+    instead of filling the full O(len^2) matrix — at 100 TB the metric
+    cost is linear in the text, and the threshold makes the candidate
+    filter cheap enough to evaluate inside the join stage. Both engines
+    implement standard unit-cost Levenshtein, so the distances are
+    oracle-exact."""
+    t = load_tables(spark, sf_dir)
+    p = t.part.select("p_partkey", "p_name", "p_brand", "p_size")
+    a, b = p.alias("a"), p.alias("b")
+    d = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3)
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            d.cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )
