@@ -62,14 +62,15 @@ HEADLINE = [
     "salted_segment_revenue",
     "event_time_rollup",
     "promo_range_join",
+    "bloom_pruned_revenue",
+    "copurchase_triangles",
+    "sorted_neighbor_pairs",
     "seq_packed_chunks",
     "kmeans_step_clusters",
     "ann_recall_ivf",
     "source_mix_budget",
     "vocab_top_tokens",
     "stream_session_windows",
-    "bloom_pruned_revenue",
-    "copurchase_triangles",
 ]
 
 

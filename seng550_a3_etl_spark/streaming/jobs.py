@@ -64,9 +64,10 @@ def attribution_join_stream(
     ts_col: str = "ts",
     lookback: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each ``purchase`` event matched with
-    the same user's ``click`` events in the preceding ``lookback`` —
+    """Stream-stream join: each ``purchase`` event matched with the
+    same user's ``click`` events in the preceding ``lookback`` —
     click-to-purchase attribution.
 
     Both sides carry watermarks and the join condition bounds event time
@@ -74,6 +75,15 @@ def attribution_join_stream(
     ``lookback + watermark`` past its event time, a purchase only
     ``watermark`` — state is O(events within the horizon), not O(stream).
     Works identically on a batch frame (same equi+range join, no state).
+
+    ``how="left_outer"`` additionally emits every UNMATCHED purchase
+    with NULL click columns — but only once the click-side watermark
+    passes the purchase's last possible match time (the purchase ts
+    itself), because until then a matching click could still arrive.
+    Callers comparing against a batch left join must therefore restrict
+    to purchases old enough that emission is guaranteed (ts <= max
+    event time - watermark, minus slack) — the tail of the stream is
+    legitimately still pending, not wrong.
     """
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col(user_col),
@@ -95,6 +105,7 @@ def attribution_join_stream(
             F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"),
             F.col("purchase_ts"),
         ),
+        how,
     )
     return joined.select(
         user_col, "purchase_id", "purchase_ts", "click_id", "click_ts"

@@ -1080,3 +1080,138 @@ def part_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") >= 0)
     )
+
+
+@query(
+    "sorted_neighbor_pairs",
+    oracle="""
+    WITH r AS (
+      SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+      FROM part
+    )
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(b.rk - a.rk AS INT) AS gap,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM r a JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + 3
+    """,
+)
+def sorted_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted Neighborhood Method candidate pairs (X105, Hernandez &
+    Stolfo SIGMOD'95): records sorted on a blocking key pair with their
+    3 nearest rank-neighbors — the ER alternative to hard blocking
+    (X104) that still pairs near-dups straddling a block boundary; the
+    neighbor edit distance is the verify metric.
+
+    Scale: the naive plan is row_number() OVER (ORDER BY ...) — a
+    single-partition window that funnels the whole table through one
+    task. operators/ranking.global_row_number instead range-partitions
+    on the sort key, ranks each partition in parallel, and shifts by
+    broadcast per-partition offsets (the zipWithIndex pattern; the only
+    driver materialization is numPartitions count rows). Neighbor
+    matching is rank arithmetic through the bucketed interval join —
+    exactly `window` candidates per row, no self cross-join."""
+    from seng550_a3_etl_spark.operators.ranking import (
+        sorted_neighborhood_pairs,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pairs = sorted_neighborhood_pairs(
+        t.part.select("p_partkey", "p_name"),
+        ["p_name", "p_partkey"],
+        "p_partkey",
+        window=3,
+        carry=["p_name"],
+    )
+    return pairs.select(
+        F.col("p_partkey_a").alias("part_a"),
+        F.col("p_partkey_b").alias("part_b"),
+        "gap",
+        F.levenshtein(F.col("p_name_a"), F.col("p_name_b"))
+        .cast("int")
+        .alias("edit_dist"),
+    )
+
+
+@query(
+    "brand_price_regression",
+    oracle="""
+    WITH j AS (
+      SELECT p_brand,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    s AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM j GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+             AS slope,
+           ROUND((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+             AS intercept
+    FROM s
+    """,
+)
+def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (X106): price-vs-quantity slope and
+    intercept per brand — the grouped supervised fit (feature drift /
+    pricing-curve monitors) done WITHOUT any per-group model loop or
+    Python UDF: the normal equations need only (n, Σx, Σy, Σxy, Σx²),
+    which fold map-side in ONE aggregate pass after a broadcast dim
+    join; the division happens once per group on rollup-sized data.
+
+    Cross-engine exactness: moments accumulate as integer cents
+    (order-independent bigint sums; Σxy ≲ 5e10/row keeps sf1 well
+    inside int64 — at larger scale promote to decimal(38,0) like the
+    dispersion query), and the final ratios follow the SAME double
+    expression tree on both engines before a 9-decimal round."""
+    t = load_tables(spark, sf_dir)
+    j = t.lineitem.join(
+        F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "p_brand",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    s = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return s.select(
+        "p_brand",
+        "n",
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / denom,
+            9,
+        ).alias("slope"),
+        F.round(
+            (
+                F.col("sy").cast("double") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sxy").cast("double")
+            )
+            / denom,
+            9,
+        ).alias("intercept"),
+    )

@@ -424,3 +424,76 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("last.value", 4).alias("value"),
         )
     )
+
+
+_ATTR_OUTER_TABLE = "stream_attribution_outer_sink"
+
+
+@query(
+    "stream_attribution_outer",
+    oracle=f"""
+    WITH cut AS (
+      SELECT MAX(ts) - INTERVAL 3 HOUR - INTERVAL 1 MINUTE AS c
+      FROM events
+    )
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           strftime(CAST(p.ts AS TIMESTAMP), '{_TS_FMT_DUCK}') AS purchase_ts,
+           c2.event_id AS click_id,
+           strftime(CAST(c2.ts AS TIMESTAMP), '{_TS_FMT_DUCK}') AS click_ts
+    FROM events p
+    LEFT JOIN events c2
+      ON c2.user_id = p.user_id
+     AND c2.event_type = 'click'
+     AND c2.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    WHERE p.event_type = 'purchase'
+      AND p.ts <= (SELECT c FROM cut)
+    """,
+)
+def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join (X108): purchases WITHOUT a click
+    in the lookback window must also surface (NULL click columns) —
+    the attribution gap report. Outer rows cannot emit until the
+    click-side watermark proves no match can still arrive, so the
+    comparison window is purchases at least watermark+lookback (+1 min
+    slack) older than the stream's max event time — inside it emission
+    is GUARANTEED, and the streaming result must equal the batch left
+    join the oracle runs; the stream tail is legitimately pending, not
+    part of the contract. The cutoff scalar is computed batch-side and
+    applied via a broadcast cross-join filter (no driver collect)."""
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.streaming.jobs import attribution_join_stream
+
+    stream = _event_stream(spark, sf_dir)
+    with _state_partitions(spark, 8):
+        q = (
+            attribution_join_stream(stream, how="left_outer")
+            .writeStream.format("memory")
+            .queryName(_ATTR_OUTER_TABLE)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    cut = (
+        load_tables(spark, sf_dir)
+        .events.agg(
+            (
+                F.max("ts")
+                - F.expr("INTERVAL 3 HOURS")
+                - F.expr("INTERVAL 1 MINUTE")
+            ).alias("__cut")
+        )
+    )
+    return (
+        spark.table(_ATTR_OUTER_TABLE)
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("purchase_ts") <= F.col("__cut"))
+        .select(
+            "user_id",
+            "purchase_id",
+            F.date_format("purchase_ts", _TS_FMT).alias("purchase_ts"),
+            "click_id",
+            F.date_format("click_ts", _TS_FMT).alias("click_ts"),
+        )
+    )
