@@ -300,6 +300,78 @@ def ngram_jaccard_pairs(
     )
 
 
+def band_keys(
+    signed: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc, band, key) LSH bucket rows from (doc, sig) signatures: one
+    bucket key per band = the comma-joined signature slice. Pure
+    projection+explode (``bands`` rows per doc, no shuffle); this table
+    IS the LSH index — persist it and incremental batches join against
+    it without touching the corpus again (see
+    :func:`lsh_incremental_survivors`)."""
+    return signed.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.key")
+
+
+def lsh_incremental_survivors(
+    base_buckets: DataFrame, new_buckets: DataFrame
+) -> DataFrame:
+    """New-batch docs that survive dedup against a persisted LSH index.
+
+    The continuous-ingestion pattern: the corpus's ``(doc, band, key)``
+    bucket table (from :func:`band_keys`) is a materialized index; each
+    arriving batch computes ONLY its own buckets and joins the index —
+    the corpus is never re-paired, so per-batch cost is O(batch x
+    bands), not O(corpus²).
+
+    Drop rule (deterministic, order-free): a new doc is dropped iff it
+    shares any (band, key) bucket with (a) the base index or (b) a
+    smaller-id member of its own batch. Rule (b) deliberately does NOT
+    re-evaluate chains (B dropped for colliding with A does not revive
+    C that collided only with B) — survivorship depends only on the
+    input, not on a processing order, which keeps reruns and partial
+    retries idempotent; the cost is an occasional over-drop, the same
+    trade minhash banding itself makes.
+
+    Returns the distinct surviving new-doc ids (column ``doc``).
+    """
+    drop_base = new_buckets.join(
+        base_buckets.select("band", "key"), ["band", "key"], "left_semi"
+    ).select("doc")
+    bucket_min = new_buckets.groupBy("band", "key").agg(
+        F.min("doc").alias("__min_doc")
+    )
+    drop_batch = (
+        new_buckets.join(bucket_min, ["band", "key"])
+        .filter(F.col("doc") > F.col("__min_doc"))
+        .select("doc")
+    )
+    dropped = drop_base.unionAll(drop_batch).distinct()
+    return (
+        new_buckets.select("doc")
+        .distinct()
+        .join(dropped, "doc", "left_anti")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -339,26 +411,7 @@ def minhash_lsh_pairs(
         .localCheckpoint(eager=True)
     )
     signed = minhash_signatures(sets_, "doc", F.col("sh"), num_perm)
-    banded = signed.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc", "bk.band", "bk.key")
+    banded = band_keys(signed, bands, rows_per_band)
     cand = (
         bucket_pairs(banded, ["band", "key"], F.col("doc"))
         .toDF("doc_a", "doc_b")

@@ -1835,3 +1835,53 @@ def source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term_nano") / 1e9, 6).alias("psi"),
         )
     )
+
+
+@query(
+    "incremental_lsh_dedup",
+    oracle=f"""
+    WITH sets_ AS (SELECT * FROM {_DUCK_SETS3} WHERE len(sh) > 0),
+    sig AS (SELECT doc, sh,
+                   {duck_minhash_signature('sh', 8)} AS sig
+            FROM sets_),
+    banded AS ({_duck_minhash_bands(8, 4)}),
+    base AS (SELECT * FROM banded WHERE doc % 10 < 8),
+    newb AS (SELECT * FROM banded WHERE doc % 10 >= 8),
+    dropped AS (
+      SELECT DISTINCT n.doc
+      FROM newb n JOIN base b USING (band, key)
+      UNION
+      SELECT DISTINCT n.doc
+      FROM newb n JOIN newb m
+        ON n.band = m.band AND n.key = m.key AND m.doc < n.doc
+    )
+    SELECT doc AS doc_id
+    FROM (SELECT DISTINCT doc FROM newb)
+    WHERE doc NOT IN (SELECT doc FROM dropped)
+    """,
+)
+def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup of an arriving batch against a
+    persisted LSH index (X109) — the continuous-ingestion pattern: the
+    corpus's (doc, band, key) bucket table is a materialized gold
+    artifact; a new batch (here the doc_id%10>=8 slice standing in for
+    "today's crawl") computes only its OWN buckets and joins the index,
+    so per-batch cost is O(batch x bands) and the corpus is never
+    re-paired. Drop rule is order-free (collides with base, or with a
+    smaller-id batch member — no chain re-evaluation), keeping reruns
+    and partial retries idempotent; semantics documented and mirrored
+    exactly in the oracle."""
+    from seng550_a3_etl_spark.functions.hashing import minhash_signatures
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        band_keys,
+        lsh_incremental_survivors,
+    )
+
+    sets_ = _shingle_sets_df(spark, sf_dir, n=3, hashed=False)
+    signed = minhash_signatures(sets_, "doc", F.col("sh"), 8)
+    banded = band_keys(signed, bands=4, rows_per_band=2)
+    base = banded.filter(F.col("doc") % 10 < 8)
+    new = banded.filter(F.col("doc") % 10 >= 8)
+    return lsh_incremental_survivors(base, new).select(
+        F.col("doc").alias("doc_id")
+    )

@@ -109,3 +109,34 @@ def test_triangle_orientation_caps_hub_fanout(spark):
     assert row.n_triangles == 0
     assert row.n_edges == 200
     assert row.n_wedges == 200 * 199 // 2
+
+
+def test_lsh_incremental_survivors_semantics(spark):
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        lsh_incremental_survivors,
+    )
+
+    base = spark.createDataFrame(
+        [(100, 0, "k1")], "doc long, band int, key string"
+    )
+    # new batch: 1 collides with base; 2 collides with 1 (dropped -> no
+    # chain revival: 2 still drops); 3 collides with 2 only via a bucket
+    # 2 is in; 4 is clean; 5 shares a bucket with larger-id 6 -> 5 keeps,
+    # 6 drops.
+    new = spark.createDataFrame(
+        [
+            (1, 0, "k1"),
+            (2, 1, "k2"),
+            (1, 1, "k2"),
+            (3, 2, "k3"),
+            (2, 2, "k3"),
+            (4, 0, "k4"),
+            (5, 3, "k5"),
+            (6, 3, "k5"),
+        ],
+        "doc long, band int, key string",
+    )
+    got = {
+        r.doc for r in lsh_incremental_survivors(base, new).collect()
+    }
+    assert got == {4, 5}
