@@ -58,17 +58,24 @@ def cosine_topk(
     query_vec: str = "qv",
     corpus_id: str = "cid",
     corpus_vec: str = "cv",
+    pair_filter: Column | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-pairs excluded when
-    ids collide). Output: query_id, corpus_id, cosine (rounded 6), rank."""
+    ids collide). Output: query_id, corpus_id, cosine (rounded 6), rank.
+
+    ``pair_filter`` optionally restricts candidate pairs (a predicate
+    over any carried query/corpus columns, e.g. label mismatch for
+    hard-negative mining) — applied BEFORE scoring, inside the scan
+    stage, so filtered pairs never pay the dot product."""
     queries = _with_norm(queries, query_vec, "__qn")
     corpus = _with_norm(corpus, corpus_vec, "__cn")
-    pairs = (
-        corpus.join(F.broadcast(queries))
-        .filter(F.col(query_id) != F.col(corpus_id))
-        .withColumn(
-            "cosine", _pair_cosine(query_vec, corpus_vec, "__qn", "__cn")
-        )
+    pairs = corpus.join(F.broadcast(queries)).filter(
+        F.col(query_id) != F.col(corpus_id)
+    )
+    if pair_filter is not None:
+        pairs = pairs.filter(pair_filter)
+    pairs = pairs.withColumn(
+        "cosine", _pair_cosine(query_vec, corpus_vec, "__qn", "__cn")
     )
     w = Window.partitionBy(query_id).orderBy(
         F.desc("cosine"), F.asc(corpus_id)

@@ -14,7 +14,7 @@ construction bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from seng550_a3_etl_spark.catalog import load_tables
@@ -183,4 +183,49 @@ def es_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             F.round("__k", 9).alias("es_key"),
         )
+    )
+
+
+_ES_STRAT_K = 4
+
+
+@query(
+    "es_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY LN(({duck_hash64("CAST(doc_id AS VARCHAR)",
+                                         seed=_ES_SEED)}
+                            + 1) / {_ES_POW60}) / n_chars DESC, doc_id
+             ) AS rk
+      FROM documents WHERE n_chars > 0
+    ) WHERE rk <= {_ES_STRAT_K}
+    """,
+)
+def es_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum fixed-size weighted sampling (X110): exactly k docs
+    PER SOURCE, weight-proportional within each stratum — the
+    per-domain quota draw a mixture-controlled training set needs
+    (X101's global top-k cannot guarantee any per-source count; X73
+    budgets tokens but samples Bernoulli). Same Efraimidis–Spirakis
+    keys, same hash-derived determinism, but the selection is a
+    per-group top-k: one shuffle on source, per-group heaps via the
+    rank window — group count bounds state, never a global sort. At
+    100 TB strata are handled independently, so a hot source cannot
+    starve the others' quotas."""
+    t = load_tables(spark, sf_dir)
+    u = (
+        hash64(F.col("doc_id").cast("string"), seed=_ES_SEED) + 1
+    ) / F.lit(_ES_POW60)
+    key = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(F.desc("__k"), F.asc("doc_id"))
+    return (
+        t.documents.filter(F.col("n_chars") > 0)
+        .select("doc_id", "source", "n_chars", key.alias("__k"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _ES_STRAT_K)
+        .select("doc_id", "source", "n_chars", F.col("rk").cast("int").alias("rk"))
     )

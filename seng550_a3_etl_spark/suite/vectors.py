@@ -816,3 +816,54 @@ def label_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("mean_pairwise_cos"),
     )
+
+
+@query(
+    "hard_negative_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS cid, embedding AS cv, label AS cl
+               FROM embeddings),
+    pairs AS (
+      SELECT qid, cid, ROUND({_cos('qv', 'cv')}, 6) AS cosine
+      FROM q, c WHERE qid != cid AND ql != cl
+    )
+    SELECT qid, cid, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY cosine DESC, cid
+      ) AS rank
+      FROM pairs
+    ) WHERE rank <= 3
+    """,
+)
+def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (X111): per anchor, the top-3 most-similar
+    vectors with a DIFFERENT label — the negatives that actually move a
+    contrastive/retrieval loss (random negatives are trivially far;
+    same-label neighbors are false negatives and must be excluded
+    BEFORE ranking, not after — a post-rank filter silently returns
+    fewer than k and admits rank gaps).
+
+    Scale: the label-mismatch predicate pushes into cosine_topk's scan
+    stage (filtered pairs never pay the dot product); anchors broadcast,
+    the corpus streams, one window shuffle on the anchor id — the X6
+    brute-force shape, so the IVF path (X7) drops in when the corpus
+    outgrows a scan."""
+    t = load_tables(spark, sf_dir)
+    q = t.embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    c = t.embeddings.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("cl"),
+    )
+    out = cosine_topk(
+        q, c, k=3, pair_filter=F.col("ql") != F.col("cl")
+    )
+    return out.select(
+        "qid", "cid", "cosine", F.col("rank").cast("long").alias("rank")
+    )
