@@ -115,7 +115,10 @@ def _reorder(repo_root: "Path | None" = None) -> None:
         if name not in last:
             return (0, 0, reg_pos[name])  # never driver-checked
         if _CHANGED.get(name, 0) > last[name]:
-            return (1, 0, reg_pos[name])  # changed since last green row
+            # changed since last green row — oldest green first, so when
+            # the changed tier itself overflows the driver's 50-slot cap
+            # the queries verified LONGEST ago (riskiest) win slots
+            return (1, last[name], reg_pos[name])
         return (2, last[name], reg_pos[name])  # oldest green first
 
     ordered = sorted(QUERIES, key=sort_key)
