@@ -92,6 +92,9 @@ SF1_SPOT = [
     "simhash_near_pairs",
     "minhash_dup_pairs",
     "normalized_exact_dedup",
+    "incremental_lsh_dedup",
+    "stream_attribution_outer",
+    "hard_negative_topk",
 ]
 
 

@@ -137,7 +137,12 @@ def bloom_semi_join(
     volume differs.
     """
     keys = dim_keys.select(dim_key).distinct()
-    words = bloom_build(keys, dim_key, num_bits, num_hashes)
+    # The probe references the word table once per hash function;
+    # localCheckpoint materializes the (tiny, <= num_bits/64 rows)
+    # bitset once instead of replaying the build per broadcast.
+    words = bloom_build(keys, dim_key, num_bits, num_hashes).localCheckpoint(
+        eager=True
+    )
     pruned = bloom_probe(fact, fact_key, words, num_bits, num_hashes)
     return pruned.join(
         keys, pruned[fact_key] == keys[dim_key], "left_semi"

@@ -1879,9 +1879,69 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sets_ = _shingle_sets_df(spark, sf_dir, n=3, hashed=False)
     signed = minhash_signatures(sets_, "doc", F.col("sh"), 8)
-    banded = band_keys(signed, bands=4, rows_per_band=2)
+    # The survivor computation references the bucket table four times
+    # (base semi-join, per-bucket min, batch distinct, drop filter);
+    # pin it so the signature aggregation runs once — in production
+    # this table is the PERSISTED index, so the pin models the read.
+    banded = band_keys(signed, bands=4, rows_per_band=2).localCheckpoint(
+        eager=True
+    )
     base = banded.filter(F.col("doc") % 10 < 8)
     new = banded.filter(F.col("doc") % 10 >= 8)
     return lsh_incremental_survivors(base, new).select(
         F.col("doc").alias("doc_id")
+    )
+
+
+def _source_overlap_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return f"""
+    WITH pairs AS ({ORACLES["ngram_dup_pairs"]}),
+    meta AS (SELECT doc_id, source FROM documents)
+    SELECT least(ma.source, mb.source) AS source_x,
+           greatest(ma.source, mb.source) AS source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM pairs
+    JOIN meta ma ON ma.doc_id = doc_a
+    JOIN meta mb ON mb.doc_id = doc_b
+    GROUP BY 1, 2
+    """
+
+
+@query("source_overlap_matrix", oracle=_source_overlap_oracle())
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (X112): near-dup pair counts per
+    unordered source pair — the curation diagnostic that tells you
+    WHICH feeds re-crawl each other (diagonal = within-source
+    boilerplate, off-diagonal = mirror sites / syndication), and what
+    deduplicating one source actually removes from another. Output is
+    ≤ |sources|² rows.
+
+    Scale: reuses the session-cached shingle build and the bounded
+    posting-list pair scan (one shuffle); the (doc → source) attachment
+    is two joins against the slim meta projection, and the final rollup
+    is map-side-combined to a handful of rows. No new corpus scan:
+    everything heavy is shared with the dedup family."""
+    t = load_tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        t.documents, "doc_id", "text", n=3, threshold=0.8,
+        max_shingle_freq=64,
+        shingle_sets=_shingle_sets_df(spark, sf_dir, n=3, hashed=True),
+    ).select("doc_a", "doc_b")
+    meta = t.documents.select("doc_id", "source")
+    ma = meta.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("__sa")
+    )
+    mb = meta.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("__sb")
+    )
+    return (
+        pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .groupBy(
+            F.least("__sa", "__sb").alias("source_x"),
+            F.greatest("__sa", "__sb").alias("source_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
     )
