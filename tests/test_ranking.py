@@ -66,3 +66,28 @@ def test_zorder_tile_bounds_hold(spark):
         # tile id is consistent with its members' cell
         assert r.xq_min >> 4 == r.xq_max >> 4
         assert r.yq_min >> 4 == r.yq_max >> 4
+
+
+def test_observe_metrics_single_pass(spark):
+    """df.observe attaches accumulator-style metrics to an existing
+    action — the 100 TB monitoring pattern: row counts and invariant
+    checks ride along with the job instead of costing a second scan.
+    Spark's Observation helper blocks until the action's metrics
+    arrive."""
+    from pyspark.sql import Observation
+
+    from seng550_a3_etl_spark.suite import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    df = QUERIES["nation_order_counts"](spark, SF_ORACLE)
+    obs = Observation("gate")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("order_count") < 0, 1).otherwise(0)).alias(
+            "n_negative"
+        ),
+    )
+    rows = observed.collect()
+    assert obs.get["n_rows"] == len(rows) == 25
+    assert obs.get["n_negative"] == 0
