@@ -21,11 +21,13 @@ from seng550_a3_etl_spark.suite import (  # noqa: E402,F401
     multimodal,
     quality,
     relational,
+    robust,
     sampling,
     sketch,
     spatial,
     streaming_suite,
     text,
+    text_lm,
     vectors,
     windows,
 )

@@ -1,0 +1,481 @@
+"""Robust statistics, exponential smoothing, and interval analytics
+(extensions X113-X116): the monitoring/outlier layer a data pipeline
+runs on top of its rollups.
+
+The reference's dashboard surfaces only mean/min/max/median
+(/root/reference/viz.py:200-255); production monitoring needs
+outlier-resistant variants (median/MAD, winsorization) and smoothed
+trend lines (EWMA) — all implemented here as distributed, oracle-checked
+operators following the suite's float-determinism rules: money in
+integer cents, rank-picked (percentile_disc) medians instead of
+engine-specific interpolation, and EWMA decay 0.5 so every weight
+``0.5^k`` and weighted term is a binary-exact double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from seng550_a3_etl_spark.catalog import load_tables
+from seng550_a3_etl_spark.suite.registry import query
+
+
+def _cents(col: str) -> Column:
+    """Money column → exact integer cents (cross-engine deterministic)."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+_DUCK_CENTS = "CAST(ROUND({col} * 100) AS BIGINT)"
+
+# EWMA decay: weights 0.5^k are exact binary fractions, so the weighted
+# sums below are EXACT double arithmetic (every term is a multiple of
+# 2^-6 and far below 2^53) — the oracle matches bit-for-bit, no rounding
+# slack needed on the comparison itself.
+_EWMA_DECAY = 0.5
+_EWMA_WINDOW_DAYS = 7
+
+
+@query(
+    "ewma_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS pri,
+             CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM({_DUCK_CENTS.format(col="o_totalprice")}) AS BIGINT)
+               AS day_cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT t.pri AS o_orderpriority,
+           strftime(t.day, '%Y-%m-%d') AS day,
+           t.day_cents,
+           ROUND(
+             SUM(s.day_cents
+                 * pow({_EWMA_DECAY}, date_diff('day', s.day, t.day)))
+             / SUM(pow({_EWMA_DECAY}, date_diff('day', s.day, t.day))),
+             4) AS ewma_cents
+    FROM daily t
+    JOIN daily s
+      ON s.pri = t.pri
+     AND s.day <= t.day
+     AND s.day >= t.day - INTERVAL {_EWMA_WINDOW_DAYS - 1} DAY
+    GROUP BY t.pri, t.day, t.day_cents
+    """,
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X113 — exponentially weighted moving average over the per-day
+    revenue rollup: per order priority, each day's revenue smoothed over
+    the trailing 7 observed days with decay 0.5 (normalized by the sum
+    of weights actually present, so gap days shrink the denominator
+    instead of dragging the average toward zero).
+
+    Implemented as a broadcast range self-join OF THE ROLLUP: the
+    heavy reduction (orders → priority×day cents) is one map-side-
+    combined shuffle; the join input is |priorities|·|days| rows —
+    growing with calendar time, not data volume — so the small side is
+    broadcast and the EWMA costs no second shuffle at any scale. The
+    decay 0.5 makes every weight and weighted term binary-exact (see
+    module docstring), so the oracle comparison is exact arithmetic.
+    """
+    t = load_tables(spark, sf_dir)
+    daily = t.orders.groupBy(
+        F.col("o_orderpriority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.sum(_cents("o_totalprice")).alias("day_cents"))
+    s = F.broadcast(
+        daily.select(
+            F.col("o_orderpriority").alias("s_pri"),
+            F.col("day").alias("s_day"),
+            F.col("day_cents").alias("s_cents"),
+        )
+    )
+    k = F.datediff(F.col("day"), F.col("s_day"))
+    w = F.pow(F.lit(_EWMA_DECAY), k)
+    return (
+        daily.join(
+            s,
+            (F.col("s_pri") == F.col("o_orderpriority"))
+            & (F.col("s_day") <= F.col("day"))
+            & (
+                F.col("s_day")
+                >= F.date_sub(F.col("day"), _EWMA_WINDOW_DAYS - 1)
+            ),
+        )
+        .groupBy("o_orderpriority", "day", "day_cents")
+        .agg(
+            F.round(
+                F.sum(F.col("s_cents") * w) / F.sum(w), 4
+            ).alias("ewma_cents")
+        )
+        .select(
+            "o_orderpriority",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "day_cents",
+            "ewma_cents",
+        )
+    )
+
+
+# Session gap mirrors user_sessions (suite/windows.py): 30-minute
+# inactivity, event_id tiebreak. The concurrency sweep then runs over
+# the SESSION rollup, split at midnight so the running sum partitions
+# by day.
+_SESS = """
+    o AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    lagged AS (
+      SELECT *, LAG(ts) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+      ) AS prev FROM o
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev IS NULL
+                       OR ts > prev + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+      FROM lagged
+    ),
+    numbered AS (
+      SELECT *, SUM(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS session_seq FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_seq,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM numbered GROUP BY 1, 2
+    )
+"""
+
+
+@query(
+    "session_concurrency",
+    oracle=f"""
+    WITH {_SESS},
+    segs AS (
+      SELECT user_id, session_seq,
+             CAST(u AS DATE) AS day,
+             greatest(s_start, CAST(CAST(u AS DATE) AS TIMESTAMP))
+               AS seg_start,
+             least(s_end, CAST(CAST(u AS DATE) + INTERVAL 1 DAY
+                               AS TIMESTAMP) - INTERVAL 1 MICROSECOND)
+               AS seg_end
+      FROM sessions,
+           unnest(generate_series(CAST(s_start AS DATE),
+                                  CAST(s_end AS DATE),
+                                  INTERVAL 1 DAY)) AS t(u)
+    ),
+    points AS (
+      SELECT day, seg_start AS ts, 1 AS delta FROM segs
+      UNION ALL
+      SELECT day, seg_end, -1 FROM segs
+    ),
+    swept AS (
+      SELECT day, SUM(delta) OVER (
+        PARTITION BY day ORDER BY ts, delta DESC
+        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS live FROM points
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(MAX(live) AS BIGINT) AS peak_concurrency,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_session_segments
+    FROM swept GROUP BY day
+    """,
+)
+def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X114 — peak concurrent sessions per day, the classic interval
+    sweep: sessionize events (30-min gap, the user_sessions contract),
+    split each session at midnight into per-day segments, emit +1/-1
+    endpoint markers, and take the max of the running sum. Sessions
+    touching at one instant count as overlapping (+1 sorts before -1),
+    and the RANGE-frame running sum makes tied timestamps a single peer
+    group in both engines, so the sweep is order-deterministic.
+
+    Scale: the sweep input is 2 rows per session-day segment — a
+    session-rollup, not events — and the running-sum window partitions
+    by day, so no global sort ever forms. Midnight splitting is date
+    arithmetic (``sequence`` over each session's day span, exploded),
+    bounded by session length, not table size.
+    """
+    from seng550_a3_etl_spark.operators.sessionize import session_stats
+
+    t = load_tables(spark, sf_dir)
+    sess = session_stats(
+        t.events, "user_id", "ts", "value",
+        gap="30 minutes", tiebreak=["event_id"],
+    ).select("session_start", "session_end")
+    day = F.explode(
+        F.sequence(
+            F.col("session_start").cast("date"),
+            F.col("session_end").cast("date"),
+        )
+    ).alias("day")
+    segs = sess.select(day, "session_start", "session_end").select(
+        "day",
+        F.greatest(
+            F.col("session_start"), F.col("day").cast("timestamp")
+        ).alias("seg_start"),
+        F.least(
+            F.col("session_end"),
+            F.date_add(F.col("day"), 1).cast("timestamp")
+            - F.expr("INTERVAL 1 MICROSECOND"),
+        ).alias("seg_end"),
+    )
+    points = segs.select(
+        "day", F.col("seg_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        segs.select("day", F.col("seg_end"), F.lit(-1))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts"), F.col("delta").desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        points.select("day", F.sum("delta").over(w).alias("live"))
+        .groupBy("day")
+        .agg(
+            F.max("live").cast("long").alias("peak_concurrency"),
+            (F.count(F.lit(1)) / 2).cast("long").alias(
+                "n_session_segments"
+            ),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "peak_concurrency",
+            "n_session_segments",
+        )
+    )
+
+
+# Median/MAD use rank selection (percentile_disc semantics: element at
+# rank ceil(n/2) under a total order) over integer cents — exact and
+# engine-agnostic, per the status_price_quartiles precedent.
+_MAD_K = 4.4478  # 3 × 1.4826 (normal-consistency constant)
+
+
+@query(
+    "price_mad_outliers",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderpriority AS pri, o_orderkey,
+             {_DUCK_CENTS.format(col="o_totalprice")} AS cents
+      FROM orders
+    ),
+    med AS (
+      SELECT pri, MAX(CASE WHEN rn = CEIL(n * 0.5) THEN cents END) AS med
+      FROM (
+        SELECT pri, cents,
+               ROW_NUMBER() OVER (
+                 PARTITION BY pri ORDER BY cents, o_orderkey
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY pri) AS n
+        FROM c
+      ) GROUP BY pri
+    ),
+    dev AS (
+      SELECT c.pri, c.o_orderkey, c.cents, m.med,
+             abs(c.cents - m.med) AS ad
+      FROM c JOIN med m ON m.pri = c.pri
+    ),
+    mad AS (
+      SELECT pri, MAX(med) AS med,
+             MAX(CASE WHEN rn = CEIL(n * 0.5) THEN ad END) AS mad
+      FROM (
+        SELECT pri, med, ad,
+               ROW_NUMBER() OVER (
+                 PARTITION BY pri ORDER BY ad, o_orderkey
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY pri) AS n
+        FROM dev
+      ) GROUP BY pri
+    )
+    SELECT d.pri AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MAX(a.med) AS median_cents,
+           MAX(a.mad) AS mad_cents,
+           CAST(COUNT(CASE WHEN d.ad > {_MAD_K} * a.mad THEN 1 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a ON a.pri = d.pri
+    GROUP BY d.pri
+    """,
+)
+def price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X115 — robust outlier detection per group: median and MAD
+    (median absolute deviation) of order price, then the count of
+    orders beyond 3·1.4826·MAD — the outlier-resistant alternative to
+    the z-score monitor (X80), immune to the outliers it hunts.
+
+    Both medians are rank-picked over integer cents (exact, no
+    interpolation), so the only float op is the final threshold
+    multiply — the same double in both engines. Scale: two
+    sort-within-group passes sharing one partitioning on the group key
+    (the same shuffle count as any exact-median plan; the approximate
+    path is scalar_stats_approx's GK sketch), plus a broadcast join of
+    the |groups|-row median table back onto the rows.
+    """
+    t = load_tables(spark, sf_dir)
+    c = t.orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        "o_orderkey",
+        _cents("o_totalprice").alias("cents"),
+    )
+
+    def rank_pick(df: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("pri").orderBy(col, "o_orderkey")
+        wc = Window.partitionBy("pri")
+        ranked = df.select(
+            "pri",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        return ranked.groupBy("pri").agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * 0.5), F.col(col)
+                )
+            ).alias(f"{col}_med")
+        )
+
+    med = rank_pick(c, "cents").withColumnRenamed("cents_med", "med")
+    dev = c.join(F.broadcast(med), "pri").select(
+        "pri",
+        "o_orderkey",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("ad"),
+    )
+    mad = rank_pick(dev, "ad").withColumnRenamed("ad_med", "mad")
+    return (
+        dev.join(F.broadcast(mad), "pri")
+        .groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("med").alias("median_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.count(
+                F.when(F.col("ad") > F.lit(_MAD_K) * F.col("mad"), 1)
+            ).alias("n_outliers"),
+        )
+        .withColumnRenamed("pri", "o_orderpriority")
+    )
+
+
+@query(
+    "winsorized_price_stats",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS flag,
+             {_DUCK_CENTS.format(col="l_extendedprice")} AS cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY {_DUCK_CENTS.format(col="l_extendedprice")},
+                        l_orderkey, l_linenumber
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    bounds AS (
+      SELECT flag,
+             MAX(CASE WHEN rn = CEIL(n * 0.05) THEN cents END) AS lo,
+             MAX(CASE WHEN rn = CEIL(n * 0.95) THEN cents END) AS hi
+      FROM c GROUP BY flag
+    ),
+    clamped AS (
+      SELECT c.flag, c.n,
+             least(greatest(c.cents, b.lo), b.hi) AS w,
+             CASE WHEN c.cents < b.lo THEN 1 ELSE 0 END AS at_lo,
+             CASE WHEN c.cents > b.hi THEN 1 ELSE 0 END AS at_hi
+      FROM c JOIN bounds b ON b.flag = c.flag
+    )
+    SELECT flag AS l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n_items,
+           CAST(SUM(at_lo) AS BIGINT) AS n_clamped_lo,
+           CAST(SUM(at_hi) AS BIGINT) AS n_clamped_hi,
+           ROUND(CAST(SUM(w) AS DOUBLE) / MAX(n) / 100, 4)
+             AS winsor_mean,
+           ROUND(sqrt((CAST(SUM(CAST(w AS HUGEINT) * w) AS DOUBLE)
+                       - CAST(SUM(w) AS DOUBLE)
+                         * CAST(SUM(w) AS DOUBLE) / MAX(n))
+                      / (MAX(n) - 1)) / 100, 4) AS winsor_std
+    FROM clamped GROUP BY flag
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X116 — winsorized mean/stddev per return flag: clamp prices to
+    the rank-picked [p05, p95] before the moments, so a handful of
+    corrupt extreme rows can't move the monitoring baseline (the
+    companion to X115's detection — this one REPORTS robustly).
+
+    Determinism: clamped values are integer cents; Σw and Σw² are
+    exact integer aggregates (decimal(38) on the Spark side, HUGEINT in
+    DuckDB), and the closed-form variance converts to double ONCE from
+    exact integers — both engines round the same integer to the same
+    nearest double, so even the stddev hash-matches. Scale: one ranked
+    window + one broadcast of the |groups|-row bounds table; the
+    moments are a plain map-side-combined aggregation.
+    """
+    t = load_tables(spark, sf_dir)
+    c = t.lineitem.select(
+        F.col("l_returnflag").alias("flag"),
+        "l_orderkey",
+        "l_linenumber",
+        _cents("l_extendedprice").alias("cents"),
+    ).select(
+        "flag",
+        "cents",
+        F.row_number()
+        .over(
+            Window.partitionBy("flag").orderBy(
+                "cents", "l_orderkey", "l_linenumber"
+            )
+        )
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("flag")).alias("n"),
+    )
+
+    def pick(q: float, name: str) -> Column:
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * q), F.col("cents"))
+        ).alias(name)
+
+    bounds = c.groupBy("flag").agg(pick(0.05, "lo"), pick(0.95, "hi"))
+    clamped = c.join(F.broadcast(bounds), "flag").select(
+        "flag",
+        "n",
+        F.least(
+            F.greatest(F.col("cents"), F.col("lo")), F.col("hi")
+        ).alias("wv"),
+        (F.col("cents") < F.col("lo")).cast("long").alias("at_lo"),
+        (F.col("cents") > F.col("hi")).cast("long").alias("at_hi"),
+    )
+    dec = F.col("wv").cast("decimal(38,0)")
+    agg = clamped.groupBy("flag").agg(
+        F.max("n").alias("n_items"),
+        F.sum("at_lo").alias("n_clamped_lo"),
+        F.sum("at_hi").alias("n_clamped_hi"),
+        F.sum(dec).alias("sw"),
+        F.sum(dec * dec).alias("sww"),
+    )
+    n = F.col("n_items").cast("double")
+    sw = F.col("sw").cast("double")
+    sww = F.col("sww").cast("double")
+    return agg.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_clamped_lo").cast("long").alias("n_clamped_lo"),
+        F.col("n_clamped_hi").cast("long").alias("n_clamped_hi"),
+        F.round(sw / n / 100, 4).alias("winsor_mean"),
+        F.round(
+            F.sqrt((sww - sw * sw / n) / (n - 1)) / 100, 4
+        ).alias("winsor_std"),
+    )
+
+
+__all__ = [
+    "ewma_daily_revenue",
+    "session_concurrency",
+    "price_mad_outliers",
+    "winsorized_price_stats",
+]

@@ -1,0 +1,587 @@
+"""Language-model corpus statistics (extensions X117-X123): the
+tokenizer-design and LM-estimation layer of a pretraining pipeline —
+token entropy, vocabulary coverage, BM25 retrieval, a bigram LM table,
+the BPE pair-merge step, per-source template n-grams, and length-skew
+Gini — all distributed and DuckDB-oracle-checked.
+
+Tokenization matches the rest of the text suite (whitespace split; the
+documents fixture is space-separated). Queries that need clean tokens
+filter the empty strings a trailing/leading whitespace split produces —
+mirrored on both engines. Log-domain scores (entropy, BM25, bigram
+logprob) accept the suite's standing float rule: engines may differ in
+the last ulp of ``ln``/``log2``, ~1e-12 relative, far inside the 4-
+decimal rounding used for the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from seng550_a3_etl_spark.catalog import load_tables
+from seng550_a3_etl_spark.functions.text import shingles, tokens
+from seng550_a3_etl_spark.suite.registry import query
+from seng550_a3_etl_spark.suite.text import _duck_shingles
+
+# Clean (empty-filtered) tokens, both engines.
+_DUCK_CTOKS = (
+    r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+)
+
+
+def _ctoks(text: Column) -> Column:
+    return F.filter(tokens(text), lambda x: x != "")
+
+
+@query(
+    "source_token_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_DUCK_CTOKS}) AS t FROM documents
+    ),
+    freq AS (
+      SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           ROUND(log2(CAST(SUM(c) AS DOUBLE))
+                 - SUM(c * log2(CAST(c AS DOUBLE)))
+                   / CAST(SUM(c) AS DOUBLE), 4) AS entropy_bits,
+           ROUND((log2(CAST(SUM(c) AS DOUBLE))
+                  - SUM(c * log2(CAST(c AS DOUBLE)))
+                    / CAST(SUM(c) AS DOUBLE))
+                 / log2(CAST(COUNT(*) AS DOUBLE)), 4) AS norm_entropy
+    FROM freq GROUP BY source
+    """,
+)
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X117 — Shannon entropy of each source's token distribution, in
+    bits, plus the vocab-normalized form H/log2(V) in [0,1]: the
+    standard diversity gauge for spotting template-heavy or
+    mode-collapsed sources before they enter a training mix (low
+    normalized entropy = a few tokens dominate).
+
+    Uses the one-pass identity H = log2(N) - Σc·log2(c)/N so a single
+    (source, token) count rollup feeds one aggregate — no second scan
+    for N. Scale: one explode + one map-side-combined shuffle on
+    (source, token); the entropy fold is |vocab per source| rows.
+    """
+    t = load_tables(spark, sf_dir)
+    freq = (
+        t.documents.select(
+            "source", F.explode(_ctoks(F.col("text"))).alias("t")
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    plogp = F.sum(F.col("c") * F.log2(F.col("c").cast("double")))
+    h = F.log2(n) - plogp / n
+    return freq.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.round(h, 4).alias("entropy_bits"),
+        F.round(
+            h / F.log2(F.count(F.lit(1)).cast("double")), 4
+        ).alias("norm_entropy"),
+    )
+
+
+_COVERAGE_KS = (1, 2, 4, 8, 16, 32, 64)
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_DUCK_CTOKS}) AS t FROM documents
+    ),
+    freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    ranked AS (
+      SELECT c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rn,
+             SUM(c) OVER (ORDER BY c DESC, t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             SUM(c) OVER () AS total,
+             COUNT(*) OVER () AS vocab
+      FROM freq
+    )
+    SELECT k,
+           CAST(least(k, r.vocab) AS BIGINT) AS topk_vocab,
+           ROUND(CAST(r.cum AS DOUBLE) / r.total, 6) AS coverage
+    FROM (VALUES {", ".join(f"({k})" for k in _COVERAGE_KS)}) ks(k)
+    JOIN ranked r ON r.rn = least(ks.k, r.vocab)
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X118 — vocabulary coverage curve: for each candidate vocab size
+    k, the fraction of all token OCCURRENCES covered by the k most
+    frequent types (ties broken lexically) — the curve a tokenizer
+    design reads to pick its vocab size / budget OOV rate.
+
+    Scale: the corpus reduces to a (token, count) rollup in one
+    shuffle; the ranking window then runs over |vocab| rows — bounded
+    by the type inventory (Heaps' law, sublinear in corpus size), not
+    by tokens — so the unpartitioned cumulative window is safe by the
+    same window-over-rollup argument as daily_revenue_rolling. k
+    beyond the vocab clamps to the full-vocab row (coverage 1.0).
+    """
+    t = load_tables(spark, sf_dir)
+    freq = (
+        t.documents.select(F.explode(_ctoks(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_ord = Window.orderBy(F.col("c").desc(), F.col("t"))
+    w_all = Window.partitionBy()
+    ranked = freq.select(
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum("c")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("vocab"),
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in _COVERAGE_KS], "k int"
+    )
+    return (
+        F.broadcast(ks)
+        .join(ranked, F.col("rn") == F.least("k", "vocab"))
+        .select(
+            "k",
+            F.least("k", "vocab").cast("long").alias("topk_vocab"),
+            F.round(
+                F.col("cum").cast("double") / F.col("total"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+_BM25_TERMS = ("spark", "join", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPN = 20
+
+
+@query(
+    "bm25_doc_scores",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_DUCK_CTOKS} AS t FROM documents
+    ),
+    lens AS (SELECT doc_id, len(t) AS dl FROM docs),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM lens
+    ),
+    tf AS (
+      SELECT doc_id, t AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS t FROM docs)
+      WHERE t IN {_BM25_TERMS!r}
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1}
+                    * (1 - {_BM25_B}
+                       + {_BM25_B} * l.dl / s.avgdl))) AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN lens l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 4) AS bm25
+    FROM scored ORDER BY score DESC, doc_id LIMIT {_BM25_TOPN}
+    """,
+)
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X119 — BM25 ranked retrieval (Robertson-Spärck Jones) for a
+    fixed query, top-{_BM25_TOPN} documents: the lexical-retrieval
+    baseline every RAG/hybrid stack needs next to the embedding path
+    (X6 cosine / X67 RRF hybrid). Classic parameters k1=1.2, b=0.75;
+    idf = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Scale: term frequencies are computed only for the query's terms
+    (the explode filters to the broadcast term set before the
+    shuffle), the df and corpus-stats tables are |terms|- and 1-row
+    broadcasts, and the final top-n is orderBy+limit — Spark plans
+    TakeOrderedAndProject, never a global sort.
+    """
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", _ctoks(F.col("text")).alias("t")
+    )
+    lens = docs.select("doc_id", F.size("t").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("t").alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias(
+                "score"
+            )
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPN)
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+    )
+
+
+_LM_ADD_K = 0.5
+_LM_TOPN = 3
+
+
+@query(
+    "bigram_lm_probs",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_DUCK_CTOKS} AS t FROM documents
+    ),
+    bg AS (
+      SELECT z[1] AS head, z[2] AS next_tok
+      FROM (
+        SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS z
+        FROM docs WHERE len(t) >= 2
+      )
+    ),
+    c AS (
+      SELECT head, next_tok, COUNT(*) AS c FROM bg GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT COUNT(DISTINCT t) AS v
+      FROM (SELECT unnest(t) AS t FROM docs)
+    ),
+    ch AS (
+      SELECT head, next_tok, c,
+             SUM(c) OVER (PARTITION BY head) AS head_c,
+             ROW_NUMBER() OVER (
+               PARTITION BY head ORDER BY c DESC, next_tok
+             ) AS rn
+      FROM c
+    )
+    SELECT head, next_tok, c AS pair_count,
+           ROUND(ln((c + {_LM_ADD_K})
+                    / (head_c + {_LM_ADD_K} * v.v)), 4) AS logp
+    FROM ch CROSS JOIN v WHERE rn <= {_LM_TOPN}
+    """,
+)
+def bigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X120 — bigram language-model estimation with add-k smoothing
+    (k=0.5): per head token, the top-{_LM_TOPN} continuations and their
+    smoothed conditional log-probability ln((c+k)/(c(h)+k·V)) — the
+    cheap n-gram LM used for perplexity-style quality filtering (the
+    bigram upgrade of X59's unigram logprob scorer).
+
+    Bigram extraction is per-row array arithmetic (two shifted slices
+    zipped — no shuffle, no posexplode self-join); the only shuffles
+    are the (head, next) count rollup and the vocab distinct. The
+    per-head windows run over the bigram-type rollup (≤V² rows,
+    vocab-bounded), and V arrives by broadcast.
+    """
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select(_ctoks(F.col("text")).alias("t")).where(
+        F.size("t") >= 2
+    )
+    pairs = docs.select(
+        F.slice(F.col("t"), 1, F.size("t") - 1).alias("h_arr"),
+        F.slice(F.col("t"), 2, F.size("t") - 1).alias("w_arr"),
+    ).select(F.explode(F.arrays_zip("h_arr", "w_arr")).alias("z"))
+    c = (
+        pairs.select(
+            F.col("z.h_arr").alias("head"),
+            F.col("z.w_arr").alias("next_tok"),
+        )
+        .groupBy("head", "next_tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    v = (
+        t.documents.select(
+            F.explode(_ctoks(F.col("text"))).alias("t")
+        )
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    wh = Window.partitionBy("head")
+    wr = Window.partitionBy("head").orderBy(
+        F.col("c").desc(), F.col("next_tok")
+    )
+    ranked = c.select(
+        "head",
+        "next_tok",
+        "c",
+        F.sum("c").over(wh).alias("head_c"),
+        F.row_number().over(wr).alias("rn"),
+    ).where(F.col("rn") <= _LM_TOPN)
+    return ranked.crossJoin(F.broadcast(v)).select(
+        "head",
+        "next_tok",
+        F.col("c").alias("pair_count"),
+        F.round(
+            F.log(
+                (F.col("c") + _LM_ADD_K)
+                / (F.col("head_c") + _LM_ADD_K * F.col("v"))
+            ),
+            4,
+        ).alias("logp"),
+    )
+
+
+_BPE_TOPN = 20
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+      SELECT t AS w, COUNT(*) AS wc
+      FROM (SELECT unnest({_DUCK_CTOKS}) AS t FROM documents)
+      GROUP BY t
+    ),
+    chars AS (
+      SELECT w, wc, string_split_regex(w, '') AS cs FROM words
+    ),
+    pairs AS (
+      SELECT z[1] AS left_ch, z[2] AS right_ch, wc
+      FROM (
+        SELECT wc, unnest(list_zip(cs[1:len(cs) - 1], cs[2:len(cs)]))
+               AS z
+        FROM chars WHERE len(cs) >= 2
+      )
+    )
+    SELECT left_ch, right_ch,
+           CAST(SUM(wc) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY 1, 2
+    ORDER BY pair_count DESC, left_ch, right_ch LIMIT {_BPE_TOPN}
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X121 — the BPE trainer's inner step (Sennrich 2016): count
+    adjacent symbol pairs across the corpus, weighted by word
+    frequency, and emit the top merge candidates. One such step per
+    merge is exactly how a BPE vocab is trained; this implements the
+    count phase the way production trainers do — over the WORD-COUNT
+    rollup, never the raw corpus.
+
+    Scale: the corpus collapses to (word, count) in one shuffle
+    (vocab-bounded by Heaps' law); pair extraction is per-row array
+    arithmetic over that rollup; the pair aggregate is alphabet²-
+    bounded; top-n is TakeOrdered. A full BPE train iterates this with
+    the previous merges applied — each iteration stays rollup-sized.
+    """
+    t = load_tables(spark, sf_dir)
+    words = (
+        t.documents.select(
+            F.explode(_ctoks(F.col("text"))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    chars = words.select(
+        "wc", F.split(F.col("w"), "").alias("cs")
+    ).where(F.size("cs") >= 2)
+    pairs = chars.select(
+        "wc",
+        F.slice(F.col("cs"), 1, F.size("cs") - 1).alias("h_arr"),
+        F.slice(F.col("cs"), 2, F.size("cs") - 1).alias("w_arr"),
+    ).select("wc", F.explode(F.arrays_zip("h_arr", "w_arr")).alias("z"))
+    return (
+        pairs.select(
+            F.col("z.h_arr").alias("left_ch"),
+            F.col("z.w_arr").alias("right_ch"),
+            "wc",
+        )
+        .groupBy("left_ch", "right_ch")
+        .agg(F.sum("wc").cast("long").alias("pair_count"))
+        .orderBy(
+            F.col("pair_count").desc(), "left_ch", "right_ch"
+        )
+        .limit(_BPE_TOPN)
+    )
+
+
+_TPL_N = 3
+_TPL_TOPN = 3
+
+
+@query(
+    "common_ngram_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             string_split_regex(text, '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source, doc_id, s
+      FROM (
+        SELECT source, doc_id,
+               unnest({_duck_shingles(_TPL_N)}) AS s
+        FROM toks
+      )
+    ),
+    df AS (
+      SELECT source, s, COUNT(*) AS doc_freq
+      FROM sh GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT df.source, df.s, df.doc_freq, nd.n_docs,
+             ROW_NUMBER() OVER (
+               PARTITION BY df.source
+               ORDER BY df.doc_freq DESC, df.s
+             ) AS rn
+      FROM df JOIN nd USING (source)
+    )
+    SELECT source, s AS shingle, doc_freq,
+           ROUND(CAST(doc_freq AS DOUBLE) / n_docs, 4) AS doc_frac
+    FROM ranked WHERE rn <= {_TPL_TOPN}
+    """,
+)
+def common_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X122 — per-source template/boilerplate n-gram report: the
+    {_TPL_N}-gram shingles present in the most documents of each
+    source, with their document-frequency fraction. High-fraction
+    shingles are shared headers/footers/navigation — the signal a
+    boilerplate stripper keys on before dedup (removing them is what
+    makes X2/X3 near-dup detection see actual content).
+
+    Scale: distinct (source, doc, shingle) collapses repeats within a
+    document map-side; doc-frequency is one count shuffle on (source,
+    shingle); the ranking window runs per source over the shingle-TYPE
+    rollup; the per-source doc counts broadcast.
+    """
+    t = load_tables(spark, sf_dir)
+    sh = (
+        t.documents.select(
+            "source",
+            "doc_id",
+            F.explode(
+                shingles(tokens(F.col("text")), _TPL_N)
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    df = sh.groupBy("source", "s").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    nd = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("doc_freq").desc(), F.col("s")
+    )
+    return (
+        df.join(F.broadcast(nd), "source")
+        .select(
+            "source",
+            "s",
+            "doc_freq",
+            "n_docs",
+            F.row_number().over(wr).alias("rn"),
+        )
+        .where(F.col("rn") <= _TPL_TOPN)
+        .select(
+            "source",
+            F.col("s").alias("shingle"),
+            "doc_freq",
+            F.round(
+                F.col("doc_freq").cast("double") / F.col("n_docs"), 4
+            ).alias("doc_frac"),
+        )
+    )
+
+
+@query(
+    "doc_length_gini",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+             ) AS i
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(2.0 * SUM(CAST(i AS BIGINT) * n_chars)
+                 / (COUNT(*) * CAST(SUM(n_chars) AS DOUBLE))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked GROUP BY source
+    """,
+)
+def doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X123 — Gini coefficient of document length per source, via the
+    sorted closed form G = 2·Σᵢ i·x₍ᵢ₎/(n·Σx) − (n+1)/n: the
+    inequality gauge for length skew (a source where a few giant
+    documents hold most of the chars needs length-aware sampling /
+    chunking budgets — X73/X76 consume exactly this signal).
+
+    Rank ties (equal lengths) don't move Σ i·x₍ᵢ₎ — equal values
+    across a block of ranks sum identically under any tie order — so
+    the row_number tiebreak is for engine determinism only, not
+    semantics. All sums are exact integers; the two divisions are the
+    only float ops. Scale: one sort-within-source window over (source)
+    partitions, then a fold to |sources| rows.
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = t.documents.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("n_chars")
+    six = F.sum(F.col("i") * F.col("n_chars"))
+    return ranked.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        sx.cast("long").alias("total_chars"),
+        F.round(
+            2.0 * six / (n * sx.cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+__all__ = [
+    "source_token_entropy",
+    "vocab_coverage_curve",
+    "bm25_doc_scores",
+    "bigram_lm_probs",
+    "bpe_merge_candidates",
+    "common_ngram_report",
+    "doc_length_gini",
+]

@@ -1,0 +1,311 @@
+"""Definition-level checks for the robust-stats (X113-X116) and LM-corpus
+(X117-X123) queries: independent Python brute force at sf0.001, so the
+semantics are validated against the textbook DEFINITION, not just the
+(same-shaped) DuckDB oracle the parity mirror uses."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from seng550_a3_etl_spark.suite import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def _rows(spark, name):
+    return {
+        tuple(r): None for r in QUERIES[name](spark, SF_SMOKE).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text", "source", "n_chars")
+        .collect()
+    )
+
+
+def _ctoks(text: str) -> list[str]:
+    return [t for t in text.split() if t]
+
+
+def test_ewma_matches_definition(spark):
+    """EWMA per (priority, day) == Σ w_k·rev_{t-k} / Σ w_k over the
+    trailing 7 OBSERVED days, decay 0.5 — brute-forced from the raw
+    orders table."""
+    orders = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    daily: dict[tuple[str, object], int] = {}
+    for r in orders:
+        d = r.o_orderdate.date()
+        key = (r.o_orderpriority, d)
+        daily[key] = daily.get(key, 0) + round(r.o_totalprice * 100)
+    expect = {}
+    for (pri, d), cents in daily.items():
+        num = den = 0.0
+        for k in range(7):
+            prev = (pri, d - __import__("datetime").timedelta(days=k))
+            if prev in daily:
+                w = 0.5 ** k
+                num += daily[prev] * w
+                den += w
+        expect[(pri, d.isoformat())] = (cents, round(num / den, 4))
+    got = {
+        (r.o_orderpriority, r.day): (r.day_cents, r.ewma_cents)
+        for r in QUERIES["ewma_daily_revenue"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_session_concurrency_brute_force(spark):
+    """Peak per day == the maximum, over all session-segment start
+    points that day, of how many segments cover that point (intervals
+    closed on both ends) — checked without any sweep machinery."""
+    sess = [
+        (r.session_start, r.session_end)
+        for r in QUERIES["user_sessions"](spark, SF_SMOKE).collect()
+    ]
+    # Parse the formatted strings back; split at midnight like the query.
+    from datetime import datetime, time, timedelta
+
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    segs: list[tuple[object, datetime, datetime]] = []
+    for s, e in sess:
+        start, end = datetime.strptime(s, fmt), datetime.strptime(e, fmt)
+        d = start.date()
+        while d <= end.date():
+            lo = max(start, datetime.combine(d, time.min))
+            hi = min(
+                end,
+                datetime.combine(d + timedelta(days=1), time.min)
+                - timedelta(microseconds=1),
+            )
+            segs.append((d, lo, hi))
+            d += timedelta(days=1)
+    by_day: dict[object, list[tuple[datetime, datetime]]] = {}
+    for d, lo, hi in segs:
+        by_day.setdefault(d, []).append((lo, hi))
+    expect = {}
+    for d, iv in by_day.items():
+        peak = max(
+            sum(1 for lo2, hi2 in iv if lo2 <= lo <= hi2)
+            for lo, _ in iv
+        )
+        expect[d.isoformat()] = (peak, len(iv))
+    got = {
+        r.day: (r.peak_concurrency, r.n_session_segments)
+        for r in QUERIES["session_concurrency"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_mad_is_rank_picked_median(spark):
+    """median_cents / mad_cents are the ceil(n/2)-th order statistics of
+    the cents and |dev| sequences; outlier count matches the
+    definitional filter."""
+    orders = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    groups: dict[str, list[int]] = {}
+    for r in orders:
+        groups.setdefault(r.o_orderpriority, []).append(
+            round(r.o_totalprice * 100)
+        )
+    got = {
+        r.o_orderpriority: r
+        for r in QUERIES["price_mad_outliers"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(groups)
+    for pri, cents in groups.items():
+        n = len(cents)
+        med = sorted(cents)[math.ceil(n * 0.5) - 1]
+        devs = sorted(abs(c - med) for c in cents)
+        mad = devs[math.ceil(n * 0.5) - 1]
+        n_out = sum(1 for c in cents if abs(c - med) > 4.4478 * mad)
+        r = got[pri]
+        assert (r.n_orders, r.median_cents, r.mad_cents, r.n_outliers) == (
+            n,
+            med,
+            mad,
+            n_out,
+        )
+
+
+def test_winsorized_stats_brute_force(spark):
+    items = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    )
+    groups: dict[str, list[int]] = {}
+    for r in items:
+        groups.setdefault(r.l_returnflag, []).append(
+            round(r.l_extendedprice * 100)
+        )
+    got = {
+        r.l_returnflag: r
+        for r in QUERIES["winsorized_price_stats"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for flag, cents in groups.items():
+        n = len(cents)
+        s = sorted(cents)
+        lo, hi = s[math.ceil(n * 0.05) - 1], s[math.ceil(n * 0.95) - 1]
+        w = [min(max(c, lo), hi) for c in cents]
+        mean = sum(w) / n
+        var = sum((x - mean) ** 2 for x in w) / (n - 1)
+        r = got[flag]
+        assert r.n_clamped_lo == sum(1 for c in cents if c < lo)
+        assert r.n_clamped_hi == sum(1 for c in cents if c > hi)
+        assert r.winsor_mean == pytest.approx(mean / 100, abs=1e-3)
+        assert r.winsor_std == pytest.approx(
+            math.sqrt(var) / 100, abs=1e-3
+        )
+
+
+def test_entropy_matches_definition(spark, docs):
+    freq: dict[str, Counter] = {}
+    for r in docs:
+        freq.setdefault(r.source, Counter()).update(_ctoks(r.text))
+    got = {
+        r.source: r
+        for r in QUERIES["source_token_entropy"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(freq)
+    for src, c in freq.items():
+        n = sum(c.values())
+        h = -sum((v / n) * math.log2(v / n) for v in c.values())
+        r = got[src]
+        assert (r.n_tokens, r.vocab) == (n, len(c))
+        assert r.entropy_bits == pytest.approx(h, abs=1e-3)
+        assert r.norm_entropy == pytest.approx(
+            h / math.log2(len(c)), abs=1e-3
+        )
+
+
+def test_coverage_curve_monotone_and_exact(spark, docs):
+    c = Counter()
+    for r in docs:
+        c.update(_ctoks(r.text))
+    total = sum(c.values())
+    by_freq = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    rows = sorted(
+        QUERIES["vocab_coverage_curve"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.k,
+    )
+    prev = 0.0
+    for r in rows:
+        k = min(r.k, len(by_freq))
+        cov = sum(v for _, v in by_freq[:k]) / total
+        assert r.topk_vocab == k
+        assert r.coverage == pytest.approx(cov, abs=1e-5)
+        assert r.coverage >= prev
+        prev = r.coverage
+    assert rows[-1].coverage == pytest.approx(1.0)
+
+
+def test_bm25_matches_reference_implementation(spark, docs):
+    terms, k1, b = ("spark", "join", "vector"), 1.2, 0.75
+    toks = {r.doc_id: _ctoks(r.text) for r in docs}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {
+        q: sum(1 for t in toks.values() if q in t) for q in terms
+    }
+    scores = {}
+    for d, t in toks.items():
+        s = 0.0
+        for q in terms:
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(t) / avgdl)
+            )
+        if s > 0:
+            scores[d] = s
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = QUERIES["bm25_doc_scores"](spark, SF_SMOKE).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in top]
+    for r, (_, s) in zip(got, top):
+        assert r.bm25 == pytest.approx(s, abs=1e-3)
+
+
+def test_bigram_lm_probabilities_normalize(spark, docs):
+    """For any emitted head: every pair count matches brute force, and
+    the smoothed distribution over the FULL vocab sums to 1 (the
+    property add-k smoothing exists to guarantee)."""
+    bigrams = Counter()
+    vocab = set()
+    for r in docs:
+        t = _ctoks(r.text)
+        vocab.update(t)
+        bigrams.update(zip(t, t[1:]))
+    v = len(vocab)
+    rows = QUERIES["bigram_lm_probs"](spark, SF_SMOKE).collect()
+    heads = {}
+    for r in rows:
+        assert bigrams[(r.head, r.next_tok)] == r.pair_count
+        heads.setdefault(r.head, []).append(r)
+    for head, rs in heads.items():
+        ch = sum(c for (h, _), c in bigrams.items() if h == head)
+        mass = sum(
+            (bigrams.get((head, w), 0) + 0.5) / (ch + 0.5 * v)
+            for w in vocab
+        )
+        assert mass == pytest.approx(1.0, abs=1e-9)
+        for r in rs:
+            logp = math.log(
+                (r.pair_count + 0.5) / (ch + 0.5 * v)
+            )
+            assert r.logp == pytest.approx(logp, abs=1e-3)
+
+
+def test_bpe_pair_counts(spark, docs):
+    words = Counter()
+    for r in docs:
+        words.update(_ctoks(r.text))
+    pairs = Counter()
+    for w, wc in words.items():
+        for a, b2 in zip(w, w[1:]):
+            pairs[(a, b2)] += wc
+    top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = QUERIES["bpe_merge_candidates"](spark, SF_SMOKE).collect()
+    assert [
+        ((r.left_ch, r.right_ch), r.pair_count) for r in got
+    ] == top
+
+
+def test_gini_matches_mean_absolute_difference(spark, docs):
+    """The sorted closed form equals the definitional Gini
+    G = Σᵢⱼ|xᵢ-xⱼ| / (2n²·mean) — the O(n²) definition the distributed
+    query exists to avoid."""
+    by_src: dict[str, list[int]] = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    got = {
+        r.source: r
+        for r in QUERIES["doc_length_gini"](spark, SF_SMOKE).collect()
+    }
+    for src, xs in by_src.items():
+        n = len(xs)
+        mad = sum(abs(a - b) for a in xs for b in xs)
+        gini = mad / (2 * n * n * (sum(xs) / n))
+        r = got[src]
+        assert (r.n_docs, r.total_chars) == (n, sum(xs))
+        assert r.gini == pytest.approx(gini, abs=1e-5)
