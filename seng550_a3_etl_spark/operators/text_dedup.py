@@ -199,35 +199,110 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All document pairs with n-gram-shingle Jaccard ≥ threshold.
 
-    Output: doc_a < doc_b, inter, size_a, size_b, jaccard. The
-    intersection is counted by self-joining exploded distinct shingles —
-    partial-agg shrinks the pair stream before the final group.
+    Output: doc_a < doc_b, inter, size_a, size_b, jaccard.
+    Intersections come from the shared single-scan posting machinery
+    (:func:`_pair_intersections`).
 
     ``shingle_sets`` optionally supplies a prebuilt (doc, sh) frame of
     distinct HASHED shingles (the suite's session-cached build — the
     gold-table shape at 100 TB); when given, ``df``/``text_col``/``n``
     are not consulted for the set construction."""
+    inter = _pair_intersections(
+        _hashed_sets(df, id_col, text_col, n, shingle_sets),
+        max_shingle_freq,
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+    shingle_sets: DataFrame | None = None,
+) -> DataFrame:
+    """All document pairs where either side's shingle set is contained
+    in the other at ≥ threshold: containment C(A→B) = |A∩B| / |A|
+    (Broder's *containment*, vs resemblance/Jaccard).
+
+    The asymmetric dedup signal Jaccard structurally misses: a short
+    document quoted wholesale inside a much longer one has
+    containment ≈ 1 but Jaccard ≈ |A|/|B| — far below any resemblance
+    threshold. Pretraining pipelines need this to catch
+    quote-farms/wrapper pages that fully embed another page's content.
+
+    Output: doc_a < doc_b, inter, size_a, size_b, cont_a (=inter/
+    size_a), cont_b; a row survives when max(cont_a, cont_b) ≥
+    threshold (so it is a superset of the same-threshold Jaccard
+    pairs). Same single-scan posting machinery and stop-shingle bound
+    as :func:`ngram_jaccard_pairs`."""
+    inter = _pair_intersections(
+        _hashed_sets(df, id_col, text_col, n, shingle_sets),
+        max_shingle_freq,
+    )
+    cont_a = F.col("inter") / F.col("size_a")
+    cont_b = F.col("inter") / F.col("size_b")
+    return (
+        inter.withColumn("cont_a", cont_a)
+        .withColumn("cont_b", cont_b)
+        .filter(F.greatest("cont_a", "cont_b") >= threshold)
+        .select(
+            "doc_a", "doc_b", "inter", "size_a", "size_b",
+            "cont_a", "cont_b",
+        )
+    )
+
+
+def _hashed_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    shingle_sets: DataFrame | None,
+) -> DataFrame:
+    """(doc, sh) distinct hashed-shingle sets — the prebuilt cache when
+    supplied, else built inline. Shingle identity is hashed_shingles'
+    64-bit key — no shingle string is ever built and the shuffle key is
+    8 bytes instead of the ~n-word string (collisions negligible at any
+    corpus size the exact baselines can reach; minhash_lsh_pairs keeps
+    string shingles because its oracle replays the md5 signature
+    math)."""
     from seng550_a3_etl_spark.functions.text import hashed_shingles
 
-    # Postings carry the doc's set size so the pair aggregation needs no
-    # back-joins against a sizes table. Pairs come from grouping the
-    # postings by shingle and emitting each posting list's C(n,2) pairs
-    # with array HOFs — NOT from a posting self-join: Spark replans each
-    # reference of a renamed self-join side separately (no
-    # ReusedExchange), so the join shape ran the tokenize→shingle
-    # pipeline twice; this shape scans the corpus ONCE and shuffles
-    # postings once (measured ~2× on the whole query at sf0.1).
-    # Shingle identity is hashed_shingles' 64-bit key — no shingle
-    # string is ever built and the shuffle key is 8 bytes instead of the
-    # ~n-word string (collisions negligible at any corpus size this
-    # exact-Jaccard baseline can reach; minhash_lsh_pairs keeps string
-    # shingles because its oracle replays the md5 signature math).
-    sets_ = shingle_sets if shingle_sets is not None else df.select(
+    if shingle_sets is not None:
+        return shingle_sets
+    return df.select(
         F.col(id_col).alias("doc"),
         F.array_distinct(
             hashed_shingles(tokens(F.col(text_col)), n)
         ).alias("sh"),
     )
+
+
+def _pair_intersections(
+    sets_: DataFrame, max_shingle_freq: int | None
+) -> DataFrame:
+    """(doc_a < doc_b, size_a, size_b, inter) distinct-shingle
+    intersection counts for every co-occurring document pair.
+
+    Postings carry the doc's set size so the pair aggregation needs no
+    back-joins against a sizes table. Pairs come from grouping the
+    postings by shingle and emitting each posting list's C(n,2) pairs
+    with array HOFs — NOT from a posting self-join: Spark replans each
+    reference of a renamed self-join side separately (no
+    ReusedExchange), so the join shape ran the tokenize→shingle
+    pipeline twice; this shape scans the corpus ONCE and shuffles
+    postings once (measured ~2× on the whole query at sf0.1)."""
     postings = sets_.select(
         "doc",
         F.size("sh").cast("long").alias("n_sh"),
@@ -290,13 +365,6 @@ def ngram_jaccard_pairs(
         pairs.filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
-        .withColumn(
-            "jaccard",
-            F.col("inter")
-            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
     )
 
 

@@ -6,7 +6,7 @@ and SimHash, whose md5-derived hashes DuckDB reproduces bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from seng550_a3_etl_spark.catalog import load_tables
@@ -26,6 +26,7 @@ from seng550_a3_etl_spark.functions.text import (
     tokens,
 )
 from seng550_a3_etl_spark.operators.text_dedup import (
+    containment_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -1944,4 +1945,129 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("__sa", "__sb").alias("source_y"),
         )
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+
+
+@query(
+    "doc_containment_pairs",
+    oracle=f"""
+    WITH sets_ AS {{sets3}},
+    sizes AS (SELECT doc, CAST(len(sh) AS BIGINT) AS n_sh FROM sets_),
+    ex AS (SELECT doc, unnest(sh) AS s FROM sets_),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b USING (s)
+      WHERE a.doc < b.doc GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter,
+           sa.n_sh AS size_a, sb.n_sh AS size_b,
+           ROUND(inter / sa.n_sh, 6) AS cont_a,
+           ROUND(inter / sb.n_sh, 6) AS cont_b
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE greatest(inter / sa.n_sh, inter / sb.n_sh) >= 0.8
+    """.format(sets3=_DUCK_SETS3),
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X124 — asymmetric containment dedup pairs (Broder containment
+    C(A→B)=|A∩B|/|A| ≥ 0.8 in either direction): catches the
+    quote/wrapper shape resemblance dedup structurally misses — a short
+    doc fully embedded in a long one has containment ≈ 1 but Jaccard
+    ≈ |A|/|B|, below any X2 threshold. The result is a superset of
+    `ngram_dup_pairs` at the same threshold (containment ≥ Jaccard).
+
+    Reuses the session-cached hashed shingle build and the SAME
+    single-scan posting→pair machinery as X2 (one postings shuffle,
+    stop-shingle bound 64); only the final score expression differs —
+    no new corpus scan, no new shuffle shape to audit."""
+    t = load_tables(spark, sf_dir)
+    out = containment_pairs(
+        t.documents, "doc_id", "text", n=3, threshold=0.8,
+        max_shingle_freq=64,
+        shingle_sets=_shingle_sets_df(spark, sf_dir, n=3, hashed=True),
+    )
+    return out.select(
+        "doc_a", "doc_b", "inter", "size_a", "size_b",
+        F.round("cont_a", 6).alias("cont_a"),
+        F.round("cont_b", 6).alias("cont_b"),
+    )
+
+
+@query(
+    "lang_source_mi",
+    oracle="""
+    WITH joint AS (
+      SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT lang, source, c,
+             SUM(c) OVER (PARTITION BY lang) AS cl,
+             SUM(c) OVER (PARTITION BY source) AS cs,
+             SUM(c) OVER () AS n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY source) AS rn
+      FROM joint
+    ),
+    h AS (
+      SELECT MAX(n) AS n,
+             SUM(CAST(c AS DOUBLE) / n
+                 * log2(CAST(c AS DOUBLE) * n
+                        / (CAST(cl AS DOUBLE) * cs))) AS mi,
+             log2(CAST(MAX(n) AS DOUBLE))
+               - SUM(CASE WHEN rn = 1 THEN cl * log2(CAST(cl AS DOUBLE))
+                          ELSE 0 END) / MAX(n) AS h_lang
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           ROUND(mi, 4) AS mi_bits,
+           ROUND(mi / h_lang, 4) AS uncertainty_coeff
+    FROM h
+    """,
+)
+def lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X125 — mutual information between document language and source,
+    in bits, plus the uncertainty coefficient U(lang|source) = MI /
+    H(lang): the dependence gauge for mix design (high MI = language is
+    concentrated in particular sources, so source-level sampling skews
+    the language mix; near-zero = the two axes can be budgeted
+    independently). The same construction audits any pair of
+    categorical columns (label×shard for leakage, type×day for drift).
+
+    Scale: the corpus folds to the |langs|·|sources| joint rollup in
+    one shuffle; marginals are window sums OVER THE ROLLUP (no second
+    corpus pass — the X117 window-over-rollup argument), and the MI
+    fold is one aggregate over rollup rows. The rn=1 trick sums each
+    lang's marginal exactly once inside the same aggregate."""
+    t = load_tables(spark, sf_dir)
+    joint = t.documents.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = joint.select(
+        "lang",
+        "source",
+        "c",
+        F.sum("c").over(Window.partitionBy("lang")).alias("cl"),
+        F.sum("c").over(Window.partitionBy("source")).alias("cs"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("source"))
+        .alias("rn"),
+    )
+    cd = F.col("c").cast("double")
+    nrow = F.col("n")
+    mi = F.sum(
+        cd
+        / nrow
+        * F.log2(cd * nrow / (F.col("cl").cast("double") * F.col("cs")))
+    )
+    h_lang = F.log2(F.max("n").cast("double")) - F.sum(
+        F.when(
+            F.col("rn") == 1,
+            F.col("cl") * F.log2(F.col("cl").cast("double")),
+        ).otherwise(F.lit(0.0))
+    ) / F.max("n")
+    return m.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.round(mi, 4).alias("mi_bits"),
+        F.round(mi / h_lang, 4).alias("uncertainty_coeff"),
     )

@@ -209,28 +209,36 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (X6 cosine / X67 RRF hybrid). Classic parameters k1=1.2, b=0.75;
     idf = ln(1 + (N-df+0.5)/(df+0.5)).
 
-    Scale: term frequencies are computed only for the query's terms
-    (the explode filters to the broadcast term set before the
-    shuffle), the df and corpus-stats tables are |terms|- and 1-row
-    broadcasts, and the final top-n is orderBy+limit — Spark plans
-    TakeOrderedAndProject, never a global sort.
+    Scale: two column-pruned corpus scans total — one folds to the
+    1-row (N, avgdl) stats broadcast, the other computes term
+    frequencies for the query's terms only (the filter runs before the
+    shuffle) with the doc length CARRIED through the explode, so no
+    lens join back. The candidate (doc, term, tf, dl) frame is pinned
+    (localCheckpoint) because both the df rollup and the scoring read
+    it — without the pin Spark would replay its scan for each. df is a
+    |terms|-row broadcast; the final top-n is orderBy+limit — Spark
+    plans TakeOrderedAndProject, never a global sort.
     """
     t = load_tables(spark, sf_dir)
     docs = t.documents.select(
         "doc_id", _ctoks(F.col("text")).alias("t")
     )
-    lens = docs.select("doc_id", F.size("t").alias("dl"))
-    stats = lens.agg(
+    stats = docs.agg(
         F.count(F.lit(1)).alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
-            "avgdl"
-        ),
+        (
+            F.sum(F.size("t")).cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
     )
     tf = (
-        docs.select("doc_id", F.explode("t").alias("term"))
+        docs.select(
+            "doc_id",
+            F.size("t").alias("dl"),
+            F.explode("t").alias("term"),
+        )
         .where(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -241,7 +249,6 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(df), "term")
-        .join(lens, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(

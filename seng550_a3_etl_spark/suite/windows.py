@@ -876,3 +876,126 @@ def gapfill_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "interpolate_daily_series",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT CAST(u AS DATE) AS day FROM (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS u
+        FROM bounds
+      )
+    ),
+    grid AS (
+      SELECT t.event_type, s.day
+      FROM (SELECT DISTINCT event_type FROM events) t, spine s
+    ),
+    j AS (
+      SELECT g.event_type, g.day,
+             CAST(g.day - DATE '1970-01-01' AS BIGINT) AS dn, d.v
+      FROM grid g LEFT JOIN daily d USING (event_type, day)
+    ),
+    ctx AS (
+      SELECT *,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN dn END IGNORE NULLS)
+               OVER wp AS pd,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN dn END IGNORE NULLS)
+               OVER wf AS nd
+      FROM j
+      WINDOW wp AS (PARTITION BY event_type ORDER BY dn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY dn
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           v AS day_value,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (CAST(dn - pd AS DOUBLE) / (nd - pd))
+           END, 4) AS interp_value,
+           v IS NULL AS is_gap
+    FROM ctx
+    """,
+)
+def interpolate_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X126 — linear interpolation over calendar gaps: X98's sibling
+    with the other imputation contract — a gap day gets the value on
+    the straight line between its nearest observed neighbors instead
+    of a stale carry-forward (ffill biases trends flat; interpolation
+    preserves slope, the right default for rates and counters).
+    Leading/trailing gaps (no neighbor on one side) stay NULL,
+    ``is_gap`` keeps the imputation auditable.
+
+    Scale: identical shape to X98 — corpus folds to the |types|·|days|
+    rollup once; BOTH direction windows (last-non-null-behind,
+    first-non-null-ahead) share the event_type partitioning and run
+    over the rollup, so Spark plans one shuffle and two in-partition
+    sorts. The interpolation expression is the same operand-ordered
+    double arithmetic in both engines (integer day ratio × rounded
+    values), so the hash comparison needs no slack beyond the 4-dec
+    round."""
+    t = load_tables(spark, sf_dir)
+    day = F.col("ts").cast("date")
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = t.events.groupBy("event_type", day.alias("day")).agg(
+        F.round(F.sum("value"), 4).alias("v")
+    )
+    bounds = t.events.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    types = t.events.select("event_type").distinct()
+    j = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .withColumn("dn", F.datediff(F.col("day"), epoch).cast("long"))
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("dn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("dn")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_dn = F.when(F.col("v").isNotNull(), F.col("dn"))
+    ctx = j.select(
+        "event_type",
+        "day",
+        "dn",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_dn, ignorenulls=True).over(wp).alias("pd"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_dn, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).when(
+        F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (
+            (F.col("dn") - F.col("pd")).cast("double")
+            / (F.col("nd") - F.col("pd"))
+        ),
+    )
+    return ctx.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v").alias("day_value"),
+        F.round(interp, 4).alias("interp_value"),
+        F.col("v").isNull().alias("is_gap"),
+    )

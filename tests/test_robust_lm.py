@@ -309,3 +309,94 @@ def test_gini_matches_mean_absolute_difference(spark, docs):
         r = got[src]
         assert (r.n_docs, r.total_chars) == (n, sum(xs))
         assert r.gini == pytest.approx(gini, abs=1e-5)
+
+
+def test_containment_superset_and_definition(spark, docs):
+    """Containment pairs ⊇ Jaccard pairs at the same threshold, and
+    every emitted containment matches the set-theoretic definition
+    computed from raw shingle sets."""
+    def sets3(text):
+        t = text.split()  # unfiltered, mirroring the suite tokenizer
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    sh = {r.doc_id: sets3(r.text) for r in docs}
+    sh = {d: s for d, s in sh.items() if s}
+    expect = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter and max(inter / len(sh[a]), inter / len(sh[b])) >= 0.8:
+                expect[(a, b)] = (inter, len(sh[a]), len(sh[b]))
+    got = {
+        (r.doc_a, r.doc_b): (r.inter, r.size_a, r.size_b)
+        for r in QUERIES["doc_containment_pairs"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == expect
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["ngram_dup_pairs"](spark, SF_SMOKE).collect()
+    }
+    assert jac <= set(got)
+
+
+def test_lang_source_mi_definition(spark):
+    meta = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("lang", "source")
+        .collect()
+    )
+    joint = Counter((r.lang, r.source) for r in meta)
+    n = sum(joint.values())
+    cl = Counter()
+    cs = Counter()
+    for (la, so), c in joint.items():
+        cl[la] += c
+        cs[so] += c
+    mi = sum(
+        c / n * math.log2(c * n / (cl[la] * cs[so]))
+        for (la, so), c in joint.items()
+    )
+    h_lang = -sum(c / n * math.log2(c / n) for c in cl.values())
+    r = QUERIES["lang_source_mi"](spark, SF_SMOKE).collect()[0]
+    assert r.n_docs == n
+    assert r.mi_bits == pytest.approx(mi, abs=1e-3)
+    assert r.uncertainty_coeff == pytest.approx(mi / h_lang, abs=1e-3)
+    assert 0 <= r.mi_bits  # MI is non-negative by Gibbs' inequality
+
+
+def test_interpolation_contract(spark):
+    """Observed days keep their value; interior gap days sit on the
+    straight line between neighbors; leading/trailing gaps stay NULL;
+    the day spine is complete per type."""
+    rows = QUERIES["interpolate_daily_series"](spark, SF_SMOKE).collect()
+    from datetime import date
+
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r.day)
+        days = [date.fromisoformat(r.day) for r in series]
+        assert all(
+            (b - a).days == 1 for a, b in zip(days, days[1:])
+        ), "spine has holes"
+        obs = [
+            (i, r.day_value)
+            for i, r in enumerate(series)
+            if not r.is_gap
+        ]
+        for i, r in enumerate(series):
+            if not r.is_gap:
+                assert r.interp_value == pytest.approx(r.day_value)
+                continue
+            prev = max(((j, v) for j, v in obs if j < i), default=None)
+            nxt = min(((j, v) for j, v in obs if j > i), default=None)
+            if prev is None or nxt is None:
+                assert r.interp_value is None
+            else:
+                (jp, vp), (jn, vn) = prev, nxt
+                want = vp + (vn - vp) * (i - jp) / (jn - jp)
+                assert r.interp_value == pytest.approx(want, abs=1e-3)
