@@ -479,3 +479,54 @@ __all__ = [
     "price_mad_outliers",
     "winsorized_price_stats",
 ]
+
+
+@query(
+    "weekday_chisq",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                  AS BIGINT) AS dn
+      FROM orders
+    ),
+    obs AS (
+      SELECT (dn + 4) % 7 AS dow, COUNT(*) AS n
+      FROM d GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS total FROM obs)
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(n AS BIGINT) AS n_orders,
+           ROUND(CAST(total AS DOUBLE) / 7, 4) AS expected,
+           ROUND(pow(n - CAST(total AS DOUBLE) / 7, 2)
+                 / (CAST(total AS DOUBLE) / 7), 4) AS chisq_term
+    FROM obs CROSS JOIN tot
+    """,
+)
+def weekday_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X128 — day-of-week seasonality census with the chi-square
+    goodness-of-fit decomposition against a uniform week: per weekday
+    the observed order count, the uniform expectation n/7, and that
+    cell's (obs−exp)²/exp term (the statistic is their sum, dof 6) —
+    the ingestion-monitoring test for "did the weekly shape break"
+    (a pipeline that silently drops weekend batches shows up as two
+    inflated terms).
+
+    Weekday is computed as (days_since_epoch + 4) % 7 (epoch day 0 =
+    Thursday ⇒ 0 = Sunday) — pure integer arithmetic, identical in
+    both engines, dodging the Spark-vs-DuckDB dayofweek() numbering
+    mismatch entirely. Scale: one map-side-combined count shuffle to a
+    7-row rollup; the expectation join is a 1-row broadcast."""
+    t = load_tables(spark, sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    dn = F.datediff(F.col("o_orderdate").cast("date"), epoch)
+    obs = t.orders.groupBy(((dn + 4) % 7).alias("dow")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    exp = F.col("total").cast("double") / 7
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("long").alias("dow"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(exp, 4).alias("expected"),
+        F.round(F.pow(F.col("n") - exp, 2) / exp, 4).alias("chisq_term"),
+    )

@@ -2071,3 +2071,83 @@ def lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mi, 4).alias("mi_bits"),
         F.round(mi / h_lang, 4).alias("uncertainty_coeff"),
     )
+
+
+_SWEEP_TS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@query(
+    "dup_threshold_sweep",
+    oracle=f"""
+    WITH sets_ AS {{sets3}},
+    sizes AS (SELECT doc, CAST(len(sh) AS BIGINT) AS n_sh FROM sets_),
+    ex AS (SELECT doc, unnest(sh) AS s FROM sets_),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b USING (s)
+      WHERE a.doc < b.doc GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             inter / (sa.n_sh + sb.n_sh - inter) AS j
+      FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+    ),
+    ts(t) AS (VALUES {", ".join(f"({t})" for t in _SWEEP_TS)})
+    SELECT t AS threshold,
+           CAST(COUNT(CASE WHEN j >= t THEN 1 END) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN j >= t THEN doc_b END)
+                AS BIGINT) AS n_docs_droppable
+    FROM ts CROSS JOIN scored
+    GROUP BY t
+    """.format(sets3=_DUCK_SETS3),
+)
+def dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X127 — near-dup threshold sensitivity report: for each candidate
+    Jaccard threshold, how many pairs fire and how many documents a
+    keep-smallest-id policy could drop (distinct larger-id members).
+    This is the tuning artifact a dedup rollout reads BEFORE picking
+    X2/X3's threshold — one pass over the same pair-intersection
+    stream the production threshold would consume, so the sweep costs
+    one query, not |thresholds| queries.
+
+    Scale: identical machinery and cost envelope to ngram_dup_pairs
+    (session-cached shingle sets, single postings shuffle, stop-
+    shingle bound 64 — the sweep reads the UNFILTERED pair stream X2
+    filters, which X2's plan materializes anyway before its threshold
+    predicate); the threshold fan-out happens on the folded
+    (pair, jaccard) rollup via a broadcast |thresholds|-row join, and
+    the result is |thresholds| rows."""
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        _pair_intersections,
+    )
+
+    t = load_tables(spark, sf_dir)
+    inter = _pair_intersections(
+        _shingle_sets_df(spark, sf_dir, n=3, hashed=True),
+        max_shingle_freq=64,
+    )
+    scored = inter.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        ).alias("j"),
+    )
+    ts = spark.createDataFrame(
+        [(float(x),) for x in _SWEEP_TS], "t double"
+    )
+    fired = F.when(F.col("j") >= F.col("t"), F.lit(1))
+    return (
+        F.broadcast(ts)
+        .crossJoin(scored)
+        .groupBy(F.col("t").alias("threshold"))
+        .agg(
+            F.count(fired).alias("n_pairs"),
+            F.count_distinct(
+                F.when(F.col("j") >= F.col("t"), F.col("doc_b"))
+            ).alias("n_docs_droppable"),
+        )
+    )

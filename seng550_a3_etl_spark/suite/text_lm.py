@@ -592,3 +592,121 @@ __all__ = [
     "common_ngram_report",
     "doc_length_gini",
 ]
+
+
+_PMI_WINDOW = 4
+_PMI_MIN_COOC = 5
+_PMI_TOPN = 20
+
+
+@query(
+    "token_pmi_pairs",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_DUCK_CTOKS} AS t FROM documents
+    ),
+    pr AS (
+      SELECT least(z[1], z[2]) AS tok_a, greatest(z[1], z[2]) AS tok_b
+      FROM (
+        SELECT unnest(flatten([
+          {", ".join(f"list_zip(t[1:len(t) - {d}], t[{d + 1}:len(t)])" for d in range(1, _PMI_WINDOW + 1))}
+        ])) AS z
+        FROM docs
+      )
+      WHERE z[1] IS NOT NULL AND z[2] IS NOT NULL
+    ),
+    cab AS (
+      SELECT tok_a, tok_b, COUNT(*) AS c_ab FROM pr GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT t AS tok, COUNT(*) AS c
+      FROM (SELECT unnest(t) AS t FROM docs) GROUP BY 1
+    ),
+    scal AS (
+      SELECT (SELECT SUM(c) FROM uni) AS n,
+             (SELECT COUNT(*) FROM pr) AS p
+    )
+    SELECT tok_a, tok_b, c_ab,
+           ROUND(log2((CAST(c_ab AS DOUBLE) / p)
+                      / ((CAST(ca.c AS DOUBLE) / n)
+                         * (CAST(cb.c AS DOUBLE) / n))), 4) AS pmi
+    FROM cab
+    JOIN uni ca ON ca.tok = tok_a
+    JOIN uni cb ON cb.tok = tok_b
+    CROSS JOIN scal
+    WHERE c_ab >= {_PMI_MIN_COOC}
+    ORDER BY (CAST(c_ab AS DOUBLE) * n * n) / (CAST(p AS DOUBLE) * ca.c * cb.c)
+             DESC, tok_a, tok_b
+    LIMIT {_PMI_TOPN}
+    """,
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X129 — pointwise mutual information over windowed token
+    co-occurrence (window {_PMI_WINDOW}, the word2vec/GloVe counting
+    step): the top strongly-associated token pairs, the collocation
+    signal phrase mining and tokenizer multi-word-merge decisions read.
+    PMI = log2( p(a,b) / (p(a)p(b)) ) with pair probabilities from the
+    window-pair space and marginals from the unigram space; pairs
+    below {_PMI_MIN_COOC} co-occurrences are dropped (PMI's
+    small-count pathology).
+
+    Scale: window pairing is per-row array arithmetic ({_PMI_WINDOW}
+    shifted-slice zips flattened and exploded in ONE corpus pass) with
+    fan-out ≤ {_PMI_WINDOW} per token — linear, unlike doc-level
+    co-occurrence's C(distinct,2) blowup; the (a,b) count rollup is
+    vocab²-bounded, marginals and the two scalars broadcast. The
+    top-n ORDERS BY THE RATIONAL odds ratio c_ab·N²/(P·c_a·c_b) — the
+    same monotone order as PMI but a single IEEE expression both
+    engines evaluate bit-identically (float log ordering near ties is
+    not cross-engine stable; the ratio is) — then emits the rounded
+    log. TakeOrderedAndProject, no global sort."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select(_ctoks(F.col("text")).alias("t"))
+    zips = [
+        F.zip_with(
+            F.slice(F.col("t"), 1, F.greatest(F.size("t") - d, F.lit(0))),
+            F.slice(F.col("t"), d + 1, F.greatest(F.size("t") - d, F.lit(0))),
+            lambda a, b: F.struct(
+                F.least(a, b).alias("x"), F.greatest(a, b).alias("y")
+            ),
+        )
+        for d in range(1, _PMI_WINDOW + 1)
+    ]
+    pr = (
+        docs.select(F.explode(F.flatten(F.array(*zips))).alias("z"))
+        .where(F.col("z.x").isNotNull() & F.col("z.y").isNotNull())
+        .select(F.col("z.x").alias("tok_a"), F.col("z.y").alias("tok_b"))
+    )
+    pr = pr.localCheckpoint(eager=False)
+    cab = pr.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        t.documents.select(F.explode(_ctoks(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scal = uni.agg(F.sum("c").alias("n")).crossJoin(
+        pr.agg(F.count(F.lit(1)).alias("p"))
+    )
+    ca = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    scored = (
+        cab.where(F.col("c_ab") >= _PMI_MIN_COOC)
+        .join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cb), "tok_b")
+        .crossJoin(F.broadcast(scal))
+    )
+    ratio = (F.col("c_ab").cast("double") * F.col("n") * F.col("n")) / (
+        F.col("p").cast("double") * F.col("c_a") * F.col("c_b")
+    )
+    pmi = F.log2(
+        (F.col("c_ab").cast("double") / F.col("p"))
+        / (
+            (F.col("c_a").cast("double") / F.col("n"))
+            * (F.col("c_b").cast("double") / F.col("n"))
+        )
+    )
+    return (
+        scored.orderBy(ratio.desc(), "tok_a", "tok_b")
+        .limit(_PMI_TOPN)
+        .select("tok_a", "tok_b", "c_ab", F.round(pmi, 4).alias("pmi"))
+    )

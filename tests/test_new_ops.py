@@ -245,18 +245,21 @@ def test_changed_names_all_registered():
 
 def test_never_checked_queries_sort_first():
     # the rotation is computed from the committed CORRECTNESS files: a
-    # query with no driver row in any round must land in the first 50
-    # slots (the driver's per-round cap), ahead of everything green.
-    import json
-
+    # query with no driver row in any round sorts ahead of every
+    # checked query, so the first min(50, |never|) driver slots go to
+    # never-checked queries (once |never| exceeds the 50-slot cap the
+    # overflow is unavoidable and spills to later rounds — the
+    # invariant is the TIER ordering, not full coverage in one round).
     from seng550_a3_etl_spark.suite import _last_driver_round, QUERIES
 
     last = _last_driver_round()
     assert last, "no CORRECTNESS_r*.json found at repo root"
-    never = [n for n in QUERIES if n not in last]
-    first50 = set(list(QUERIES)[:50])
-    stranded = [n for n in never if n not in first50]
-    assert not stranded, f"never-driver-checked queries outside slot 50: {stranded}"
+    never = {n for n in QUERIES if n not in last}
+    head = set(list(QUERIES)[: len(never)])
+    assert head == never, (
+        f"tier order broken: checked queries ahead of never-checked: "
+        f"{sorted(head - never)} vs {sorted(never - head)}"
+    )
 
 
 def test_rotation_staleness_ordering(tmp_path):

@@ -400,3 +400,75 @@ def test_interpolation_contract(spark):
                 (jp, vp), (jn, vn) = prev, nxt
                 want = vp + (vn - vp) * (i - jp) / (jn - jp)
                 assert r.interp_value == pytest.approx(want, abs=1e-3)
+
+
+def test_dup_threshold_sweep_consistency(spark):
+    """The sweep's n_pairs at t=0.8 equals |ngram_dup_pairs|, counts
+    are monotone non-increasing in t, and droppable docs are bounded
+    by pair count."""
+    rows = {
+        r.threshold: r
+        for r in QUERIES["dup_threshold_sweep"](spark, SF_SMOKE).collect()
+    }
+    n_08 = QUERIES["ngram_dup_pairs"](spark, SF_SMOKE).count()
+    assert rows[0.8].n_pairs == n_08
+    ts = sorted(rows)
+    for a, b in zip(ts, ts[1:]):
+        assert rows[a].n_pairs >= rows[b].n_pairs
+        assert rows[a].n_docs_droppable >= rows[b].n_docs_droppable
+    for r in rows.values():
+        assert r.n_docs_droppable <= r.n_pairs
+
+
+def test_weekday_chisq_definition(spark):
+    from datetime import date
+
+    orders = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderdate")
+        .collect()
+    )
+    obs = Counter(
+        ((r.o_orderdate.date() - date(1970, 1, 1)).days + 4) % 7
+        for r in orders
+    )
+    # sanity: the integer formula really is "0 = Sunday"
+    assert (date(2026, 8, 9) - date(1970, 1, 1)).days % 7 == 3  # Sun + 4 ≡ 0
+    n = sum(obs.values())
+    exp = n / 7
+    got = {
+        r.dow: r for r in QUERIES["weekday_chisq"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(obs)
+    for dow, c in obs.items():
+        r = got[dow]
+        assert r.n_orders == c
+        assert r.expected == pytest.approx(exp, abs=1e-3)
+        assert r.chisq_term == pytest.approx(
+            (c - exp) ** 2 / exp, abs=1e-3
+        )
+
+
+def test_token_pmi_matches_definition(spark, docs):
+    window, min_c = 4, 5
+    pairs = Counter()
+    uni = Counter()
+    for r in docs:
+        t = _ctoks(r.text)
+        uni.update(t)
+        for i, a in enumerate(t):
+            for b in t[i + 1 : i + 1 + window]:
+                pairs[tuple(sorted((a, b)))] += 1
+    n = sum(uni.values())
+    p = sum(pairs.values())
+    cand = {
+        k: c / p / ((uni[k[0]] / n) * (uni[k[1]] / n))
+        for k, c in pairs.items()
+        if c >= min_c
+    }
+    top = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = QUERIES["token_pmi_pairs"](spark, SF_SMOKE).collect()
+    assert [(r.tok_a, r.tok_b) for r in got] == [k for k, _ in top]
+    for r, (k, ratio) in zip(got, top):
+        assert r.c_ab == pairs[k]
+        assert r.pmi == pytest.approx(math.log2(ratio), abs=1e-3)
