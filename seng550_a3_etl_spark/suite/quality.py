@@ -82,3 +82,103 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_rows).alias("n_rows"),
     )
     return report.unionByName(fk_row)
+
+
+_KANON_K = 5
+
+
+@query(
+    "quasi_id_kanon",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             COUNT(*) AS class_size
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT class_size,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           class_size < {_KANON_K} AS below_k
+    FROM classes GROUP BY class_size
+    """,
+)
+def quasi_id_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X130 — k-anonymity census over a quasi-identifier tuple
+    (nation, market segment, account-balance bucket): the histogram of
+    equivalence-class sizes with each size flagged against k=5.
+    Rows in classes below k are re-identifiable by the quasi-identifier
+    alone — the governance gate a training-data release runs before
+    shipping anything derived from user records (generalize or suppress
+    until below_k rows reach zero).
+
+    Scale: one map-side-combined shuffle to the equivalence-class
+    rollup, then a fold over |classes| rows to the size histogram —
+    the same two-level rollup shape as key_skew_report; nothing
+    row-sized survives the first aggregation."""
+    t = load_tables(spark, sf_dir)
+    classes = t.customer.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias(
+            "bal_bucket"
+        ),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return classes.groupBy("class_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        (F.col("class_size") < _KANON_K).alias("below_k"),
+    )
+
+
+@query(
+    "benford_digit_census",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM cents
+    ),
+    obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT SUM(n) AS total FROM obs)
+    SELECT d AS digit,
+           CAST(n AS BIGINT) AS n_orders,
+           ROUND(log10(1 + 1.0 / d), 6) AS benford_frac,
+           ROUND(pow(n - total * log10(1 + 1.0 / d), 2)
+                 / (total * log10(1 + 1.0 / d)), 4) AS chisq_term
+    FROM obs CROSS JOIN tot
+    """,
+)
+def benford_digit_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X131 — Benford's-law first-digit screen on order totals: the
+    observed leading-digit counts vs the Benford expectation
+    log10(1+1/d), with per-digit chi-square terms (statistic = sum,
+    dof 8) — the classic forensic/data-quality test for fabricated or
+    re-scaled monetary columns (a synthetic uniform generator fails it
+    loudly, which is itself a fixture-honesty check).
+
+    The leading digit comes from integer CENTS rendered as a string —
+    never from float formatting, which differs across engines. Scale:
+    one scan folding to a ≤9-row rollup; the total is a 1-row
+    broadcast."""
+    t = load_tables(spark, sf_dir)
+    cents = t.orders.where(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    obs = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1)
+        .cast("long")
+        .alias("d")
+    ).groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    bf = F.log10(1 + 1.0 / F.col("d"))
+    exp = F.col("total") * bf
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(bf, 6).alias("benford_frac"),
+        F.round(F.pow(F.col("n") - exp, 2) / exp, 4).alias("chisq_term"),
+    )

@@ -530,3 +530,207 @@ def weekday_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp, 4).alias("expected"),
         F.round(F.pow(F.col("n") - exp, 2) / exp, 4).alias("chisq_term"),
     )
+
+
+# Welch's two-sample t-test between two event types' value
+# distributions. Values quantize to integer MICROS so Σx and Σx² are
+# exact (decimal(38) / HUGEINT); every float op downstream is the same
+# operand-ordered expression in both engines.
+_TT_A, _TT_B = "click", "purchase"
+_DUCK_MICROS = "CAST(ROUND(value * 1000000) AS BIGINT)"
+
+
+@query(
+    "ab_welch_ttest",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM({_DUCK_MICROS}) AS sx,
+             SUM(CAST({_DUCK_MICROS} AS HUGEINT) * {_DUCK_MICROS}) AS sxx
+      FROM events
+      WHERE event_type IN ('{_TT_A}', '{_TT_B}') AND value IS NOT NULL
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             CAST(sx AS DOUBLE) / n AS mean,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+              * CAST(sx AS DOUBLE) / n) / (n - 1) AS var
+      FROM s
+    ),
+    ab AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             a.mean AS mean_a, b.mean AS mean_b,
+             a.var / a.n AS va, b.var / b.n AS vb
+      FROM m a, m b
+      WHERE a.event_type = '{_TT_A}' AND b.event_type = '{_TT_B}'
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           ROUND((mean_a - mean_b) / 1e6, 4) AS mean_diff,
+           ROUND((mean_a - mean_b) / sqrt(va + vb), 4) AS t_stat,
+           ROUND(pow(va + vb, 2)
+                 / (pow(va, 2) / (n_a - 1) + pow(vb, 2) / (n_b - 1)),
+                 2) AS welch_dof
+    FROM ab
+    """,
+)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X132 — Welch's unequal-variance two-sample t-test between the
+    'click' and 'purchase' value distributions: t statistic and
+    Welch–Satterthwaite degrees of freedom — the A/B-comparison
+    primitive an experimentation or canary pipeline runs per metric
+    (Welch's form because real segment variances are never equal).
+
+    Both samples' (n, Σx, Σx²) fold in ONE filtered scan with
+    map-side partial aggregation; the test statistic is pure
+    arithmetic on the two 1-row summaries (broadcast join of a 2-row
+    frame with itself is avoided — the pivot happens via conditional
+    firsts). Micros quantization keeps the moment sums exact, so both
+    engines compute the statistic from identical integers."""
+    micros = F.round(F.col("value") * 1_000_000).cast("long")
+    dec = micros.cast("decimal(38,0)")
+    t = load_tables(spark, sf_dir)
+    s = (
+        t.events.where(
+            F.col("event_type").isin(_TT_A, _TT_B)
+            & F.col("value").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).alias("sx"),
+            F.sum(dec * dec).alias("sxx"),
+        )
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    m = s.select(
+        "event_type",
+        n,
+        (sx / n).alias("mean"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var"),
+    )
+
+    def pick(side: str, col: str):
+        return F.first(
+            F.when(F.col("event_type") == side, F.col(col)),
+            ignorenulls=True,
+        )
+
+    ab = m.agg(
+        pick(_TT_A, "n").alias("n_a"),
+        pick(_TT_B, "n").alias("n_b"),
+        pick(_TT_A, "mean").alias("mean_a"),
+        pick(_TT_B, "mean").alias("mean_b"),
+        pick(_TT_A, "var").alias("var_a"),
+        pick(_TT_B, "var").alias("var_b"),
+    )
+    va = F.col("var_a") / F.col("n_a")
+    vb = F.col("var_b") / F.col("n_b")
+    diff = F.col("mean_a") - F.col("mean_b")
+    return ab.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(diff / 1e6, 4).alias("mean_diff"),
+        F.round(diff / F.sqrt(va + vb), 4).alias("t_stat"),
+        F.round(
+            F.pow(va + vb, 2)
+            / (
+                F.pow(va, 2) / (F.col("n_a") - 1)
+                + F.pow(vb, 2) / (F.col("n_b") - 1)
+            ),
+            2,
+        ).alias("welch_dof"),
+    )
+
+
+_KS_SRC_A, _KS_SRC_B = "src0", "src1"
+_KS_CRIT = 1.358  # c(alpha) at alpha = 0.05
+
+
+@query(
+    "length_ks_drift",
+    oracle=f"""
+    WITH vals AS (
+      SELECT n_chars,
+             COUNT(CASE WHEN source = '{_KS_SRC_A}' THEN 1 END) AS ca,
+             COUNT(CASE WHEN source = '{_KS_SRC_B}' THEN 1 END) AS cb
+      FROM documents
+      WHERE source IN ('{_KS_SRC_A}', '{_KS_SRC_B}')
+      GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY n_chars) AS fa,
+             SUM(cb) OVER (ORDER BY n_chars) AS fb,
+             SUM(ca) OVER () AS na,
+             SUM(cb) OVER () AS nb
+      FROM vals
+    )
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           ROUND(MAX(abs(CAST(fa AS DOUBLE) / na
+                         - CAST(fb AS DOUBLE) / nb)), 6) AS ks_stat,
+           MAX(abs(CAST(fa AS DOUBLE) / na - CAST(fb AS DOUBLE) / nb))
+             > {_KS_CRIT} * sqrt((MAX(na) + MAX(nb))
+                                 / (CAST(MAX(na) AS DOUBLE) * MAX(nb)))
+             AS reject_h0
+    FROM cum
+    """,
+)
+def length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X133 — two-sample Kolmogorov-Smirnov drift test between two
+    sources' document-length distributions: D = sup|F_a − F_b| plus
+    the alpha=0.05 decision against the asymptotic critical value
+    1.358·sqrt((n_a+n_b)/(n_a·n_b)) — the NONPARAMETRIC companion to
+    the binned PSI monitor (X93): PSI needs bin design and misses
+    shape shifts inside a bin; KS is binless and distribution-free.
+
+    The empirical CDFs come from ONE rollup: group the union sample by
+    value with per-source conditional counts, then two running sums
+    over the same value-ordered window — |distinct lengths| rows, not
+    documents. The window is unpartitioned but rollup-sized (the X38
+    argument); the sup and the decision fold to one row. Counts stay
+    integer until the two CDF divisions."""
+    t = load_tables(spark, sf_dir)
+    vals = (
+        t.documents.where(
+            F.col("source").isin(_KS_SRC_A, _KS_SRC_B)
+        )
+        .groupBy("n_chars")
+        .agg(
+            F.count(
+                F.when(F.col("source") == _KS_SRC_A, 1)
+            ).alias("ca"),
+            F.count(
+                F.when(F.col("source") == _KS_SRC_B, 1)
+            ).alias("cb"),
+        )
+    )
+    w = Window.orderBy("n_chars").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wa = Window.partitionBy()
+    cum = vals.select(
+        F.sum("ca").over(w).alias("fa"),
+        F.sum("cb").over(w).alias("fb"),
+        F.sum("ca").over(wa).alias("na"),
+        F.sum("cb").over(wa).alias("nb"),
+    )
+    d = F.abs(
+        F.col("fa").cast("double") / F.col("na")
+        - F.col("fb").cast("double") / F.col("nb")
+    )
+    na, nb = F.max("na"), F.max("nb")
+    return cum.agg(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(F.max(d), 6).alias("ks_stat"),
+        (
+            F.max(d)
+            > _KS_CRIT
+            * F.sqrt((na + nb) / (na.cast("double") * nb))
+        ).alias("reject_h0"),
+    )

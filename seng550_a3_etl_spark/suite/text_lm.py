@@ -204,7 +204,7 @@ _BM25_TOPN = 20
 )
 def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X119 — BM25 ranked retrieval (Robertson-Spärck Jones) for a
-    fixed query, top-{_BM25_TOPN} documents: the lexical-retrieval
+    fixed query, top-20 documents: the lexical-retrieval
     baseline every RAG/hybrid stack needs next to the embedding path
     (X6 cosine / X67 RRF hybrid). Classic parameters k1=1.2, b=0.75;
     idf = ln(1 + (N-df+0.5)/(df+0.5)).
@@ -304,7 +304,7 @@ _LM_TOPN = 3
 )
 def bigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X120 — bigram language-model estimation with add-k smoothing
-    (k=0.5): per head token, the top-{_LM_TOPN} continuations and their
+    (k=0.5): per head token, the top-3 continuations and their
     smoothed conditional log-probability ln((c+k)/(c(h)+k·V)) — the
     cheap n-gram LM used for perplexity-style quality filtering (the
     bigram upgrade of X59's unigram logprob scorer).
@@ -477,7 +477,7 @@ _TPL_TOPN = 3
 )
 def common_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X122 — per-source template/boilerplate n-gram report: the
-    {_TPL_N}-gram shingles present in the most documents of each
+    3-gram shingles present in the most documents of each
     source, with their document-frequency fraction. High-fraction
     shingles are shared headers/footers/navigation — the signal a
     boilerplate stripper keys on before dedup (removing them is what
@@ -642,17 +642,17 @@ _PMI_TOPN = 20
 )
 def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X129 — pointwise mutual information over windowed token
-    co-occurrence (window {_PMI_WINDOW}, the word2vec/GloVe counting
+    co-occurrence (window 4, the word2vec/GloVe counting
     step): the top strongly-associated token pairs, the collocation
     signal phrase mining and tokenizer multi-word-merge decisions read.
     PMI = log2( p(a,b) / (p(a)p(b)) ) with pair probabilities from the
     window-pair space and marginals from the unigram space; pairs
-    below {_PMI_MIN_COOC} co-occurrences are dropped (PMI's
+    below 5 co-occurrences are dropped (PMI's
     small-count pathology).
 
-    Scale: window pairing is per-row array arithmetic ({_PMI_WINDOW}
+    Scale: window pairing is per-row array arithmetic (4
     shifted-slice zips flattened and exploded in ONE corpus pass) with
-    fan-out ≤ {_PMI_WINDOW} per token — linear, unlike doc-level
+    fan-out ≤ 4 per token — linear, unlike doc-level
     co-occurrence's C(distinct,2) blowup; the (a,b) count rollup is
     vocab²-bounded, marginals and the two scalars broadcast. The
     top-n ORDERS BY THE RATIONAL odds ratio c_ab·N²/(P·c_a·c_b) — the

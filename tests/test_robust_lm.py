@@ -472,3 +472,104 @@ def test_token_pmi_matches_definition(spark, docs):
     for r, (k, ratio) in zip(got, top):
         assert r.c_ab == pairs[k]
         assert r.pmi == pytest.approx(math.log2(ratio), abs=1e-3)
+
+
+def test_kanon_census_brute_force(spark):
+    cust = (
+        spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        .select("c_nationkey", "c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    classes = Counter(
+        (r.c_nationkey, r.c_mktsegment, math.floor(r.c_acctbal / 1000))
+        for r in cust
+    )
+    hist = Counter(classes.values())
+    got = {
+        r.class_size: r
+        for r in QUERIES["quasi_id_kanon"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(hist)
+    for size, n_classes in hist.items():
+        r = got[size]
+        assert r.n_classes == n_classes
+        assert r.n_rows == size * n_classes
+        assert r.below_k == (size < 5)
+    # every customer row is accounted for exactly once
+    assert sum(r.n_rows for r in got.values()) == len(cust)
+
+
+def test_benford_census_brute_force(spark):
+    orders = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_totalprice")
+        .collect()
+    )
+    obs = Counter(
+        int(str(round(r.o_totalprice * 100))[0])
+        for r in orders
+        if r.o_totalprice > 0
+    )
+    n = sum(obs.values())
+    got = {
+        r.digit: r
+        for r in QUERIES["benford_digit_census"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(obs)
+    for d, c in obs.items():
+        r = got[d]
+        exp = n * math.log10(1 + 1 / d)
+        assert r.n_orders == c
+        assert r.benford_frac == pytest.approx(
+            math.log10(1 + 1 / d), abs=1e-5
+        )
+        assert r.chisq_term == pytest.approx((c - exp) ** 2 / exp, abs=1e-3)
+
+
+def test_welch_ttest_brute_force(spark):
+    import statistics
+
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    a = [
+        round(r.value * 1e6) / 1e6
+        for r in ev
+        if r.event_type == "click" and r.value is not None
+    ]
+    b = [
+        round(r.value * 1e6) / 1e6
+        for r in ev
+        if r.event_type == "purchase" and r.value is not None
+    ]
+    ma, mb = statistics.fmean(a), statistics.fmean(b)
+    va, vb = statistics.variance(a) / len(a), statistics.variance(b) / len(b)
+    t = (ma - mb) / math.sqrt(va + vb)
+    dof = (va + vb) ** 2 / (
+        va**2 / (len(a) - 1) + vb**2 / (len(b) - 1)
+    )
+    r = QUERIES["ab_welch_ttest"](spark, SF_SMOKE).collect()[0]
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    assert r.mean_diff == pytest.approx(ma - mb, abs=1e-3)
+    assert r.t_stat == pytest.approx(t, abs=1e-2)
+    assert r.welch_dof == pytest.approx(dof, rel=1e-3)
+
+
+def test_ks_drift_brute_force(spark, docs):
+    a = sorted(r.n_chars for r in docs if r.source == "src0")
+    b = sorted(r.n_chars for r in docs if r.source == "src1")
+
+    def cdf(xs, v):
+        import bisect
+
+        return bisect.bisect_right(xs, v) / len(xs)
+
+    grid = sorted(set(a) | set(b))
+    d = max(abs(cdf(a, v) - cdf(b, v)) for v in grid)
+    crit = 1.358 * math.sqrt((len(a) + len(b)) / (len(a) * len(b)))
+    r = QUERIES["length_ks_drift"](spark, SF_SMOKE).collect()[0]
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    assert r.ks_stat == pytest.approx(d, abs=1e-5)
+    assert r.reject_h0 == (d > crit)
