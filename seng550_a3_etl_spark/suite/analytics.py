@@ -1215,3 +1215,131 @@ def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("intercept"),
     )
+
+
+@query(
+    "multi_touch_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS pid, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS cid, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+      SELECT p.pid, c.cid, c.cts,
+             ROW_NUMBER() OVER (PARTITION BY p.pid
+                                ORDER BY c.cts, c.cid) AS rn_first,
+             ROW_NUMBER() OVER (PARTITION BY p.pid
+                                ORDER BY c.cts DESC, c.cid DESC) AS rn_last,
+             COUNT(*) OVER (PARTITION BY p.pid) AS n_touch
+      FROM p JOIN c ON c.user_id = p.user_id
+                   AND c.cts < p.pts
+                   AND c.cts >= p.pts - INTERVAL 1 HOUR
+    ),
+    melted AS (
+      SELECT 'first_touch' AS model, cts,
+             CASE WHEN rn_first = 1 THEN 1.0 ELSE 0.0 END AS credit
+      FROM touches
+      UNION ALL
+      SELECT 'last_touch', cts,
+             CASE WHEN rn_last = 1 THEN 1.0 ELSE 0.0 END
+      FROM touches
+      UNION ALL
+      SELECT 'linear', cts, 1.0 / n_touch FROM touches
+    )
+    SELECT model,
+           strftime(CAST(cts AS DATE), '%Y-%m-%d') AS click_day,
+           ROUND(SUM(credit), 4) AS credited_conversions,
+           CAST(COUNT(CASE WHEN credit > 0 THEN 1 END) AS BIGINT)
+             AS n_credited_touches
+    FROM melted GROUP BY 1, 2
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X134 — multi-touch conversion attribution, three models at once
+    (first-touch / last-touch / linear): each purchase's credit is
+    assigned to the same user's clicks in the preceding hour (the
+    lookback the X23/X108 streaming attribution uses), then rolled up
+    to credited conversions per click-day per model — the marketing /
+    growth analytics counterpart of the streaming join, answering
+    "which day's clicks actually drove purchases, under which credit
+    rule".
+
+    Scale: the touch join is the bounded equi+range shape (user
+    equi-key, 1-hour event-time band — the same state-bounding
+    argument as the streaming twin); all three ranking windows share
+    the per-purchase partitioning (clicks-per-purchase-window rows
+    each, one shuffle); the melt is a 3× union of the touch rollup and
+    folds to |days|·3 rows. Linear credits are 1/n doubles — the
+    per-group sum is rounded at 4, inside the suite's float rule."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"),
+    )
+    touches = p.join(
+        c,
+        (p.user_id == c.user_id)
+        & (F.col("cts") < F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("pid", "cid", "cts")
+    wf = Window.partitionBy("pid").orderBy("cts", "cid")
+    wl = Window.partitionBy("pid").orderBy(
+        F.col("cts").desc(), F.col("cid").desc()
+    )
+    wn = Window.partitionBy("pid")
+    ranked = touches.select(
+        "cts",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+        F.count(F.lit(1)).over(wn).alias("n_touch"),
+    )
+    melted = ranked.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.when(F.col("rn_first") == 1, 1.0)
+                    .otherwise(0.0)
+                    .alias("credit"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.when(F.col("rn_last") == 1, 1.0)
+                    .otherwise(0.0)
+                    .alias("credit"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("model"),
+                    (1.0 / F.col("n_touch")).alias("credit"),
+                ),
+            )
+        ).alias("m"),
+        "cts",
+    )
+    return (
+        melted.select(
+            F.col("m.model").alias("model"),
+            F.date_format(F.col("cts").cast("date"), "yyyy-MM-dd").alias(
+                "click_day"
+            ),
+            F.col("m.credit").alias("credit"),
+        )
+        .groupBy("model", "click_day")
+        .agg(
+            F.round(F.sum("credit"), 4).alias("credited_conversions"),
+            F.count(F.when(F.col("credit") > 0, 1)).alias(
+                "n_credited_touches"
+            ),
+        )
+    )

@@ -734,3 +734,95 @@ def length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sqrt((na + nb) / (na.cast("double") * nb))
         ).alias("reject_h0"),
     )
+
+
+# Deterministic half-sample bootstrap: replica b keeps a row iff bit b
+# of the row's 60-bit md5 hash is 0 — ONE hash per row serves all 32
+# replicas, and DuckDB replays the bit test exactly.
+_BOOT_B = 32
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH h AS (
+      SELECT {{hash}} AS hv,
+             {_DUCK_CENTS.format(col="o_totalprice")} AS cents
+      FROM orders
+    ),
+    reps AS (
+      SELECT b, SUM(cents) AS s, COUNT(*) AS n
+      FROM h, (SELECT unnest(range(0, {_BOOT_B})) AS b)
+      WHERE ((hv >> b) & 1) = 0
+      GROUP BY b
+    ),
+    means AS (
+      SELECT list_sort(list(CAST(s AS DOUBLE) / n)) AS ms FROM reps
+    ),
+    full_ AS (
+      SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS gm, COUNT(*) AS nr
+      FROM h
+    )
+    SELECT CAST(nr AS BIGINT) AS n_rows,
+           CAST({_BOOT_B} AS BIGINT) AS n_replicas,
+           ROUND(gm / 100, 4) AS grand_mean,
+           ROUND(ms[{{lo}}] / 100, 4) AS ci_lo,
+           ROUND(ms[{{hi}}] / 100, 4) AS ci_hi
+    FROM means CROSS JOIN full_
+    """.format(
+        hash="(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))"
+        "::BIGINT)",
+        lo=2,   # ceil(32 * 0.05)
+        hi=31,  # ceil(32 * 0.95)
+    ),
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X135 — deterministic half-sample bootstrap stability interval
+    for the mean order value: 32 replicas, replica b = the rows whose
+    60-bit key hash has bit b clear (an expected half-sample each);
+    the [p05, p95] band of the replica means is the sampling-noise
+    interval a monitoring dashboard draws around the metric. Unlike a
+    seeded RNG bootstrap, membership is a pure function of the row key
+    — reruns, retries, and both engines reproduce it bit-for-bit.
+
+    Scale: ONE md5 per row fans out to all 32 replicas via bit tests
+    (the replica explode multiplies the stream ×16 expected, but each
+    surviving row is (b, cents) and partial-aggregates map-side to 32
+    rows); replica means are exact-integer divisions; the rank picks
+    happen on a sorted 32-element array. Everything after the scan is
+    O(B)."""
+    from seng550_a3_etl_spark.functions.hashing import hash64
+
+    t = load_tables(spark, sf_dir)
+    h = t.orders.select(
+        hash64(F.col("o_orderkey").cast("string")).alias("hv"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    reps = (
+        h.select(
+            "cents",
+            "hv",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_BOOT_B - 1))
+            ).alias("b"),
+        )
+        .where(F.expr("(hv >> b) & 1") == 0)
+        .groupBy("b")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    means = reps.agg(
+        F.sort_array(
+            F.collect_list(F.col("s").cast("double") / F.col("n"))
+        ).alias("ms")
+    )
+    full_ = h.agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("gm"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    return means.crossJoin(F.broadcast(full_)).select(
+        F.col("nr").cast("long").alias("n_rows"),
+        F.lit(_BOOT_B).cast("long").alias("n_replicas"),
+        F.round(F.col("gm") / 100, 4).alias("grand_mean"),
+        F.round(F.element_at("ms", 2) / 100, 4).alias("ci_lo"),
+        F.round(F.element_at("ms", 31) / 100, 4).alias("ci_hi"),
+    )

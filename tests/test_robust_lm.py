@@ -573,3 +573,95 @@ def test_ks_drift_brute_force(spark, docs):
     assert (r.n_a, r.n_b) == (len(a), len(b))
     assert r.ks_stat == pytest.approx(d, abs=1e-5)
     assert r.reject_h0 == (d > crit)
+
+
+def test_multi_touch_attribution_brute_force(spark):
+    from datetime import timedelta
+
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_id", "user_id", "event_type", "ts")
+        .collect()
+    )
+    clicks = sorted(
+        (r for r in ev if r.event_type == "click"),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    purchases = [r for r in ev if r.event_type == "purchase"]
+    credit: dict[tuple[str, str], float] = {}
+    touches: dict[tuple[str, str], int] = {}
+
+    def add(model, day, c, touched):
+        k = (model, day)
+        credit[k] = credit.get(k, 0.0) + c
+        touches[k] = touches.get(k, 0) + (1 if touched else 0)
+
+    for pr in purchases:
+        win = [
+            c
+            for c in clicks
+            if c.user_id == pr.user_id
+            and c.ts < pr.ts
+            and c.ts >= pr.ts - timedelta(hours=1)
+        ]
+        if not win:
+            continue
+        for i, c in enumerate(win):
+            day = c.ts.date().isoformat()
+            add("first_touch", day, 1.0 if i == 0 else 0.0, i == 0)
+            add(
+                "last_touch",
+                day,
+                1.0 if i == len(win) - 1 else 0.0,
+                i == len(win) - 1,
+            )
+            add("linear", day, 1.0 / len(win), True)
+    got = {
+        (r.model, r.click_day): (r.credited_conversions, r.n_credited_touches)
+        for r in QUERIES["multi_touch_attribution"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(credit)
+    for k, c in credit.items():
+        assert got[k][0] == pytest.approx(c, abs=1e-3), k
+        assert got[k][1] == touches[k], k
+    # credit conservation: every model distributes exactly one unit per
+    # attributed purchase, so the three totals are equal.
+    tot = {}
+    for (model, _), (c, _n) in got.items():
+        tot[model] = tot.get(model, 0.0) + c
+    vals = list(tot.values())
+    assert vals[0] == pytest.approx(vals[1], abs=1e-2)
+    assert vals[1] == pytest.approx(vals[2], abs=1e-2)
+
+
+def test_bootstrap_ci_brute_force(spark):
+    import hashlib
+
+    orders = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    rows = [
+        (
+            int(
+                hashlib.md5(str(r.o_orderkey).encode()).hexdigest()[:15], 16
+            ),
+            round(r.o_totalprice * 100),
+        )
+        for r in orders
+    ]
+    means = sorted(
+        sum(c for h, c in rows if not (h >> b) & 1)
+        / sum(1 for h, c in rows if not (h >> b) & 1)
+        for b in range(32)
+    )
+    grand = sum(c for _, c in rows) / len(rows)
+    r = QUERIES["bootstrap_mean_ci"](spark, SF_SMOKE).collect()[0]
+    assert (r.n_rows, r.n_replicas) == (len(rows), 32)
+    assert r.grand_mean == pytest.approx(grand / 100, abs=1e-3)
+    assert r.ci_lo == pytest.approx(means[1] / 100, abs=1e-3)
+    assert r.ci_hi == pytest.approx(means[30] / 100, abs=1e-3)
+    assert r.ci_lo <= r.grand_mean <= r.ci_hi
