@@ -826,3 +826,178 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("ms", 2) / 100, 4).alias("ci_lo"),
         F.round(F.element_at("ms", 31) / 100, 4).alias("ci_hi"),
     )
+
+
+@query(
+    "seasonal_decompose_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM({_DUCK_CENTS.format(col="o_totalprice")}) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    d2 AS (
+      SELECT *, CAST(day - DATE '1970-01-01' AS BIGINT) AS dn FROM daily
+    ),
+    tr AS (
+      SELECT *,
+             CASE WHEN COUNT(*) OVER w7 = 7
+                  THEN SUM(x) OVER w7 END AS s7
+      FROM d2
+      WINDOW w7 AS (ORDER BY dn RANGE BETWEEN 3 PRECEDING
+                    AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT *, (dn + 4) % 7 AS dow,
+             x - CAST(s7 AS DOUBLE) / 7 AS detr
+      FROM tr
+    ),
+    seas AS (
+      SELECT dow, AVG(detr) AS seasonal
+      FROM det WHERE detr IS NOT NULL GROUP BY dow
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           x AS day_cents,
+           ROUND(CAST(s7 AS DOUBLE) / 7, 4) AS trend,
+           ROUND(s.seasonal, 4) AS seasonal,
+           ROUND(d.detr - s.seasonal, 4) AS remainder
+    FROM det d LEFT JOIN seas s USING (dow)
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X136 — classical additive seasonal decomposition of the daily
+    revenue series (the moving-average STL-lite every forecasting
+    pipeline runs first): trend = centered 7-day moving average
+    (emitted only where the full week exists — a calendar-RANGE frame,
+    so series edges and gap-adjacent days stay NULL rather than
+    averaging a short window), seasonal = mean detrended value per
+    weekday (LEFT-joined back: a weekday with no full-window day in
+    the whole series keeps NULL seasonal/remainder instead of dropping
+    its rows), remainder = what's left. A weekday seasonal that explains
+    most variance ⇒ X128's chi-square fires; a structured remainder ⇒
+    look for change-points (X137).
+
+    Scale: everything after the one corpus→daily shuffle runs over the
+    |days| rollup — the centered window, the 7-row weekday table
+    (broadcast back), the final join. The trend numerator stays an
+    exact integer sum; /7 is one deterministic division."""
+    t = load_tables(spark, sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        t.orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(_cents("o_totalprice")).alias("x"))
+        .withColumn("dn", F.datediff(F.col("day"), epoch).cast("long"))
+    )
+    w7 = Window.orderBy("dn").rangeBetween(-3, 3)
+    tr = daily.withColumn(
+        "s7",
+        F.when(F.count(F.lit(1)).over(w7) == 7, F.sum("x").over(w7)),
+    )
+    det = tr.withColumn("dow", (F.col("dn") + 4) % 7).withColumn(
+        "detr", F.col("x") - F.col("s7").cast("double") / 7
+    )
+    seas = (
+        det.where(F.col("detr").isNotNull())
+        .groupBy("dow")
+        .agg(F.avg("detr").alias("seasonal"))
+    )
+    return det.join(F.broadcast(seas), "dow", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("day_cents"),
+        F.round(F.col("s7").cast("double") / 7, 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round(F.col("detr") - F.col("seasonal"), 4).alias("remainder"),
+    )
+
+
+@query(
+    "revenue_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM({_DUCK_CENTS.format(col="o_totalprice")}) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT SUM(x) AS sx, COUNT(*) AS n FROM daily),
+    cs AS (
+      SELECT day, x,
+             SUM(x) OVER (ORDER BY day) AS run,
+             ROW_NUMBER() OVER (ORDER BY day) AS t,
+             tot.sx, tot.n
+      FROM daily CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT *, run * n - t * sx AS cusum_scaled FROM cs
+    ),
+    peak AS (
+      SELECT * FROM scored
+      ORDER BY abs(cusum_scaled) DESC, day LIMIT 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS changepoint_day,
+           CAST(t AS BIGINT) AS days_before,
+           CAST(n - t AS BIGINT) AS days_after,
+           ROUND(CAST(cusum_scaled AS DOUBLE) / n / 100, 4)
+             AS cusum_peak_dollars,
+           ROUND(CAST(run AS DOUBLE) / t / 100, 4) AS mean_before,
+           ROUND(CAST(sx - run AS DOUBLE) / (n - t) / 100, 4)
+             AS mean_after
+    FROM peak
+    """,
+)
+def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X137 — CUSUM change-point detection on the daily revenue series:
+    the day t maximizing |Σ_{i≤t} x_i − t·μ| (the classic cumulative-
+    sum statistic; its peak is the most likely single level-shift
+    point), with the mean before/after the split — the monitoring
+    question behind "when did the metric actually move", asked after
+    X80's z-score says *that* it moved.
+
+    Determinism is exact: the statistic is scaled by n
+    (run·n − t·Σx — all int64) so the argmax compares INTEGERS, and
+    the day tiebreak makes the selection total; divisions happen only
+    in the final 1-row projection. Scale: one corpus→daily shuffle;
+    the running sum and ranking share one |days|-rollup window; the
+    peak is TakeOrdered(1)."""
+    t = load_tables(spark, sf_dir)
+    daily = t.orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(_cents("o_totalprice")).alias("x"))
+    tot = daily.agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day")
+    cs = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "x",
+        "sx",
+        "n",
+        F.sum("x")
+        .over(w.rangeBetween(Window.unboundedPreceding, 0))
+        .alias("run"),
+        F.row_number().over(w).alias("t"),
+    )
+    scored = cs.withColumn(
+        "cusum_scaled", F.col("run") * F.col("n") - F.col("t") * F.col("sx")
+    )
+    peak = scored.orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), "day"
+    ).limit(1)
+    return peak.select(
+        F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+        F.col("t").cast("long").alias("days_before"),
+        (F.col("n") - F.col("t")).cast("long").alias("days_after"),
+        F.round(
+            F.col("cusum_scaled").cast("double") / F.col("n") / 100, 4
+        ).alias("cusum_peak_dollars"),
+        F.round(
+            F.col("run").cast("double") / F.col("t") / 100, 4
+        ).alias("mean_before"),
+        F.round(
+            (F.col("sx") - F.col("run")).cast("double")
+            / (F.col("n") - F.col("t"))
+            / 100,
+            4,
+        ).alias("mean_after"),
+    )

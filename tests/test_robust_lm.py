@@ -665,3 +665,74 @@ def test_bootstrap_ci_brute_force(spark):
     assert r.ci_lo == pytest.approx(means[1] / 100, abs=1e-3)
     assert r.ci_hi == pytest.approx(means[30] / 100, abs=1e-3)
     assert r.ci_lo <= r.grand_mean <= r.ci_hi
+
+
+def test_seasonal_decompose_identity_and_trend(spark):
+    """trend+seasonal+remainder == day value wherever trend exists;
+    trend is the exact centered 7-day mean; seasonal means come from
+    the detrended series."""
+    from datetime import timedelta
+
+    orders = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    daily: dict[object, int] = {}
+    for r in orders:
+        d = r.o_orderdate.date()
+        daily[d] = daily.get(d, 0) + round(r.o_totalprice * 100)
+    got = {
+        r.day: r
+        for r in QUERIES["seasonal_decompose_daily"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == {d.isoformat() for d in daily}
+    for d, x in daily.items():
+        r = got[d.isoformat()]
+        assert r.day_cents == x
+        win = [
+            daily.get(d + timedelta(days=k)) for k in range(-3, 4)
+        ]
+        if any(v is None for v in win):
+            assert r.trend is None and r.remainder is None
+        else:
+            assert r.trend == pytest.approx(sum(win) / 7, abs=1e-3)
+            if r.seasonal is not None:
+                assert (
+                    r.trend + r.seasonal + r.remainder
+                    == pytest.approx(x, abs=1e-2)
+                )
+
+
+def test_cusum_changepoint_brute_force(spark):
+    orders = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    daily: dict[object, int] = {}
+    for r in orders:
+        d = r.o_orderdate.date()
+        daily[d] = daily.get(d, 0) + round(r.o_totalprice * 100)
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    n, sx = len(xs), sum(xs)
+    best = None
+    run = 0
+    for t, (d, x) in enumerate(zip(days, xs), start=1):
+        run += x
+        c = run * n - t * sx
+        key = (abs(c), -t)  # argmax |c|, earliest day wins ties
+        if best is None or key > best[0]:
+            best = (key, d, t, c, run)
+    _, d, t, c, run = best
+    r = QUERIES["revenue_cusum_changepoint"](spark, SF_SMOKE).collect()[0]
+    assert r.changepoint_day == d.isoformat()
+    assert (r.days_before, r.days_after) == (t, n - t)
+    assert r.cusum_peak_dollars == pytest.approx(c / n / 100, abs=1e-3)
+    assert r.mean_before == pytest.approx(run / t / 100, abs=1e-3)
+    assert r.mean_after == pytest.approx(
+        (sx - run) / (n - t) / 100, abs=1e-3
+    )
