@@ -201,13 +201,13 @@ def ngram_jaccard_pairs(
 
     Output: doc_a < doc_b, inter, size_a, size_b, jaccard.
     Intersections come from the shared single-scan posting machinery
-    (:func:`_pair_intersections`).
+    (:func:`pair_intersections`).
 
     ``shingle_sets`` optionally supplies a prebuilt (doc, sh) frame of
     distinct HASHED shingles (the suite's session-cached build — the
     gold-table shape at 100 TB); when given, ``df``/``text_col``/``n``
     are not consulted for the set construction."""
-    inter = _pair_intersections(
+    inter = pair_intersections(
         _hashed_sets(df, id_col, text_col, n, shingle_sets),
         max_shingle_freq,
     )
@@ -246,7 +246,7 @@ def containment_pairs(
     threshold (so it is a superset of the same-threshold Jaccard
     pairs). Same single-scan posting machinery and stop-shingle bound
     as :func:`ngram_jaccard_pairs`."""
-    inter = _pair_intersections(
+    inter = pair_intersections(
         _hashed_sets(df, id_col, text_col, n, shingle_sets),
         max_shingle_freq,
     )
@@ -289,7 +289,7 @@ def _hashed_sets(
     )
 
 
-def _pair_intersections(
+def pair_intersections(
     sets_: DataFrame, max_shingle_freq: int | None
 ) -> DataFrame:
     """(doc_a < doc_b, size_a, size_b, inter) distinct-shingle

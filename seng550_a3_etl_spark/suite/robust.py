@@ -473,14 +473,6 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-__all__ = [
-    "ewma_daily_revenue",
-    "session_concurrency",
-    "price_mad_outliers",
-    "winsorized_price_stats",
-]
-
-
 @query(
     "weekday_chisq",
     oracle="""
@@ -1001,3 +993,17 @@ def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_after"),
     )
+
+
+__all__ = [
+    "ewma_daily_revenue",
+    "session_concurrency",
+    "price_mad_outliers",
+    "winsorized_price_stats",
+    "weekday_chisq",
+    "ab_welch_ttest",
+    "length_ks_drift",
+    "bootstrap_mean_ci",
+    "seasonal_decompose_daily",
+    "revenue_cusum_changepoint",
+]

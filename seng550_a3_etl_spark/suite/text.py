@@ -2120,11 +2120,11 @@ def dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pair, jaccard) rollup via a broadcast |thresholds|-row join, and
     the result is |thresholds| rows."""
     from seng550_a3_etl_spark.operators.text_dedup import (
-        _pair_intersections,
+        pair_intersections,
     )
 
     t = load_tables(spark, sf_dir)
-    inter = _pair_intersections(
+    inter = pair_intersections(
         _shingle_sets_df(spark, sf_dir, n=3, hashed=True),
         max_shingle_freq=64,
     )

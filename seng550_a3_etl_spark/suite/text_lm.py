@@ -583,15 +583,6 @@ def doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-__all__ = [
-    "source_token_entropy",
-    "vocab_coverage_curve",
-    "bm25_doc_scores",
-    "bigram_lm_probs",
-    "bpe_merge_candidates",
-    "common_ngram_report",
-    "doc_length_gini",
-]
 
 
 _PMI_WINDOW = 4
@@ -710,3 +701,15 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PMI_TOPN)
         .select("tok_a", "tok_b", "c_ab", F.round(pmi, 4).alias("pmi"))
     )
+
+
+__all__ = [
+    "source_token_entropy",
+    "vocab_coverage_curve",
+    "bm25_doc_scores",
+    "bigram_lm_probs",
+    "bpe_merge_candidates",
+    "common_ngram_report",
+    "doc_length_gini",
+    "token_pmi_pairs",
+]

@@ -14,12 +14,6 @@ from seng550_a3_etl_spark.suite import QUERIES
 from tests.conftest import SF_SMOKE
 
 
-def _rows(spark, name):
-    return {
-        tuple(r): None for r in QUERIES[name](spark, SF_SMOKE).collect()
-    }
-
-
 @pytest.fixture(scope="module")
 def docs(spark):
     return (
