@@ -75,10 +75,11 @@ HEADLINE = [
 
 
 # The heaviest suite queries over the REPLICATED tables (documents /
-# embeddings / events — _scale_10x symlinks the rest, so star-schema
-# queries would measure nothing) — the sf1 spot-run re-times each at
-# 10× data to back the linear-scaling claims with a measurement
-# (VERDICT r4 #6). Membership refreshed from the r5 bench_full ranking.
+# embeddings / events / orders / lineitem — _scale_10x symlinks the
+# remaining dims, so pure-dim queries would measure nothing) — the sf1
+# spot-run re-times each at 10× data to back the linear-scaling claims
+# with a measurement (VERDICT r4 #6). Membership refreshed from the r5
+# bench_full ranking.
 SF1_SPOT = [
     "cluster_best_doc",
     "curation_pipeline",
@@ -95,6 +96,10 @@ SF1_SPOT = [
     "incremental_lsh_dedup",
     "stream_attribution_outer",
     "hard_negative_topk",
+    "copurchase_triangles",
+    "pagerank_step_parts",
+    "price_mad_outliers",
+    "winsorized_price_stats",
 ]
 
 
@@ -493,6 +498,15 @@ def _scale_10x(spark, sf_dir: str, out_dir: str) -> None:
     - events: user_id/event_id salted per replica — per-user event
       counts (and thus per-key streaming state and within-user join
       fan-out) stay constant; only the number of keys grows.
+    - orders/lineitem: o_orderkey/l_orderkey salted per replica with
+      part/customer keys UNCHANGED, so each replica reproduces the
+      original basket composition. The co-purchase DISTINCT edge set
+      is therefore identical (the graph queries re-pay the 10× scan +
+      pair build + dedup — their dominant cost — while census values
+      stay comparable) and PageRank is exactly invariant (edge weights
+      and out-weights both scale 10×, so every contribution w/ow is
+      unchanged). Group-keyed stats queries (priority/returnflag) see
+      10× rows per group with identical distributions.
 
     Tables the spot queries never touch are symlinked, not copied.
     """
@@ -540,10 +554,36 @@ def _scale_10x(spark, sf_dir: str, out_dir: str) -> None:
         "props",
     ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
-    for name in (
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem",
-    ):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("*", rep)
+    orders.select(
+        (F.col("o_orderkey") + F.col("__r") * F.lit(10_000_000_000)).alias(
+            "o_orderkey"
+        ),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("*", rep)
+    li.select(
+        (F.col("l_orderkey") + F.col("__r") * F.lit(10_000_000_000)).alias(
+            "l_orderkey"
+        ),
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    for name in ("region", "nation", "customer", "supplier", "part"):
         os.symlink(f"{sf_dir}/{name}.parquet", f"{out_dir}/{name}.parquet")
 
 
