@@ -75,6 +75,12 @@ _CHANGED: dict[str, int] = {
     "stream_segment_windows": 5,
     "stream_incremental_dedup": 5,
     "stream_session_windows": 5,
+    # round 5 (third session): the outer-attribution emission cutoff
+    # is now based on least(max click ts, max purchase ts) — the
+    # min-watermark basis — instead of the overall max event time.
+    # (scalar_stats_approx, whose GK rank tolerance gained a one-rank
+    # floor the same session, is already listed above.)
+    "stream_attribution_outer": 5,
 }
 
 

@@ -433,7 +433,10 @@ _ATTR_OUTER_TABLE = "stream_attribution_outer_sink"
     "stream_attribution_outer",
     oracle=f"""
     WITH cut AS (
-      SELECT MAX(ts) - INTERVAL 3 HOUR - INTERVAL 1 MINUTE AS c
+      SELECT least(
+               MAX(CASE WHEN event_type = 'click' THEN ts END),
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+             ) - INTERVAL 3 HOUR - INTERVAL 1 MINUTE AS c
       FROM events
     )
     SELECT p.user_id,
@@ -454,13 +457,20 @@ def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER join (X108): purchases WITHOUT a click
     in the lookback window must also surface (NULL click columns) —
     the attribution gap report. Outer rows cannot emit until the
-    click-side watermark proves no match can still arrive, so the
-    comparison window is purchases at least watermark+lookback (+1 min
-    slack) older than the stream's max event time — inside it emission
-    is GUARANTEED, and the streaming result must equal the batch left
-    join the oracle runs; the stream tail is legitimately pending, not
-    part of the contract. The cutoff scalar is computed batch-side and
-    applied via a broadcast cross-join filter (no driver collect)."""
+    watermark proves no match can still arrive, and with BOTH sides
+    watermarked the global watermark is the MIN over the two sources
+    (multipleWatermarkPolicy=min) — each side's watermark derives from
+    the max event time of ITS OWN filtered stream, so the guarantee
+    basis is least(max click ts, max purchase ts), NOT the overall max
+    (on a sparse fixture the last click can trail the last event by
+    hours, which is exactly how this bound was caught failing at
+    sf0.001). The comparison window is purchases at least
+    watermark+lookback (+1 min slack) older than that basis — inside
+    it emission is GUARANTEED and the streaming result must equal the
+    batch left join the oracle runs; the stream tail is legitimately
+    pending, not part of the contract. The cutoff scalar is computed
+    batch-side and applied via a broadcast cross-join filter (no
+    driver collect)."""
     from seng550_a3_etl_spark.catalog import load_tables
     from seng550_a3_etl_spark.streaming.jobs import attribution_join_stream
 
@@ -479,7 +489,19 @@ def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir)
         .events.agg(
             (
-                F.max("ts")
+                F.least(
+                    F.max(
+                        F.when(
+                            F.col("event_type") == "click", F.col("ts")
+                        )
+                    ),
+                    F.max(
+                        F.when(
+                            F.col("event_type") == "purchase",
+                            F.col("ts"),
+                        )
+                    ),
+                )
                 - F.expr("INTERVAL 3 HOURS")
                 - F.expr("INTERVAL 1 MINUTE")
             ).alias("__cut")

@@ -27,3 +27,28 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+# Queries whose semantics depend on data SCALE — sketch tolerances,
+# watermark-basis cutoffs, stop-shingle bounds, top-k tie ordering —
+# get a second parity check at sf0.001, where two real defects hid
+# from the sf0.01 mirror (GK rank tolerance below one rank at small n;
+# the outer-attribution cutoff based on the overall max event time
+# instead of the min-watermark side's max).
+_SCALE_SENSITIVE = [
+    "scalar_stats_approx",
+    "stream_attribution_outer",
+    "ngram_dup_pairs",
+    "doc_containment_pairs",
+    "dup_threshold_sweep",
+    "bootstrap_mean_ci",
+    "token_pmi_pairs",
+]
+
+
+@pytest.mark.parametrize("name", _SCALE_SENSITIVE)
+def test_small_sf_parity(spark, name):
+    from tests.conftest import SF_SMOKE
+
+    assert_parity(QUERIES[name](spark, SF_SMOKE), ORACLES[name],
+                  SF_SMOKE, name=name)
