@@ -81,6 +81,13 @@ _CHANGED: dict[str, int] = {
     # (scalar_stats_approx, whose GK rank tolerance gained a one-rank
     # floor the same session, is already listed above.)
     "stream_attribution_outer": 5,
+    # round 6: advisor fixes — cusum statistic now decimal(38,0) (int64
+    # wrapped ~sf1000); ewma rollup pinned with localCheckpoint before
+    # its broadcast self-join (plan-level only, same rows).
+    # (bm25_doc_scores's stable rank-20 cutoff landed the same round but
+    # it has never been driver-checked — already tier 0.)
+    "revenue_cusum_changepoint": 6,
+    "ewma_daily_revenue": 6,
 }
 
 

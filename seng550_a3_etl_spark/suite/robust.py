@@ -82,6 +82,11 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority"),
         F.col("o_orderdate").cast("date").alias("day"),
     ).agg(F.sum(_cents("o_totalprice")).alias("day_cents"))
+    # Pin the rollup's lineage before self-joining against a broadcast
+    # copy — without it Spark replans the orders scan + aggregation
+    # twice (once per side), the replay trap bm25_doc_scores /
+    # token_pmi_pairs document.
+    daily = daily.localCheckpoint(eager=False)
     s = F.broadcast(
         daily.select(
             F.col("o_orderpriority").alias("s_pri"),
@@ -947,7 +952,9 @@ def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     X80's z-score says *that* it moved.
 
     Determinism is exact: the statistic is scaled by n
-    (run·n − t·Σx — all int64) so the argmax compares INTEGERS, and
+    (run·n − t·Σx — decimal(38,0), mirroring the oracle's HUGEINT
+    promotion, so no int64 wrap at any sf) so the argmax compares
+    exact integers, and
     the day tiebreak makes the selection total; divisions happen only
     in the final 1-row projection. Scale: one corpus→daily shuffle;
     the running sum and ranking share one |days|-rollup window; the
@@ -970,8 +977,15 @@ def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("run"),
         F.row_number().over(w).alias("t"),
     )
+    # decimal(38,0) before the multiply: run and sx are total cents, so
+    # run*n overflows int64 around sf1000 (sx~1e16 × n~2.5e3) and Spark's
+    # non-ANSI mode would wrap silently while the DuckDB oracle's HUGEINT
+    # stays exact. decimal(38,0) matches the oracle's int128 headroom.
+    dec = "decimal(38,0)"
     scored = cs.withColumn(
-        "cusum_scaled", F.col("run") * F.col("n") - F.col("t") * F.col("sx")
+        "cusum_scaled",
+        F.col("run").cast(dec) * F.col("n").cast(dec)
+        - F.col("t").cast(dec) * F.col("sx").cast(dec),
     )
     peak = scored.orderBy(
         F.abs(F.col("cusum_scaled")).desc(), "day"

@@ -199,7 +199,7 @@ _BM25_TOPN = 20
       GROUP BY tf.doc_id
     )
     SELECT doc_id, ROUND(score, 4) AS bm25
-    FROM scored ORDER BY score DESC, doc_id LIMIT {_BM25_TOPN}
+    FROM scored ORDER BY ROUND(score, 4) DESC, doc_id LIMIT {_BM25_TOPN}
     """,
 )
 def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,8 +257,14 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Rank-20 cutoff on the ROUNDED score: the raw sum-of-ln score has
+    # no cross-engine-stable ordering (two docs within one ulp could
+    # swap at the boundary); rounding to the emitted 4dp precision plus
+    # the doc_id tiebreak makes membership deterministic (the rational-
+    # ratio trick token_pmi_pairs uses is unavailable for a sum of
+    # logs, so round-then-tiebreak is the stable basis here).
     return (
-        scored.orderBy(F.col("score").desc(), "doc_id")
+        scored.orderBy(F.round("score", 4).desc(), "doc_id")
         .limit(_BM25_TOPN)
         .select("doc_id", F.round("score", 4).alias("bm25"))
     )

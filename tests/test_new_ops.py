@@ -262,6 +262,34 @@ def test_never_checked_queries_sort_first():
     )
 
 
+def test_driver_slot_budget_not_exceeded():
+    # slot-budget guard (round-5 verdict item 2): the driver checks at
+    # most 50 queries per round, and the backlog must actually CLEAR —
+    # every query that needs a fresh driver row this round
+    # (never-checked + changed-since-green) has to fit inside the cap,
+    # or suite growth is crowding out its own verification. Adding a
+    # new query (tier 0) or a _CHANGED entry that would push the total
+    # past 50 fails here BEFORE the round ends with stale rows.
+    from seng550_a3_etl_spark.suite import (
+        _CHANGED,
+        _last_driver_round,
+        QUERIES,
+    )
+
+    last = _last_driver_round()
+    never = [n for n in QUERIES if n not in last]
+    stale = [
+        n for n in QUERIES if n in last and _CHANGED.get(n, 0) > last[n]
+    ]
+    needed = len(never) + len(stale)
+    assert needed <= 50, (
+        f"driver slot budget exceeded: {len(never)} never-checked + "
+        f"{len(stale)} changed-since-green = {needed} > 50 — defer new "
+        f"queries or revert a _CHANGED entry so the backlog clears this "
+        f"round.\nnever: {sorted(never)}\nstale: {sorted(stale)}"
+    )
+
+
 def test_rotation_staleness_ordering(tmp_path):
     # synthetic CORRECTNESS history: never-checked < changed-since-green
     # < oldest-green < newest-green, ties broken by registration order.
