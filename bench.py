@@ -228,6 +228,11 @@ def main() -> None:
         except Exception as exc:
             sf1_spot = {"failed": True}
             print(f"bench: sf1_spot failed: {exc}", file=sys.stderr)
+        try:
+            sf1_spot["cc_distributed"] = _cc_distributed_probe(spark)
+        except Exception as exc:
+            sf1_spot["cc_distributed"] = {"failed": True}
+            print(f"bench: cc_distributed failed: {exc}", file=sys.stderr)
     full = {
         "metric": "suite_total_wall",
         "value": total,
@@ -587,6 +592,60 @@ def _scale_10x(spark, sf_dir: str, out_dir: str) -> None:
         os.symlink(f"{sf_dir}/{name}.parquet", f"{out_dir}/{name}.parquet")
 
 
+def _cc_distributed_probe(spark) -> dict:
+    """Measure the DISTRIBUTED connected-components path (VERDICT r5
+    #7): the >200k-edge min-label loop is parity- and property-tested
+    but the suite's real near-dup graphs stay under the driver
+    union-find threshold, so its wall/scaling had no bench record.
+
+    Two synthetic dup-shaped graphs (many small components — chains of
+    4 nodes, diameter 3, the shape near-dup clusters take), 240k and
+    480k edges, both above DRIVER_EDGE_THRESHOLD. The 2× rung gives the
+    scaling verdict: same diameter ⇒ same round count, so wall should
+    grow ~linearly with edges (``ok`` ≤ 3×, else ``superlinear``).
+    Component count is asserted — a wrong labeling fails loudly."""
+    from pyspark.sql import functions as F
+
+    from seng550_a3_etl_spark.operators.graph import connected_components
+
+    out: dict = {}
+    walls: list[float] = []
+    for n_comp in (80_000, 160_000):
+        edges = (
+            spark.range(n_comp)
+            .select((F.col("id") * 4).alias("b"))
+            .select(
+                "b",
+                F.explode(
+                    F.array(F.lit(0), F.lit(1), F.lit(2))
+                ).alias("o"),
+            )
+            .select(
+                (F.col("b") + F.col("o")).alias("src"),
+                (F.col("b") + F.col("o") + 1).alias("dst"),
+            )
+        )
+        t0 = time.perf_counter()
+        labels = connected_components(edges)
+        n_labels = labels.select("label").distinct().count()
+        wall = round(time.perf_counter() - t0, 2)
+        if n_labels != n_comp:
+            out[f"edges_{n_comp * 3}"] = [wall, "wrong_labeling"]
+            continue
+        walls.append(wall)
+        out[f"edges_{n_comp * 3}"] = [wall, "labels_ok"]
+        print(
+            f"bench: cc_distributed {n_comp * 3} edges {wall}s "
+            f"({n_labels} components)",
+            file=sys.stderr,
+        )
+    if len(walls) == 2 and walls[0] > 0:
+        ratio = round(walls[1] / walls[0], 2)
+        out["ratio_2x_edges"] = ratio
+        out["verdict"] = "ok" if ratio <= 3.0 else "superlinear"
+    return out
+
+
 def _sf1_spot(spark, sf_dir: str, timings: dict) -> dict:
     """Re-time the heaviest suite queries at 10× data (VERDICT r4 #6)
     and attach a one-line scaling verdict each: ``ok`` when wall time
@@ -609,7 +668,17 @@ def _sf1_spot(spark, sf_dir: str, timings: dict) -> dict:
         _scale_10x(spark, sf_dir, scaled)
         spot["scale_build_s"] = round(time.perf_counter() - start, 1)
         spent = spot["scale_build_s"]
-        for name in SF1_SPOT:
+        # Sorted to mirror the main suite loop's alphabetical order:
+        # session caches (shingle sets, labels) are charged to the
+        # alphabetically-first consumer in BOTH timing contexts, so the
+        # ratio compares like with like. The r5 spot ran list order and
+        # charged the 10× string-shingle build to minhash_dup_pairs
+        # whose 1× baseline was cache-warm (incremental_lsh_dedup sorts
+        # earlier and had built it) — inflating its ratio to 11.9× while
+        # deflating incremental's to 1.4×; measured stage-by-stage the
+        # minhash pipeline itself scales ~3.5× for 10× rows
+        # (scripts/profile_10x.py).
+        for name in sorted(SF1_SPOT):
             if spent > budget:
                 spot["queries"][name] = [None, None, "skipped_budget"]
                 continue

@@ -88,6 +88,11 @@ _CHANGED: dict[str, int] = {
     # it has never been driver-checked — already tier 0.)
     "revenue_cusum_changepoint": 6,
     "ewma_daily_revenue": 6,
+    # round 6: sign-LSH re-parameterized 32/4 → 96/6 (16-bit band keys)
+    # after the sf1 spot measured 8-bit keyspace saturation (candidates
+    # 100× for 10× vectors). Output changes: banding is part of the
+    # query's verified construction.
+    "embedding_cosine_dedup": 6,
 }
 
 

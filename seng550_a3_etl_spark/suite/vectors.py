@@ -136,7 +136,7 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p, list_transform(range(0, 64), i ->
         ((('0x' || substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT
           % 2000001) / 1000000.0 - 1.0)) AS w
-      FROM range(0, 32) t(p)
+      FROM range(0, 96) t(p)
     ),
     bits AS (
       SELECT c.id, p.p,
@@ -146,8 +146,8 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM corpus c, planes p
     ),
     banded AS (
-      SELECT id, p // 8 AS band, SUM(bit * (1 << (p % 8))) AS bkey
-      FROM bits GROUP BY id, p // 8
+      SELECT id, p // 16 AS band, SUM(bit * (1 << (p % 16))) AS bkey
+      FROM bits GROUP BY id, p // 16
     ),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -165,10 +165,20 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup tier of the dedup ladder: the corpus is
     the embeddings table plus a deterministically jittered copy of every
     5th vector (+0.02 per element — cosine ~0.988 against its source, so
-    the planted duplicates are the expected catch); pairs at cosine >=
-    0.95 are found via 32-plane / 4-band sign-LSH + exact verify. The
-    oracle replays hyperplanes, banding, and verification — checking the
-    LSH *construction*, not just the arithmetic."""
+    the planted duplicates are the expected catch, ~97% of which share
+    a band at these parameters); pairs at cosine >= 0.95 are found via
+    96-plane / 6-band sign-LSH (16-bit band keys) + exact verify. The
+    oracle replays hyperplanes, banding, and verification — checking
+    the LSH *construction*, not just the arithmetic.
+
+    Band width is the scale knob: the earlier 32/4 parameterization
+    (8-bit keys, 256 buckets per band) SATURATED its keyspace — the
+    round-5 sf1 spot measured candidates growing 100× for 10× vectors
+    (max bucket 36 → 309, verify 50× wall) because every bucket held
+    O(n/256) members. 16-bit keys hold the per-bucket expectation
+    ~n/65536, restoring ~linear candidate volume through corpus sizes
+    of ~10⁵; beyond that, grow rows-per-band ~log2(n) (and bands to
+    hold recall) — the operator takes both as parameters."""
     from seng550_a3_etl_spark.operators.similarity import cosine_dedup_pairs
 
     t = load_tables(spark, sf_dir)
@@ -183,7 +193,7 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     corpus = base.unionAll(jitter)
-    return cosine_dedup_pairs(corpus, threshold=0.95, planes=32, bands=4, dim=64)
+    return cosine_dedup_pairs(corpus, threshold=0.95, planes=96, bands=6, dim=64)
 
 
 @query(

@@ -31,19 +31,59 @@ def test_entry_smoke(spark):
 
 # Queries whose semantics depend on data SCALE — sketch tolerances,
 # watermark-basis cutoffs, stop-shingle bounds, top-k tie ordering —
-# get a second parity check at sf0.001, where two real defects hid
-# from the sf0.01 mirror (GK rank tolerance below one rank at small n;
-# the outer-attribution cutoff based on the overall max event time
-# instead of the min-watermark side's max).
+# get parity checks at sf0.001 AND sf0.1 in addition to the sf0.01
+# mirror above (the scale MATRIX, VERDICT r5 #6). Two real defects hid
+# from the single-sf mirror (GK rank tolerance below one rank at small
+# n; the outer-attribution cutoff based on the overall max event time
+# instead of the min-watermark side's max). One-line rationale per
+# entry: what scale-dependent knob the query carries.
 _SCALE_SENSITIVE = [
+    # GK sketch rank tolerance n/accuracy — degenerates below one rank
+    # at small n (the round-5 bug).
     "scalar_stats_approx",
+    # two-sided watermark emission cutoff — min-watermark basis, not
+    # max event time (the other round-5 bug).
     "stream_attribution_outer",
+    # stop-shingle bound max_shingle_freq=64 — binds only when a
+    # shingle's posting list exceeds it, i.e. only at some scales.
     "ngram_dup_pairs",
+    # containment denominator = min set size; tiny corpora make
+    # single-shingle docs where the ratio saturates at 1.
     "doc_containment_pairs",
+    # threshold-boundary ties: pairs sitting exactly on a sweep rung
+    # appear/disappear with corpus composition.
     "dup_threshold_sweep",
+    # deterministic resample indices derived from n — below ~30 rows
+    # the percentile-rank pick degenerates.
     "bootstrap_mean_ci",
+    # rational-ratio top-k ordering — tie density grows as counts
+    # shrink.
     "token_pmi_pairs",
+    # KMV union/intersection estimate switches to EXACT below k
+    # distinct values — sf0.001 exercises the below-k branch, sf0.1
+    # the sketch branch.
+    "kmv_join_cardinality",
+    # per-(band,key) candidate caps + idempotent drop rule — cap binds
+    # only when batch bucket sizes exceed it.
+    "incremental_lsh_dedup",
+    # budget-boundary ties: docs whose cumulative token count straddles
+    # the per-source budget exactly.
+    "source_mix_budget",
+    # tombstone horizon: deletes older than the retention cutoff
+    # compact away; the horizon moves with the data's time span.
+    "stream_cdc_apply",
+    # minhash band collision probability shifts with corpus size; the
+    # exact-Jaccard verify must hold the output invariant.
+    "minhash_dup_pairs",
+    # sign-LSH band collision growth (the sf1-spot watch item) — the
+    # exact-cosine verify must hold the output invariant.
+    "embedding_cosine_dedup",
+    # centroid count min(100, ceil(n/50)) — sublinear cap binds only
+    # beyond sf0.1; below it every 50th vector is a centroid.
+    "embedding_topk_ivf",
 ]
+
+_SF_FULL = "/root/testdata/sf0.1"
 
 
 @pytest.mark.parametrize("name", _SCALE_SENSITIVE)
@@ -52,3 +92,12 @@ def test_small_sf_parity(spark, name):
 
     assert_parity(QUERIES[name](spark, SF_SMOKE), ORACLES[name],
                   SF_SMOKE, name=name)
+
+
+@pytest.mark.parametrize("name", _SCALE_SENSITIVE)
+def test_large_sf_parity(spark, name):
+    # the sf0.1 rung: caps/tolerances that are INVISIBLE at sf0.01
+    # (stop-shingle bounds, centroid caps, band-size caps) start to
+    # bind here — the oracle replays the same capped semantics.
+    assert_parity(QUERIES[name](spark, _SF_FULL), ORACLES[name],
+                  _SF_FULL, name=name)
