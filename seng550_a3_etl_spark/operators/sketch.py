@@ -154,3 +154,111 @@ def kmv_setops(
         est_union.alias("est_union"),
         (k_int / k_eff.cast("double") * est_union).alias("est_inter"),
     )
+
+
+# HyperLogLog constants: m=64 registers (alpha_64 from Flajolet et al.
+# 2007, the m>=64 closed form 0.7213/(1+1.079/m) truncated to the
+# canonical table value). The hash64 domain is 60 bits: 6 bucket bits +
+# a 54-bit rho field, so register values lie in [1, 55] (55 = all-54-
+# zeros convention) and the indicator sum scaled by 2^55 is an exact
+# BIGINT in both engines — the same integer-exactness trick as KMV.
+HLL_M = 64
+HLL_ALPHA = 0.709
+_HLL_RHO_FIELD = HASH_BITS - 6  # 54
+_HLL_SCALE = 1 << (_HLL_RHO_FIELD + 1)  # 2^55
+# Precomputed double literal shared verbatim with the oracle so the one
+# float division is bit-identical: alpha * m^2 * 2^55.
+HLL_NUMER = HLL_ALPHA * HLL_M * HLL_M * float(_HLL_SCALE)
+
+
+def hll_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    est_col: str = "est_distinct",
+) -> DataFrame:
+    """Per-``keys`` HyperLogLog distinct-count estimate of ``value`` —
+    the register-sketch counterpart of :func:`kmv_distinct` (bit-
+    pattern observables instead of order statistics; Flajolet-Fuss-
+    Gandouet-Meunier 2007). Raw estimator only (no small/large-range
+    correction): corrections need ln(), whose cross-engine bit-equality
+    is not guaranteed, while the raw path is integer arithmetic plus
+    ONE double division — deterministic, hence oracle-checkable.
+
+    Scale: the register table is the whole state — ≤ m rows per key
+    after one (keys, bucket) max-rho aggregation with map-side combine;
+    registers merge by MAX, so partial aggregation is exact and the
+    shuffle carries (keys, 64 longs) per partition regardless of row
+    count. Returns one row per key group: ``n_zero_regs``, the scaled
+    integer register sum, and the estimate.
+    """
+    keys = list(keys)
+    hashed = (
+        df.select(*keys, value.alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .select(*keys, hash64(F.col("__v")).alias("__h"))
+    )
+    # bucket = low 6 bits; rho = leading zeros of the 54-bit remainder
+    # + 1 (bin() renders no leading zeros, so rho = 55 - bitlen; the
+    # all-zeros remainder gives bin='0' -> ltrim '' -> rho 55).
+    regs = hashed.select(
+        *keys,
+        (F.col("__h") % HLL_M).alias("__b"),
+        (
+            F.lit(_HLL_RHO_FIELD + 1)
+            - F.length(F.expr(f"ltrim('0', bin(__h div {HLL_M}))"))
+        ).alias("__rho"),
+    ).groupBy(*keys, "__b").agg(F.max("__rho").alias("__m"))
+    agg = regs.groupBy(*keys).agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(cast(1 as bigint), {_HLL_RHO_FIELD + 1} - __m)"
+            )
+        ).alias("__present_sum"),
+        F.count(F.lit(1)).alias("__n_present"),
+    )
+    reg_sum = F.col("__present_sum") + (
+        F.lit(HLL_M) - F.col("__n_present")
+    ) * F.lit(_HLL_SCALE)
+    return agg.select(
+        *keys,
+        (F.lit(HLL_M) - F.col("__n_present")).cast("long").alias(
+            "n_zero_regs"
+        ),
+        reg_sum.cast("long").alias("reg_sum"),
+        F.round(F.lit(HLL_NUMER) / reg_sum.cast("double"), 4).alias(est_col),
+    )
+
+
+def duck_hll_estimate(table: str, key_cols: str, value_expr: str) -> str:
+    """DuckDB SQL replaying :func:`hll_distinct` bit-for-bit (same
+    md5-60bit hash, same register math, same precomputed numerator)."""
+    from seng550_a3_etl_spark.functions.hashing import duck_hash64
+
+    rho_field = _HLL_RHO_FIELD
+    return f"""
+    WITH __hashed AS (
+      SELECT {key_cols}, {duck_hash64(value_expr)} AS h
+      FROM {table} WHERE {value_expr} IS NOT NULL
+    ),
+    __regs AS (
+      SELECT {key_cols}, h % {HLL_M} AS b,
+             MAX({rho_field + 1} - length(ltrim(bin(h // {HLL_M}), '0')))
+               AS m
+      FROM __hashed GROUP BY ALL
+    ),
+    __agg AS (
+      SELECT {key_cols},
+             SUM(1::BIGINT << ({rho_field + 1} - m)) AS present_sum,
+             COUNT(*) AS n_present
+      FROM __regs GROUP BY ALL
+    )
+    SELECT {key_cols},
+           CAST({HLL_M} - n_present AS BIGINT) AS n_zero_regs,
+           CAST(present_sum + ({HLL_M} - n_present) * {_HLL_SCALE}::BIGINT
+                AS BIGINT) AS reg_sum,
+           ROUND({HLL_NUMER!r} / CAST(present_sum
+                 + ({HLL_M} - n_present) * {_HLL_SCALE}::BIGINT AS DOUBLE),
+                 4) AS est
+    FROM __agg
+    """

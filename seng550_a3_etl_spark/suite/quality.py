@@ -182,3 +182,85 @@ def benford_digit_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bf, 6).alias("benford_frac"),
         F.round(F.pow(F.col("n") - exp, 2) / exp, 4).alias("chisq_term"),
     )
+
+
+# X138 — schema-wide referential-integrity census. The seven FK edges of
+# the TPC-H-ish schema; each arm counts child rows and orphans (NOT
+# EXISTS semantics — a NULL FK references nothing and counts as an
+# orphan, matching fk_violations' null-rejecting join).
+_FK_EDGES_SQL = " UNION ALL ".join(
+    f"""
+    SELECT '{edge}' AS fk_edge,
+           CAST(COUNT(*) AS BIGINT) AS child_rows,
+           CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+             (SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey}))
+             AS BIGINT) AS orphans
+    FROM {child} c
+    """
+    for edge, child, ckey, parent, pkey in [
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+         "s_suppkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation",
+         "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation",
+         "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+)
+
+
+@query("fk_orphan_census", oracle=_FK_EDGES_SQL)
+def fk_orphan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X138 — referential-integrity census across every FK edge of the
+    schema: one row per edge with child row count and orphan count (a
+    child key with no parent — NOT EXISTS semantics, NULL keys orphan).
+    The whole-schema generalization of orders_quality_report's single
+    custkey check — the governance sweep a warehouse runs after every
+    bulk load, and the precondition audit before trusting any join
+    result downstream.
+
+    Scale: each arm is one anti join moving only the parent's KEY
+    column (broadcast when the parent is dim-sized, shuffle otherwise —
+    fk_violations' plan) plus a count; arms are independent jobs over
+    column-pruned scans, and the output is |edges| rows. No arm ever
+    carries a payload column."""
+    t = load_tables(spark, sf_dir)
+    edges = [
+        ("orders->customer", t.orders, "o_custkey",
+         t.customer, "c_custkey", True),
+        ("lineitem->orders", t.lineitem, "l_orderkey",
+         t.orders, "o_orderkey", False),
+        ("lineitem->part", t.lineitem, "l_partkey",
+         t.part, "p_partkey", True),
+        ("lineitem->supplier", t.lineitem, "l_suppkey",
+         t.supplier, "s_suppkey", True),
+        ("customer->nation", t.customer, "c_nationkey",
+         t.nation, "n_nationkey", True),
+        ("supplier->nation", t.supplier, "s_nationkey",
+         t.nation, "n_nationkey", True),
+        ("nation->region", t.nation, "n_regionkey",
+         t.region, "r_regionkey", True),
+    ]
+    rows = []
+    for edge, child, ckey, parent, pkey, small_parent in edges:
+        pk = parent.select(pkey)
+        if small_parent:
+            pk = F.broadcast(pk)
+        orphans = fk_violations(child, pk, on=[(ckey, pkey)])
+        rows.append(
+            child.agg(
+                F.lit(edge).alias("fk_edge"),
+                F.count(F.lit(1)).alias("child_rows"),
+            ).crossJoin(
+                F.broadcast(
+                    orphans.agg(F.count(F.lit(1)).alias("orphans"))
+                )
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from seng550_a3_etl_spark.catalog import load_tables
 from seng550_a3_etl_spark.functions.hashing import duck_hash64
 from seng550_a3_etl_spark.operators.sketch import (
+    duck_hll_estimate,
     duck_kmv_estimate,
     kmv_distinct,
     kmv_setops,
@@ -156,3 +157,48 @@ def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.crossJoin(F.broadcast(exact))
+
+
+@query(
+    "hll_distinct_users",
+    oracle=f"""
+    WITH hll AS ({duck_hll_estimate("events", "event_type",
+                                    "CAST(user_id AS VARCHAR)")}),
+    exact AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+               AS exact_users
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT hll.event_type, hll.n_zero_regs, hll.reg_sum,
+           hll.est AS est_users, exact.exact_users
+    FROM hll JOIN exact USING (event_type)
+    """,
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X139 — HyperLogLog distinct users per event type, the register
+    sketch counterpart of kmv_distinct_users (X22): 64 max-rho
+    registers per key, raw FFGM estimator, integer register sum —
+    deterministic, so the oracle replays it bit-for-bit, and the exact
+    COUNT(DISTINCT) rides along as the accuracy reference (the pairing
+    every sketch rollout ships with).
+
+    Scale: this is THE estimator for planet-scale distinct counts —
+    per key the state is 64 longs, partials merge by MAX (map-side
+    combine exact), and unlike KMV the register table never exceeds
+    m rows per key on any executor. The exact branch is the only
+    full-width shuffle and exists as the small-sf accuracy check."""
+    from seng550_a3_etl_spark.operators.sketch import hll_distinct
+
+    t = load_tables(spark, sf_dir)
+    est = hll_distinct(
+        t.events, ["event_type"], F.col("user_id").cast("string"),
+        est_col="est_users",
+    )
+    exact = (
+        t.events.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_zero_regs", "reg_sum", "est_users", "exact_users"
+    )

@@ -2151,3 +2151,129 @@ def dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_docs_droppable"),
         )
     )
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT lang, t,
+             {_duck_marker('en')} AS c_en, {_duck_marker('es')} AS c_es,
+             {_duck_marker('de')} AS c_de, {_duck_marker('fr')} AS c_fr,
+             {_duck_marker('zh')} AS c_zh
+      FROM (SELECT lang, string_split_regex(text, '\s+') AS t
+            FROM documents)
+    ),
+    pred AS (
+      SELECT lang, CASE {_LANG_CASE} ELSE 'und' END AS lang_pred
+      FROM (SELECT *, greatest(c_en, c_es, c_de, c_fr, c_zh) AS best
+            FROM scored)
+    )
+    SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY lang), 6)
+             AS label_share
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X140 — language-ID confusion matrix: the marker-wordlist
+    heuristic's prediction (doc_lang_quality's lang_id) cross-tabulated
+    against the corpus's stored ``lang`` label, with each cell's share
+    of its label row — the calibration readout that decides whether the
+    cheap classifier is good enough to gate corpus routing, and which
+    label pairs it confuses.
+
+    Scale: per-row prediction is shuffle-free marker counting; the
+    matrix is one |langs|² rollup and the share window runs over that
+    rollup, so nothing row-sized survives the first aggregation."""
+    t = load_tables(spark, sf_dir)
+    pred = t.documents.select(
+        "lang", lang_id(tokens(F.col("text"))).alias("lang_pred")
+    )
+    cells = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("label_share"),
+    )
+
+
+def _minhash_quality_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    matches = "len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i]))"
+    return f"""
+    WITH pairs AS ({ORACLES["minhash_dup_pairs"]}),
+    sets_ AS (SELECT * FROM {_DUCK_SETS3} WHERE len(sh) > 0),
+    sig AS (SELECT doc, {duck_minhash_signature('sh', 8)} AS sig
+            FROM sets_)
+    SELECT p.doc_a, p.doc_b,
+           CAST({matches} AS BIGINT) AS sig_matches,
+           {matches} / 8.0 AS est_jaccard,
+           ROUND(p.jaccard, 6) AS exact_jaccard,
+           ROUND(abs({matches} / 8.0 - p.jaccard), 6) AS abs_err
+    FROM pairs p
+    JOIN sig sa ON sa.doc = p.doc_a
+    JOIN sig sb ON sb.doc = p.doc_b
+    """
+
+
+@query("minhash_estimate_quality", oracle=_minhash_quality_oracle())
+def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X141 — MinHash estimator calibration on the verified near-dup
+    pairs: per pair, the signature-agreement estimate (matching
+    permutations / 8 — an unbiased Jaccard estimator, exact binary
+    fraction) against the exact Jaccard, with the absolute error — the
+    accuracy gate that justifies trusting banding recall math before a
+    run where exact verification is too expensive (the minhash
+    counterpart of ann_recall_ivf's IVF gate).
+
+    Scale: rides the session shingle cache and the signature
+    aggregation (map-side-combined minima); the estimate join touches
+    only the verified pairs (threshold-filtered, tiny relative to the
+    corpus) via one melt-join over the signature table."""
+    from seng550_a3_etl_spark.functions.hashing import minhash_signatures
+
+    t = load_tables(spark, sf_dir)
+    sets_ = _shingle_sets_df(spark, sf_dir, n=3, hashed=False)
+    pairs = minhash_lsh_pairs(
+        t.documents, "doc_id", "text", n=3, num_perm=8, bands=4,
+        threshold=0.8, shingle_sets=sets_,
+    )
+    signed = minhash_signatures(sets_, "doc", F.col("sh"), 8)
+    melted = pairs.select(
+        F.struct("doc_a", "doc_b", "jaccard").alias("__p"),
+        F.posexplode(F.array("doc_a", "doc_b")).alias("__side", "doc"),
+    )
+    both = (
+        melted.join(signed, "doc")
+        .groupBy("__p")
+        .agg(
+            F.first(
+                F.when(F.col("__side") == 0, F.col("sig")), ignorenulls=True
+            ).alias("sig_a"),
+            F.first(
+                F.when(F.col("__side") == 1, F.col("sig")), ignorenulls=True
+            ).alias("sig_b"),
+        )
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda b: b,
+        )
+    ).cast("long")
+    return both.select(
+        F.col("__p.doc_a").alias("doc_a"),
+        F.col("__p.doc_b").alias("doc_b"),
+        matches.alias("sig_matches"),
+        (matches / F.lit(8.0)).alias("est_jaccard"),
+        F.round(F.col("__p.jaccard"), 6).alias("exact_jaccard"),
+        F.round(
+            F.abs(matches / F.lit(8.0) - F.col("__p.jaccard")), 6
+        ).alias("abs_err"),
+    )

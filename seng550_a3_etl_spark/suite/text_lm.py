@@ -1,8 +1,10 @@
-"""Language-model corpus statistics (extensions X117-X123): the
-tokenizer-design and LM-estimation layer of a pretraining pipeline —
-token entropy, vocabulary coverage, BM25 retrieval, a bigram LM table,
-the BPE pair-merge step, per-source template n-grams, and length-skew
-Gini — all distributed and DuckDB-oracle-checked.
+"""Language-model corpus statistics (extensions X117-X125, X129,
+X143): the tokenizer-design and LM-estimation layer of a pretraining
+pipeline — token entropy, vocabulary coverage, BM25 retrieval (and its
+RRF fusion with the embedding ranking), a bigram LM table, the BPE
+pair-merge step, per-source template n-grams, length-skew Gini,
+lang-source mutual information, and token PMI — all distributed and
+DuckDB-oracle-checked.
 
 Tokenization matches the rest of the text suite (whitespace split; the
 documents fixture is space-separated). Queries that need clean tokens
@@ -719,3 +721,94 @@ __all__ = [
     "doc_length_gini",
     "token_pmi_pairs",
 ]
+
+
+def _rrf_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+    from seng550_a3_etl_spark.suite.vectors import _cos
+
+    return f"""
+    WITH lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+      FROM ({ORACLES["bm25_doc_scores"]})
+    ),
+    vq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    vscored AS (
+      SELECT vec_id AS doc_id, ROUND({_cos('embedding', 'qv')}, 6) AS cos
+      FROM embeddings CROSS JOIN vq WHERE vec_id != 0
+    ),
+    vec AS (
+      SELECT doc_id, rnk AS vec_rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rnk
+        FROM vscored
+      ) WHERE rnk <= {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             lex.lex_rank, vec.vec_rank,
+             COALESCE(1000000 // ({_RRF_C} + lex.lex_rank), 0)
+             + COALESCE(1000000 // ({_RRF_C} + vec.vec_rank), 0)
+               AS rrf_micro
+      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, CAST(rrf_micro AS BIGINT) AS rrf_micro
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_TOPN}
+    """
+
+
+_RRF_C = 60
+_RRF_DEPTH = 20
+_RRF_TOPN = 10
+
+
+@query("rrf_hybrid_topk", oracle=_rrf_oracle())
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X143 — reciprocal-rank-fusion hybrid retrieval: the BM25 lexical
+    ranking (X119, same query terms) fused with an embedding-cosine
+    ranking (query = vector 0, the testdata's doc_id↔vec_id alignment)
+    by RRF score Σ 1/(60+rank) — the standard hybrid-search combiner
+    (Cormack et al.), fusing rankings without score calibration.
+
+    Determinism: both input rankings use the suite's stable bases
+    (rounded score + id tiebreak); the fusion score is computed in
+    integer MICROS via 1000000 div (60+rank) — integer division on
+    integer ranks, so ordering and the top-10 cutoff are engine-exact.
+    Scale: each leg is its own TakeOrdered top-20 (the corpus is
+    scanned, never globally sorted); the fusion joins two ≤20-row
+    frames on the driver-side-free merge path."""
+    from seng550_a3_etl_spark.operators.similarity import cosine_topk
+
+    t = load_tables(spark, sf_dir)
+    lex = bm25_doc_scores(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("lex_rank"),
+    )
+    q = t.embeddings.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = t.embeddings.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    vec = cosine_topk(q, c, k=_RRF_DEPTH).select(
+        F.col("cid").alias("doc_id"), F.col("rank").alias("vec_rank")
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(
+                F.expr(f"1000000 div ({_RRF_C} + lex_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000 div ({_RRF_C} + vec_rank)"), F.lit(0)
+            )
+        ).cast("long").alias("rrf_micro"),
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(
+        _RRF_TOPN
+    )

@@ -877,3 +877,72 @@ def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "qid", "cid", "cosine", F.col("rank").cast("long").alias("rank")
     )
+
+
+@query(
+    "embedding_pca_step",
+    oracle="""
+    WITH e AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    d AS (SELECT v, list_sum(v) AS dot FROM e),
+    c AS (
+      SELECT j - 1 AS dim_idx,
+             CAST(round(dot * v[j] * 1000000) AS BIGINT) AS cj
+      FROM d CROSS JOIN range(1, 65) t(j)
+    ),
+    w AS (SELECT dim_idx, SUM(cj) AS w_micro FROM c GROUP BY 1),
+    n AS (
+      SELECT SUM(w_micro::HUGEINT * w_micro::HUGEINT) AS n2,
+             SUM(w_micro) AS tot
+      FROM w
+    )
+    SELECT w.dim_idx, CAST(w.w_micro AS BIGINT) AS w_micro,
+           ROUND(w.w_micro / sqrt(CAST(n2 AS DOUBLE)), 6) AS v_next,
+           ROUND(tot / 64000000.0, 4) AS eig_est
+    FROM w CROSS JOIN n
+    """,
+)
+def embedding_pca_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X142 — one power-iteration step toward the corpus's top principal
+    component: w = Σ_rows (x·v₀)·x from the deterministic all-ones start
+    v₀, emitted per dimension with the normalized next vector and the
+    Rayleigh-quotient estimate — the PCA/whitening primitive an
+    embedding store runs before ANN indexing or drift analysis, in the
+    same driver-iterated family as kmeans_step and pagerank_step (each
+    step bounded, no corpus-sized driver state).
+
+    Determinism is the X69 integer-quantization pattern: each row's
+    per-dimension contribution (x·v₀)·x_j is rounded to integer MICROS
+    before the distributed sum, so the reduction is order-independent
+    and engine-exact; the norm comes from an exact decimal(38)/HUGEINT
+    sum of squares, and the only floats are one sqrt and two rounded
+    divisions. Scale: contributions are per-row arithmetic (no
+    shuffle), the sum is a 64-key rollup with map-side combine, and the
+    norm is a 1-row broadcast — per step the shuffle carries 64 longs
+    per partition regardless of corpus size."""
+    t = load_tables(spark, sf_dir)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    contrib = F.transform(
+        "v", lambda x: F.round(F.col("__dot") * x * 1e6).cast("long")
+    )
+    w = (
+        t.embeddings.select(v.alias("v"), dot.alias("__dot"))
+        .select(F.posexplode(contrib).alias("dim_idx", "cj"))
+        .groupBy("dim_idx")
+        .agg(F.sum("cj").alias("w_micro"))
+    )
+    dec = F.col("w_micro").cast("decimal(38,0)")
+    norms = w.agg(
+        F.sum(dec * dec).alias("n2"), F.sum("w_micro").alias("tot")
+    )
+    return w.crossJoin(F.broadcast(norms)).select(
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.col("w_micro").cast("long").alias("w_micro"),
+        F.round(
+            F.col("w_micro") / F.sqrt(F.col("n2").cast("double")), 6
+        ).alias("v_next"),
+        F.round(F.col("tot") / F.lit(64000000.0), 4).alias("eig_est"),
+    )

@@ -32,6 +32,10 @@ INVARIANT_QUERIES = [
     "uniform_doc_sample",
     # weighted top-k sampling: membership AND order keys layout-stable
     "es_weighted_sample",
+    # r6: integer-micro quantized reduction must be partition-order-free
+    "embedding_pca_step",
+    # r6: HLL max-merged registers must be layout-invariant
+    "hll_distinct_users",
 ]
 
 VARIANTS = {

@@ -103,3 +103,70 @@ def test_kmv_setops_disjoint_and_identical(spark):
     assert row.est_union == 16.0 and row.est_inter == 0.0
     same = kmv_setops(a, a, "x", "x", k=32).collect()[0]
     assert same.est_union == 8.0 and same.est_inter == 8.0
+
+
+# HLL (X139) ---------------------------------------------------------------
+
+
+def test_hll_error_bound(spark):
+    from seng550_a3_etl_spark.operators.sketch import hll_distinct
+
+    n_true = 2000
+    rows = [("g", f"user-{i}") for i in range(n_true)]
+    row = hll_distinct(_mk(spark, rows), ["grp"], F.col("v")).collect()[0]
+    # raw HLL relative error ~1.04/sqrt(m); allow 4 sigma at m=64
+    assert abs(row.est_distinct - n_true) / n_true < 4 * 1.04 / 8
+
+
+def test_hll_partitioning_invariance(spark):
+    from seng550_a3_etl_spark.operators.sketch import hll_distinct
+
+    rows = [("g", f"user-{i}") for i in range(800)]
+    df = _mk(spark, rows)
+    outs = {
+        tuple(
+            hll_distinct(df.repartition(n), ["grp"], F.col("v"))
+            .collect()[0]
+        )
+        for n in (1, 3, 17)
+    }
+    assert len(outs) == 1  # max-merged registers are layout-invariant
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    from seng550_a3_etl_spark.operators.sketch import hll_distinct
+
+    base = [("g", f"u{i}") for i in range(300)]
+    once = hll_distinct(_mk(spark, base), ["grp"], F.col("v")).collect()[0]
+    thrice = hll_distinct(
+        _mk(spark, base * 3), ["grp"], F.col("v")
+    ).collect()[0]
+    assert tuple(once) == tuple(thrice)
+
+
+def test_hll_matches_duckdb_replay(spark):
+    import duckdb
+
+    from seng550_a3_etl_spark.operators.sketch import (
+        duck_hll_estimate,
+        hll_distinct,
+    )
+
+    rows = [("x", f"val{i}") for i in range(150)] + [
+        ("y", f"val{i}") for i in range(7)
+    ]
+    got = {
+        r.grp: (r.n_zero_regs, r.reg_sum, r.est_distinct)
+        for r in hll_distinct(_mk(spark, rows), ["grp"], F.col("v"))
+        .collect()
+    }
+    con = duckdb.connect()
+    vals = ", ".join(f"('{g}', '{v}')" for g, v in rows)
+    con.sql(f"CREATE VIEW t AS SELECT * FROM (VALUES {vals}) v(grp, v)")
+    want = {
+        g: (z, s, e)
+        for g, z, s, e in con.sql(
+            duck_hll_estimate("t", "grp", "v")
+        ).fetchall()
+    }
+    assert got == want  # registers AND the one float division, bit-exact
