@@ -168,3 +168,43 @@ def test_interval_sweep_matches_point_coverage(spark, sess):
         .collect()
     }
     assert got == expect
+
+
+# HLL (X139): register construction vs a pure-Python replay on random
+# multisets — beyond the fixed-cardinality unit tests in test_sketch.py.
+_hll_vals = st.lists(
+    st.integers(0, 400).map(lambda i: f"u{i}"), min_size=1, max_size=120
+)
+
+
+@given(vals=_hll_vals)
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hll_registers_match_python_replay(spark, vals):
+    import hashlib
+
+    from seng550_a3_etl_spark.operators.sketch import (
+        HLL_M,
+        HLL_NUMER,
+        hll_distinct,
+    )
+
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v string")
+    row = hll_distinct(df, ["grp"], F.col("v")).collect()[0]
+
+    regs: dict[int, int] = {}
+    for v in set(vals):
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        b, r = h % HLL_M, h // HLL_M
+        rho = 55 - r.bit_length()  # bit_length(0) == 0 -> rho 55
+        regs[b] = max(regs.get(b, 0), rho)
+    reg_sum = sum(1 << (55 - m) for m in regs.values()) + (
+        HLL_M - len(regs)
+    ) * (1 << 55)
+    assert row.n_zero_regs == HLL_M - len(regs)
+    assert row.reg_sum == reg_sum
+    assert row.est_distinct == round(HLL_NUMER / float(reg_sum), 4)
