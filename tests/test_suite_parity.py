@@ -81,6 +81,16 @@ _SCALE_SENSITIVE = [
     # centroid count min(100, ceil(n/50)) — sublinear cap binds only
     # beyond sf0.1; below it every 50th vector is a centroid.
     "embedding_topk_ivf",
+    # r6: HLL zero-register count and the below-m regime shift with
+    # cardinality; sf0.001 exercises mostly-empty registers.
+    "hll_distinct_users",
+    # r6: both leg depths (top-20) truncate differently when the corpus
+    # is smaller than the depth; the fusion must stay engine-exact
+    # through the truncation.
+    "rrf_hybrid_topk",
+    # r6: rides minhash banding — pair membership shifts with scale and
+    # the estimator columns must track the exact Jaccard at every sf.
+    "minhash_estimate_quality",
 ]
 
 _SF_FULL = "/root/testdata/sf0.1"
