@@ -321,3 +321,80 @@ def triangle_count(
             )
         )
     )
+
+
+def pagerank_iterate(
+    edges: DataFrame,
+    steps: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    damping: float = 0.85,
+) -> DataFrame:
+    """``steps`` weighted-PageRank power iterations — the driver-looped
+    fixpoint :func:`pagerank_step` is one round of, with the rank
+    vector carried between rounds as integer PICO units so every
+    intermediate state (not just the first step) is order-independent
+    and engine-exact: pr₀ = round(1e12/N); each round,
+    pr'(v) = round((1-d)/N·1e12) + Σ_u round(d·w(u,v)·pr(u)/ow(u)).
+    The per-edge round keeps the distributed sum exact (X69), and
+    because the state is integer, iterate(k) is bit-reproducible and an
+    unrolled SQL oracle can replay all k rounds.
+
+    Scale: the edge list and out-weights are pinned once; each round is
+    one src-key join + one dst-key aggregation (two node-key shuffles,
+    same as pagerank_step), with the rank frame checkpointed per round
+    for lineage truncation — cost is steps × bounded, nothing
+    corpus-sized on the driver. Returns (node, pr_pico, pr)."""
+    edges = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"),
+        F.col(weight).alias("__w"),
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("__s").alias("node"))
+        .union(edges.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    outw = edges.groupBy("__s").agg(
+        F.sum("__w").alias("__ow")
+    ).localCheckpoint(eager=True)
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node",
+        F.round(F.lit(1e12) / F.col("__n")).cast("long").alias("__p"),
+    )
+    tele = (
+        F.round((F.lit(1.0) - F.lit(damping)) / F.col("__n") * F.lit(1e12))
+        .cast("long")
+    )
+    for _ in range(steps):
+        contrib = (
+            edges.join(outw, "__s")
+            .join(ranks, edges["__s"] == ranks["node"])
+            .select(
+                F.col("__d").alias("node"),
+                F.round(
+                    F.lit(damping) * F.col("__w") * F.col("__p")
+                    / F.col("__ow")
+                )
+                .cast("long")
+                .alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (tele + F.coalesce("__in", F.lit(0))).alias("__p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "node",
+        F.col("__p").alias("pr_pico"),
+        F.round(F.col("__p") / 1e12, 9).alias("pr"),
+    )

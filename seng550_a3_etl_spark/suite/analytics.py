@@ -1343,3 +1343,89 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _pr3_oracle(steps: int = 3) -> str:
+    parts = []
+    for k in range(1, steps + 1):
+        parts.append(f"""
+    s{k} AS (
+      SELECT e.dst AS node,
+             SUM(CAST(ROUND(0.85 * e.w * r{k - 1}.p / ow.ow) AS BIGINT))
+               AS c
+      FROM e JOIN ow USING (src) JOIN r{k - 1} ON r{k - 1}.node = e.src
+      GROUP BY 1
+    ),
+    r{k} AS (
+      SELECT nodes.node, t.t + COALESCE(s{k}.c, 0) AS p
+      FROM nodes LEFT JOIN s{k} USING (node) CROSS JOIN tele t
+    )""")
+    return f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, p_brand AS b
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    e AS (
+      SELECT a.b AS src, b2.b AS dst, COUNT(*) AS w
+      FROM op a JOIN op b2 ON a.o = b2.o AND a.b != b2.b
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY 1),
+    tele AS (
+      SELECT CAST(ROUND((1.0 - 0.85) / n.n * 1000000000000.0) AS BIGINT)
+               AS t
+      FROM n
+    ),
+    r0 AS (
+      SELECT node, CAST(ROUND(1000000000000.0 / n.n) AS BIGINT) AS p
+      FROM nodes CROSS JOIN n
+    ),{",".join(parts)}
+    SELECT node AS brand, CAST(p AS BIGINT) AS pr_pico,
+           ROUND(p / 1e12, 9) AS pr
+    FROM r{steps}
+    """
+
+
+@query("pagerank_brands_3step", oracle=_pr3_oracle())
+def pagerank_brands_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X144 — three full PageRank power iterations over the brand
+    co-purchase graph: the driver-looped fixpoint pagerank_step_parts
+    (X100) shows one round of, run end-to-end — the rank vector is
+    carried BETWEEN rounds as integer picos, so every intermediate
+    state is engine-identical and the oracle replays all three rounds
+    as unrolled CTEs (checking the iteration machinery, not just one
+    step's arithmetic).
+
+    Scale: the expensive co-purchase edge build is pinned once; each
+    round is one src-key join + one dst-key sum (two node-key shuffles)
+    with the rank frame checkpointed per round for lineage truncation —
+    convergence costs steps × bounded work, nothing corpus-sized on
+    the driver (operators/graph.py:pagerank_iterate)."""
+    from seng550_a3_etl_spark.operators.graph import pagerank_iterate
+
+    t = load_tables(spark, sf_dir)
+    op = (
+        t.lineitem.join(
+            t.part, t.lineitem["l_partkey"] == t.part["p_partkey"]
+        )
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b")
+        )
+        .distinct()
+    )
+    a, b2 = op.alias("a"), op.alias("b2")
+    edges = (
+        a.join(
+            b2,
+            (F.col("a.o") == F.col("b2.o"))
+            & (F.col("a.b") != F.col("b2.b")),
+        )
+        .groupBy(F.col("a.b").alias("src"), F.col("b2.b").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out = pagerank_iterate(edges, steps=3)
+    return out.select(
+        F.col("node").alias("brand"), "pr_pico", "pr"
+    )

@@ -2277,3 +2277,132 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(matches / F.lit(8.0) - F.col("__p.jaccard")), 6
         ).alias("abs_err"),
     )
+
+
+def _qnorm_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return f"""
+    WITH dq AS ({ORACLES["doc_lang_quality"]}),
+    scored AS (
+      SELECT d.doc_id, d.source, dq.quality AS q
+      FROM documents d JOIN dq ON dq.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY q, doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM scored
+    ),
+    gtab AS (
+      SELECT q, ROW_NUMBER() OVER (ORDER BY q, doc_id) AS gr FROM scored
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM scored)
+    SELECT r.doc_id, r.source, r.q AS q_raw, g.q AS q_norm
+    FROM ranked r CROSS JOIN tot
+    JOIN gtab g ON g.gr = (r.rn * tot.n + r.ns - 1) // r.ns
+    """
+
+
+@query("quality_quantile_norm", oracle=_qnorm_oracle())
+def quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X145 — quantile normalization of the quality score across
+    sources: each document's score is remapped to the GLOBAL score at
+    the same quantile position (global rank ceil(rn·N/n_s), rank-picked,
+    never interpolated — the suite's exact-quantile recipe), so
+    per-source score distributions become comparable before a single
+    quality threshold gates the mix — the distribution-alignment step
+    that keeps one well-calibrated source from dominating curation
+    (compare X81's per-source calibration report).
+
+    Determinism: ranking is on the ROUNDED (6dp) quality with doc_id
+    tiebreak (a total order both engines share); the target rank is
+    exact integer math ((rn·N + n_s − 1) div n_s). Scale: one
+    source-window shuffle, one distributed global row_number (range
+    exchange + per-partition windows + broadcast offsets — NEVER a
+    single-partition global window; operators/ranking.py), and an
+    integer-key join against the |docs|-row quantile table."""
+    from seng550_a3_etl_spark.functions.text import quality_score
+    from seng550_a3_etl_spark.operators.ranking import global_row_number
+
+    t = load_tables(spark, sf_dir)
+    scored = t.documents.select(
+        "doc_id",
+        "source",
+        F.round(
+            quality_score(F.col("text"), tokens(F.col("text"))), 6
+        ).alias("q"),
+    ).localCheckpoint(eager=True)  # three consumers; score once
+    w_src = Window.partitionBy("source").orderBy("q", "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "q",
+        F.row_number().over(w_src).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .alias("ns"),
+    )
+    glob = global_row_number(
+        scored.select("q", "doc_id"), ["q", "doc_id"], out="gr"
+    ).select(F.col("q").alias("gq"), "gr")
+    tot = scored.agg(F.count(F.lit(1)).alias("n"))
+    target = F.expr("(rn * n + ns - 1) div ns")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("gr", target)
+        .join(glob, "gr")
+        .select(
+            "doc_id",
+            "source",
+            F.col("q").alias("q_raw"),
+            F.col("gq").alias("q_norm"),
+        )
+    )
+
+
+def _dedup_delta_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return f"""
+    WITH ng AS (SELECT doc_a, doc_b FROM ({ORACLES["ngram_dup_pairs"]}) x),
+    mh AS (SELECT doc_a, doc_b FROM ({ORACLES["minhash_dup_pairs"]}) y)
+    SELECT COALESCE(ng.doc_a, mh.doc_a) AS doc_a,
+           COALESCE(ng.doc_b, mh.doc_b) AS doc_b,
+           ng.doc_a IS NOT NULL AS in_ngram,
+           mh.doc_a IS NOT NULL AS in_minhash
+    FROM ng FULL OUTER JOIN mh
+      ON ng.doc_a = mh.doc_a AND ng.doc_b = mh.doc_b
+    """
+
+
+@query("dedup_strategy_delta", oracle=_dedup_delta_oracle())
+def dedup_strategy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X146 — near-dup strategy agreement census: the exact-Jaccard
+    posting-list pairs (X2) full-outer-joined with the MinHash+LSH
+    verified pairs (X3) at the same 0.8 threshold, flagging each pair's
+    membership — the acceptance artifact that quantifies banding recall
+    (in_ngram ∧ ¬in_minhash = pairs the 4×2 banding missed; the
+    converse flags the OTHER approximation — pairs X2's stop-shingle
+    bound undercounted below threshold that minhash's unbounded
+    array_intersect verify kept) before LSH replaces the exact scan in
+    production.
+
+    Scale: both inputs ride the session shingle cache and are
+    threshold-filtered pair sets (tiny relative to the corpus); the
+    census is one full-outer join on the pair key."""
+    ng = ngram_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    mh = minhash_dup_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("m_a"), F.col("doc_b").alias("m_b")
+    )
+    return ng.join(
+        mh,
+        (F.col("doc_a") == F.col("m_a")) & (F.col("doc_b") == F.col("m_b")),
+        "full_outer",
+    ).select(
+        F.coalesce("doc_a", "m_a").alias("doc_a"),
+        F.coalesce("doc_b", "m_b").alias("doc_b"),
+        F.col("doc_a").isNotNull().alias("in_ngram"),
+        F.col("m_a").isNotNull().alias("in_minhash"),
+    )
