@@ -631,6 +631,11 @@ def _cc_distributed_probe(spark) -> dict:
         wall = round(time.perf_counter() - t0, 2)
         if n_labels != n_comp:
             out[f"edges_{n_comp * 3}"] = [wall, "wrong_labeling"]
+            print(
+                f"bench: cc_distributed WRONG LABELING at {n_comp * 3} "
+                f"edges — expected {n_comp} components, got {n_labels}",
+                file=sys.stderr,
+            )
             continue
         walls.append(wall)
         out[f"edges_{n_comp * 3}"] = [wall, "labels_ok"]

@@ -34,6 +34,10 @@ def _t(label: str, fn):
 
 
 def profile_minhash(spark, sf_dir: str) -> dict:
+    # Stage boundaries force this to mirror minhash_lsh_pairs'
+    # internals; the scale knobs are imported from the suite module so
+    # a re-parameterization there cannot leave this profiler measuring
+    # a different pipeline under the same query name.
     from seng550_a3_etl_spark.functions.text import shingles, tokens
     from seng550_a3_etl_spark.functions.hashing import minhash_signatures
     from seng550_a3_etl_spark.operators.text_dedup import (
@@ -41,6 +45,10 @@ def profile_minhash(spark, sf_dir: str) -> dict:
         bucket_pairs,
     )
     from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.suite.text import (
+        MINHASH_BANDS,
+        MINHASH_NUM_PERM,
+    )
 
     t = load_tables(spark, sf_dir)
     res: dict = {}
@@ -55,8 +63,10 @@ def profile_minhash(spark, sf_dir: str) -> dict:
         .localCheckpoint(eager=True),
     )
 
-    signed = minhash_signatures(sets_, "doc", F.col("sh"), 8)
-    banded = band_keys(signed, 4, 2)
+    signed = minhash_signatures(sets_, "doc", F.col("sh"), MINHASH_NUM_PERM)
+    banded = band_keys(
+        signed, MINHASH_BANDS, MINHASH_NUM_PERM // MINHASH_BANDS
+    )
     cand, res["sign_band_cand"] = _t(
         "signatures + banding + candidates (ckpt)",
         lambda: bucket_pairs(banded, ["band", "key"], F.col("doc"))
@@ -112,6 +122,8 @@ def profile_minhash(spark, sf_dir: str) -> dict:
 
 
 def profile_cosine(spark, sf_dir: str) -> dict:
+    # Same mirroring caveat as profile_minhash: knobs come from the
+    # suite module (COSINE_DEDUP_*), never hardcoded here.
     from seng550_a3_etl_spark.catalog import load_tables
     from seng550_a3_etl_spark.operators.similarity import (
         _band_keys_expr,
@@ -119,6 +131,11 @@ def profile_cosine(spark, sf_dir: str) -> dict:
         hyperplane_weights,
     )
     from seng550_a3_etl_spark.operators.text_dedup import bucket_pairs
+    from seng550_a3_etl_spark.suite.vectors import (
+        COSINE_DEDUP_BANDS,
+        COSINE_DEDUP_DIM,
+        COSINE_DEDUP_PLANES,
+    )
 
     t = load_tables(spark, sf_dir)
     base = t.embeddings.select(
@@ -134,9 +151,9 @@ def profile_cosine(spark, sf_dir: str) -> dict:
     corpus = base.unionAll(jitter)
     res: dict = {}
 
-    planes, bands = 96, 6
+    planes, bands = COSINE_DEDUP_PLANES, COSINE_DEDUP_BANDS
     rows = planes // bands
-    weights = hyperplane_weights(planes, 64)
+    weights = hyperplane_weights(planes, COSINE_DEDUP_DIM)
     banded_df = corpus.select(
         F.col("id"), F.expr(_sign_bits_expr("v", weights)).alias("__bits")
     ).select(
@@ -246,6 +263,13 @@ def main() -> None:
 
     scaled = tempfile.mkdtemp(prefix=".prof_10x_", dir=".")
     try:
+        # Same JIT warm-up the bench does before timing: without it the
+        # first 1x stage absorbs the one-off codegen compile of the
+        # wide tokenize->shingle pipeline (~2s) while the 10x rerun is
+        # warm, biasing the very ratios this script exists to measure.
+        t0 = time.perf_counter()
+        bench._warm_text_pipeline(spark, sf_dir)
+        print(f"JIT warm-up: {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
         bench._scale_10x(spark, sf_dir, scaled)
         print(f"10x replica build: {time.perf_counter() - t0:.1f}s")

@@ -449,6 +449,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.8,
     shingle_sets: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
@@ -460,6 +461,10 @@ def minhash_lsh_pairs(
     ``shingle_sets`` optionally supplies a prebuilt, already-materialized
     (doc, sh) frame of distinct STRING shingles (the suite's
     session-cached build); it must already exclude empty sets.
+    ``signatures`` optionally supplies the prebuilt (doc, sig) MinHash
+    table over those same sets with ``num_perm`` permutations, so a
+    caller that also consumes the signatures (e.g. the estimator
+    calibration query) computes them once instead of twice.
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
@@ -478,7 +483,11 @@ def minhash_lsh_pairs(
         .filter(F.size("sh") > 0)
         .localCheckpoint(eager=True)
     )
-    signed = minhash_signatures(sets_, "doc", F.col("sh"), num_perm)
+    signed = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(sets_, "doc", F.col("sh"), num_perm)
+    )
     banded = band_keys(signed, bands, rows_per_band)
     cand = (
         bucket_pairs(banded, ["band", "key"], F.col("doc"))

@@ -93,6 +93,11 @@ _CHANGED: dict[str, int] = {
     # 100× for 10× vectors). Output changes: banding is part of the
     # query's verified construction.
     "embedding_cosine_dedup": 6,
+    # round 6 (review pass): minhash_lsh_pairs gained an optional
+    # prebuilt-signatures param and the query now routes through the
+    # single-sourced MINHASH_* knobs — value-identical (oracle strings
+    # verified byte-equal), but code under the query changed.
+    "minhash_dup_pairs": 6,
 }
 
 

@@ -222,10 +222,13 @@ def fk_orphan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     bulk load, and the precondition audit before trusting any join
     result downstream.
 
-    Scale: each arm is one anti join moving only the parent's KEY
-    column (broadcast when the parent is dim-sized, shuffle otherwise —
-    fk_violations' plan) plus a count; arms are independent jobs over
-    column-pruned scans, and the output is |edges| rows. No arm ever
+    Scale: each arm is ONE pass over the child — a LEFT join against
+    the parent's deduped KEY column (broadcast when the parent is
+    dim-sized, shuffle otherwise) folding straight into a single agg
+    producing both child_rows and orphans (count_if on the unmatched
+    probe), so lineitem is scanned once per arm, not once for the
+    total and again for the anti join. Arms are independent jobs over
+    column-pruned scans; the output is |edges| rows. No arm ever
     carries a payload column."""
     t = load_tables(spark, sf_dir)
     edges = [
@@ -246,18 +249,20 @@ def fk_orphan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     rows = []
     for edge, child, ckey, parent, pkey, small_parent in edges:
-        pk = parent.select(pkey)
+        # Distinct keeps LEFT-join probe semantics identical to the
+        # NOT-EXISTS oracle even if a parent key were ever duplicated;
+        # it rides the shuffle/broadcast the join needs anyway.
+        pk = parent.select(F.col(pkey).alias("__pk")).distinct()
         if small_parent:
             pk = F.broadcast(pk)
-        orphans = fk_violations(child, pk, on=[(ckey, pkey)])
+        probe = child.select(ckey).join(
+            pk, F.col(ckey) == F.col("__pk"), "left"
+        )
         rows.append(
-            child.agg(
+            probe.agg(
                 F.lit(edge).alias("fk_edge"),
                 F.count(F.lit(1)).alias("child_rows"),
-            ).crossJoin(
-                F.broadcast(
-                    orphans.agg(F.count(F.lit(1)).alias("orphans"))
-                )
+                F.count_if(F.col("__pk").isNull()).alias("orphans"),
             )
         )
     out = rows[0]

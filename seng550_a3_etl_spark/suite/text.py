@@ -167,6 +167,14 @@ _DUCK_SETS3 = (
     f"FROM {_TOKS})"
 )
 
+# MinHash scale knobs — single-sourced across the Spark queries, the
+# DuckDB oracles (interpolated below), and scripts/profile_10x.py, so
+# a re-parameterization (the kind round 6 made to the sign-LSH path)
+# can never leave the profiler or an oracle replaying stale math.
+MINHASH_NUM_PERM = 8
+MINHASH_BANDS = 4
+MINHASH_THRESHOLD = 0.8
+
 
 @query(
     "ngram_dup_pairs",
@@ -223,9 +231,9 @@ def _duck_minhash_bands(num_perm: int, bands: int) -> str:
     oracle=f"""
     WITH sets_ AS (SELECT * FROM {_DUCK_SETS3} WHERE len(sh) > 0),
     sig AS (SELECT doc, sh,
-                   {duck_minhash_signature('sh', 8)} AS sig
+                   {duck_minhash_signature('sh', MINHASH_NUM_PERM)} AS sig
             FROM sets_),
-    banded AS ({_duck_minhash_bands(8, 4)}),
+    banded AS ({_duck_minhash_bands(MINHASH_NUM_PERM, MINHASH_BANDS)}),
     cand AS (
       SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
       FROM banded a JOIN banded b USING (band, key)
@@ -242,7 +250,8 @@ def _duck_minhash_bands(num_perm: int, bands: int) -> str:
     JOIN sets_ sa ON sa.doc = doc_a
     JOIN sets_ sb ON sb.doc = doc_b
     WHERE len(list_intersect(sa.sh, sb.sh))
-          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+          >= {MINHASH_THRESHOLD}
     """,
 )
 def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,8 +260,8 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the identical signature/banding math in SQL."""
     t = load_tables(spark, sf_dir)
     return minhash_lsh_pairs(
-        t.documents, "doc_id", "text", n=3, num_perm=8, bands=4,
-        threshold=0.8,
+        t.documents, "doc_id", "text", n=3, num_perm=MINHASH_NUM_PERM,
+        bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD,
         shingle_sets=_shingle_sets_df(spark, sf_dir, n=3, hashed=False),
     )
 
@@ -1843,9 +1852,9 @@ def source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sets_ AS (SELECT * FROM {_DUCK_SETS3} WHERE len(sh) > 0),
     sig AS (SELECT doc, sh,
-                   {duck_minhash_signature('sh', 8)} AS sig
+                   {duck_minhash_signature('sh', MINHASH_NUM_PERM)} AS sig
             FROM sets_),
-    banded AS ({_duck_minhash_bands(8, 4)}),
+    banded AS ({_duck_minhash_bands(MINHASH_NUM_PERM, MINHASH_BANDS)}),
     base AS (SELECT * FROM banded WHERE doc % 10 < 8),
     newb AS (SELECT * FROM banded WHERE doc % 10 >= 8),
     dropped AS (
@@ -2205,15 +2214,18 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_quality_oracle() -> str:
     from seng550_a3_etl_spark.suite.registry import ORACLES
 
-    matches = "len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i]))"
+    matches = (
+        f"len(list_filter(range(1, {MINHASH_NUM_PERM + 1}), "
+        "i -> sa.sig[i] = sb.sig[i]))"
+    )
     return f"""
     WITH pairs AS ({ORACLES["minhash_dup_pairs"]}),
     sets_ AS (SELECT * FROM {_DUCK_SETS3} WHERE len(sh) > 0),
-    sig AS (SELECT doc, {duck_minhash_signature('sh', 8)} AS sig
+    sig AS (SELECT doc, {duck_minhash_signature('sh', MINHASH_NUM_PERM)} AS sig
             FROM sets_)
     SELECT p.doc_a, p.doc_b,
            CAST({matches} AS BIGINT) AS sig_matches,
-           {matches} / 8.0 AS est_jaccard,
+           {matches} / {float(MINHASH_NUM_PERM)} AS est_jaccard,
            ROUND(p.jaccard, 6) AS exact_jaccard,
            ROUND(abs({matches} / 8.0 - p.jaccard), 6) AS abs_err
     FROM pairs p
@@ -2232,19 +2244,25 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     run where exact verification is too expensive (the minhash
     counterpart of ann_recall_ivf's IVF gate).
 
-    Scale: rides the session shingle cache and the signature
-    aggregation (map-side-combined minima); the estimate join touches
-    only the verified pairs (threshold-filtered, tiny relative to the
-    corpus) via one melt-join over the signature table."""
+    Scale: rides the session shingle cache; the (doc, sig) table is
+    built ONCE (eager localCheckpoint — one row of 8 ints per doc) and
+    shared between the LSH banding inside minhash_lsh_pairs and the
+    estimate join here, instead of running the per-shingle minima
+    aggregation twice. The estimate join touches only the verified
+    pairs (threshold-filtered, tiny relative to the corpus) via one
+    melt-join over the signature table."""
     from seng550_a3_etl_spark.functions.hashing import minhash_signatures
 
     t = load_tables(spark, sf_dir)
     sets_ = _shingle_sets_df(spark, sf_dir, n=3, hashed=False)
+    signed = minhash_signatures(
+        sets_, "doc", F.col("sh"), MINHASH_NUM_PERM
+    ).localCheckpoint(eager=True)
     pairs = minhash_lsh_pairs(
-        t.documents, "doc_id", "text", n=3, num_perm=8, bands=4,
-        threshold=0.8, shingle_sets=sets_,
+        t.documents, "doc_id", "text", n=3, num_perm=MINHASH_NUM_PERM,
+        bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD,
+        shingle_sets=sets_, signatures=signed,
     )
-    signed = minhash_signatures(sets_, "doc", F.col("sh"), 8)
     melted = pairs.select(
         F.struct("doc_a", "doc_b", "jaccard").alias("__p"),
         F.posexplode(F.array("doc_a", "doc_b")).alias("__side", "doc"),
@@ -2271,10 +2289,13 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__p.doc_a").alias("doc_a"),
         F.col("__p.doc_b").alias("doc_b"),
         matches.alias("sig_matches"),
-        (matches / F.lit(8.0)).alias("est_jaccard"),
+        (matches / F.lit(float(MINHASH_NUM_PERM))).alias("est_jaccard"),
         F.round(F.col("__p.jaccard"), 6).alias("exact_jaccard"),
         F.round(
-            F.abs(matches / F.lit(8.0) - F.col("__p.jaccard")), 6
+            F.abs(
+                matches / F.lit(float(MINHASH_NUM_PERM))
+                - F.col("__p.jaccard")
+            ), 6
         ).alias("abs_err"),
     )
 

@@ -12,6 +12,15 @@ from seng550_a3_etl_spark.catalog import load_tables
 from seng550_a3_etl_spark.operators.similarity import cosine_topk, ivf_topk
 from seng550_a3_etl_spark.suite.registry import query
 
+# Sign-LSH scale knobs for embedding_cosine_dedup — single-sourced so
+# the suite query, its DuckDB oracle (interpolated below), and
+# scripts/profile_10x.py can never drift apart on a re-parameterization
+# (round 6's 32/4 -> 96/6 keyspace fix is exactly such a change).
+COSINE_DEDUP_PLANES = 96
+COSINE_DEDUP_BANDS = 6
+COSINE_DEDUP_DIM = 64
+_CD_ROWS = COSINE_DEDUP_PLANES // COSINE_DEDUP_BANDS  # bits per band key
+
 
 def _dot(a: str, b: str) -> str:
     return (
@@ -133,21 +142,22 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings WHERE vec_id % 5 = 0
     ),
     planes AS (
-      SELECT p, list_transform(range(0, 64), i ->
+      SELECT p, list_transform(range(0, {COSINE_DEDUP_DIM}), i ->
         ((('0x' || substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT
           % 2000001) / 1000000.0 - 1.0)) AS w
-      FROM range(0, 96) t(p)
+      FROM range(0, {COSINE_DEDUP_PLANES}) t(p)
     ),
     bits AS (
       SELECT c.id, p.p,
-             CASE WHEN list_sum(list_transform(range(1, 65),
+             CASE WHEN list_sum(list_transform(range(1, {COSINE_DEDUP_DIM + 1}),
                     i -> c.v[i]::DOUBLE * p.w[i])) >= 0
                   THEN 1 ELSE 0 END AS bit
       FROM corpus c, planes p
     ),
     banded AS (
-      SELECT id, p // 16 AS band, SUM(bit * (1 << (p % 16))) AS bkey
-      FROM bits GROUP BY id, p // 16
+      SELECT id, p // {_CD_ROWS} AS band,
+             SUM(bit * (1 << (p % {_CD_ROWS}))) AS bkey
+      FROM bits GROUP BY id, p // {_CD_ROWS}
     ),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -193,7 +203,10 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     corpus = base.unionAll(jitter)
-    return cosine_dedup_pairs(corpus, threshold=0.95, planes=96, bands=6, dim=64)
+    return cosine_dedup_pairs(
+        corpus, threshold=0.95, planes=COSINE_DEDUP_PLANES,
+        bands=COSINE_DEDUP_BANDS, dim=COSINE_DEDUP_DIM,
+    )
 
 
 @query(
