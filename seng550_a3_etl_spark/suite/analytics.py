@@ -1429,3 +1429,343 @@ def pagerank_brands_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").alias("brand"), "pr_pico", "pr"
     )
+
+
+# --------------------------------------------------------------------------
+# X149 — exact largest-remainder allocation (money proration).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "revenue_proration",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             {_DUCK_CENTS.format(col="l_extendedprice")} AS w
+      FROM lineitem
+      WHERE {duck_hash64("CAST(l_orderkey AS VARCHAR)", seed=9)} % 20 = 0
+    ),
+    j AS (
+      SELECT li.*, {_DUCK_CENTS.format(col="o_totalprice")} AS t,
+             SUM(w) OVER (PARTITION BY l_orderkey) AS tw
+      FROM li JOIN orders ON o_orderkey = l_orderkey
+    ),
+    b AS (
+      SELECT *, (t * w) // tw AS base, (t * w) % tw AS fracrem FROM j
+    ),
+    r AS (
+      SELECT *,
+             t - SUM(base) OVER (PARTITION BY l_orderkey) AS rem,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY fracrem DESC, l_linenumber) AS rk
+      FROM b
+    )
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_cents
+    FROM r
+    """,
+)
+def revenue_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X149 — largest-remainder (Hamilton) allocation: each order's
+    total price, in integer cents, is spread across its lineitems
+    proportional to extended price so that the per-order allocations
+    sum EXACTLY to the order total — floor shares first, then the
+    leftover cents go to the largest fractional remainders (tiebreak:
+    line number). The standard warehouse proration for spreading
+    shipping/discount/budget over components without losing a cent;
+    a float-multiply-and-round version fails the sum invariant.
+
+    All arithmetic is int64 (t*w peaks ~5e14 for TPC-H-bounded prices
+    — magnitudes are per-order, so the bound is scale-free), so both
+    engines agree bit-for-bit; the sum invariant is property-tested.
+
+    Scale: the 5% hash filter evaluates in the scan; one shuffle on the
+    order key drives the join and all three windows (same key, one
+    exchange); per-order window state is bounded by lines-per-order."""
+    t = load_tables(spark, sf_dir)
+    keep = hash64(F.col("l_orderkey").cast("string"), seed=9) % 20 == 0
+    li = t.lineitem.filter(keep).select(
+        "l_orderkey", "l_linenumber", _cents("l_extendedprice").alias("w")
+    )
+    o = t.orders.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        _cents("o_totalprice").alias("t"),
+    )
+    wp = Window.partitionBy("l_orderkey")
+    j = li.join(o, "l_orderkey").withColumn("tw", F.sum("w").over(wp))
+    b = j.select(
+        "l_orderkey", "l_linenumber", "t",
+        F.expr("t * w DIV tw").alias("base"),
+        ((F.col("t") * F.col("w")) % F.col("tw")).alias("fracrem"),
+    )
+    r = b.select(
+        "l_orderkey", "l_linenumber", "base",
+        (F.col("t") - F.sum("base").over(wp)).alias("rem"),
+        F.row_number()
+        .over(wp.orderBy(F.desc("fracrem"), "l_linenumber"))
+        .alias("rk"),
+    )
+    return r.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("rem"), 1).otherwise(0)
+        ).alias("alloc_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X151 — weighted median via cumulative-weight rank.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "weighted_median_price",
+    oracle=f"""
+    WITH li AS (
+      SELECT p_brand,
+             {_DUCK_CENTS.format(col="l_extendedprice")} AS price,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    c AS (
+      SELECT *,
+             SUM(w) OVER (PARTITION BY p_brand
+                          ORDER BY price, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER (PARTITION BY p_brand) AS tot
+      FROM li
+    )
+    SELECT p_brand,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN price END) AS BIGINT)
+             AS wmedian_cents,
+           CAST(MAX(tot) AS BIGINT) AS total_qty,
+           COUNT(*) AS n_items
+    FROM c
+    GROUP BY 1
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X151 — quantity-weighted median extended price per brand: the
+    smallest price whose cumulative quantity reaches half the brand's
+    total — what "median unit price" actually means when each line
+    carries many units, and a shape percentile_approx cannot weight.
+
+    Determinism: weights and prices are integers; the cumulative sum
+    runs over the total order (price, orderkey, linenumber) with an
+    explicit ROWS frame (unique key, so RANGE vs ROWS can't diverge);
+    the 2*cum >= tot rank test is pure int64. The half-weight boundary
+    is tie-prone at tiny n — pinned in the parity matrix.
+
+    Scale: one shuffle on p_brand for the windows (the lineitem-part
+    join shuffles on partkey first; at 100 TB AQE picks the join side).
+    Per-brand running state is O(1); output is |brands| rows."""
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.join(
+        t.part, t.lineitem.l_partkey == t.part.p_partkey
+    ).select(
+        "p_brand",
+        _cents("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wo = (
+        Window.partitionBy("p_brand")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("p_brand")
+    c = li.select(
+        "p_brand", "price",
+        F.sum("w").over(wo).alias("cum"),
+        F.sum("w").over(wp).alias("tot"),
+    )
+    return c.groupBy("p_brand").agg(
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("tot"), F.col("price"))
+        ).alias("wmedian_cents"),
+        F.max("tot").cast("long").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X152 — co-purchase Jaccard recommendations (basket-bounded pair gen).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "copurchase_jaccard_recs",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    deg AS (SELECT p, COUNT(*) AS n FROM op GROUP BY p),
+    co AS (
+      SELECT x.p AS a, y.p AS b, COUNT(*) AS co
+      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+      GROUP BY 1, 2
+    ),
+    sim AS (
+      SELECT a, b, co,
+             (co * 1000000000) // (da.n + db.n - co) AS jaccard_ppb
+      FROM co JOIN deg da ON da.p = a JOIN deg db ON db.p = b
+    ),
+    dirs AS (
+      SELECT a AS src_part, b AS rec_part, co, jaccard_ppb FROM sim
+      UNION ALL
+      SELECT b AS src_part, a AS rec_part, co, jaccard_ppb FROM sim
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY src_part
+                                   ORDER BY jaccard_ppb DESC, co DESC,
+                                            rec_part) AS rk
+      FROM dirs
+    )
+    SELECT src_part, rec_part, CAST(co AS BIGINT) AS co,
+           CAST(jaccard_ppb AS BIGINT) AS jaccard_ppb,
+           CAST(rk AS BIGINT) AS rank
+    FROM rk WHERE rk <= 3
+    """,
+)
+def copurchase_jaccard_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X152 — "customers also bought": top-3 co-purchase neighbors per
+    part by basket Jaccard co(a,b) / (n(a)+n(b)-co) — the item-item
+    collaborative-filtering kernel.
+
+    Determinism: similarity is ranked AND emitted as an exact integer
+    (parts-per-billion via int64 integer division), never a float — the
+    [[token-pmi]] rational-ordering recipe — with (co, part id)
+    tiebreaks, so top-3 membership is engine-exact even under dense
+    ties (pinned in the parity matrix).
+
+    Scale: candidate pairs are generated per ORDER (self-join on the
+    order key), so the blow-up is C(basket, 2) — bounded by lines per
+    order (<=7), independent of how popular a part is; the hub-node
+    hazard of a part-keyed self-join never arises. One groupBy on the
+    pair, degree joins are |parts|-sized, and top-3 is a rank window
+    per part (state O(1) per key after the pair rollup). jaccard_ppb
+    peaks at 1e9 — co * 1e9 stays far inside int64."""
+    t = load_tables(spark, sf_dir)
+    op = t.lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    x, y = op.alias("x"), op.alias("y")
+    co = (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    da = deg.select(F.col("p").alias("a"), F.col("n").alias("na"))
+    db = deg.select(F.col("p").alias("b"), F.col("n").alias("nb"))
+    sim = (
+        co.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a", "b", "co",
+            F.expr("co * 1000000000 DIV (na + nb - co)").alias("jaccard_ppb"),
+        )
+    )
+    both = sim.select(
+        F.col("a").alias("src_part"), F.col("b").alias("rec_part"),
+        "co", "jaccard_ppb",
+    ).unionByName(
+        sim.select(
+            F.col("b").alias("src_part"), F.col("a").alias("rec_part"),
+            "co", "jaccard_ppb",
+        )
+    )
+    wr = Window.partitionBy("src_part").orderBy(
+        F.desc("jaccard_ppb"), F.desc("co"), "rec_part"
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# X153 — 2-D skyline (Pareto frontier) per category.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pareto_price_quantity",
+    oracle=f"""
+    WITH pa AS (
+      SELECT p_type,
+             p_partkey,
+             MIN({_DUCK_CENTS.format(col="l_extendedprice")}) AS min_price,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT *,
+             MAX(total_qty) OVER (
+               PARTITION BY p_type ORDER BY min_price
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_cheaper,
+             MAX(total_qty) OVER (
+               PARTITION BY p_type, min_price
+             ) AS best_same
+      FROM pa
+    )
+    SELECT p_type, p_partkey, CAST(min_price AS BIGINT) AS min_price,
+           total_qty
+    FROM w
+    WHERE (best_cheaper IS NULL OR total_qty > best_cheaper)
+      AND total_qty = best_same
+    """,
+)
+def pareto_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X153 — 2-D skyline query: per part type, the parts on the
+    (cheapest observed sale price, highest total quantity sold) Pareto
+    frontier — no other part of the type is at-least-as-cheap AND
+    at-least-as-popular with one strict. The classic skyline operator
+    (Borzsony et al., ICDE'01), the shape behind "best tradeoff"
+    product screens.
+
+    The O(n^2) NOT-EXISTS domination test collapses to two window
+    maxima over the price order: a part survives iff it beats the best
+    quantity at any STRICTLY cheaper price (RANGE excludes price ties)
+    and matches the best quantity at its OWN price (exact duplicates
+    are mutually non-dominating and all survive). Pure int64
+    comparisons; tie density is scale-dependent — pinned in the parity
+    matrix.
+
+    Scale: the rollup is one (type, part) shuffle; the skyline windows
+    partition by p_type, so no global sort — each type's frontier scan
+    is a linear pass with O(1) running state."""
+    t = load_tables(spark, sf_dir)
+    pa = (
+        t.lineitem.join(t.part, t.lineitem.l_partkey == t.part.p_partkey)
+        .groupBy("p_type", "p_partkey")
+        .agg(
+            F.min(_cents("l_extendedprice")).alias("min_price"),
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("total_qty"),
+        )
+    )
+    wc = (
+        Window.partitionBy("p_type")
+        .orderBy("min_price")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    ws = Window.partitionBy("p_type", "min_price")
+    w = pa.select(
+        "p_type", "p_partkey", "min_price", "total_qty",
+        F.max("total_qty").over(wc).alias("best_cheaper"),
+        F.max("total_qty").over(ws).alias("best_same"),
+    )
+    return w.filter(
+        (F.col("best_cheaper").isNull()
+         | (F.col("total_qty") > F.col("best_cheaper")))
+        & (F.col("total_qty") == F.col("best_same"))
+    ).select("p_type", "p_partkey", "min_price", "total_qty")

@@ -202,3 +202,116 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select(
         "event_type", "n_zero_regs", "reg_sum", "est_users", "exact_users"
     )
+
+
+# Count-min sketch geometry: 4 independent md5-seeded rows x 64
+# buckets. Small enough to collide visibly at sf0.01 (150 users), so
+# the calibration columns actually exercise the overestimate bound.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH deps(dep) AS (
+      SELECT * FROM range(0, {_CMS_DEPTH})
+    ),
+    cells AS (
+      SELECT dep,
+             {duck_hash64(
+                 "CAST(dep AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)"
+             )} % {_CMS_WIDTH} AS bucket,
+             COUNT(*) AS c
+      FROM events CROSS JOIN deps
+      GROUP BY 1, 2
+    ),
+    truec AS (
+      SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY 1
+    ),
+    est AS (
+      SELECT u.user_id, MIN(c.c) AS est_n
+      FROM truec u
+      CROSS JOIN deps d
+      JOIN cells c
+        ON c.dep = d.dep
+       AND c.bucket = {duck_hash64(
+               "CAST(d.dep AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR)"
+           )} % {_CMS_WIDTH}
+      GROUP BY 1
+    )
+    SELECT t.user_id, t.true_n, CAST(e.est_n AS BIGINT) AS est_n,
+           CAST(e.est_n - t.true_n AS BIGINT) AS overcount
+    FROM truec t JOIN est e ON e.user_id = t.user_id
+    ORDER BY t.true_n DESC, t.user_id
+    LIMIT 10
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X150 — count-min sketch calibration: a 4x64 CMS over event
+    user_ids, then for the top-10 users by TRUE count the sketch
+    estimate beside the truth with the overcount — completing the
+    sketch family (KMV X22, HLL X139, Bloom X102, GK A5-A9) with the
+    frequency sketch, and — like minhash_estimate_quality — shipping
+    the accuracy gate one runs before trusting the sketch alone. The
+    CMS guarantee est >= true is asserted in tests; the md5-affine
+    bucket hash is replayed bit-for-bit by the oracle.
+
+    Determinism: counters and estimates are exact integers; the top-10
+    cutoff orders by (true_n DESC, user_id) — no float anywhere.
+
+    Scale: THE point of a CMS — the sketch is a fixed d x w = 256-cell
+    rollup (map-side combined, broadcast back for the probe), never
+    proportional to the keyspace. The true-count side is one user_id
+    shuffle, present here only because this is the calibration query;
+    production reads the 256-cell table alone. TakeOrdered handles the
+    top-10 (no global sort)."""
+    t = load_tables(spark, sf_dir)
+    from seng550_a3_etl_spark.functions.hashing import hash64
+
+    deps = F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))
+    ev = t.events.select(
+        "user_id", F.explode(deps).alias("dep")
+    ).select(
+        "dep",
+        (
+            hash64(
+                F.concat_ws(
+                    ":",
+                    F.col("dep").cast("string"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % _CMS_WIDTH
+        ).alias("bucket"),
+    )
+    cells = ev.groupBy("dep", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    truec = t.events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    probe = truec.select(
+        "user_id", "true_n", F.explode(deps).alias("dep")
+    ).withColumn(
+        "bucket",
+        hash64(
+            F.concat_ws(
+                ":",
+                F.col("dep").cast("string"),
+                F.col("user_id").cast("string"),
+            )
+        )
+        % _CMS_WIDTH,
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["dep", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").cast("long").alias("est_n"))
+    )
+    return (
+        est.select(
+            "user_id", "true_n", "est_n",
+            (F.col("est_n") - F.col("true_n")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("true_n"), "user_id")
+        .limit(10)
+    )

@@ -999,3 +999,169 @@ def interpolate_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 4).alias("interp_value"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "event_ohlc_bars",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) AS bar
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, bar) AS cnt
+      FROM e
+    )
+    SELECT event_type,
+           strftime(bar, '{_TS_FMT_DUCK}') AS bar_start,
+           CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT)
+             AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(MAX(CASE WHEN rn = cnt THEN cents END) AS BIGINT)
+             AS close_cents,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS volume_cents
+    FROM r
+    GROUP BY 1, 2
+    """,
+)
+def event_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X147 — OHLC candlestick resample: per (event_type, 6-hour bar)
+    the open/high/low/close of ``value`` plus event count and volume —
+    the canonical time-series downsampling every metrics/market system
+    runs. Open/close are defined by (ts, event_id) order so ties at the
+    same microsecond stay deterministic; values are exact integer
+    cents.
+
+    F.window is the same tumbling-window operator the streaming path
+    uses (epoch-aligned, as is DuckDB's time_bucket for sub-day
+    intervals — whole-day origin offsets are multiples of 6h).
+
+    Scale: one shuffle on (event_type, bar) for the rank window, then
+    the aggregation rides the SAME partitioning (no second exchange);
+    first/last via rn avoids any engine-specific first_value frame
+    semantics. Bars output is |types| x |6h buckets| — tiny."""
+    t = load_tables(spark, sf_dir)
+    e = t.events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.window("ts", "6 hours").alias("w"),
+    ).select(
+        "event_type", "ts", "event_id", "cents",
+        F.col("w.start").alias("bar"),
+    )
+    wo = Window.partitionBy("event_type", "bar").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type", "bar")
+    r = e.select(
+        "event_type", "bar", "cents",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+    return r.groupBy(
+        "event_type", F.date_format("bar", _TS_FMT).alias("bar_start")
+    ).agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cents"))).alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("cents"))).alias(
+            "close_cents"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("long").alias("volume_cents"),
+    )
+
+
+@query(
+    "time_weighted_value",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(ts AS DATE) AS day
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, day, cents,
+             epoch_us(LEAD(ts) OVER (PARTITION BY event_type, day
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dur
+      FROM e
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(dur) AS BIGINT) AS span_micros,
+           ROUND(CAST(SUM(cents * dur) AS DOUBLE)
+                 / (CAST(SUM(dur) AS DOUBLE) * 100.0), 6) AS twap
+    FROM d
+    GROUP BY 1, 2
+    HAVING SUM(dur) > 0
+    """,
+)
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X148 — time-weighted average value (TWAP) per (event_type, day):
+    each observation is weighted by the microseconds until the next
+    observation of the same series that day (the last one carries zero
+    weight), so irregular sampling doesn't bias the mean toward bursts
+    — the standard financial/sensor resampling semantics a plain AVG
+    gets wrong.
+
+    Determinism: weights are integer micros from instant subtraction
+    (timezone-free in both engines), the numerator is summed as
+    decimal(38,0) on the Spark side (DuckDB promotes to HUGEINT — the
+    winsorized_price_stats recipe; int64 would wrap around sf100 for
+    day-long gaps), and the TWAP is ONE double division of two
+    exactly-agreed integers. Groups with a single event (no intervals)
+    are dropped on both sides — scale-dependent, pinned in the parity
+    matrix.
+
+    Scale: one shuffle on (event_type, day) for the lead window; the
+    aggregation reuses the same partitioning. Output is |types| x
+    |days|."""
+    t = load_tables(spark, sf_dir)
+    e = t.events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.to_date("ts").alias("day"),
+    )
+    wo = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    d = e.select(
+        "event_type",
+        "day",
+        "cents",
+        (F.unix_micros(F.lead("ts").over(wo)) - F.unix_micros("ts")).alias(
+            "dur"
+        ),
+    )
+    out = (
+        d.groupBy("event_type", F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("dur").cast("long").alias("span_micros"),
+            F.sum(
+                (F.col("cents") * F.col("dur")).cast("decimal(38,0)")
+            ).alias("__num"),
+        )
+        .filter(F.col("span_micros") > 0)
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "n_events",
+        "span_micros",
+        F.round(
+            F.col("__num").cast("double")
+            / (F.col("span_micros").cast("double") * 100.0),
+            6,
+        ).alias("twap"),
+    )

@@ -722,3 +722,82 @@ def test_pq_encode_rejects_bad_split(spark):
     df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         pq_encode(df, df, dim=5, m=2)
+
+
+def test_proration_sum_invariant(spark):
+    # The whole point of largest-remainder allocation: per-order
+    # allocations sum EXACTLY to the order total in cents — no cent
+    # gained or lost, for every sampled order.
+    from seng550_a3_etl_spark.suite.analytics import revenue_proration
+
+    sf = "/root/testdata/sf0.01"
+    alloc = revenue_proration(spark, sf)
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("t"),
+    )
+    bad = (
+        alloc.groupBy("l_orderkey")
+        .agg(F.sum("alloc_cents").alias("s"))
+        .join(orders, "l_orderkey")
+        .filter(F.col("s") != F.col("t"))
+        .count()
+    )
+    assert bad == 0
+    # And the sample is non-trivial.
+    assert alloc.count() > 100
+
+
+def test_cms_never_underestimates(spark):
+    # Count-min's one-sided guarantee: est >= true for EVERY key, not
+    # just the reported top-10 (min over d counters that each count a
+    # superset of the key's occurrences).
+    from seng550_a3_etl_spark.suite.sketch import cms_heavy_hitters
+
+    top = cms_heavy_hitters(spark, "/root/testdata/sf0.01").collect()
+    assert len(top) == 10
+    assert all(r.est_n >= r.true_n for r in top)
+    assert all(r.overcount == r.est_n - r.true_n for r in top)
+
+
+def test_pareto_frontier_is_nondominated(spark):
+    # Brute-force domination check against the windowed skyline: no
+    # surviving part may be dominated by ANY part of its type, and
+    # every excluded part must be dominated by at least one survivor.
+    from seng550_a3_etl_spark.suite.analytics import pareto_price_quantity
+
+    sf = "/root/testdata/sf0.01"
+    front = pareto_price_quantity(spark, sf)
+    allp = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{sf}/part.parquet"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_type", "p_partkey")
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "min_price"
+            ),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias(
+                "total_qty"
+            ),
+        )
+    )
+    rows = allp.collect()
+    got = {(r.p_type, r.p_partkey) for r in front.collect()}
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.p_type, []).append(r)
+    want = set()
+    for ptype, members in by_type.items():
+        for a in members:
+            dominated = any(
+                b.min_price <= a.min_price
+                and b.total_qty >= a.total_qty
+                and (b.min_price < a.min_price or b.total_qty > a.total_qty)
+                for b in members
+            )
+            if not dominated:
+                want.add((ptype, a.p_partkey))
+    assert got == want

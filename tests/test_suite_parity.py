@@ -91,6 +91,25 @@ _SCALE_SENSITIVE = [
     # r6: rides minhash banding — pair membership shifts with scale and
     # the estimator columns must track the exact Jaccard at every sf.
     "minhash_estimate_quality",
+    # r6: single-event (event_type, day) groups have no intervals and
+    # are dropped — the drop rule binds only at small sf.
+    "time_weighted_value",
+    # r6: leftover-cent count and the fractional-remainder tiebreak
+    # shift with lines-per-order composition.
+    "revenue_proration",
+    # r6: the 2*cum >= tot half-weight boundary is tie-prone exactly
+    # when per-brand item counts are small.
+    "weighted_median_price",
+    # r6: top-3 membership under integer-ppb ties — tie density grows
+    # as baskets shrink.
+    "copurchase_jaccard_recs",
+    # r6: frontier tie handling (equal price, equal qty) — duplicate
+    # density is composition-dependent.
+    "pareto_price_quantity",
+    # r6: CMS bucket-collision regime shifts with cardinality (empty
+    # buckets at sf0.001, multi-way collisions at sf0.1); the oracle
+    # replay must stay bit-exact through both regimes.
+    "cms_heavy_hitters",
 ]
 
 _SF_FULL = "/root/testdata/sf0.1"
