@@ -1651,9 +1651,19 @@ def copurchase_jaccard_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per part (state O(1) per key after the pair rollup). jaccard_ppb
     peaks at 1e9 — co * 1e9 stays far inside int64."""
     t = load_tables(spark, sf_dir)
-    op = t.lineitem.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # op feeds three consumers (both self-join sides + degrees) and sim
+    # feeds both direction projections of the union — without pinning,
+    # Spark replans the whole subtree per reference (the audited plan
+    # had 8 lineitem scans). Eager localCheckpoints compute each ONCE;
+    # a production cluster run would persist these as gold tables
+    # (the minhash_lsh_pairs note, operators/text_dedup.py).
+    op = (
+        t.lineitem.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
     x, y = op.alias("x"), op.alias("y")
     co = (
@@ -1670,6 +1680,7 @@ def copurchase_jaccard_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a", "b", "co",
             F.expr("co * 1000000000 DIV (na + nb - co)").alias("jaccard_ppb"),
         )
+        .localCheckpoint(eager=True)
     )
     both = sim.select(
         F.col("a").alias("src_part"), F.col("b").alias("rec_part"),

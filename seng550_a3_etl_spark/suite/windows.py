@@ -1065,17 +1065,31 @@ def event_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wo).alias("rn"),
         F.count(F.lit(1)).over(wp).alias("cnt"),
     )
-    return r.groupBy(
-        "event_type", F.date_format("bar", _TS_FMT).alias("bar_start")
-    ).agg(
-        F.max(F.when(F.col("rn") == 1, F.col("cents"))).alias("open_cents"),
-        F.max("cents").alias("high_cents"),
-        F.min("cents").alias("low_cents"),
-        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("cents"))).alias(
-            "close_cents"
-        ),
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("cents").cast("long").alias("volume_cents"),
+    # Group on the RAW (event_type, bar) key — the windows' exact
+    # partitioning — so the aggregate runs exchange-free on the sorted
+    # partitions; the display format is projected afterwards (grouping
+    # on date_format(bar) would hash-partition on a different
+    # expression and re-shuffle).
+    return (
+        r.groupBy("event_type", "bar")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cents"))).alias(
+                "open_cents"
+            ),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max(F.when(F.col("rn") == F.col("cnt"), F.col("cents"))).alias(
+                "close_cents"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("long").alias("volume_cents"),
+        )
+        .select(
+            "event_type",
+            F.date_format("bar", _TS_FMT).alias("bar_start"),
+            "open_cents", "high_cents", "low_cents", "close_cents",
+            "n_events", "volume_cents",
+        )
     )
 
 
@@ -1143,8 +1157,9 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dur"
         ),
     )
+    # Raw-key groupBy for the same exchange-elision as event_ohlc_bars.
     out = (
-        d.groupBy("event_type", F.date_format("day", "yyyy-MM-dd").alias("day"))
+        d.groupBy("event_type", "day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("dur").cast("long").alias("span_micros"),
@@ -1156,7 +1171,7 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_type",
-        "day",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         "n_events",
         "span_micros",
         F.round(
