@@ -100,6 +100,12 @@ SF1_SPOT = [
     "pagerank_step_parts",
     "price_mad_outliers",
     "winsorized_price_stats",
+    # r6 additions with a scale hazard worth measuring: per-basket pair
+    # explosion (recs), a triple-window order-key pipeline (proration),
+    # and the cumulative-weight rank windows (weighted median).
+    "copurchase_jaccard_recs",
+    "revenue_proration",
+    "weighted_median_price",
 ]
 
 

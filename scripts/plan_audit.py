@@ -8,8 +8,10 @@ scans, and flags suspicious shapes (any CartesianProduct, >=5 hash
 exchanges, >=4 scans). The flagged set should stay explainable:
 multi-aggregate shapes (tfidf, region_revenue), set operations
 (segment_setops), incremental-maintenance comparisons
-(incremental_nation_revenue), and intentional broadcast theta joins
-(BNLJ rows) are by design; a new unexplained flag is a regression.
+(incremental_nation_revenue), intentional broadcast theta joins
+(BNLJ rows), and per-FK-edge unions (fk_orphan_census: 7 arms x
+child+parent = 14 scans, the per-arm minimum) are by design; a new
+unexplained flag is a regression.
 """
 
 from __future__ import annotations

@@ -1478,11 +1478,15 @@ def revenue_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All arithmetic is int64 (t*w peaks ~5e14 for TPC-H-bounded prices
     — magnitudes are per-order, so the bound is scale-free), so both
-    engines agree bit-for-bit; the sum invariant is property-tested.
+    engines agree bit-for-bit; the sum invariant is property-tested on
+    random inputs against the same operator this query runs
+    (operators/stats.largest_remainder).
 
     Scale: the 5% hash filter evaluates in the scan; one shuffle on the
     order key drives the join and all three windows (same key, one
     exchange); per-order window state is bounded by lines-per-order."""
+    from seng550_a3_etl_spark.operators.stats import largest_remainder
+
     t = load_tables(spark, sf_dir)
     keep = hash64(F.col("l_orderkey").cast("string"), seed=9) % 20 == 0
     li = t.lineitem.filter(keep).select(
@@ -1492,27 +1496,19 @@ def revenue_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("l_orderkey"),
         _cents("o_totalprice").alias("t"),
     )
-    wp = Window.partitionBy("l_orderkey")
-    j = li.join(o, "l_orderkey").withColumn("tw", F.sum("w").over(wp))
-    b = j.select(
-        "l_orderkey", "l_linenumber", "t",
-        F.expr("t * w DIV tw").alias("base"),
-        ((F.col("t") * F.col("w")) % F.col("tw")).alias("fracrem"),
+    j = li.join(o, "l_orderkey")
+    out = largest_remainder(
+        j,
+        key_cols=["l_orderkey"],
+        weight_col="w",
+        total_col="t",
+        order_cols=["l_linenumber"],
+        out_col="alloc_cents",
     )
-    r = b.select(
-        "l_orderkey", "l_linenumber", "base",
-        (F.col("t") - F.sum("base").over(wp)).alias("rem"),
-        F.row_number()
-        .over(wp.orderBy(F.desc("fracrem"), "l_linenumber"))
-        .alias("rk"),
-    )
-    return r.select(
+    return out.select(
         "l_orderkey",
         F.col("l_linenumber").cast("long").alias("l_linenumber"),
-        (
-            F.col("base")
-            + F.when(F.col("rk") <= F.col("rem"), 1).otherwise(0)
-        ).alias("alloc_cents"),
+        "alloc_cents",
     )
 
 
@@ -1562,7 +1558,11 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on p_brand for the windows (the lineitem-part
     join shuffles on partkey first; at 100 TB AQE picks the join side).
-    Per-brand running state is O(1); output is |brands| rows."""
+    Per-brand running state is O(1); output is |brands| rows. The rank
+    machinery is operators/stats.weighted_median, property-tested on
+    random inputs against a brute-force weighted median."""
+    from seng550_a3_etl_spark.operators.stats import weighted_median
+
     t = load_tables(spark, sf_dir)
     li = t.lineitem.join(
         t.part, t.lineitem.l_partkey == t.part.p_partkey
@@ -1573,23 +1573,18 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    wo = (
-        Window.partitionBy("p_brand")
-        .orderBy("price", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = weighted_median(
+        li,
+        part_cols=["p_brand"],
+        value_col="price",
+        weight_col="w",
+        order_cols=["l_orderkey", "l_linenumber"],
     )
-    wp = Window.partitionBy("p_brand")
-    c = li.select(
-        "p_brand", "price",
-        F.sum("w").over(wo).alias("cum"),
-        F.sum("w").over(wp).alias("tot"),
-    )
-    return c.groupBy("p_brand").agg(
-        F.min(
-            F.when(2 * F.col("cum") >= F.col("tot"), F.col("price"))
-        ).alias("wmedian_cents"),
-        F.max("tot").cast("long").alias("total_qty"),
-        F.count(F.lit(1)).alias("n_items"),
+    return out.select(
+        "p_brand",
+        F.col("wmedian").alias("wmedian_cents"),
+        F.col("total_weight").alias("total_qty"),
+        F.col("n_rows").alias("n_items"),
     )
 
 
