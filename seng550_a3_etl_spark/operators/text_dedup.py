@@ -483,11 +483,30 @@ def minhash_lsh_pairs(
         .filter(F.size("sh") > 0)
         .localCheckpoint(eager=True)
     )
-    signed = (
-        signatures
-        if signatures is not None
-        else minhash_signatures(sets_, "doc", F.col("sh"), num_perm)
-    )
+    if signatures is not None:
+        # Fail fast if the prebuilt table was made with a different
+        # permutation count: band_keys slices the sig array and a
+        # too-short slice would silently produce wrong band keys
+        # (missed pairs) instead of erroring. Per-row integer compare,
+        # codegen'd — negligible next to the banding shuffle.
+        signed = signatures.withColumn(
+            "sig",
+            F.when(
+                F.size("sig") == num_perm, F.col("sig")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "minhash_lsh_pairs: prebuilt signatures have "
+                        ),
+                        F.size("sig").cast("string"),
+                        F.lit(f" perms, expected {num_perm}"),
+                    )
+                )
+            ),
+        )
+    else:
+        signed = minhash_signatures(sets_, "doc", F.col("sh"), num_perm)
     banded = band_keys(signed, bands, rows_per_band)
     cand = (
         bucket_pairs(banded, ["band", "key"], F.col("doc"))

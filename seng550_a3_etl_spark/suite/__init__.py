@@ -55,9 +55,10 @@ from seng550_a3_etl_spark.suite import (  # noqa: E402,F401
 # never needs pruning, only appending when code under a query changes.
 _CHANGED: dict[str, int] = {
     # round 5: shared shingle-set cache across the near-dup family
-    # (includes the dup-cluster label build, which feeds four queries)
+    # (includes the dup-cluster label build, which feeds four queries).
+    # minhash_dup_pairs is listed once below with its LATEST change
+    # round — a duplicate literal key would silently drop this one.
     "ngram_dup_pairs": 5,
-    "minhash_dup_pairs": 5,
     "dup_clusters": 5,
     "cluster_best_doc": 5,
     "leakage_free_split": 5,
@@ -93,10 +94,11 @@ _CHANGED: dict[str, int] = {
     # 100× for 10× vectors). Output changes: banding is part of the
     # query's verified construction.
     "embedding_cosine_dedup": 6,
-    # round 6 (review pass): minhash_lsh_pairs gained an optional
-    # prebuilt-signatures param and the query now routes through the
-    # single-sourced MINHASH_* knobs — value-identical (oracle strings
-    # verified byte-equal), but code under the query changed.
+    # round 5 (shared shingle-set cache) AND round 6 (review pass:
+    # minhash_lsh_pairs gained an optional prebuilt-signatures param,
+    # the query routes through the single-sourced MINHASH_* knobs —
+    # value-identical, oracle strings verified byte-equal). One entry,
+    # latest round.
     "minhash_dup_pairs": 6,
 }
 

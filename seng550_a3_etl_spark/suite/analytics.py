@@ -1638,20 +1638,24 @@ def copurchase_jaccard_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreaks, so top-3 membership is engine-exact even under dense
     ties (pinned in the parity matrix).
 
-    Scale: candidate pairs are generated per ORDER (self-join on the
-    order key), so the blow-up is C(basket, 2) — bounded by lines per
-    order (<=7), independent of how popular a part is; the hub-node
-    hazard of a part-keyed self-join never arises. One groupBy on the
-    pair, degree joins are |parts|-sized, and top-3 is a rank window
-    per part (state O(1) per key after the pair rollup). jaccard_ppb
-    peaks at 1e9 — co * 1e9 stays far inside int64."""
+    Scale: candidate pairs are generated per ORDER via
+    operators/text_dedup.bucket_pairs (collect each basket's sorted
+    parts, emit C(basket, 2) with array HOFs) — ONE pass and one
+    shuffle instead of a basket self-join, and the blow-up is bounded
+    by lines per order (<=7), independent of how popular a part is;
+    the hub-node hazard of a part-keyed self-join never arises. One
+    groupBy on the pair, degree joins are |parts|-sized, and top-3 is
+    a rank window per part (state O(1) per key after the pair rollup).
+    jaccard_ppb peaks at 1e9 — co * 1e9 stays far inside int64."""
+    from seng550_a3_etl_spark.operators.text_dedup import bucket_pairs
+
     t = load_tables(spark, sf_dir)
-    # op feeds three consumers (both self-join sides + degrees) and sim
+    # op feeds two consumers (basket pair generation + degrees) and sim
     # feeds both direction projections of the union — without pinning,
-    # Spark replans the whole subtree per reference (the audited plan
-    # had 8 lineitem scans). Eager localCheckpoints compute each ONCE;
-    # a production cluster run would persist these as gold tables
-    # (the minhash_lsh_pairs note, operators/text_dedup.py).
+    # Spark replans the subtree per reference. Eager localCheckpoints
+    # compute each ONCE; a production cluster run would persist these
+    # as gold tables (the minhash_lsh_pairs note,
+    # operators/text_dedup.py).
     op = (
         t.lineitem.select(
             F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
@@ -1660,10 +1664,9 @@ def copurchase_jaccard_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
-    x, y = op.alias("x"), op.alias("y")
     co = (
-        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
-        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        bucket_pairs(op, ["o"], F.col("p"))
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("co"))
     )
     da = deg.select(F.col("p").alias("a"), F.col("n").alias("na"))

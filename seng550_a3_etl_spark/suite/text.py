@@ -2227,7 +2227,8 @@ def _minhash_quality_oracle() -> str:
            CAST({matches} AS BIGINT) AS sig_matches,
            {matches} / {float(MINHASH_NUM_PERM)} AS est_jaccard,
            ROUND(p.jaccard, 6) AS exact_jaccard,
-           ROUND(abs({matches} / 8.0 - p.jaccard), 6) AS abs_err
+           ROUND(abs({matches} / {float(MINHASH_NUM_PERM)} - p.jaccard), 6)
+             AS abs_err
     FROM pairs p
     JOIN sig sa ON sa.doc = p.doc_a
     JOIN sig sb ON sb.doc = p.doc_b
