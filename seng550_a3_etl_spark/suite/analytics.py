@@ -1778,3 +1778,93 @@ def pareto_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
          | (F.col("total_qty") > F.col("best_cheaper")))
         & (F.col("total_qty") == F.col("best_same"))
     ).select("p_type", "p_partkey", "min_price", "total_qty")
+
+
+# --------------------------------------------------------------------------
+# X154 — semi-additive measure (last-value-per-period balance rollup).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "weekly_last_balance",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, ts, event_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, wk
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM obs
+    ),
+    m AS (
+      SELECT wk,
+             CAST(SUM(cents) AS BIGINT) AS total_balance_cents,
+             COUNT(*) AS n_users
+      FROM r WHERE rn = 1
+      GROUP BY 1
+    )
+    SELECT strftime(DATE '1970-01-01' + INTERVAL (wk * 7) DAY, '%Y-%m-%d')
+             AS week_start,
+           total_balance_cents, n_users,
+           CAST(total_balance_cents
+                - COALESCE(LAG(total_balance_cents) OVER (ORDER BY wk), 0)
+             AS BIGINT) AS wow_delta_cents
+    FROM m
+    """,
+)
+def weekly_last_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X154 — semi-additive measure: treating each event's value as a
+    balance observation, the week-end balance per user is the LAST
+    observation in the week (by ts, event_id), and the weekly total is
+    the sum of those last values — the account-balance/inventory
+    semantics where summing over time double-counts and only the
+    period-end snapshot is additive across entities. Plus the
+    week-over-week delta via lag.
+
+    Determinism: weeks are epoch-day DIV 7 (timezone-free integer
+    bucketing, dodging both engines' week-of-year conventions),
+    last-per-(user, week) is a unique-keyed rank, sums are integer
+    cents, the delta is int64 with a COALESCE(0) first week.
+
+    Scale: one (user, week) shuffle for the rank; the weekly rollup
+    folds to |weeks| rows, so the unpartitioned lag window over it is
+    driver-trivial (the gapfill_daily_series precedent — a global
+    window is fine on a period-sized frame, never on row-scale data)."""
+    t = load_tables(spark, sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    obs = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "datediff(to_date(ts), date'1970-01-01') DIV 7"
+        ).alias("wk"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wr = Window.partitionBy("user_id", "wk").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    last = obs.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") == 1
+    )
+    m = last.groupBy("wk").agg(
+        F.sum("cents").cast("long").alias("total_balance_cents"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    wl = Window.orderBy("wk")
+    return m.select(
+        F.date_format(
+            F.date_add(epoch, (F.col("wk") * 7).cast("int")), "yyyy-MM-dd"
+        ).alias("week_start"),
+        "total_balance_cents",
+        "n_users",
+        (
+            F.col("total_balance_cents")
+            - F.coalesce(
+                F.lag("total_balance_cents").over(wl), F.lit(0)
+            )
+        ).cast("long").alias("wow_delta_cents"),
+    )
