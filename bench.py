@@ -111,12 +111,21 @@ SF1_SPOT = [
 
 def _compact_line(
     total: float, timings: dict, sf, ladder: dict, idle_check: dict,
-    sf1_spot: dict | None = None,
+    sf1_spot: dict | None = None, retimed: dict | None = None,
 ) -> str:
     failed = sorted(n for n, v in timings.items() if v < 0)
     qs = {n: timings[n] for n in HEADLINE if n in timings}
     for n in failed:  # failures always surface, headline or not
         qs[n] = -1.0
+    if sf1_spot and isinstance(sf1_spot.get("stages"), dict):
+        # Stage tables ride in bench_full.json; the size-bounded line
+        # carries only the per-stage 10x/1x ratios.
+        sf1_spot = dict(sf1_spot)
+        sf1_spot["stages"] = {
+            q: {k: (v[2] if isinstance(v, list) and len(v) == 3 else v)
+                for k, v in (tbl or {}).items()}
+            for q, tbl in sf1_spot["stages"].items()
+        }
     payload = {
         "metric": "suite_total_wall",
         "value": total,
@@ -126,6 +135,9 @@ def _compact_line(
         "n_failed": len(failed),
         "idle_check": idle_check,
         "queries": qs,
+        # [first_run_s, steady_s] for suite-loop outliers (>2x prev
+        # record); the per-query dict carries the steady number.
+        "retimed": retimed if retimed else {},
         "ladder": ladder,
         "sf1_spot": sf1_spot or {"skipped": True},
         "full_timings": "bench_full.json",
@@ -144,7 +156,7 @@ def _compact_line(
     # (e.g. a huge failure list), stub the bulky fixed blocks before
     # giving up — a parseable line with totals + failure names beats a
     # complete one the driver can't parse.
-    for block in ("sf1_spot", "ladder", "idle_check"):
+    for block in ("sf1_spot", "ladder", "idle_check", "retimed"):
         if len(line) <= 1800:
             break
         payload[block] = {"truncated": True}
@@ -180,6 +192,68 @@ def _idle_check() -> dict:
         print(f"bench: waited {waited:.0f}s for idle "
               f"(load1 {out['load1_initial']} -> {load1})", file=sys.stderr)
     out.update({"load1": load1, "idle": load1 < thresh})
+    return out
+
+
+def _prev_record(full_path: str, sf) -> dict[str, float]:
+    """Per-query timings from the PREVIOUS committed ``bench_full.json``
+    (read before this run overwrites it). Only comparable when the
+    previous record ran at the same sf — a sf0.01 verify run must not
+    become the re-time baseline for a sf0.1 round."""
+    try:
+        with open(full_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if prev.get("sf") != sf:
+        return {}
+    return {
+        n: v for n, v in (prev.get("queries") or {}).items()
+        if isinstance(v, (int, float)) and v > 0
+    }
+
+
+def _retime_outliers(
+    spark, sf_dir: str, timings: dict[str, float], prev: dict[str, float]
+) -> dict[str, list[float]]:
+    """Serial steady-state re-run of suite-loop outliers (VERDICT r6 #3).
+
+    The single-pass suite loop charges one-off session costs (cold JIT,
+    first shuffle-service touch, session position) to whichever query
+    pays them first — it has produced spurious "regression" flags two
+    rounds running (r5: three; r6: promo_range_join recorded 7.35 s vs
+    0.70 s isolated steady, judge-verified). Any query whose wall
+    exceeds 2× its previous committed record (and 0.5 s absolute, so
+    sub-second jitter doesn't trigger re-runs) is re-timed once, serial,
+    after the suite pass. BOTH numbers are recorded: ``retimed[name] =
+    [first_run_s, steady_s]``, and the per-query dict carries the
+    steady number (the honest per-query cost); the suite total stays
+    the actual first-pass wall."""
+    out: dict[str, list[float]] = {}
+    from seng550_a3_etl_spark.suite import QUERIES
+
+    names = [
+        n for n, v in timings.items()
+        if v >= 0.5 and prev.get(n) and v > 2.0 * prev[n]
+    ]
+    for name in sorted(names)[:12]:  # bounded: a systemic slowdown (new
+        # JVM flags, busy box) would otherwise re-run half the suite
+        t0 = time.perf_counter()
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # pragma: no cover
+            print(f"bench: retime {name} failed: {exc}", file=sys.stderr)
+            continue
+        steady = round(time.perf_counter() - t0, 3)
+        out[name] = [timings[name], steady]
+        timings[name] = steady
+        print(
+            f"bench: retimed {name}: first {out[name][0]}s -> steady "
+            f"{steady}s (prev record {prev.get(name)}s)",
+            file=sys.stderr,
+        )
     return out
 
 
@@ -220,6 +294,15 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full.json")
+    try:
+        retimed = _retime_outliers(
+            spark, sf_dir, timings, _prev_record(full_path, sf)
+        )
+    except Exception as exc:
+        retimed = {"failed": True}
+        print(f"bench: retime failed: {exc}", file=sys.stderr)
     # Post-suite extras must NEVER cost the driver the compact line —
     # a dead JVM here still leaves a parseable record of the suite run.
     try:
@@ -244,13 +327,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "retimed": retimed,
         "sf": sf,
         "idle_check": idle_check,
         "ladder": ladder,
         "sf1_spot": sf1_spot,
     }
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_full.json")
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     print(f"bench: full timings -> {full_path}", file=sys.stderr)
@@ -261,7 +343,9 @@ def main() -> None:
     # The compact line is the very last stdout write (after spark.stop())
     # so nothing can land between it and the driver's 2000-char tail.
     print(
-        _compact_line(total, timings, sf, ladder, idle_check, sf1_spot),
+        _compact_line(
+            total, timings, sf, ladder, idle_check, sf1_spot, retimed
+        ),
         flush=True,
     )
 
@@ -657,6 +741,113 @@ def _cc_distributed_probe(spark) -> dict:
     return out
 
 
+def _lsh_incremental_stages(spark, d: str) -> tuple[float, float]:
+    """(index_build_s, per_batch_s) for the incremental-LSH pattern at
+    data dir ``d`` — the two stages a deployment actually pays
+    separately: the corpus-side shingle→signature→bucket INDEX build
+    (amortized: written once, appended per batch) vs the per-batch
+    survivor computation against the pinned index (the recurring cost).
+    Knobs imported from the suite module so a re-parameterization there
+    cannot leave this measuring a different pipeline. Built from raw
+    parquet (no session shingle cache) so 1× and 10× measure like with
+    like."""
+    from pyspark.sql import functions as F
+
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.functions.hashing import minhash_signatures
+    from seng550_a3_etl_spark.functions.text import shingles, tokens
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        band_keys,
+        lsh_incremental_survivors,
+    )
+    from seng550_a3_etl_spark.suite.text import (
+        MINHASH_BANDS,
+        MINHASH_NUM_PERM,
+    )
+
+    t0 = time.perf_counter()
+    sets_ = (
+        load_tables(spark, d)
+        .documents.select(
+            F.col("doc_id").alias("doc"),
+            F.array_distinct(shingles(tokens(F.col("text")), 3)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
+    signed = minhash_signatures(sets_, "doc", F.col("sh"), MINHASH_NUM_PERM)
+    banded = band_keys(
+        signed, MINHASH_BANDS, MINHASH_NUM_PERM // MINHASH_BANDS
+    ).localCheckpoint(eager=True)
+    index_s = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    lsh_incremental_survivors(
+        banded.filter(F.col("doc") % 10 < 8),
+        banded.filter(F.col("doc") % 10 >= 8),
+    ).select(F.col("doc").alias("doc_id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    batch_s = round(time.perf_counter() - t0, 2)
+    return index_s, batch_s
+
+
+def _lsh_staged_spot(spark, sf_dir: str, scaled: str) -> dict:
+    """Staged sf1 spot for ``incremental_lsh_dedup`` (VERDICT r6 #3):
+    the r6 generic spot recorded 14.8× (`superlinear`) because the
+    one-shot query re-pays the corpus-side index build that a
+    deployment amortizes; stage-profiling showed the per-batch survivor
+    path itself is sublinear (0.7×). Measure the two stages separately
+    at 1× and 10× so the headline verdict grades the RECURRING cost."""
+    i1, b1 = _lsh_incremental_stages(spark, sf_dir)
+    i10, b10 = _lsh_incremental_stages(spark, scaled)
+    batch_ratio = round(b10 / b1, 1) if b1 > 0 else None
+    out = {
+        "index_build_s": [i1, i10, round(i10 / i1, 1) if i1 > 0 else None],
+        "per_batch_s": [b1, b10, batch_ratio],
+        "verdict": (
+            "n/a" if batch_ratio is None
+            else "ok" if batch_ratio <= 13.0
+            else "superlinear"
+        ),
+        "note": "verdict=per_batch (recurring); index amortized",
+    }
+    print(f"bench: sf1_spot incremental_lsh_dedup staged {out}",
+          file=sys.stderr)
+    return out
+
+
+def _stage_profile(spark, sf_dir: str, scaled: str, name: str) -> dict:
+    """Stage-level 1×/10× decomposition for a spot entry whose ratio
+    crossed the attention threshold (VERDICT r6 #7): runs the matching
+    profiler from scripts/profile_10x.py against the already-built 10×
+    replica and returns per-stage ratios, so the BENCH record is
+    self-explaining instead of deferring to a manual profiler run."""
+    import contextlib
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts",
+        "profile_10x.py",
+    )
+    spec = importlib.util.spec_from_file_location("profile_10x", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn = mod.PROFILES.get(name)
+    if fn is None:
+        return {"no_stage_profile": True}
+    with contextlib.redirect_stdout(sys.stderr):  # keep stdout for the line
+        one = fn(spark, sf_dir)
+        ten = fn(spark, scaled)
+    stages = {}
+    for k, v in one.items():
+        if isinstance(v, float) and v > 0:
+            stages[k] = [round(v, 2), round(ten[k], 2),
+                         round(ten[k] / v, 1)]
+        else:
+            stages[k] = [v, ten[k]]
+    return stages
+
+
 def _sf1_spot(spark, sf_dir: str, timings: dict) -> dict:
     """Re-time the heaviest suite queries at 10× data (VERDICT r4 #6)
     and attach a one-line scaling verdict each: ``ok`` when wall time
@@ -693,6 +884,20 @@ def _sf1_spot(spark, sf_dir: str, timings: dict) -> dict:
             if spent > budget:
                 spot["queries"][name] = [None, None, "skipped_budget"]
                 continue
+            if name == "incremental_lsh_dedup":
+                # Staged: the one-shot query re-pays the amortized
+                # corpus index build; grade the recurring per-batch path.
+                t0 = time.perf_counter()
+                try:
+                    spot["queries"][name] = _lsh_staged_spot(
+                        spark, sf_dir, scaled
+                    )
+                except Exception as exc:
+                    spot["queries"][name] = [-1.0, None, "failed"]
+                    print(f"bench: sf1_spot {name} staged failed: {exc}",
+                          file=sys.stderr)
+                spent += time.perf_counter() - t0
+                continue
             base = timings.get(name)
             t0 = time.perf_counter()
             try:
@@ -723,6 +928,25 @@ def _sf1_spot(spark, sf_dir: str, timings: dict) -> dict:
             spot["queries"][name] = [t, ratio, verdict]
             print(f"bench: sf1_spot {name} {t}s ({ratio}x vs 1x: {verdict})",
                   file=sys.stderr)
+        # Self-explaining records (VERDICT r6 #7): any entry whose ratio
+        # crossed 8× gets a stage-level decomposition attached while the
+        # 10× replica still exists — bounded to the remaining budget.
+        for name, entry in list(spot["queries"].items()):
+            if not (isinstance(entry, list) and len(entry) == 3):
+                continue
+            ratio = entry[1]
+            if ratio is None or ratio < 8.0 or spent > budget:
+                continue
+            t0 = time.perf_counter()
+            try:
+                spot.setdefault("stages", {})[name] = _stage_profile(
+                    spark, sf_dir, scaled, name
+                )
+            except Exception as exc:
+                spot.setdefault("stages", {})[name] = {"failed": True}
+                print(f"bench: stage profile {name} failed: {exc}",
+                      file=sys.stderr)
+            spent += time.perf_counter() - t0
     finally:
         shutil.rmtree(scaled, ignore_errors=True)
     return spot
