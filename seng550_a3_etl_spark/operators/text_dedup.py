@@ -709,3 +709,85 @@ def prefix_filter_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
     )
+
+
+def dedup_doc_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """INTRA-document repeated-span removal (X155) — the curation stage
+    that drops duplicated lines/paragraphs inside one document before
+    cross-document near-dup (X2/X3) ever sees the text: templated pages
+    repeat nav blocks and boilerplate paragraphs within themselves, and
+    Gopher-style repetition stats (X55, ``repetition_stats``) only
+    MEASURE that — nothing previously removed it.
+
+    The text is split into consecutive non-overlapping ``k``-token
+    spans (the fixture-sized stand-in for line/paragraph units; real
+    corpora would split on newlines first); the FIRST occurrence of
+    each distinct span survives, later exact repeats are dropped, and
+    the document is rebuilt from the survivors in original order.
+
+    Pure per-row HOF plan, zero shuffle (the X55 shape):
+    ``(span, pos)`` structs are ``array_sort``-ed (lexicographic by
+    span text, position tie-break), a shifted ``zip_with`` marks the
+    first struct of each equal-span run — O(s log s) per document
+    instead of the O(s²) positions-scanned-per-position form — and the
+    kept positions are re-sorted to rebuild reading order. No hashing:
+    spans compare as strings, so the DuckDB oracle's
+    ``row_number() OVER (PARTITION BY doc, span ORDER BY pos) = 1``
+    replays the semantics exactly.
+
+    Returns (id, n_spans, n_dup_spans, dedup_text).
+    """
+    toks = tokens(F.col(text_col))
+    nb = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    blocks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    tagged = F.transform(
+        blocks, lambda b, i: F.struct(b.alias("b"), i.alias("pos"))
+    )
+    srt = F.array_sort(tagged)
+    prev = F.concat(
+        F.array(F.lit(None).cast("struct<b:string,pos:int>")),
+        F.slice(srt, 1, F.greatest(F.size(srt) - 1, F.lit(0))),
+    )
+    keep_sorted = F.zip_with(
+        srt,
+        prev,
+        lambda c, p: F.struct(
+            c["b"].alias("b"),
+            c["pos"].alias("pos"),
+            (p.isNull() | (p["b"] != c["b"])).alias("keep"),
+        ),
+    )
+    kept_pos = F.array_sort(
+        F.transform(
+            F.filter(keep_sorted, lambda s: s["keep"]), lambda s: s["pos"]
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        F.size(blocks).cast("long").alias("n_spans"),
+        kept_pos.alias("__kept"),
+        blocks.alias("__blocks"),
+    )
+    return out.select(
+        id_col,
+        "n_spans",
+        (F.col("n_spans") - F.size("__kept")).cast("long").alias(
+            "n_dup_spans"
+        ),
+        F.array_join(
+            F.transform(
+                F.col("__kept"),
+                lambda p: F.element_at(F.col("__blocks"), p + 1),
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )

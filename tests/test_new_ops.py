@@ -801,3 +801,36 @@ def test_pareto_frontier_is_nondominated(spark):
             if not dominated:
                 want.add((ptype, a.p_partkey))
     assert got == want
+
+
+def test_dedup_doc_spans_crafted(spark):
+    """Keep-first semantics on crafted repeats: span unit = 2 tokens,
+    repeated spans drop at every later position, reading order is
+    preserved, and the short remainder block is its own span."""
+    from seng550_a3_etl_spark.operators.text_dedup import dedup_doc_spans
+
+    df = spark.createDataFrame(
+        [
+            # spans: "a b"|"c d"|"a b"|"e"  -> dup "a b" dropped
+            (1, "a b c d a b e"),
+            # all distinct
+            (2, "x y z w"),
+            # triple repeat: "p q"|"p q"|"p q" -> keep first only
+            (3, "p q p q p q"),
+            # remainder "b" is distinct from span "a b"
+            (4, "a b a b b"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup_doc_spans(df, "doc_id", "text", k=2).collect()
+    }
+    assert rows[1]["dedup_text"] == "a b c d e"
+    assert (rows[1]["n_spans"], rows[1]["n_dup_spans"]) == (4, 1)
+    assert rows[2]["dedup_text"] == "x y z w"
+    assert rows[2]["n_dup_spans"] == 0
+    assert rows[3]["dedup_text"] == "p q"
+    assert (rows[3]["n_spans"], rows[3]["n_dup_spans"]) == (3, 2)
+    assert rows[4]["dedup_text"] == "a b b"
+    assert (rows[4]["n_spans"], rows[4]["n_dup_spans"]) == (3, 1)
