@@ -2495,3 +2495,104 @@ def doc_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return dedup_doc_spans(t.documents, "doc_id", "text", k=_DOC_SPAN_K)
+
+
+@query(
+    "linear_quality_scores",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(text, '\s+')) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT tok,
+             COUNT(*) FILTER (lang = 'en') AS c1,
+             COUNT(*) FILTER (lang <> 'en') AS c0
+      FROM toks GROUP BY tok
+    ),
+    tot AS (
+      SELECT SUM(c1) AS n1, SUM(c0) AS n0, COUNT(*) AS v FROM counts
+    ),
+    w AS (
+      SELECT tok,
+             CAST(ROUND(ln(((c1 + 1) / (n1 + v))
+                           / ((c0 + 1) / (n0 + v))) * 1e9) AS BIGINT)
+               AS w_nano
+      FROM counts, tot
+    ),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(w_nano) AS score_nano
+      FROM toks JOIN w USING (tok)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.score_nano, 0) AS BIGINT) AS score_nano,
+           COALESCE(s.score_nano, 0) > 0 AS pred_hq
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def linear_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference (X156; VERDICT r6 #5) — the
+    fasttext-style learned quality gate: each document is scored by a
+    bag-of-words linear model, score = Σ weight(token) over its tokens
+    (with multiplicity). The weight table here is naive-Bayes log-odds
+    (add-1 smoothing) of the ``lang='en'`` class, DERIVED from the
+    corpus itself so the whole query is self-contained and
+    deterministic; production swaps in an externally-trained (token,
+    weight) table — the inference plan is identical either way.
+    Weights quantize to integer nanos (the X94/PSI ln pattern) so the
+    per-doc sum is an exact integer in both engines regardless of
+    summation order.
+
+    Scale: the weight build is one map-side-combined groupBy on token
+    (vocab-sized output — bounded, ~1M rows on a web corpus); the
+    weight table BROADCASTS; inference is explode_outer + broadcast
+    LEFT hash join + per-doc partial-agg sum — the corpus shuffles
+    only (doc_id, partial sum) rows. explode_outer keeps zero-token
+    docs as a null-token row, so no documents re-join is needed to
+    zero-preserve them (the naive form paid a full SortMergeJoin on
+    doc_id for that); with an externally-supplied weights table the
+    corpus is scanned exactly once."""
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", "lang", F.explode_outer(tokens(F.col("text"))).alias("tok")
+    )
+    counts = toks.filter(F.col("tok").isNotNull()).groupBy("tok").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("c0"),
+    )
+    tot = counts.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c0").alias("n0"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            F.log(
+                ((F.col("c1") + 1) / (F.col("n1") + F.col("v")))
+                / ((F.col("c0") + 1) / (F.col("n0") + F.col("v")))
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("w_nano"),
+    )
+    return (
+        toks.join(F.broadcast(w), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("tok").cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("w_nano"), F.lit(0)).cast("long").alias(
+                "score_nano"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_nano",
+            (F.col("score_nano") > 0).alias("pred_hq"),
+        )
+    )
