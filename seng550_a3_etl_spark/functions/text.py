@@ -234,3 +234,85 @@ def token_chunks(toks: Column, size: int) -> Column:
             ),
         )
     )
+
+
+# Encoding-repair tables (X157). Single-sourced: the Spark expression
+# chain (repair_text) and the DuckDB oracle expression are both built
+# from these tuples, so the two engines replay the identical pipeline.
+# Mojibake rows are the high-frequency UTF-8-bytes-decoded-as-cp1252
+# doublets/triplets from web crawls, written as escapes because several
+# contain C1 control characters; real NFC (combining-char composition)
+# needs an ICU call neither engine exposes as a built-in -- the curated
+# table covers the dominant cases and the rest pass through unchanged
+# rather than wrongly.
+MOJIBAKE_REPAIRS: tuple[tuple[str, str], ...] = (
+    ("\u00e2\u20ac\u2122", "\u2019"),  # a-circ euro tm -> right quote
+    ("\u00e2\u20ac\u0153", "\u201c"),  # -> left double quote
+    ("\u00e2\u20ac\u009d", "\u201d"),  # -> right double quote
+    ("\u00e2\u20ac\u201c", "\u2013"),  # -> en dash
+    ("\u00e2\u20ac\u201d", "\u2014"),  # -> em dash
+    ("\u00e2\u20ac\u00a6", "\u2026"),  # -> ellipsis
+    ("\u00c3\u00a9", "\u00e9"),  # -> e acute
+    ("\u00c3\u00a8", "\u00e8"),  # -> e grave
+    ("\u00c3\u00a4", "\u00e4"),  # -> a umlaut
+    ("\u00c3\u00b6", "\u00f6"),  # -> o umlaut
+    ("\u00c3\u00bc", "\u00fc"),  # -> u umlaut
+    ("\u00c3\u00b1", "\u00f1"),  # -> n tilde
+    ("\u00c3\u00a7", "\u00e7"),  # -> c cedilla
+)
+
+# &amp; decodes LAST: decoding it first would double-decode
+# "&amp;lt;" (a literal "&lt;" in the source text) into "<".
+HTML_ENTITY_REPAIRS: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", chr(34)),
+    ("&#39;", chr(39)),
+    ("&apos;", chr(39)),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+# Deleted outright: C0/C1 controls (minus tab/newline/CR, which are
+# whitespace and fold into the collapse), DEL, zero-width
+# space/joiners, BOM, soft hyphen. \x{...} escapes parse
+# identically in Java regex (Spark) and RE2 (DuckDB).
+STRIP_CHARS_RE = (
+    r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F"
+    r"\x{200B}-\x{200D}\x{FEFF}\x{00AD}]"
+)
+
+# Whitespace runs (plus N\P, which Java \s excludes) collapse to one
+# ASCII space; trim then drops the possible leading/trailing space.
+WS_COLLAPSE_RE = r"[\s\x{00A0}]+"
+
+
+def repair_text(col: Column) -> Column:
+    """Encoding-normalization projection (X157): mojibake repair ->
+    HTML-entity decode -> control/zero-width strip -> whitespace
+    collapse + trim. Pure chained literal ``replace`` +
+    ``regexp_replace`` -- per-row, codegen-eligible, zero shuffle --
+    and restricted to constructs DuckDB replays byte-identically."""
+    out = col
+    for bad, good in MOJIBAKE_REPAIRS + HTML_ENTITY_REPAIRS:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    out = F.regexp_replace(out, STRIP_CHARS_RE, "")
+    return F.trim(F.regexp_replace(out, WS_COLLAPSE_RE, " "))
+
+
+def duck_repair_expr(col: str) -> str:
+    """The DuckDB expression replaying :func:`repair_text` exactly,
+    built from the same repair tables."""
+
+    def sq(s: str) -> str:
+        return s.replace(chr(39), chr(39) * 2)
+
+    q = chr(39)
+    out = col
+    for bad, good in MOJIBAKE_REPAIRS + HTML_ENTITY_REPAIRS:
+        out = f"replace({out}, {q}{sq(bad)}{q}, {q}{sq(good)}{q})"
+    out = f"regexp_replace({out}, {q}{STRIP_CHARS_RE}{q}, {q}{q}, {q}g{q})"
+    return (
+        f"trim(regexp_replace({out}, {q}{WS_COLLAPSE_RE}{q}, "
+        f"{q} {q}, {q}g{q}))"
+    )

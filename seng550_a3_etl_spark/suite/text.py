@@ -2596,3 +2596,45 @@ def linear_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score_nano") > 0).alias("pred_hq"),
         )
     )
+
+
+def _normalized_docs_oracle() -> str:
+    from seng550_a3_etl_spark.functions.text import duck_repair_expr
+
+    return f"""
+    WITH n AS (
+      SELECT doc_id, text, {duck_repair_expr('text')} AS text_norm
+      FROM documents
+    )
+    SELECT doc_id, text_norm, text_norm <> text AS changed,
+           CAST(length(text_norm) AS BIGINT) AS n_chars_norm
+    FROM n
+    """
+
+
+@query("normalized_docs", oracle=_normalized_docs_oracle())
+def normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalization / mojibake-repair stage (X157; VERDICT r6
+    #6): the canonicalization pass the curation pipeline (X25) and
+    canonical dedup (X91) previously skipped — cp1252-mojibake repair,
+    HTML-entity decode, control/zero-width-char strip, whitespace
+    collapse — so trivially re-encoded copies hash equal downstream.
+    The repair tables live in ``functions/text.py`` and build BOTH
+    engines' expressions (``repair_text`` / ``duck_repair_expr``), and
+    the cross-engine equivalence is unit-tested on crafted mojibake
+    (`tests/test_new_ops.py`), since the parquet fixture itself is
+    clean ASCII (changed=false everywhere at sf0.01 — the no-op path
+    is the oracle-checked one; the repair path is the unit-tested one).
+
+    Scale: a pure projection — chained literal ``replace`` +
+    ``regexp_replace`` in the scan stage, zero shuffle, zero UDFs."""
+    from seng550_a3_etl_spark.functions.text import repair_text
+
+    t = load_tables(spark, sf_dir)
+    norm = repair_text(F.col("text"))
+    return t.documents.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        (norm != F.col("text")).alias("changed"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )

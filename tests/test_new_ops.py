@@ -834,3 +834,52 @@ def test_dedup_doc_spans_crafted(spark):
     assert (rows[3]["n_spans"], rows[3]["n_dup_spans"]) == (3, 2)
     assert rows[4]["dedup_text"] == "a b b"
     assert (rows[4]["n_spans"], rows[4]["n_dup_spans"]) == (3, 1)
+
+
+def test_repair_text_cross_engine_on_mojibake(spark):
+    """The fixture corpus is clean ASCII, so the oracle-parity row for
+    normalized_docs only proves the no-op path; this proves the REPAIR
+    path -- Spark's repair_text and the DuckDB oracle expression produce
+    byte-identical output on crafted mojibake / entities / control
+    chars / zero-width chars / NBSP runs."""
+    import duckdb
+
+    from seng550_a3_etl_spark.functions.text import (
+        duck_repair_expr,
+        repair_text,
+    )
+
+    cases = [
+        "a\u00e2\u20ac\u2122b",              # mojibake right-quote
+        "\u00c3\u00a9t\u00c3\u00a9",        # mojibake accents
+        "&amp;lt; stays &lt; becomes",          # entity decode order
+        "x\x07y\x1bz\x9fw",                  # C0 + C1 controls
+        "a\u200bb\u00adc\ufeffd",            # zero-width + soft hyphen
+        "a\u00a0 \u00a0b\tc\nd",            # NBSP + ws collapse
+        " lead and trail ",
+        "already clean text",
+        "",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)],
+                               ["i", "t"])
+    got = {
+        r["i"]: r["r"]
+        for r in df.select("i", repair_text(F.col("t")).alias("r")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(i INT, t VARCHAR)")
+    con.executemany("INSERT INTO v VALUES (?, ?)",
+                    [(i, s) for i, s in enumerate(cases)])
+    want = dict(con.execute(
+        f"SELECT i, {duck_repair_expr('t')} FROM v"
+    ).fetchall())
+    assert got == want
+    # spot-check absolute semantics, not just engine agreement
+    assert got[0] == "a\u2019b"
+    assert got[1] == "\u00e9t\u00e9"
+    assert got[2] == "&lt; stays < becomes"
+    assert got[3] == "xyzw"
+    assert got[4] == "abcd"
+    assert got[5] == "a b c d"
+    assert got[6] == "lead and trail"
+    assert got[8] == ""
