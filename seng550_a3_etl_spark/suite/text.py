@@ -2638,3 +2638,117 @@ def normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (norm != F.col("text")).alias("changed"),
         F.length(norm).cast("long").alias("n_chars_norm"),
     )
+
+
+# Cross-doc boilerplate unit/threshold: non-overlapping 4-token spans
+# occurring in >= 3 distinct documents (C4/CCNet drop "lines seen 3+
+# times" — fixture-sized span; production splits on newlines).
+_BOILER_K = 4
+_BOILER_MIN_DOCS = 3
+
+
+@query(
+    "boilerplate_span_removal",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, s.pos AS pos, s.b AS b FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, CAST(ceil(len(tk) / {_BOILER_K}.0) AS INT)),
+                 i -> struct_pack(
+                   pos := i,
+                   b := array_to_string(
+                     tk[i*{_BOILER_K}+1 : i*{_BOILER_K}+{_BOILER_K}], ' '))
+               )) AS s
+        FROM d
+      )
+    ),
+    freq AS (
+      SELECT b, COUNT(DISTINCT doc_id) AS nd FROM flat GROUP BY b
+    ),
+    joined AS (
+      SELECT doc_id, pos, b, nd >= {_BOILER_MIN_DOCS} AS boiler
+      FROM flat JOIN freq USING (b)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler_spans,
+           COALESCE(string_agg(b, ' ' ORDER BY pos)
+                      FILTER (NOT boiler), '') AS clean_text
+    FROM joined GROUP BY doc_id
+    """,
+)
+def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document boilerplate removal (X158) — the C4/CCNet rule:
+    a span occurring in ≥ ``_BOILER_MIN_DOCS`` distinct documents is
+    boilerplate (nav blocks, cookie banners, license headers) and is
+    dropped from every document; each doc is rebuilt from its
+    surviving spans in reading order, with span accounting.
+    Complements X155 (intra-doc repeats) and X89 (which only measures
+    cross-doc spans).
+
+    Scale: spans shuffle as 64-bit hashes, never strings — one
+    map-side-combined distinct-doc count per span hash, then the
+    frequent-span set (bounded by the corpus's repeated content, tiny
+    relative to the corpus; AQE broadcasts it when it fits) marks
+    positions via a LEFT join, and ONE groupBy(doc) rebuilds the text.
+    Two data shuffles total, both carrying (hash/doc, small payload)
+    rows."""
+    t = load_tables(spark, sf_dir)
+    k = _BOILER_K
+    toks = tokens(F.col("text"))
+    nb = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    span_structs = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(F.slice(toks, i * k + 1, k), " ").alias("b"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<pos:int,b:string>>")
+    )
+    blocks = t.documents.select(
+        "doc_id", F.explode(span_structs).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.pos").alias("pos"),
+        F.col("s.b").alias("b"),
+        F.xxhash64("s.b").alias("h"),
+    )
+    frequent = (
+        blocks.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BOILER_MIN_DOCS)
+        .select("h", F.lit(True).alias("__boiler"))
+    )
+    marked = blocks.join(frequent, "h", "left").select(
+        "doc_id",
+        "pos",
+        "b",
+        F.coalesce("__boiler", F.lit(False)).alias("boiler"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("boiler").cast("int")).cast("long").alias(
+            "n_boiler_spans"
+        ),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "b", "boiler"))
+                    ),
+                    lambda s: ~s["boiler"],
+                ),
+                lambda s: s["b"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
