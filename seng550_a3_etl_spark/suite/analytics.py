@@ -1868,3 +1868,102 @@ def weekly_last_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("wow_delta_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# X159 — association-rule census over order baskets.
+# --------------------------------------------------------------------------
+
+# Minimum co-occurrence count for a rule to be emitted (the classic
+# min-support cut that bounds rule-set size).
+_RULE_MIN_CO = 2
+
+
+@query(
+    "basket_lift_rules",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+    deg AS (SELECT p, COUNT(*) AS np FROM op GROUP BY p),
+    co AS (
+      SELECT x.p AS a, y.p AS b, COUNT(*) AS co
+      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+      GROUP BY 1, 2
+    ),
+    pairs AS (SELECT a, b, co FROM co WHERE co >= {_RULE_MIN_CO}),
+    dirs AS (
+      SELECT a AS ant, b AS cons, co FROM pairs
+      UNION ALL
+      SELECT b AS ant, a AS cons, co FROM pairs
+    )
+    SELECT ant, cons, CAST(co AS BIGINT) AS co,
+           CAST(co * 1000000000 // n_orders AS BIGINT) AS support_ppb,
+           CAST(co * 1000000000 // da.np AS BIGINT) AS confidence_ppb,
+           CAST(CAST(co AS HUGEINT) * n_orders * 1000000
+                // (CAST(da.np AS HUGEINT) * db.np) AS BIGINT) AS lift_ppm
+    FROM dirs
+    JOIN deg da ON da.p = ant
+    JOIN deg db ON db.p = cons
+    CROSS JOIN n
+    """,
+)
+def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule census (X159): for every ordered co-purchased
+    part pair (antecedent → consequent) above the min-support cut,
+    emit support, confidence, and lift — the market-basket trio that
+    X152's Jaccard recs don't express (lift is the independence-
+    normalized signal merchandising actually thresholds on). All three
+    are exact integers: support/confidence in parts-per-billion via
+    int64 integer division, lift in parts-per-million via
+    decimal(38,0) products ÷ HUGEINT on the oracle side — no float
+    enters the comparison (the X137 overflow lesson: co·N·1e6
+    overflows int64 around sf1000; decimal does not).
+
+    Scale: identical pair-generation shape to X152 — per-basket
+    ``bucket_pairs`` (C(basket,2) bounded by lines-per-order, hub-part
+    safe), one pair groupBy, |parts|-sized degree joins, scalar
+    order-count broadcast. The min-support filter bounds the rule set
+    before the direction union doubles it."""
+    from seng550_a3_etl_spark.operators.text_dedup import bucket_pairs
+
+    t = load_tables(spark, sf_dir)
+    op = (
+        t.lineitem.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = op.agg(F.count_distinct("o").alias("n_orders"))
+    deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
+    pairs = (
+        bucket_pairs(op, ["o"], F.col("p"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= _RULE_MIN_CO)
+    )
+    dirs = pairs.select(
+        F.col("a").alias("ant"), F.col("b").alias("cons"), "co"
+    ).unionByName(
+        pairs.select(F.col("b").alias("ant"), F.col("a").alias("cons"), "co")
+    )
+    da = deg.select(F.col("p").alias("ant"), F.col("np").alias("na"))
+    db = deg.select(F.col("p").alias("cons"), F.col("np").alias("nb"))
+    return (
+        dirs.join(da, "ant")
+        .join(db, "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ant",
+            "cons",
+            F.col("co").cast("long").alias("co"),
+            F.expr("co * 1000000000 DIV n_orders").alias("support_ppb"),
+            F.expr("co * 1000000000 DIV na").alias("confidence_ppb"),
+            F.expr(
+                "CAST(co AS DECIMAL(38,0)) * n_orders * 1000000 "
+                "DIV (CAST(na AS DECIMAL(38,0)) * nb)"
+            ).alias("lift_ppm"),
+        )
+    )
