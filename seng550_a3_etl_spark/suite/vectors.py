@@ -959,3 +959,164 @@ def embedding_pca_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v_next"),
         F.round(F.col("tot") / F.lit(64000000.0), 4).alias("eig_est"),
     )
+
+
+# IVF-PQ combined search knobs (X160) — same coarse-quantizer rule as
+# embedding_topk_ivf (X7) and the same codebook rule as the PQ family.
+_IVF_CENT_MOD = 50
+_IVF_CENT_CAP = 100
+_IVF_NPROBE = 3
+
+
+@query(
+    "ivf_pq_search",
+    oracle=f"""
+    WITH seeds AS ({_PQ_SEEDS_SQL}),
+    cent AS (SELECT vec_id AS bid, embedding AS bv
+             FROM embeddings WHERE vec_id % {_IVF_CENT_MOD} = 0
+             ORDER BY vec_id LIMIT {_IVF_CENT_CAP}),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qv
+          FROM embeddings WHERE vec_id < 20),
+    assign AS (
+      SELECT cid, bid FROM (
+        SELECT cid, bid, ROW_NUMBER() OVER (
+          PARTITION BY cid ORDER BY sim DESC, bid
+        ) AS rn
+        FROM (SELECT cid, bid, ROUND({_cos('cv', 'bv')}, 6) AS sim
+              FROM c, cent)
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT qid, bid FROM (
+        SELECT qid, bid, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY sim DESC, bid
+        ) AS rn
+        FROM (SELECT qid, bid, ROUND({_cos('qv', 'bv')}, 6) AS sim
+              FROM q, cent)
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    dists AS (
+      SELECT v.vec_id, s.s, cdb.kid,
+             list_sum(list_transform(range(1, {_PQ_W + 1}), i ->
+               (CAST(ROUND(v.embedding[CAST(s.s * {_PQ_W} + i AS INT)]::DOUBLE
+                           * 1000000) AS BIGINT)
+                - CAST(ROUND(cdb.bv[CAST(s.s * {_PQ_W} + i AS INT)]::DOUBLE
+                             * 1000000) AS BIGINT))
+               * (CAST(ROUND(v.embedding[CAST(s.s * {_PQ_W} + i AS INT)]::DOUBLE
+                             * 1000000) AS BIGINT)
+                  - CAST(ROUND(cdb.bv[CAST(s.s * {_PQ_W} + i AS INT)]::DOUBLE
+                               * 1000000) AS BIGINT)))) AS d
+      FROM embeddings v, range(0, {_PQ_M}) s(s),
+           (SELECT bid AS kid, bv FROM seeds) cdb
+    ),
+    codes AS (
+      SELECT vec_id, s, kid FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, s ORDER BY d, kid
+        ) AS rn FROM dists
+      ) WHERE rn = 1
+    ),
+    qlut AS (
+      SELECT vec_id AS qid, s, kid, d FROM dists WHERE vec_id < 20
+    ),
+    cand AS (
+      SELECT p.qid, a.cid
+      FROM probes p JOIN assign a USING (bid)
+      WHERE p.qid <> a.cid
+    ),
+    approx AS (
+      SELECT cd.qid, cd.cid, CAST(SUM(l.d) AS BIGINT) AS approx_micro2
+      FROM cand cd
+      JOIN codes k ON k.vec_id = cd.cid
+      JOIN qlut l ON l.qid = cd.qid AND l.s = k.s AND l.kid = k.kid
+      GROUP BY 1, 2
+    )
+    SELECT qid, cid, approx_micro2, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY approx_micro2, cid
+      ) AS rank FROM approx
+    ) WHERE rank <= 5
+    """,
+)
+def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ retrieval (X160) — the production-ANN rung X93's
+    docstring names as missing: the IVF coarse quantizer PRUNES (each
+    query ADC-scores only its {nprobe} probed buckets' members) and PQ
+    compresses (candidates score as m LUT lookups; raw corpus vectors
+    are never touched at query time). Composes the already-verified
+    pieces: X7's assign/probe (round(cos,6) determinism), X92's
+    encode, X93's integer-micro ADC.
+
+    Scale: the bucketed code table — codes ⟕ coarse assignment on the
+    vector id — is the INVERTED-LIST INDEX a deployment builds once
+    and stores partitioned by bucket (pinned here with
+    ``localCheckpoint``, the persisted-index model the incremental-LSH
+    query also uses); the per-query work joins it to a broadcast
+    (qid, bid) probe set — partition-pruned in a bucket-partitioned
+    layout — then to the broadcast m·k LUT, and partial-aggregates the
+    per-(query, candidate) sums map-side. Nothing corpus-sized ever
+    shuffles at query time; candidate count is |q|·nprobe·avg-bucket,
+    not |q|·|corpus|."""
+    from pyspark.sql.window import Window
+
+    from seng550_a3_etl_spark.operators.similarity import (
+        _pair_cosine,
+        _with_norm,
+        assign_buckets,
+        pq_distances,
+        pq_encode,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    dim = _PQ_M * _PQ_W
+    seeds = _pq_seeds(emb)
+    cent = (
+        emb.filter(F.col("vec_id") % _IVF_CENT_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_IVF_CENT_CAP)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+
+    # ---- index build (amortized in production, pinned here) ----
+    buckets = assign_buckets(c, cent).select("cid", "bid")
+    codes = pq_encode(emb, seeds, dim=dim, m=_PQ_M).select(
+        F.col("vec_id").alias("cid"), "sub_id", "code_id"
+    )
+    inverted = codes.join(buckets, "cid").localCheckpoint(eager=True)
+
+    # ---- query path: broadcast probes + broadcast LUT only ----
+    probes = (
+        _with_norm(q, "qv", "__qn")
+        .join(F.broadcast(_with_norm(cent, "bv", "__bn")))
+        .withColumn("__sim", _pair_cosine("qv", "bv", "__qn", "__bn"))
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("__sim"), F.asc("bid"))
+            ),
+        )
+        .filter(F.col("__pr") <= _IVF_NPROBE)
+        .select("qid", "bid")
+    )
+    qlut = pq_distances(
+        emb.filter(F.col("vec_id") < 20), seeds, dim=dim, m=_PQ_M
+    ).select(F.col("vec_id").alias("qid"), "sub_id", "code_id", "dist_micro2")
+    approx = (
+        inverted.join(F.broadcast(probes), "bid")
+        .filter(F.col("qid") != F.col("cid"))
+        .join(F.broadcast(qlut), ["qid", "sub_id", "code_id"])
+        .groupBy("qid", "cid")
+        .agg(F.sum("dist_micro2").alias("approx_micro2"))
+    )
+    w = Window.partitionBy("qid").orderBy("approx_micro2", "cid")
+    return (
+        approx.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "cid", "approx_micro2", "rank")
+    )
