@@ -766,9 +766,16 @@ def dedup_doc_spans(
             (p.isNull() | (p["b"] != c["b"])).alias("keep"),
         ),
     )
+    # NULL text: srt is empty but prev is [null], and zip_with null-pads
+    # the shorter array, yielding one phantom struct with null pos whose
+    # keep flag is true — drop it here so n_dup_spans stays 0, not -1.
     kept_pos = F.array_sort(
         F.transform(
-            F.filter(keep_sorted, lambda s: s["keep"]), lambda s: s["pos"]
+            F.filter(
+                keep_sorted,
+                lambda s: s["keep"] & s["pos"].isNotNull(),
+            ),
+            lambda s: s["pos"],
         )
     )
     out = df.select(

@@ -836,6 +836,27 @@ def test_dedup_doc_spans_crafted(spark):
     assert (rows[4]["n_spans"], rows[4]["n_dup_spans"]) == (3, 1)
 
 
+def test_dedup_doc_spans_null_and_empty_text(spark):
+    """NULL text must yield (0, 0, '') — not n_dup_spans=-1 from the
+    zip_with null-pad phantom (ADVICE r7 medium) — and whitespace-only
+    text must not go negative either."""
+    from seng550_a3_etl_spark.operators.text_dedup import dedup_doc_spans
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b")],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup_doc_spans(df, "doc_id", "text", k=2).collect()
+    }
+    assert (rows[1]["n_spans"], rows[1]["n_dup_spans"]) == (0, 0)
+    assert rows[1]["dedup_text"] == ""
+    assert rows[2]["n_dup_spans"] >= 0
+    assert (rows[3]["n_spans"], rows[3]["n_dup_spans"]) == (1, 0)
+    assert rows[3]["dedup_text"] == "a b"
+
+
 def test_repair_text_cross_engine_on_mojibake(spark):
     """The fixture corpus is clean ASCII, so the oracle-parity row for
     normalized_docs only proves the no-op path; this proves the REPAIR
