@@ -195,49 +195,78 @@ def _idle_check() -> dict:
     return out
 
 
-def _prev_record(full_path: str, sf) -> dict[str, float]:
-    """Per-query timings from the PREVIOUS committed ``bench_full.json``
-    (read before this run overwrites it). Only comparable when the
-    previous record ran at the same sf — a sf0.01 verify run must not
-    become the re-time baseline for a sf0.1 round."""
+def _prev_record(full_path: str, sf) -> tuple[dict[str, float], set]:
+    """(timings, steady_names) from the PREVIOUS committed
+    ``bench_full.json`` (read before this run overwrites it). Only
+    comparable when the previous record ran at the same sf — a sf0.01
+    verify run must not become the re-time baseline for a sf0.1 round.
+
+    ``steady_names`` is the set of queries whose committed number came
+    from a serial steady re-run (the prev record's ``retimed`` block)
+    rather than the single-pass suite loop — only those are trusted as
+    re-time baselines (VERDICT r8 #3: a FIRST-execution record can
+    itself be cold-JIT inflated, and a 2×-of-inflated trigger then
+    never fires; doc_dedup_spans sat at 10.16 s committed vs 0.5 s
+    steady for two rounds this way)."""
     try:
         with open(full_path) as f:
             prev = json.load(f)
     except (OSError, ValueError):
-        return {}
+        return {}, set()
     if prev.get("sf") != sf:
-        return {}
-    return {
+        return {}, set()
+    timings = {
         n: v for n, v in (prev.get("queries") or {}).items()
         if isinstance(v, (int, float)) and v > 0
     }
+    retimed = prev.get("retimed") or {}
+    steady = {n for n in retimed if n in timings}
+    return timings, steady
 
 
 def _retime_outliers(
-    spark, sf_dir: str, timings: dict[str, float], prev: dict[str, float]
+    spark, sf_dir: str, timings: dict[str, float],
+    prev: dict[str, float], prev_steady: set,
 ) -> dict[str, list[float]]:
-    """Serial steady-state re-run of suite-loop outliers (VERDICT r6 #3).
+    """Serial steady-state re-run of suite-loop outliers (VERDICT r6 #3
+    + r8 #3).
 
     The single-pass suite loop charges one-off session costs (cold JIT,
     first shuffle-service touch, session position) to whichever query
     pays them first — it has produced spurious "regression" flags two
     rounds running (r5: three; r6: promo_range_join recorded 7.35 s vs
-    0.70 s isolated steady, judge-verified). Any query whose wall
-    exceeds 2× its previous committed record (and 0.5 s absolute, so
-    sub-second jitter doesn't trigger re-runs) is re-timed once, serial,
-    after the suite pass. BOTH numbers are recorded: ``retimed[name] =
-    [first_run_s, steady_s]``, and the per-query dict carries the
-    steady number (the honest per-query cost); the suite total stays
-    the actual first-pass wall."""
+    0.70 s isolated steady, judge-verified). A query is re-timed once,
+    serial, after the suite pass, when ANY of:
+
+    1. its wall exceeds 2× its previous committed record (and 0.5 s
+       absolute, so sub-second jitter doesn't trigger re-runs);
+    2. it has NO previous record at this sf (new query — its history
+       must START at a steady number, or an inflated first record
+       self-perpetuates under trigger 1's ratio test; VERDICT r8 #3:
+       doc_dedup_spans committed 10.16 s vs 0.5 s steady);
+    3. its wall is substantial (≥ 2 s) and its committed record never
+       came from a steady re-run (not in the prev ``retimed`` block) —
+       the baseline itself may be inflated, so the ratio test is void.
+       Once re-timed, the query enters ``retimed`` and becomes
+       steady-verified, so this trigger self-quiesces next round.
+
+    BOTH numbers are recorded: ``retimed[name] = [first_run_s,
+    steady_s]``, and the per-query dict carries the steady number (the
+    honest per-query cost); the suite total stays the actual
+    first-pass wall."""
     out: dict[str, list[float]] = {}
     from seng550_a3_etl_spark.suite import QUERIES
 
     names = [
         n for n, v in timings.items()
-        if v >= 0.5 and prev.get(n) and v > 2.0 * prev[n]
+        if (v >= 0.5 and prev.get(n) and v > 2.0 * prev[n])
+        or (v >= 0.5 and n not in prev)
+        or (v >= 2.0 and n not in prev_steady)
     ]
-    for name in sorted(names)[:12]:  # bounded: a systemic slowdown (new
-        # JVM flags, busy box) would otherwise re-run half the suite
+    # Bounded: a systemic slowdown (new JVM flags, busy box) would
+    # otherwise re-run half the suite. Largest walls first — they carry
+    # the most distortion if left at their first-run numbers.
+    for name in sorted(names, key=lambda n: -timings[n])[:12]:
         t0 = time.perf_counter()
         try:
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
@@ -297,9 +326,8 @@ def main() -> None:
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_full.json")
     try:
-        retimed = _retime_outliers(
-            spark, sf_dir, timings, _prev_record(full_path, sf)
-        )
+        prev, prev_steady = _prev_record(full_path, sf)
+        retimed = _retime_outliers(spark, sf_dir, timings, prev, prev_steady)
     except Exception as exc:
         retimed = {"failed": True}
         print(f"bench: retime failed: {exc}", file=sys.stderr)
@@ -327,6 +355,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # Sum(queries) < value whenever retimed is non-empty: `value`
+        # is the actual first-pass suite wall, while retimed queries'
+        # per-query entries carry their steady re-run numbers (the
+        # first-pass walls are preserved as retimed[name][0]).
+        "total_is_first_pass_wall": True,
         "retimed": retimed,
         "sf": sf,
         "idle_check": idle_check,

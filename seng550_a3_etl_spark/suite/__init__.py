@@ -100,6 +100,16 @@ _CHANGED: dict[str, int] = {
     # value-identical, oracle strings verified byte-equal). One entry,
     # latest round.
     "minhash_dup_pairs": 6,
+    # round 8: dedup_doc_spans gained the NULL-text phantom-span filter
+    # (operators/text_dedup.py) — this append was owed in r8 itself
+    # (VERDICT r8 item 1).
+    "doc_dedup_spans": 8,
+    # round 9: ADVICE-r7 low fixes — ppb ratios moved to decimal(38,0)
+    # numerators (int64 wrapped ~sf1000); boilerplate span census keyed
+    # (hash, span) instead of hash alone (collision exactness). Output
+    # value-identical at sf0.01, but the code under them changed.
+    "basket_lift_rules": 9,
+    "boilerplate_span_removal": 9,
 }
 
 

@@ -1899,8 +1899,10 @@ _RULE_MIN_CO = 2
       SELECT b AS ant, a AS cons, co FROM pairs
     )
     SELECT ant, cons, CAST(co AS BIGINT) AS co,
-           CAST(co * 1000000000 // n_orders AS BIGINT) AS support_ppb,
-           CAST(co * 1000000000 // da.np AS BIGINT) AS confidence_ppb,
+           CAST(CAST(co AS HUGEINT) * 1000000000 // n_orders AS BIGINT)
+             AS support_ppb,
+           CAST(CAST(co AS HUGEINT) * 1000000000 // da.np AS BIGINT)
+             AS confidence_ppb,
            CAST(CAST(co AS HUGEINT) * n_orders * 1000000
                 // (CAST(da.np AS HUGEINT) * db.np) AS BIGINT) AS lift_ppm
     FROM dirs
@@ -1915,11 +1917,11 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit support, confidence, and lift — the market-basket trio that
     X152's Jaccard recs don't express (lift is the independence-
     normalized signal merchandising actually thresholds on). All three
-    are exact integers: support/confidence in parts-per-billion via
-    int64 integer division, lift in parts-per-million via
-    decimal(38,0) products ÷ HUGEINT on the oracle side — no float
-    enters the comparison (the X137 overflow lesson: co·N·1e6
-    overflows int64 around sf1000; decimal does not).
+    are exact integers via decimal(38,0) numerators ÷ HUGEINT on the
+    oracle side — no float enters the comparison, and no int64 product
+    (the X137 overflow lesson: co·1e9 and co·N·1e6 both overflow int64
+    around sf1000, where DuckDB errors and Spark wraps silently;
+    decimal does not).
 
     Scale: identical pair-generation shape to X152 — per-basket
     ``bucket_pairs`` (C(basket,2) bounded by lines-per-order, hub-part
@@ -1959,8 +1961,12 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ant",
             "cons",
             F.col("co").cast("long").alias("co"),
-            F.expr("co * 1000000000 DIV n_orders").alias("support_ppb"),
-            F.expr("co * 1000000000 DIV na").alias("confidence_ppb"),
+            F.expr(
+                "CAST(co AS DECIMAL(38,0)) * 1000000000 DIV n_orders"
+            ).alias("support_ppb"),
+            F.expr(
+                "CAST(co AS DECIMAL(38,0)) * 1000000000 DIV na"
+            ).alias("confidence_ppb"),
             F.expr(
                 "CAST(co AS DECIMAL(38,0)) * n_orders * 1000000 "
                 "DIV (CAST(na AS DECIMAL(38,0)) * nb)"

@@ -2691,13 +2691,15 @@ def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements X155 (intra-doc repeats) and X89 (which only measures
     cross-doc spans).
 
-    Scale: spans shuffle as 64-bit hashes, never strings — one
-    map-side-combined distinct-doc count per span hash, then the
+    Scale: one map-side-combined distinct-doc count per span, keyed
+    ``(hash, span)`` — the 64-bit hash distributes the shuffle, and
+    carrying the (short, K-token) span text alongside it makes the
+    census exact with no hash-collision assumption (two distinct spans
+    sharing an xxhash64 can neither merge counts nor cross-mark). The
     frequent-span set (bounded by the corpus's repeated content, tiny
     relative to the corpus; AQE broadcasts it when it fits) marks
-    positions via a LEFT join, and ONE groupBy(doc) rebuilds the text.
-    Two data shuffles total, both carrying (hash/doc, small payload)
-    rows."""
+    positions via a LEFT join on the same pair key, and ONE
+    groupBy(doc) rebuilds the text. Two data shuffles total."""
     t = load_tables(spark, sf_dir)
     k = _BOILER_K
     toks = tokens(F.col("text"))
@@ -2723,12 +2725,12 @@ def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64("s.b").alias("h"),
     )
     frequent = (
-        blocks.groupBy("h")
+        blocks.groupBy("h", "b")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= _BOILER_MIN_DOCS)
-        .select("h", F.lit(True).alias("__boiler"))
+        .select("h", "b", F.lit(True).alias("__boiler"))
     )
-    marked = blocks.join(frequent, "h", "left").select(
+    marked = blocks.join(frequent, ["h", "b"], "left").select(
         "doc_id",
         "pos",
         "b",
