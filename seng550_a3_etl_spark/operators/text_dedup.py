@@ -712,7 +712,11 @@ def prefix_filter_pairs(
 
 
 def dedup_doc_spans(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """INTRA-document repeated-span removal (X155) — the curation stage
     that drops duplicated lines/paragraphs inside one document before
@@ -737,7 +741,10 @@ def dedup_doc_spans(
     ``row_number() OVER (PARTITION BY doc, span ORDER BY pos) = 1``
     replays the semantics exactly.
 
-    Returns (id, n_spans, n_dup_spans, dedup_text).
+    Returns (id, *carry, n_spans, n_dup_spans, dedup_text); ``carry``
+    columns pass through the per-row projection untouched, so pipeline
+    compositions (X78-style stage accounting) don't pay a corpus-sized
+    re-join to recover upstream columns.
     """
     toks = tokens(F.col(text_col))
     nb = F.ceil(F.size(toks) / F.lit(k)).cast("int")
@@ -780,12 +787,14 @@ def dedup_doc_spans(
     )
     out = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.size(blocks).cast("long").alias("n_spans"),
         kept_pos.alias("__kept"),
         blocks.alias("__blocks"),
     )
     return out.select(
         id_col,
+        *carry,
         "n_spans",
         (F.col("n_spans") - F.size("__kept")).cast("long").alias(
             "n_dup_spans"
@@ -797,4 +806,88 @@ def dedup_doc_spans(
             ),
             " ",
         ).alias("dedup_text"),
+    )
+
+
+def remove_boilerplate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_docs: int,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """CROSS-document boilerplate removal (X158) — the C4/CCNet rule: a
+    non-overlapping ``k``-token span occurring in ≥ ``min_docs``
+    distinct documents is boilerplate (nav blocks, cookie banners,
+    license headers) and is dropped from EVERY document; each document
+    is rebuilt from its surviving spans in reading order, with span
+    accounting. The within-doc complement is :func:`dedup_doc_spans`.
+
+    Scale: one map-side-combined distinct-doc count per span, keyed
+    ``(xxhash64, span)`` — the 64-bit hash distributes the shuffle and
+    carrying the (short) span text makes the census exact with no
+    hash-collision assumption. The frequent-span set (bounded by the
+    corpus's repeated content; AQE broadcasts it when it fits) marks
+    positions via a LEFT join on the same pair key, and ONE
+    groupBy(doc) rebuilds the text — two corpus shuffles total.
+
+    Returns (id, *carry, n_spans, n_boiler_spans, clean_text); docs
+    whose text is NULL produce zero spans and are dropped (callers
+    feeding rebuilt text — always ≥ '' — keep every doc). ``carry``
+    columns are constant per document and ride the rebuild groupBy key.
+    """
+    toks = tokens(F.col(text_col))
+    nb = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    span_structs = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(F.slice(toks, i * k + 1, k), " ").alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,b:string>>"))
+    blocks = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.explode(span_structs).alias("s"),
+    ).select(
+        id_col,
+        *carry,
+        F.col("s.pos").alias("pos"),
+        F.col("s.b").alias("b"),
+        F.xxhash64("s.b").alias("h"),
+    )
+    frequent = (
+        blocks.groupBy("h", "b")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h", "b", F.lit(True).alias("__boiler"))
+    )
+    marked = blocks.join(frequent, ["h", "b"], "left").select(
+        id_col,
+        *carry,
+        "pos",
+        "b",
+        F.coalesce("__boiler", F.lit(False)).alias("boiler"),
+    )
+    return marked.groupBy(id_col, *carry).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("boiler").cast("int")).cast("long").alias(
+            "n_boiler_spans"
+        ),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "b", "boiler"))
+                    ),
+                    lambda s: ~s["boiler"],
+                ),
+                lambda s: s["b"],
+            ),
+            " ",
+        ).alias("clean_text"),
     )

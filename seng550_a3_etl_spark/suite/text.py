@@ -2699,58 +2699,349 @@ def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent-span set (bounded by the corpus's repeated content, tiny
     relative to the corpus; AQE broadcasts it when it fits) marks
     positions via a LEFT join on the same pair key, and ONE
-    groupBy(doc) rebuilds the text. Two data shuffles total."""
+    groupBy(doc) rebuilds the text. Two data shuffles total. Thin
+    wrapper over ``operators.text_dedup.remove_boilerplate_spans``
+    (factored r9 so X25-full composes it)."""
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        remove_boilerplate_spans,
+    )
+
     t = load_tables(spark, sf_dir)
-    k = _BOILER_K
-    toks = tokens(F.col("text"))
-    nb = F.ceil(F.size(toks) / F.lit(k)).cast("int")
-    span_structs = F.when(
-        F.size(toks) > 0,
-        F.transform(
-            F.sequence(F.lit(0), nb - 1),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.array_join(F.slice(toks, i * k + 1, k), " ").alias("b"),
-            ),
-        ),
-    ).otherwise(
-        F.array().cast("array<struct<pos:int,b:string>>")
+    return remove_boilerplate_spans(
+        t.documents, "doc_id", "text", k=_BOILER_K,
+        min_docs=_BOILER_MIN_DOCS,
     )
-    blocks = t.documents.select(
-        "doc_id", F.explode(span_structs).alias("s")
-    ).select(
+
+
+def _curation_full_oracle() -> str:
+    from seng550_a3_etl_spark.functions.text import duck_repair_expr
+
+    sk = _DOC_SPAN_K
+    bk = _BOILER_K
+    bmin = _BOILER_MIN_DOCS
+
+    def tokcnt(x: str) -> str:
+        return (
+            f"CASE WHEN coalesce({x}, '') = '' THEN 0 "
+            rf"ELSE len(string_split_regex({x}, '\s+')) END"
+        )
+
+    return rf"""
+    WITH rep AS (
+      SELECT doc_id, lang, text, {duck_repair_expr('text')} AS t1
+      FROM documents
+    ),
+    sd_tok AS (
+      SELECT doc_id, string_split_regex(t1, '\s+') AS tk FROM rep
+    ),
+    sd_spans AS (
+      SELECT doc_id, s.pos AS pos, s.b AS b FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, CAST(ceil(len(tk) / {sk}.0) AS INT)),
+                 i -> struct_pack(
+                   pos := i,
+                   b := array_to_string(tk[i*{sk}+1 : i*{sk}+{sk}], ' '))
+               )) AS s
+        FROM sd_tok)
+    ),
+    sd_kept AS (
+      SELECT doc_id, pos, b FROM (
+        SELECT *, row_number()
+                  OVER (PARTITION BY doc_id, b ORDER BY pos) AS rn
+        FROM sd_spans) WHERE rn = 1
+    ),
+    sd_agg AS (
+      SELECT doc_id, string_agg(b, ' ' ORDER BY pos) AS t2
+      FROM sd_kept GROUP BY doc_id
+    ),
+    d2 AS (
+      SELECT r.doc_id, r.lang,
+             {tokcnt('r.text')} AS n0, {tokcnt('r.t1')} AS n1,
+             COALESCE(a.t2, '') AS t2
+      FROM rep r LEFT JOIN sd_agg a USING (doc_id)
+    ),
+    bp_tok AS (
+      SELECT doc_id, string_split_regex(t2, '\s+') AS tk FROM d2
+    ),
+    bp_flat AS (
+      SELECT doc_id, s.pos AS pos, s.b AS b FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, CAST(ceil(len(tk) / {bk}.0) AS INT)),
+                 i -> struct_pack(
+                   pos := i,
+                   b := array_to_string(tk[i*{bk}+1 : i*{bk}+{bk}], ' '))
+               )) AS s
+        FROM bp_tok)
+    ),
+    bp_freq AS (
+      SELECT b, COUNT(DISTINCT doc_id) AS nd FROM bp_flat GROUP BY b
+    ),
+    bp_agg AS (
+      SELECT doc_id,
+             COALESCE(string_agg(b, ' ' ORDER BY pos)
+                        FILTER (nd < {bmin}), '') AS t3
+      FROM bp_flat JOIN bp_freq USING (b) GROUP BY doc_id
+    ),
+    base AS (
+      SELECT d.doc_id, d.lang, d.n0, d.n1, {tokcnt('d.t2')} AS n2,
+             COALESCE(a.t3, '') AS t3, {tokcnt('a.t3')} AS n3
+      FROM d2 d LEFT JOIN bp_agg a USING (doc_id)
+    ),
+    q_toks AS (
+      SELECT doc_id, lang, unnest(string_split_regex(t3, '\s+')) AS tok
+      FROM base WHERE n3 > 0
+    ),
+    q_counts AS (
+      SELECT tok,
+             COUNT(*) FILTER (lang = 'en') AS c1,
+             COUNT(*) FILTER (lang <> 'en') AS c0
+      FROM q_toks GROUP BY tok
+    ),
+    q_tot AS (
+      SELECT SUM(c1) AS s1_, SUM(c0) AS s0_, COUNT(*) AS v FROM q_counts
+    ),
+    q_w AS (
+      SELECT tok,
+             CAST(ROUND(ln(((c1 + 1) / (s1_ + v))
+                           / ((c0 + 1) / (s0_ + v))) * 1e9) AS BIGINT)
+               AS w_nano
+      FROM q_counts, q_tot
+    ),
+    q_scored AS (
+      SELECT doc_id, SUM(w_nano) AS score_nano
+      FROM q_toks JOIN q_w USING (tok) GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT b.doc_id, b.t3, b.n3
+      FROM base b JOIN q_scored s USING (doc_id)
+      WHERE b.n3 > 0 AND s.score_nano > 0
+    ),
+    uniq AS (
+      SELECT doc_id, t3, n3 FROM (
+        SELECT k.*, MIN(doc_id) OVER (PARTITION BY md5(t3)) AS canon
+        FROM kept k) WHERE doc_id = canon
+    ),
+    usets AS (
+      SELECT doc, list_distinct({_duck_shingles(3, 'tk')}) AS sh
+      FROM (SELECT doc_id AS doc, string_split_regex(t3, '\s+') AS tk
+            FROM uniq)
+    ),
+    sizes AS (SELECT doc, CAST(len(sh) AS BIGINT) AS n_sh FROM usets),
+    ex AS (SELECT doc, unnest(sh) AS s FROM usets),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b USING (s)
+      WHERE a.doc < b.doc GROUP BY 1, 2
+    ),
+    near_dupes AS (
+      SELECT DISTINCT doc_b FROM inter
+      JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.8
+    ),
+    final AS (
+      SELECT doc_id, n3 FROM uniq
+      WHERE doc_id NOT IN (SELECT doc_b FROM near_dupes)
+    )
+    SELECT '00_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(n0), 0) AS BIGINT) AS n_tokens FROM base
+    UNION ALL
+    SELECT '01_repair', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n1), 0) AS BIGINT) FROM base
+    UNION ALL
+    SELECT '02_span_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n2), 0) AS BIGINT) FROM base
+    UNION ALL
+    SELECT '03_boilerplate', CAST(COUNT(*) FILTER (n3 > 0) AS BIGINT),
+           CAST(COALESCE(SUM(n3), 0) AS BIGINT) FROM base
+    UNION ALL
+    SELECT '04_quality_gate', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n3), 0) AS BIGINT) FROM kept
+    UNION ALL
+    SELECT '05_exact_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n3), 0) AS BIGINT) FROM uniq
+    UNION ALL
+    SELECT '06_near_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n3), 0) AS BIGINT) FROM final
+    """
+
+
+@query("curation_pipeline_full", oracle=_curation_full_oracle())
+def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL composed curation pipeline (X25-full; VERDICT r7/r8 #2)
+    — the exact stage chain a 100 TB pretraining-corpus run executes,
+    composed from the engine's own verified operators, with per-stage
+    survivor/token accounting (the X78 shape):
+
+    1. encoding repair (X157, ``repair_text``) — mojibake/entity/
+       control-char fix so re-encoded copies hash equal downstream;
+    2. intra-doc repeated-span removal (X155, ``dedup_doc_spans``);
+    3. cross-doc boilerplate removal (X158,
+       ``remove_boilerplate_spans``) — docs reduced to '' drop here;
+    4. linear quality gate (X156 inference shape) — naive-Bayes
+       log-odds weights derived from the CLEANED corpus, integer-nano
+       scores, keep score > 0;
+    5. exact dedup on the cleaned text (X1 shape — min-id per md5);
+    6. near-dup drop (X2, ``ngram_jaccard_pairs`` at Jaccard ≥ 0.8,
+       drop the doc_b side).
+
+    Output: one row per stage boundary — (stage, n_docs, n_tokens) of
+    the surviving corpus, so the accounting proves WHERE documents and
+    tokens die, which is the acceptance artifact data engineers read
+    before green-lighting a run (singleton queries verify each stage;
+    only this composition verifies the handoffs: rebuilt text from 2
+    feeds 3's census, 3's residue feeds 4's weight DERIVATION, not
+    just its scoring).
+
+    Scale & plan: stages 1-2 are per-row HOF projections in the scan;
+    stage 3 is the operator's two bounded shuffles; the stage-frame
+    ``base`` is localCheckpoint-pinned because FIVE consumers branch
+    off it (4 stage aggregates fold into ONE agg; weight build; score
+    join) — unlike X25's deliberately-unpinned ``uniq`` (2 consumers,
+    thin lineage), base's lineage contains the boilerplate
+    collect_list rebuild, which must not replay per branch. Survivor
+    frames ``kept``/``uniq`` pin for the same reason (window + pair
+    scan + anti-join fan-out). Weights broadcast; the score join
+    shuffles (doc_id, text) once — at 100 TB each checkpoint is the
+    stage materialization a production pipeline writes anyway."""
+    from seng550_a3_etl_spark.functions.text import repair_text
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        dedup_doc_spans,
+        ngram_jaccard_pairs,
+        remove_boilerplate_spans,
+    )
+
+    def tokcnt(col: Column) -> Column:
+        c = F.coalesce(col, F.lit(""))
+        return (
+            F.when(F.length(c) == 0, F.lit(0))
+            .otherwise(F.size(tokens(c)))
+            .cast("long")
+        )
+
+    t = load_tables(spark, sf_dir)
+    rep = t.documents.select(
         "doc_id",
-        F.col("s.pos").alias("pos"),
-        F.col("s.b").alias("b"),
-        F.xxhash64("s.b").alias("h"),
+        "lang",
+        tokcnt(F.col("text")).alias("n0"),
+        repair_text(F.col("text")).alias("t1"),
+    ).withColumn("n1", tokcnt(F.col("t1")))
+    sd = dedup_doc_spans(
+        rep, "doc_id", "t1", k=_DOC_SPAN_K, carry=("lang", "n0", "n1")
     )
-    frequent = (
-        blocks.groupBy("h", "b")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= _BOILER_MIN_DOCS)
-        .select("h", "b", F.lit(True).alias("__boiler"))
+    d2 = sd.select(
+        "doc_id", "lang", "n0", "n1", F.col("dedup_text").alias("t2")
+    ).withColumn("n2", tokcnt(F.col("t2")))
+    bp = remove_boilerplate_spans(
+        d2, "doc_id", "t2", k=_BOILER_K, min_docs=_BOILER_MIN_DOCS,
+        carry=("lang", "n0", "n1", "n2"),
     )
-    marked = blocks.join(frequent, ["h", "b"], "left").select(
-        "doc_id",
-        "pos",
-        "b",
-        F.coalesce("__boiler", F.lit(False)).alias("boiler"),
+    base = bp.select(
+        "doc_id", "lang", "n0", "n1", "n2",
+        F.col("clean_text").alias("t3"),
+        tokcnt(F.col("clean_text")).alias("n3"),
+    ).localCheckpoint(eager=True)
+
+    s_base = base.agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.coalesce(F.sum("n0"), F.lit(0)).cast("long").alias("s0"),
+        F.coalesce(F.sum("n1"), F.lit(0)).cast("long").alias("s1"),
+        F.coalesce(F.sum("n2"), F.lit(0)).cast("long").alias("s2"),
+        F.coalesce(
+            F.sum(F.when(F.col("n3") > 0, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("c3"),
+        F.coalesce(F.sum("n3"), F.lit(0)).cast("long").alias("s3"),
     )
-    return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
-        F.sum(F.col("boiler").cast("int")).cast("long").alias(
-            "n_boiler_spans"
-        ),
-        F.array_join(
-            F.transform(
-                F.filter(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "b", "boiler"))
-                    ),
-                    lambda s: ~s["boiler"],
+    rows_base = s_base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("00_raw").alias("stage"),
+                    F.col("c").alias("n_docs"),
+                    F.col("s0").alias("n_tokens"),
                 ),
-                lambda s: s["b"],
-            ),
-            " ",
-        ).alias("clean_text"),
+                F.struct(
+                    F.lit("01_repair").alias("stage"),
+                    F.col("c").alias("n_docs"),
+                    F.col("s1").alias("n_tokens"),
+                ),
+                F.struct(
+                    F.lit("02_span_dedup").alias("stage"),
+                    F.col("c").alias("n_docs"),
+                    F.col("s2").alias("n_tokens"),
+                ),
+                F.struct(
+                    F.lit("03_boilerplate").alias("stage"),
+                    F.col("c3").alias("n_docs"),
+                    F.col("s3").alias("n_tokens"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+
+    toks3 = base.filter(F.col("n3") > 0).select(
+        "doc_id", "lang", F.explode(tokens(F.col("t3"))).alias("tok")
+    )
+    counts = toks3.groupBy("tok").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("c0"),
+    )
+    tot = counts.agg(
+        F.sum("c1").alias("s1_"),
+        F.sum("c0").alias("s0_"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            F.log(
+                ((F.col("c1") + 1) / (F.col("s1_") + F.col("v")))
+                / ((F.col("c0") + 1) / (F.col("s0_") + F.col("v")))
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("w_nano"),
+    )
+    scored = (
+        toks3.join(F.broadcast(w), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("w_nano").alias("score_nano"))
+    )
+    kept = (
+        base.filter(F.col("n3") > 0)
+        .select("doc_id", "t3", "n3")
+        .join(scored, "doc_id")
+        .filter(F.col("score_nano") > 0)
+        .select("doc_id", "t3", "n3")
+        .localCheckpoint(eager=True)
+    )
+
+    w_hash = Window.partitionBy(F.md5("t3"))
+    uniq = (
+        kept.withColumn("__canon", F.min("doc_id").over(w_hash))
+        .filter(F.col("doc_id") == F.col("__canon"))
+        .select("doc_id", "t3", "n3")
+        .localCheckpoint(eager=True)
+    )
+    near = (
+        ngram_jaccard_pairs(
+            uniq, "doc_id", "t3", n=3, threshold=0.8, max_shingle_freq=64
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = uniq.join(near, "doc_id", "left_anti")
+
+    def srow(name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n3"), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    return (
+        rows_base.unionByName(srow("04_quality_gate", kept))
+        .unionByName(srow("05_exact_dedup", uniq))
+        .unionByName(srow("06_near_dedup", final))
     )
