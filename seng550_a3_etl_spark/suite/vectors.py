@@ -1120,3 +1120,57 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("qid", "cid", "approx_micro2", "rank")
     )
+
+
+def _ann_recall_pq_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return f"""
+    WITH exact AS ({ORACLES["embedding_topk"]}),
+         approx AS ({ORACLES["ivf_pq_search"]})
+    SELECT e.qid,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.cid) AS BIGINT) AS n_hit,
+           CAST(COUNT(a.cid) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+    FROM exact e
+    LEFT JOIN approx a ON a.qid = e.qid AND a.cid = e.cid
+    GROUP BY e.qid
+    """
+
+
+@query("ann_recall_ivf_pq", oracle=_ann_recall_pq_oracle())
+def ann_recall_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the COMPRESSED-domain path (X160's acceptance
+    artifact; VERDICT r7/r8 #5): per-query recall@5 of the combined
+    IVF-PQ retrieval (coarse prune + ADC scan, ``ivf_pq_search``)
+    against the exact brute-force cosine ranking. X72 gates the
+    IVF-only rung — this gates the rung a deployment actually ships,
+    where BOTH approximations stack (bucket pruning can miss a true
+    neighbor's bucket; PQ quantization can misrank within a bucket).
+    Tune nprobe / codebook size until recall clears the bar before the
+    compressed index replaces the exact scan.
+
+    recall is emitted as exact integer parts-per-million
+    (hits·1e6 DIV k) so the comparison is bit-stable cross-engine.
+
+    Scale: both inputs are already top-k-pruned (k rows per query) —
+    the gate joins and folds k·|queries| rows; nothing touches the
+    corpus beyond what the two graded queries already do."""
+    exact = embedding_topk(spark, sf_dir).select("qid", "cid")
+    approx = ivf_pq_search(spark, sf_dir).select(
+        "qid", "cid", F.lit(1).alias("__hit")
+    )
+    return (
+        exact.join(approx, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("__hit").cast("long").alias("n_hit"),
+        )
+        .select(
+            "qid",
+            "n_exact",
+            "n_hit",
+            F.expr("n_hit * 1000000 DIV n_exact").alias("recall_ppm"),
+        )
+    )
