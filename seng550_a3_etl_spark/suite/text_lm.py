@@ -812,3 +812,236 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(
         _RRF_TOPN
     )
+
+
+_BPE_CHAR_TOPN = 20  # char vocab size; the 4 rarest fixture chars go OOV
+
+
+def _bpe_encode_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return f"""
+    WITH w_merge AS ({ORACLES["bpe_merge_candidates"]}),
+    merges AS (SELECT left_ch || right_ch AS unit FROM w_merge),
+    charfreq AS (
+      SELECT c AS unit FROM (
+        SELECT c, COUNT(*) AS n FROM (
+          SELECT unnest(string_split_regex(t, '')) AS c
+          FROM (SELECT unnest({_DUCK_CTOKS}) AS t FROM documents)
+        ) WHERE c <> '' GROUP BY c
+        ORDER BY n DESC, c LIMIT {_BPE_CHAR_TOPN}
+      )
+    ),
+    units AS (
+      SELECT unit,
+             CAST(ROW_NUMBER() OVER (ORDER BY length(unit), unit) - 1
+                  AS INT) AS uid
+      FROM (SELECT unit FROM charfreq UNION ALL SELECT unit FROM merges)
+    ),
+    docw AS (
+      SELECT doc_id, s.wi AS wi, s.w AS w FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) + 1),
+                 i -> struct_pack(wi := i, w := ws[CAST(i AS INT)]))) AS s
+        FROM (SELECT doc_id, {_DUCK_CTOKS} AS ws FROM documents)
+      )
+    ),
+    docc AS (
+      SELECT doc_id, wi, s.ci AS ci, s.ch AS ch FROM (
+        SELECT doc_id, wi,
+               unnest(list_transform(range(1, len(cs) + 1),
+                 i -> struct_pack(ci := i, ch := cs[CAST(i AS INT)]))) AS s
+        FROM (SELECT doc_id, wi, string_split_regex(w, '') AS cs
+              FROM docw)
+      )
+    ),
+    nxtc AS (
+      SELECT doc_id, wi, ci, ch,
+             lead(ch) OVER (PARTITION BY doc_id, wi ORDER BY ci) AS nxt
+      FROM docc
+    ),
+    eligc AS (
+      SELECT *,
+             (nxt IS NOT NULL
+              AND (ch || nxt) IN (SELECT unit FROM merges)) AS elig
+      FROM nxtc
+    ),
+    isl AS (
+      SELECT *,
+             CASE WHEN elig THEN ci - ROW_NUMBER() OVER (
+               PARTITION BY doc_id, wi, elig ORDER BY ci) END AS island
+      FROM eligc
+    ),
+    starts AS (
+      SELECT *,
+             elig AND (ci - MIN(ci) OVER (
+               PARTITION BY doc_id, wi, island)) % 2 = 0 AS pair_start
+      FROM isl
+    ),
+    pieces AS (
+      SELECT doc_id, wi, ci,
+             CASE WHEN pair_start THEN ch || nxt ELSE ch END AS unit
+      FROM (
+        SELECT *, lag(pair_start) OVER (
+          PARTITION BY doc_id, wi ORDER BY ci) AS prev_start
+        FROM starts
+      ) WHERE NOT COALESCE(prev_start, FALSE)
+    ),
+    resolved AS (
+      SELECT p.doc_id, p.wi, p.ci, COALESCE(u.uid, -1) AS uid
+      FROM pieces p LEFT JOIN units u ON u.unit = p.unit
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_pieces,
+             SUM(CASE WHEN uid = -1 THEN 1 ELSE 0 END) AS n_unk,
+             string_agg(CAST(uid AS VARCHAR), ' ' ORDER BY wi, ci)
+               AS piece_ids
+      FROM resolved GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+           CAST(COALESCE(a.n_unk, 0) AS BIGINT) AS n_unk,
+           COALESCE(a.piece_ids, '') AS piece_ids
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@query("bpe_encode_docs", oracle=_bpe_encode_oracle())
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (X162; VERDICT r7/r8 #6) — bridges X121's
+    BPE trainer to the token-count operators: every document is encoded
+    against a learned subword vocab (the corpus's top
+    ``_BPE_CHAR_TOPN`` characters + X121's top merge pairs) by greedy
+    left-to-right longest-match — at each position, consume the 2-char
+    merged unit if it is in the vocab, else the single character
+    (emitting ``-1``/UNK when the character itself is out-of-vocab,
+    the WordPiece rule). Output per doc: piece count, OOV count, and
+    the space-joined token-id sequence. Unit ids are
+    ``row_number() - 1`` over ``(length(unit), unit)`` — chars first,
+    then merges, both alphabetical — so the id table is reproducible
+    from the vocab alone.
+
+    Cross-engine equivalence rests on a parallel form of the greedy
+    scan: position i starts a merged pair iff its bigram is
+    merge-eligible and i is an EVEN offset into its maximal run of
+    consecutive eligible positions (greedy maximal matching on a
+    path). The oracle implements that run-parity form with windows;
+    the Spark side implements the scan directly as a per-row
+    ``F.aggregate`` fold (state = pending char + emitted ids) — two
+    shapes, provably the same segmentation.
+
+    Scale: vocab build is X121's word-count rollup + an
+    alphabet-sized char census; the (unit → id) map rides ONE
+    broadcast row into the corpus scan; the encode itself is a
+    per-row HOF fold — the corpus is scanned ONCE, nothing
+    corpus-sized shuffles, zero UDFs. Production swaps in an
+    externally-trained merge table; the encode plan is identical."""
+    t = load_tables(spark, sf_dir)
+
+    merges = bpe_merge_candidates(spark, sf_dir).select(
+        F.concat("left_ch", "right_ch").alias("unit")
+    )
+    chars = (
+        t.documents.select(F.explode(_ctoks(F.col("text"))).alias("w"))
+        .select(F.explode(F.split(F.col("w"), "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "c")
+        .limit(_BPE_CHAR_TOPN)
+        .select(F.col("c").alias("unit"))
+    )
+    units = chars.unionByName(merges).select(
+        "unit",
+        (
+            F.row_number().over(
+                Window.orderBy(F.length("unit"), F.col("unit"))
+            )
+            - 1
+        )
+        .cast("int")
+        .alias("uid"),
+    )
+    vocab_row = units.agg(
+        F.map_from_entries(F.collect_list(F.struct("unit", "uid"))).alias(
+            "__vmap"
+        )
+    )
+
+    docs = t.documents.select("doc_id", "text").crossJoin(
+        F.broadcast(vocab_row)
+    )
+    vmap = F.col("__vmap")
+    st_type = "struct<pending:string,ids:array<int>,nunk:int>"
+
+    def resolve_one(acc: Column, nxt_pending: Column) -> Column:
+        """Emit acc.pending as a single-char unit (or UNK), move on."""
+        pid = F.element_at(vmap, acc["pending"])
+        return F.struct(
+            nxt_pending.alias("pending"),
+            F.concat(
+                acc["ids"], F.array(F.coalesce(pid, F.lit(-1)))
+            ).alias("ids"),
+            (
+                acc["nunk"]
+                + F.when(pid.isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("nunk"),
+        )
+
+    def step(acc: Column, c: Column) -> Column:
+        mid = F.element_at(vmap, F.concat(acc["pending"], c))
+        return F.when(
+            (acc["pending"] != "") & mid.isNotNull(),
+            F.struct(
+                F.lit("").alias("pending"),
+                F.concat(acc["ids"], F.array(mid)).alias("ids"),
+                acc["nunk"].alias("nunk"),
+            ),
+        ).otherwise(
+            F.when(
+                acc["pending"] == "",
+                F.struct(
+                    c.alias("pending"),
+                    acc["ids"].alias("ids"),
+                    acc["nunk"].alias("nunk"),
+                ),
+            ).otherwise(resolve_one(acc, c))
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.when(acc["pending"] == "", acc).otherwise(
+            resolve_one(acc, F.lit(""))
+        )
+
+    def enc_word(w: Column) -> Column:
+        init = F.struct(
+            F.lit("").alias("pending"),
+            F.array().cast("array<int>").alias("ids"),
+            F.lit(0).alias("nunk"),
+        )
+        return F.aggregate(
+            F.split(w, ""),
+            init.cast(st_type),
+            step,
+            finish,
+        )
+
+    per_word = F.transform(_ctoks(F.col("text")), enc_word)
+    ids = F.coalesce(
+        F.flatten(F.transform(per_word, lambda r: r["ids"])),
+        F.array().cast("array<int>"),
+    )
+    nunk = F.coalesce(
+        F.aggregate(
+            per_word, F.lit(0), lambda a, r: a + r["nunk"]
+        ),
+        F.lit(0),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(ids).cast("long").alias("n_pieces"),
+        nunk.cast("long").alias("n_unk"),
+        F.array_join(
+            F.transform(ids, lambda i: i.cast("string")), " "
+        ).alias("piece_ids"),
+    )
