@@ -106,6 +106,13 @@ SF1_SPOT = [
     "copurchase_jaccard_recs",
     "revenue_proration",
     "weighted_median_price",
+    # r9 additions: the composed curation chain (its stages are
+    # individually spotted, but the composition adds checkpoint
+    # materializations and the cleaned-corpus weight build), and the
+    # BPE encode (per-row fold should scale ~linearly; a superlinear
+    # ratio would mean the vocab build or broadcast flipped).
+    "curation_pipeline_full",
+    "bpe_encode_docs",
 ]
 
 

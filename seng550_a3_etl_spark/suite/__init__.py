@@ -102,8 +102,9 @@ _CHANGED: dict[str, int] = {
     "minhash_dup_pairs": 6,
     # round 8: dedup_doc_spans gained the NULL-text phantom-span filter
     # (operators/text_dedup.py) — this append was owed in r8 itself
-    # (VERDICT r8 item 1).
-    "doc_dedup_spans": 8,
+    # (VERDICT r8 item 1). Round 9: same operator gained the carry=
+    # passthrough (signature extension for the X161 composition).
+    "doc_dedup_spans": 9,
     # round 9: ADVICE-r7 low fixes — ppb ratios moved to decimal(38,0)
     # numerators (int64 wrapped ~sf1000); boilerplate span census keyed
     # (hash, span) instead of hash alone (collision exactness). Output

@@ -2869,7 +2869,7 @@ def _curation_full_oracle() -> str:
 
 @query("curation_pipeline_full", oracle=_curation_full_oracle())
 def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL composed curation pipeline (X25-full; VERDICT r7/r8 #2)
+    """The FULL composed curation pipeline (X161; VERDICT r7/r8 #2)
     — the exact stage chain a 100 TB pretraining-corpus run executes,
     composed from the engine's own verified operators, with per-stage
     survivor/token accounting (the X78 shape):

@@ -1140,8 +1140,8 @@ def _ann_recall_pq_oracle() -> str:
 
 @query("ann_recall_ivf_pq", oracle=_ann_recall_pq_oracle())
 def ann_recall_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall gate for the COMPRESSED-domain path (X160's acceptance
-    artifact; VERDICT r7/r8 #5): per-query recall@5 of the combined
+    """Recall gate for the COMPRESSED-domain path (X163, X160's
+    acceptance artifact; VERDICT r7/r8 #5): per-query recall@5 of the combined
     IVF-PQ retrieval (coarse prune + ADC scan, ``ivf_pq_search``)
     against the exact brute-force cosine ranking. X72 gates the
     IVF-only rung — this gates the rung a deployment actually ships,

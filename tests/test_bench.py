@@ -179,3 +179,43 @@ def test_streaming_oracle_shares_batch_twin_sql():
         ORACLES["stream_incremental_dedup"]
         == ORACLES["incremental_exact_dedup"]
     )
+
+
+def test_prev_record_reads_timings_and_steady_set(tmp_path):
+    p = tmp_path / "bench_full.json"
+    p.write_text(json.dumps({
+        "sf": 0.1,
+        "queries": {"a": 1.0, "b": 4.0, "c": -1.0},
+        "retimed": {"b": [9.0, 4.0], "gone": [2.0, 1.0]},
+    }))
+    timings, steady = bench._prev_record(str(p), 0.1)
+    assert timings == {"a": 1.0, "b": 4.0}  # failed (-1) rows dropped
+    # steady only covers names still present in the timings dict
+    assert steady == {"b"}
+    # sf mismatch -> no baseline at all (a sf0.01 verify run must not
+    # become the re-time baseline for a sf0.1 round)
+    assert bench._prev_record(str(p), 0.01) == ({}, set())
+
+
+def test_retime_trigger_selection_covers_all_three_rules():
+    """VERDICT r8 #3: the 2x-ratio rule alone lets an inflated FIRST
+    record self-perpetuate. Replicate the trigger expression from
+    _retime_outliers and check each rule fires (the function itself
+    needs a live session; the selection logic is what regressed)."""
+    prev = {"ratio2x": 1.0, "steady_ok": 5.0, "first_run_big": 5.0,
+            "small": 0.1}
+    prev_steady = {"steady_ok"}
+    timings = {
+        "ratio2x": 2.5,        # rule 1: >2x prev
+        "brand_new": 0.9,      # rule 2: no previous record
+        "first_run_big": 5.5,  # rule 3: >=2s, record never steadied
+        "steady_ok": 5.5,      # steady-verified, <2x -> NOT retimed
+        "small": 0.1,          # sub-threshold jitter -> NOT retimed
+    }
+    names = [
+        n for n, v in timings.items()
+        if (v >= 0.5 and prev.get(n) and v > 2.0 * prev[n])
+        or (v >= 0.5 and n not in prev)
+        or (v >= 2.0 and n not in prev_steady)
+    ]
+    assert sorted(names) == ["brand_new", "first_run_big", "ratio2x"]

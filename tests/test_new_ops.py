@@ -904,3 +904,101 @@ def test_repair_text_cross_engine_on_mojibake(spark):
     assert got[5] == "a b c d"
     assert got[6] == "lead and trail"
     assert got[8] == ""
+
+
+def test_remove_boilerplate_spans_crafted(spark):
+    """k=2 spans; 'nav bar' appears in 3 docs -> boilerplate everywhere;
+    carry columns pass through; doc reduced to '' keeps accounting."""
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        remove_boilerplate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav bar alpha beta", 9),
+            (2, "nav bar gamma delta", 9),
+            (3, "nav bar", 9),
+            (4, "unique words only here", 9),
+        ],
+        "doc_id int, text string, extra int",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_spans(
+            docs, "doc_id", "text", k=2, min_docs=3, carry=("extra",)
+        ).collect()
+    }
+    assert out[1].clean_text == "alpha beta"
+    assert out[1].n_spans == 2 and out[1].n_boiler_spans == 1
+    assert out[2].clean_text == "gamma delta"
+    assert out[3].clean_text == "" and out[3].n_boiler_spans == 1
+    assert out[4].clean_text == "unique words only here"
+    assert out[4].n_boiler_spans == 0
+    assert all(r.extra == 9 for r in out.values())
+
+
+def test_dedup_doc_spans_carry_passthrough(spark):
+    from seng550_a3_etl_spark.operators.text_dedup import dedup_doc_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c d", "x")], "doc_id int, text string, tag string"
+    )
+    row = dedup_doc_spans(
+        docs, "doc_id", "text", k=2, carry=("tag",)
+    ).collect()[0]
+    assert row.tag == "x"
+    assert row.dedup_text == "a b c d" and row.n_dup_spans == 1
+
+
+def _bpe_greedy_ref(word, merges, charvocab):
+    """Python reference for the greedy lookahead-1 scan."""
+    pieces, i = [], 0
+    while i < len(word):
+        if i + 1 < len(word) and word[i : i + 2] in merges:
+            pieces.append(word[i : i + 2])
+            i += 2
+        else:
+            pieces.append(word[i] if word[i] in charvocab else None)
+            i += 1
+    return pieces
+
+
+def test_bpe_run_parity_equals_greedy_scan():
+    """The oracle's run-parity form (pair starts at even offsets of
+    maximal merge-eligible runs) must equal the sequential greedy scan
+    the Spark fold implements — brute-check every word over a small
+    alphabet, where eligible runs of every phase/length occur."""
+    from itertools import product
+
+    merges = {"ab", "ba", "aa"}
+    charvocab = {"a", "b"}  # 'c' is OOV
+    for n in range(1, 7):
+        for chars in product("abc", repeat=n):
+            w = "".join(chars)
+            # run-parity form
+            elig = [
+                i + 1 < n and w[i : i + 2] in merges for i in range(n)
+            ]
+            starts = []
+            run_start = None
+            for i in range(n):
+                if elig[i]:
+                    if run_start is None:
+                        run_start = i
+                    starts.append((i - run_start) % 2 == 0)
+                else:
+                    run_start = None
+                    starts.append(False)
+            pieces = []
+            i = 0
+            skip = False
+            for i in range(n):
+                if skip:
+                    skip = False
+                    continue
+                if starts[i]:
+                    pieces.append(w[i : i + 2])
+                    skip = True
+                else:
+                    pieces.append(w[i] if w[i] in charvocab else None)
+            assert pieces == _bpe_greedy_ref(w, merges, charvocab), w
