@@ -94,20 +94,76 @@ def assign_buckets(
     corpus_vec: str = "cv",
     centroid_id: str = "bid",
     centroid_vec: str = "bv",
+    keep_sim: str | None = None,
 ) -> DataFrame:
     """Nearest-centroid (max-cosine) bucket per corpus vector — the IVF
     coarse quantizer as a broadcast join + window argmin. Output keeps
-    the corpus norm (``__cn``) so downstream scoring reuses it."""
+    the corpus norm (``__cn``) so downstream scoring reuses it; pass
+    ``keep_sim`` to also carry the winning cosine (rounded 6) under that
+    name (prototypicality scoring, cell-residual stats)."""
     corpus = _with_norm(corpus, corpus_vec, "__cn")
     centroids = _with_norm(centroids, centroid_vec, "__bn")
     scored = corpus.join(F.broadcast(centroids)).withColumn(
         "__sim", _pair_cosine(corpus_vec, centroid_vec, "__cn", "__bn")
     )
     w = Window.partitionBy(corpus_id).orderBy(F.desc("__sim"), F.asc(centroid_id))
+    cols = [corpus_id, corpus_vec, "__cn", centroid_id]
+    if keep_sim is not None:
+        cols.append(F.col("__sim").alias(keep_sim))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(corpus_id, corpus_vec, "__cn", centroid_id)
+        .select(*cols)
+    )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "v",
+    centroid_id: str = "bid",
+    centroid_vec: str = "bv",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): block
+    the corpus by nearest-centroid cluster (the k-means/IVF coarse
+    quantizer), then compare pairs ONLY within a cluster and keep those
+    with cosine >= ``threshold``. Output: (id_a, id_b, bid, cosine) with
+    id_a < id_b — the caller's keep-first policy drops id_b.
+
+    vs sign-LSH (``cosine_dedup_pairs``): the blocking key is a learned
+    semantic cluster instead of random hyperplane bands — the published
+    recipe for pruning semantically redundant (not just near-identical)
+    training examples, and the blocks double as the IVF index cells the
+    store already maintains.
+
+    Scale: centroids broadcast; the corpus shuffles ONCE on the cluster
+    id for the self-join; pair volume is Σ C(|cell|, 2), governed by the
+    cluster count — k ~ sqrt(n) keeps expected cell size ~sqrt(n) and
+    total pair work ~n^1.5 (SemDeDup's published operating point; k is
+    the caller's knob via the centroid set)."""
+    assigned = assign_buckets(
+        corpus, centroids, id_col, vec_col, centroid_id, centroid_vec
+    )
+    a = assigned.select(
+        F.col(centroid_id),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__cn").alias("__na"),
+    )
+    b = assigned.select(
+        F.col(centroid_id),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__cn").alias("__nb"),
+    )
+    return (
+        a.join(b, [centroid_id])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _pair_cosine("__va", "__vb", "__na", "__nb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", centroid_id, "cosine")
     )
 
 

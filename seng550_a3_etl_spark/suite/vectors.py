@@ -5,7 +5,7 @@ identical deterministic ranking (round(cos,6) DESC, id ASC)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from seng550_a3_etl_spark.catalog import load_tables
@@ -1172,5 +1172,246 @@ def ann_recall_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_hit",
             F.expr("n_hit * 1000000 DIV n_exact").alias("recall_ppm"),
+        )
+    )
+
+
+_SEMDEDUP_THRESHOLD = 0.95
+# Planted-duplicate corpus (shared with embedding_cosine_dedup): base
+# vectors plus a +0.02-jittered copy of every 5th — cosine ~0.988
+# against its source, so the expected catch is known.
+_SEMDEDUP_CORPUS_SQL = """
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS id,
+             list_transform(embedding, x -> ((x::DOUBLE + 0.02)::FLOAT)) AS v
+      FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+
+@query(
+    "semantic_dedup_clusters",
+    oracle=f"""
+    WITH corpus AS ({_SEMDEDUP_CORPUS_SQL}),
+    cent AS (SELECT vec_id AS bid, embedding AS bv
+             FROM embeddings WHERE vec_id % 100 = 0
+             ORDER BY vec_id LIMIT 50),
+    assign AS (
+      SELECT id, v, bid FROM (
+        SELECT id, v, bid, ROW_NUMBER() OVER (
+          PARTITION BY id ORDER BY sim DESC, bid
+        ) AS rn
+        FROM (SELECT id, v, bid, ROUND({_cos('v', 'bv')}, 6) AS sim
+              FROM corpus, cent)
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.bid, a.id AS id_a, b.id AS id_b,
+             ROUND({_cos('a.v', 'b.v')}, 6) AS cosine
+      FROM assign a JOIN assign b ON a.bid = b.bid AND a.id < b.id
+      WHERE ROUND({_cos('a.v', 'b.v')}, 6) >= {_SEMDEDUP_THRESHOLD}
+    )
+    SELECT id_b AS id_dropped, bid,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           MAX(cosine) AS best_cos
+    FROM pairs GROUP BY id_b, bid
+    """,
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pruning (X164, Abbas et al. 2023):
+    block by k-means/IVF cluster, compare pairs only within a cluster,
+    drop the LATER id of every pair at cosine >= 0.95 (keep-first). The
+    planted jittered duplicates (the embedding_cosine_dedup corpus) are
+    the expected catch; output is one row per dropped vector with its
+    cluster, duplicate count, and best duplicate cosine.
+
+    vs X5 (sign-LSH dedup): the blocking key is the learned semantic
+    cluster the embedding store already maintains for IVF — this prunes
+    semantically redundant examples, not just near-identical ones, and
+    needs no second index. The oracle replays assignment, in-cluster
+    pairing, and the keep-first fold.
+
+    Scale: centroids broadcast; ONE corpus shuffle on the cluster id;
+    pair volume Σ C(|cell|,2) with k ~ sqrt(n) cells (the operator's
+    knob) keeps total pair work ~n^1.5 — never all-pairs."""
+    from seng550_a3_etl_spark.operators.similarity import semantic_dedup_pairs
+
+    t = load_tables(spark, sf_dir)
+    base = t.embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    jitter = t.embeddings.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x.cast("double") + F.lit(0.02)).cast("float"),
+        ).alias("v"),
+    )
+    corpus = base.unionAll(jitter)
+    cent = (
+        t.embeddings.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(50)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    )
+    pairs = semantic_dedup_pairs(
+        corpus, cent, threshold=_SEMDEDUP_THRESHOLD, id_col="id", vec_col="v"
+    )
+    return pairs.groupBy(
+        F.col("id_b").alias("id_dropped"), "bid"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+        F.max("cosine").alias("best_cos"),
+    )
+
+
+@query(
+    "embedding_prototypicality",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding AS v FROM embeddings),
+    cent AS (SELECT vec_id AS bid, embedding AS bv
+             FROM embeddings WHERE vec_id % 100 = 0
+             ORDER BY vec_id LIMIT 50),
+    assign AS (
+      SELECT vec_id, bid, sim AS proto_cos FROM (
+        SELECT vec_id, bid, sim, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, bid
+        ) AS rn
+        FROM (SELECT vec_id, bid, ROUND({_cos('v', 'bv')}, 6) AS sim
+              FROM c, cent)
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, bid, proto_cos,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(n_cluster AS BIGINT) AS n_cluster,
+           rnk > (n_cluster + 4) // 5 AS keep
+    FROM (
+      SELECT vec_id, bid, proto_cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY bid ORDER BY proto_cos DESC, vec_id
+             ) AS rnk,
+             COUNT(*) OVER (PARTITION BY bid) AS n_cluster
+      FROM assign
+    )
+    """,
+)
+def embedding_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype redundancy pruning (X165, the D4 / Sorscher et al.
+    recipe): every vector's prototypicality = cosine to its nearest
+    cluster centroid; within each cluster the TOP ceil(20%) most
+    prototypical examples are marked drop (redundant mass near the
+    cluster core teaches the model least), the rest keep. Emits the
+    score, per-cluster rank, cluster size, and the keep verdict — the
+    pruning table a data-curation run joins back onto the corpus.
+
+    Cutoff arithmetic is exact-integer (rank > (n+4) DIV 5), so the
+    verdict is bit-stable cross-engine.
+
+    Scale: centroids broadcast (assignment never shuffles corpus rows);
+    ONE shuffle on the cluster id for the rank window — cluster count
+    k ~ sqrt(n) bounds every partition."""
+    from seng550_a3_etl_spark.operators.similarity import assign_buckets
+
+    t = load_tables(spark, sf_dir)
+    corpus = t.embeddings.select("vec_id", F.col("embedding").alias("v"))
+    cent = (
+        t.embeddings.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(50)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    )
+    assigned = assign_buckets(
+        corpus, cent, "vec_id", "v", keep_sim="proto_cos"
+    )
+    w_rank = Window.partitionBy("bid").orderBy(
+        F.desc("proto_cos"), F.asc("vec_id")
+    )
+    w_all = Window.partitionBy("bid")
+    return assigned.select(
+        "vec_id",
+        "bid",
+        "proto_cos",
+        F.row_number().over(w_rank).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_cluster"),
+    ).withColumn(
+        "keep", F.col("rnk") > F.expr("(n_cluster + 4) DIV 5")
+    )
+
+
+@query(
+    "ivf_cell_stats",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding AS v FROM embeddings),
+    cent AS (SELECT vec_id AS bid, embedding AS bv
+             FROM embeddings WHERE vec_id % 50 = 0
+             ORDER BY vec_id LIMIT 100),
+    assign AS (
+      SELECT vec_id, bid,
+             CAST(ROUND(sim * 1000000) AS BIGINT) AS cos_micro
+      FROM (
+        SELECT vec_id, bid, sim, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, bid
+        ) AS rn
+        FROM (SELECT vec_id, bid, ROUND({_cos('v', 'bv')}, 6) AS sim
+              FROM c, cent)
+      ) WHERE rn = 1
+    ),
+    total AS (SELECT COUNT(*) AS n_total FROM assign)
+    SELECT bid,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(ROUND(SUM(cos_micro) / COUNT(*)) AS BIGINT)
+             AS mean_cos_micro,
+           CAST(MIN(cos_micro) AS BIGINT) AS min_cos_micro,
+           CAST(COUNT(*) * 1000000 // n_total AS BIGINT) AS share_ppm
+    FROM assign, total
+    GROUP BY bid, n_total
+    """,
+)
+def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health census (X168): per-cell member count, mean and
+    worst assignment cosine (micro units — the quantization-residual
+    signal), and cell share in ppm — the balance/skew report an ANN
+    deployment checks before trusting nprobe-bounded recall (a cell
+    holding 10% of the corpus makes every probe of it a scan; a cell
+    with low mean cosine means its centroid represents nobody). Seed
+    rule matches embedding_topk_ivf exactly, so this grades the index
+    that query serves.
+
+    Scale: centroids broadcast; ONE (cell) shuffle with map-side
+    partial sums — k groups total; the corpus-count scalar broadcasts
+    back. All stats exact-integer."""
+    from seng550_a3_etl_spark.operators.similarity import assign_buckets
+
+    t = load_tables(spark, sf_dir)
+    corpus = t.embeddings.select("vec_id", F.col("embedding").alias("v"))
+    cent = (
+        t.embeddings.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(100)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    )
+    assigned = assign_buckets(
+        corpus, cent, "vec_id", "v", keep_sim="__sim_r"
+    ).select(
+        "bid",
+        F.round(F.col("__sim_r") * 1000000).cast("long").alias("cos_micro"),
+    )
+    total = assigned.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        assigned.groupBy("bid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(F.sum("cos_micro") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean_cos_micro"),
+            F.min("cos_micro").cast("long").alias("min_cos_micro"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bid",
+            "n_members",
+            "mean_cos_micro",
+            "min_cos_micro",
+            F.expr("n_members * 1000000 DIV n_total").alias("share_ppm"),
         )
     )
