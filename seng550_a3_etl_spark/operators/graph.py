@@ -20,7 +20,7 @@ so even this iterative operator is fully oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -209,6 +209,51 @@ def pagerank_step(
                 9,
             ).alias("pr"),
         )
+    )
+
+
+def label_prop_step(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+    label: str = "label",
+) -> DataFrame:
+    """One synchronous weighted label-propagation step (Raghavan 2007,
+    the community-detection fixpoint): every node adopts the label whose
+    incoming edge-weight mass is largest, tie broken by the SMALLEST
+    label — deterministic, so the step is oracle-checkable and the
+    driver-iterated loop (the kmeans_step / pagerank_step pattern)
+    converges to a stable labeling instead of oscillating on ties.
+
+    ``edges`` must list both directions for an undirected graph (the
+    co-purchase build already does). ``labels`` is (node, label); nodes
+    with no in-edges keep their current label.
+
+    Scale per step: one hash join of the label table onto the edge
+    source (both sides partition by node id — no corpus-sized
+    broadcast), one (dst, label) groupBy with map-side partial sums,
+    one per-node argmax window. Nothing collects; k steps cost k
+    bounded passes, exactly the iterative-algorithm contract the other
+    graph operators follow."""
+    lbl = labels.select(F.col(node).alias(src), F.col(label).alias("__nl"))
+    mass = (
+        edges.join(lbl, src)
+        .groupBy(F.col(dst).alias(node), F.col("__nl"))
+        .agg(F.sum(weight).alias("__mass"))
+    )
+    w_pick = Window.partitionBy(node).orderBy(
+        F.desc("__mass"), F.asc("__nl")
+    )
+    picked = (
+        mass.withColumn("__rn", F.row_number().over(w_pick))
+        .filter(F.col("__rn") == 1)
+        .select(node, F.col("__nl"))
+    )
+    return labels.join(picked, node, "left").select(
+        node, F.coalesce("__nl", label).alias(label)
     )
 
 

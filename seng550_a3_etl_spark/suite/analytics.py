@@ -939,6 +939,87 @@ def pagerank_step_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "label_propagation_parts",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
+      FROM op a JOIN op b ON a.o = b.o AND a.p != b.p
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    s1 AS (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, l.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.dst ORDER BY SUM(e.w) DESC, l.label
+               ) AS rn
+        FROM e JOIN l0 l ON l.node = e.src GROUP BY e.dst, l.label
+      ) WHERE rn = 1
+    ),
+    l1 AS (SELECT n.node, COALESCE(s.label, n.node) AS label
+           FROM nodes n LEFT JOIN s1 s USING (node)),
+    s2 AS (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, l.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.dst ORDER BY SUM(e.w) DESC, l.label
+               ) AS rn
+        FROM e JOIN l1 l ON l.node = e.src GROUP BY e.dst, l.label
+      ) WHERE rn = 1
+    ),
+    l2 AS (SELECT n.node, COALESCE(s.label, n.node) AS label
+           FROM nodes n LEFT JOIN s2 s USING (node))
+    SELECT l1.node, l1.label AS label_1, l2.label AS label_2
+    FROM l1 JOIN l2 USING (node)
+    """,
+)
+def label_propagation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label propagation, two synchronous steps (X166, Raghavan
+    2007) over the part co-purchase graph — the communities a
+    recommender or template-spam monitor reads off the same graph X100
+    ranks and X103 censuses. Labels start as node ids; each step every
+    node adopts the label with the largest incoming edge-weight mass
+    (tie -> smallest label, so the fixpoint is deterministic and
+    oracle-checkable). Emits both vintages — label_1 is the heaviest
+    neighbor, label_2 shows real propagation (labels travel two hops).
+
+    Scale per step (operators/graph.py label_prop_step): one node-key
+    hash join of the label table onto edge sources, one (node, label)
+    groupBy with map-side partial sums, one per-node argmax window —
+    nothing collects, k steps are k bounded passes. The C(basket,2)
+    edge build computes once (localCheckpoint) and the step-1 labels
+    are pinned before step 2 re-reads them twice (keep-old-label
+    left join + mass join), the r6 union-replay lesson."""
+    from seng550_a3_etl_spark.operators.graph import label_prop_step
+
+    t = load_tables(spark, sf_dir)
+    op = t.lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p"))
+        )
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    l0 = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    l1 = label_prop_step(edges, l0).localCheckpoint(eager=True)
+    l2 = label_prop_step(edges, l1)
+    return (
+        l1.withColumnRenamed("label", "label_1")
+        .join(l2.withColumnRenamed("label", "label_2"), "node")
+        .select("node", "label_1", "label_2")
+    )
+
+
+@query(
     "bloom_pruned_revenue",
     oracle="""
     SELECT l_returnflag,

@@ -560,6 +560,114 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_DECON_THRESHOLD = 0.5
+
+
+def _duck_is_eval(col: str) -> str:
+    return f"{duck_hash64(f'CAST({col} AS VARCHAR)')} % 19 = 0"
+
+
+@query(
+    "fuzzy_decontaminate_docs",
+    oracle=f"""
+    WITH sets_ AS (SELECT * FROM {_DUCK_SETS3} WHERE len(sh) > 0),
+    sig AS (SELECT doc, sh,
+                   {duck_minhash_signature('sh', MINHASH_NUM_PERM)} AS sig
+            FROM sets_),
+    banded AS ({_duck_minhash_bands(MINHASH_NUM_PERM, MINHASH_BANDS)}),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM banded a JOIN banded b USING (band, key)
+      WHERE a.doc < b.doc
+    ),
+    ver AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.sh, sb.sh))
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+               AS jaccard
+      FROM cand
+      JOIN sets_ sa ON sa.doc = doc_a
+      JOIN sets_ sb ON sb.doc = doc_b
+      WHERE len(list_intersect(sa.sh, sb.sh))
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+            >= {FUZZY_DECON_THRESHOLD}
+    ),
+    split AS (
+      SELECT CASE WHEN ea THEN doc_b ELSE doc_a END AS doc_id,
+             CASE WHEN ea THEN doc_a ELSE doc_b END AS eval_doc,
+             jaccard
+      FROM (SELECT *, {_duck_is_eval('doc_a')} AS ea,
+                      {_duck_is_eval('doc_b')} AS eb
+            FROM ver)
+      WHERE ea != eb
+    )
+    SELECT doc_id, n_eval_dups, best_jaccard, best_eval_doc FROM (
+      SELECT doc_id, eval_doc AS best_eval_doc, jaccard AS best_jaccard,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
+               AS n_eval_dups,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY jaccard DESC, eval_doc
+             ) AS rn
+      FROM split
+    ) WHERE rn = 1
+    """,
+)
+def fuzzy_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (X167): flag training docs NEAR-duplicating
+    a held-out eval doc at 3-gram Jaccard >= 0.5, found via the
+    MinHash-LSH band index instead of X54's exact shingle intersection —
+    the GPT-3/Pile-style guard against paraphrased or partially-edited
+    benchmark leakage that exact n-gram matching misses (and the same
+    hash split as X54, so the two gates grade the same eval slice).
+    One row per contaminated training doc: how many eval docs it
+    collides with, the best Jaccard, and the matched eval doc
+    (tie -> smallest id).
+
+    Scale: rides the SAME signature/band build the dedup family uses
+    (session-cached shingle sets; band keyspace sized by the r6 rule) —
+    candidates are bucket-bounded, never all-pairs; the cross-side
+    filter and per-doc argmax fold move only verified pairs. At the
+    0.5 threshold the 4x2 band index's candidate recall is the
+    documented LSH S-curve point (~68% per the (1-(1-j^2)^4) curve) —
+    raise bands for a production decontamination sweep; the oracle
+    replays the identical construction either way."""
+    t = load_tables(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        t.documents, "doc_id", "text", n=3, num_perm=MINHASH_NUM_PERM,
+        bands=MINHASH_BANDS, threshold=FUZZY_DECON_THRESHOLD,
+        shingle_sets=_shingle_sets_df(spark, sf_dir, n=3, hashed=False),
+    )
+    ea = hash64(F.col("doc_a").cast("string")) % 19 == 0
+    eb = hash64(F.col("doc_b").cast("string")) % 19 == 0
+    split = (
+        pairs.withColumn("__ea", ea)
+        .withColumn("__eb", eb)
+        .filter(F.col("__ea") != F.col("__eb"))
+        .select(
+            F.when(F.col("__ea"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_id"),
+            F.when(F.col("__ea"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("eval_doc"),
+            "jaccard",
+        )
+    )
+    w_all = Window.partitionBy("doc_id")
+    w_pick = w_all.orderBy(F.desc("jaccard"), F.asc("eval_doc"))
+    return (
+        split.select(
+            "doc_id",
+            F.col("eval_doc").alias("best_eval_doc"),
+            F.col("jaccard").alias("best_jaccard"),
+            F.count(F.lit(1)).over(w_all).cast("long").alias("n_eval_dups"),
+            F.row_number().over(w_pick).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "n_eval_dups", "best_jaccard", "best_eval_doc")
+    )
+
+
 @query(
     "doc_repetition_stats",
     oracle=f"""
