@@ -1002,3 +1002,66 @@ def test_bpe_run_parity_equals_greedy_scan():
                 else:
                     pieces.append(w[i] if w[i] in charvocab else None)
             assert pieces == _bpe_greedy_ref(w, merges, charvocab), w
+
+
+# --- round 9 (session 2): LPA step + SemDeDup pair generation ------------
+
+
+def test_label_prop_step_mass_argmax_and_tiebreak(spark):
+    from seng550_a3_etl_spark.operators.graph import label_prop_step
+
+    # node 1 hears label 10 with mass 3 (via two edges) and label 20 with
+    # mass 3 -> tie broken by SMALLEST label. node 4 has no in-edges and
+    # must keep its own label.
+    edges = spark.createDataFrame(
+        [(10, 1, 2), (11, 1, 1), (20, 1, 3), (10, 2, 1)],
+        "src long, dst long, w long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 2), (4, 4), (10, 10), (11, 10), (20, 20)],
+        "node long, label long",
+    )
+    got = {r.node: r.label for r in label_prop_step(edges, labels).collect()}
+    assert got[1] == 10  # mass(10)=2+1=3 ties mass(20)=3 -> smaller label
+    assert got[2] == 10
+    assert got[4] == 4   # isolated: keeps old label
+    assert got[10] == 10 and got[11] == 10 and got[20] == 20
+
+
+def test_semantic_dedup_pairs_blocks_by_cluster(spark):
+    from seng550_a3_etl_spark.operators.similarity import semantic_dedup_pairs
+
+    # Two orthogonal clusters; ids 1/2 are identical vectors (cos=1) in
+    # cluster A, id 3 sits in cluster B identical to 4. Cross-cluster
+    # near-dups must NOT be reported even if similar (none here).
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (2, [1.0, 0.0]),
+            (3, [0.0, 1.0]), (4, [0.0, 1.0]),
+        ],
+        "id long, v array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (200, [0.0, 1.0])],
+        "bid long, bv array<float>",
+    )
+    rows = semantic_dedup_pairs(corpus, cents, threshold=0.95,
+                                id_col="id", vec_col="v").collect()
+    got = {(r.id_a, r.id_b, r.bid) for r in rows}
+    assert got == {(1, 2, 100), (3, 4, 200)}
+    assert all(abs(r.cosine - 1.0) < 1e-9 for r in rows)
+
+
+def test_assign_buckets_keep_sim_matches_recompute(spark):
+    from seng550_a3_etl_spark.operators.similarity import assign_buckets
+
+    corpus = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 2.0])], "cid long, cv array<float>"
+    )
+    cents = spark.createDataFrame(
+        [(9, [1.0, 0.0]), (8, [0.0, 1.0])], "bid long, bv array<float>"
+    )
+    rows = assign_buckets(corpus, cents, keep_sim="s").collect()
+    got = {r.cid: (r.bid, r.s) for r in rows}
+    assert got[1] == (8, 0.8)   # cos([3,4],[0,1]) = 4/5
+    assert got[2] == (8, 1.0)
