@@ -97,22 +97,59 @@ def assign_buckets(
     keep_sim: str | None = None,
 ) -> DataFrame:
     """Nearest-centroid (max-cosine) bucket per corpus vector — the IVF
-    coarse quantizer as a broadcast join + window argmin. Output keeps
-    the corpus norm (``__cn``) so downstream scoring reuses it; pass
-    ``keep_sim`` to also carry the winning cosine (rounded 6) under that
-    name (prototypicality scoring, cell-residual stats)."""
+    coarse quantizer. Output keeps the corpus norm (``__cn``) so
+    downstream scoring reuses it; pass ``keep_sim`` to also carry the
+    winning cosine (rounded 6) under that name (prototypicality
+    scoring, cell-residual stats).
+
+    Physical shape: the centroid table packs into ONE broadcast row
+    (array of (id, vec, norm) structs, sorted by id) and the argmax is
+    a per-row ``array_max`` over the scored structs — struct ordering
+    compares (sim, -id), so ties go to the SMALLEST centroid id,
+    byte-identical to the previous window's (sim DESC, id ASC). The
+    corpus never shuffles and no joined row set ever exists.
+
+    This replaced a broadcast-join + row_number window: that plan
+    materialized n·k scored rows and shuffled them on the vector id for
+    the window — at n=10⁹, k=√n that is ~3·10¹³ rows through an
+    exchange, the dominant cost of every IVF/k-means pass. The fold
+    does the identical k dot products per row entirely inside the scan
+    stage (zero exchanges; same IEEE sequence, so oracles still match
+    bit-for-bit)."""
     corpus = _with_norm(corpus, corpus_vec, "__cn")
     centroids = _with_norm(centroids, centroid_vec, "__bn")
-    scored = corpus.join(F.broadcast(centroids)).withColumn(
-        "__sim", _pair_cosine(corpus_vec, centroid_vec, "__cn", "__bn")
+    packed = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(centroid_id).alias("b"),
+                    F.col(centroid_vec).alias("bv"),
+                    F.col("__bn").alias("bn"),
+                )
+            )
+        ).alias("__cents")
     )
-    w = Window.partitionBy(corpus_id).orderBy(F.desc("__sim"), F.asc(centroid_id))
-    cols = [corpus_id, corpus_vec, "__cn", centroid_id]
+    best = F.array_max(
+        F.transform(
+            "__cents",
+            lambda c: F.struct(
+                F.round(
+                    dot(F.col(corpus_vec), c["bv"])
+                    / (F.col("__cn") * c["bn"]),
+                    6,
+                ).alias("s"),
+                (-c["b"]).alias("nb"),
+                c["b"].alias("b"),
+            ),
+        )
+    )
+    cols = [corpus_id, corpus_vec, "__cn", F.col("__best.b").alias(centroid_id)]
     if keep_sim is not None:
-        cols.append(F.col("__sim").alias(keep_sim))
+        cols.append(F.col("__best.s").alias(keep_sim))
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        corpus.join(F.broadcast(packed))
+        .withColumn("__best", best)
+        .filter(F.col("__best").isNotNull())
         .select(*cols)
     )
 
@@ -143,9 +180,13 @@ def semantic_dedup_pairs(
     cluster count — k ~ sqrt(n) keeps expected cell size ~sqrt(n) and
     total pair work ~n^1.5 (SemDeDup's published operating point; k is
     the caller's knob via the centroid set)."""
+    # The assignment subtree feeds BOTH sides of the self-join; without a
+    # pin Spark replays the scan+assign per side (measured 6 scans at
+    # plan audit). localCheckpoint computes it once — the standing
+    # union-replay recipe (minhash sets_, pagerank edges).
     assigned = assign_buckets(
         corpus, centroids, id_col, vec_col, centroid_id, centroid_vec
-    )
+    ).localCheckpoint(eager=True)
     a = assigned.select(
         F.col(centroid_id),
         F.col(id_col).alias("id_a"),

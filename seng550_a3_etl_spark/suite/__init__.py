@@ -111,6 +111,15 @@ _CHANGED: dict[str, int] = {
     # value-identical at sf0.01, but the code under them changed.
     "basket_lift_rules": 9,
     "boilerplate_span_removal": 9,
+    # round 9 (second session): assign_buckets rewritten from
+    # broadcast-join + row_number window to a per-row array_max fold
+    # over one packed broadcast centroid row (kills the n·k scored-row
+    # shuffle). Output byte-identical (same rounded cosine, same
+    # tie-break), but the code under every IVF/k-means consumer changed.
+    "kmeans_step_clusters": 9,
+    "embedding_topk_ivf": 9,
+    "ann_recall_ivf": 9,
+    "ivf_pq_search": 9,
 }
 
 
