@@ -229,3 +229,71 @@ def es_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _ES_STRAT_K)
         .select("doc_id", "source", "n_chars", F.col("rk").cast("int").alias("rk"))
     )
+
+
+_N_SHARDS = 64
+_SHARD_SEED = 13
+
+
+@query(
+    "shard_skew_report",
+    oracle=rf"""
+    WITH assigned AS (
+      SELECT doc_id,
+             (({duck_hash64("CAST(doc_id AS VARCHAR)", seed=_SHARD_SEED)}
+               % {_N_SHARDS}) + {_N_SHARDS}) % {_N_SHARDS} AS shard_id,
+             len(string_split_regex(text, '\s+')) AS n_toks
+      FROM documents
+    ),
+    tot AS (SELECT SUM(n_toks) AS total_toks FROM assigned)
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(MAX(n_toks) AS BIGINT) AS max_doc_tokens,
+           CAST(SUM(n_toks) * 1000000 // total_toks AS BIGINT)
+             AS token_share_ppm
+    FROM assigned, tot
+    GROUP BY shard_id, total_toks
+    """,
+)
+def shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard balance census (X172): assign every document to
+    one of 64 hash shards (the X32 writer's assignment rule made
+    queryable) and report per-shard doc count, token mass, largest
+    document, and token share in exact ppm — the pre-flight check
+    before a training run, where one hot shard stalls every data-
+    parallel worker at the epoch barrier. The hash shard id is
+    non-negative via the double-mod identity, bit-identical in both
+    engines.
+
+    Scale: one scan with per-row hashing + ONE 64-group aggregate with
+    map-side combine; the corpus token total broadcasts back as a
+    scalar. Nothing corpus-sized shuffles."""
+    toks = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    shard = (
+        (hash64(F.col("doc_id").cast("string"), seed=_SHARD_SEED) % _N_SHARDS)
+        + _N_SHARDS
+    ) % _N_SHARDS
+    t = load_tables(spark, sf_dir)
+    assigned = t.documents.select(
+        shard.alias("shard_id"), toks.alias("n_toks")
+    )
+    tot = assigned.agg(F.sum("n_toks").alias("total_toks"))
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.max("n_toks").cast("long").alias("max_doc_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            "max_doc_tokens",
+            F.expr("n_tokens * 1000000 DIV total_toks").alias(
+                "token_share_ppm"
+            ),
+        )
+    )

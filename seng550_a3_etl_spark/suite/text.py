@@ -3153,3 +3153,69 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(srow("05_exact_dedup", uniq))
         .unionByName(srow("06_near_dedup", final))
     )
+
+
+def _source_dedup_matrix_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return f"""
+    WITH pairs AS ({ORACLES["minhash_dup_pairs"]})
+    SELECT least(da.source, db.source) AS src_a,
+           greatest(da.source, db.source) AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MAX(p.jaccard) AS max_jaccard
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """
+
+
+@query("source_dedup_matrix", oracle=_source_dedup_matrix_oracle())
+def source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication census (X169): near-dup pairs (the
+    MinHash-LSH tier, verified Jaccard >= 0.8) rolled up by unordered
+    source pair — the diagnostic that tells a curation run WHICH
+    sources mirror each other (crawl overlap, syndication) vs which
+    duplicate internally, and therefore which pair deserves a
+    cross-source canonical-keep rule. Source pair is normalized
+    (least, greatest) so the matrix is triangular; max is the only
+    float aggregate (order-independent, bit-stable).
+
+    Scale: rides the session-cached pair build (bucketed LSH — never
+    all-pairs); the rollup joins the pair list (tiny) to the two-column
+    (doc_id, source) projection and folds to |sources|² rows."""
+    t = load_tables(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        t.documents, "doc_id", "text", n=3, num_perm=MINHASH_NUM_PERM,
+        bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD,
+        shingle_sets=_shingle_sets_df(spark, sf_dir, n=3, hashed=False),
+    )
+    src = t.documents.select("doc_id", "source")
+    joined = (
+        pairs.select("doc_a", "doc_b", "jaccard")
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("__sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("__sb"),
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        joined.groupBy(
+            F.least("__sa", "__sb").alias("src_a"),
+            F.greatest("__sa", "__sb").alias("src_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )

@@ -1415,3 +1415,118 @@ def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_members * 1000000 DIV n_total").alias("share_ppm"),
         )
     )
+
+
+_NORM_MAD_K = 3  # integer multiplier -> the outlier test is exact-integer
+
+
+@query(
+    "embedding_norm_outliers",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id, label,
+             CAST(ROUND(sqrt({_dot('embedding', 'embedding')}) * 1000000)
+                  AS BIGINT) AS norm_micro
+      FROM embeddings
+    ),
+    med AS (
+      SELECT label, MAX(CASE WHEN rn = CEIL(n * 0.5) THEN norm_micro END)
+               AS med
+      FROM (
+        SELECT label, norm_micro,
+               ROW_NUMBER() OVER (
+                 PARTITION BY label ORDER BY norm_micro, vec_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY label) AS n
+        FROM c
+      ) GROUP BY label
+    ),
+    dev AS (
+      SELECT c.label, c.vec_id, c.norm_micro, m.med,
+             abs(c.norm_micro - m.med) AS ad
+      FROM c JOIN med m ON m.label = c.label
+    ),
+    mad AS (
+      SELECT label, MAX(med) AS med,
+             MAX(CASE WHEN rn = CEIL(n * 0.5) THEN ad END) AS mad
+      FROM (
+        SELECT label, med, ad,
+               ROW_NUMBER() OVER (
+                 PARTITION BY label ORDER BY ad, vec_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY label) AS n
+        FROM dev
+      ) GROUP BY label
+    )
+    SELECT d.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MAX(a.med) AS median_norm_micro,
+           MAX(a.mad) AS mad_norm_micro,
+           CAST(COUNT(CASE WHEN d.ad > {_NORM_MAD_K} * a.mad THEN 1 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a ON a.label = d.label
+    GROUP BY d.label
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store QA census (X171): per-label median L2 norm, MAD,
+    and the count of vectors beyond 3·MAD — the robust drift/corruption
+    monitor an embedding pipeline runs after every encoder change or
+    backfill (a batch of zero/exploded-norm vectors shifts a mean
+    silently but never a MAD gate). Norms quantize to integer micros
+    BEFORE ranking, both medians are rank-picked, and the threshold
+    multiplier is an integer — the entire verdict is exact-integer
+    arithmetic (the X115 recipe on vector norms).
+
+    Scale: two sort-within-group passes sharing one label-key
+    partitioning + broadcast joins of the |labels|-row median/MAD
+    tables back onto the rows."""
+    from seng550_a3_etl_spark.functions.vectors import dot
+
+    t = load_tables(spark, sf_dir)
+    c = t.embeddings.select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * 1000000)
+        .cast("long")
+        .alias("norm_micro"),
+    )
+
+    def rank_pick(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("label").orderBy(col, "vec_id")
+        wc = Window.partitionBy("label")
+        ranked = df.select(
+            "label",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        return ranked.groupBy("label").agg(
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col(col))
+            ).alias(out)
+        )
+
+    med = rank_pick(c, "norm_micro", "med")
+    dev = c.join(F.broadcast(med), "label").select(
+        "label",
+        "vec_id",
+        F.abs(F.col("norm_micro") - F.col("med")).alias("ad"),
+    )
+    mad = rank_pick(dev, "ad", "mad").join(
+        F.broadcast(med), "label"
+    )
+    return (
+        dev.join(F.broadcast(mad), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.max("med").alias("median_norm_micro"),
+            F.max("mad").alias("mad_norm_micro"),
+            F.count(
+                F.when(F.col("ad") > _NORM_MAD_K * F.col("mad"), F.lit(1))
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
