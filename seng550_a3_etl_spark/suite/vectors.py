@@ -1530,3 +1530,100 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+_KMEANS_ITER_STEPS = 3
+
+
+def _kmeans_iter_oracle(steps: int = _KMEANS_ITER_STEPS) -> str:
+    """Replay ``steps`` full E+M iterations in SQL: each step assigns by
+    rounded cosine (tie -> smallest centroid id), means in integer
+    micros, and re-derives the next float centroid as micro/1e6 — the
+    identical arithmetic the Spark loop runs."""
+
+    def assign(cent: str) -> str:
+        return (
+            "SELECT cid, cv, bid FROM ("
+            "SELECT cid, cv, bid, ROW_NUMBER() OVER ("
+            "PARTITION BY cid ORDER BY sim DESC, bid) AS rn "
+            f"FROM (SELECT cid, cv, bid, ROUND({_cos('cv', 'bv')}, 6) AS sim "
+            f"FROM c, {cent})) WHERE rn = 1"
+        )
+
+    blocks = [
+        "c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings)",
+        "cent0 AS (SELECT vec_id AS bid, embedding AS bv FROM embeddings "
+        "WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 50)",
+    ]
+    for i in range(1, steps + 1):
+        blocks.append(f"a{i} AS ({assign(f'cent{i - 1}')})")
+        blocks.append(
+            f"s{i} AS (SELECT bid, i AS dim, "
+            "SUM(CAST(ROUND(cv[CAST(i AS INT)]::DOUBLE * 1000000) AS BIGINT))"
+            " AS s, COUNT(*) AS n "
+            f"FROM a{i}, range(1, 65) t(i) GROUP BY 1, 2)"
+        )
+        blocks.append(
+            f"m{i} AS (SELECT bid, CAST(MAX(n) AS BIGINT) AS n_members, "
+            "list(CAST(ROUND(s / n) AS BIGINT) ORDER BY dim) AS micros "
+            f"FROM s{i} GROUP BY bid)"
+        )
+        blocks.append(
+            f"cent{i} AS (SELECT bid, "
+            f"list_transform(micros, m -> m / 1000000.0) AS bv FROM m{i})"
+        )
+    return (
+        "WITH " + ",\n".join(blocks)
+        + f""" SELECT bid, n_members,
+           array_to_string(
+             list_transform(micros, m -> CAST(m AS VARCHAR)), ',')
+             AS centroid_q
+    FROM m{steps}"""
+    )
+
+
+@query("kmeans_iterated_centroids", oracle=_kmeans_iter_oracle())
+def kmeans_iterated_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-iterated spherical k-means, 3 full Lloyd iterations
+    (X170): the fixpoint loop X66 is one step of, actually run — seeds
+    re-assign and centroids move three times; the oracle replays every
+    iteration, so cross-engine agreement proves the LOOP (assignment
+    drift, empty-cluster dropout, micro-quantized means) and not just
+    one step. This is the canonical Spark iterative-ML shape: bounded
+    per-step cost, centroids pinned between steps (localCheckpoint —
+    50 rows, truncates the nested-plan growth that otherwise doubles
+    the DAG per iteration), corpus re-scanned k times, NEVER collected.
+
+    Scale per step unchanged from X66 (assignment is the zero-exchange
+    fold; the M step shuffles (cluster, dim) partials); 3 steps = 3
+    bounded passes."""
+    from seng550_a3_etl_spark.operators.clustering import kmeans_step
+
+    t = load_tables(spark, sf_dir)
+    corpus = t.embeddings.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cent = (
+        t.embeddings.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(50)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    )
+    step = None
+    for _ in range(_KMEANS_ITER_STEPS):
+        # checkpoint the step OUTPUT (50 rows): the next E step and the
+        # final result both read it without replaying the M-step shuffle
+        step = kmeans_step(corpus, cent).localCheckpoint(eager=True)
+        cent = step.select(
+            "bid",
+            F.transform(
+                "centroid_micros", lambda m: m / F.lit(1000000.0)
+            ).alias("bv"),
+        )
+    return step.select(
+        "bid",
+        "n_members",
+        F.array_join(
+            F.col("centroid_micros").cast("array<string>"), ","
+        ).alias("centroid_q"),
+    )
