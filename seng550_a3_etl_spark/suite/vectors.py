@@ -1484,13 +1484,16 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seng550_a3_etl_spark.functions.vectors import dot
 
     t = load_tables(spark, sf_dir)
+    # c feeds the median window, the deviation join, and (via dev) the
+    # MAD window and final fold — pin both fan-out frames or the
+    # norm-fold scan replays 5x (plan-audit measured).
     c = t.embeddings.select(
         "vec_id",
         "label",
         F.round(F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * 1000000)
         .cast("long")
         .alias("norm_micro"),
-    )
+    ).localCheckpoint(eager=True)
 
     def rank_pick(df: DataFrame, col: str, out: str) -> DataFrame:
         w = Window.partitionBy("label").orderBy(col, "vec_id")
@@ -1512,7 +1515,7 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "vec_id",
         F.abs(F.col("norm_micro") - F.col("med")).alias("ad"),
-    )
+    ).localCheckpoint(eager=True)
     mad = rank_pick(dev, "ad", "mad").join(
         F.broadcast(med), "label"
     )
