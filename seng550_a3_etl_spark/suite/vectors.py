@@ -1630,3 +1630,227 @@ def kmeans_iterated_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("centroid_micros").cast("array<string>"), ","
         ).alias("centroid_q"),
     )
+
+
+@query(
+    "knn_label_precision",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 50),
+         c AS (SELECT vec_id AS cid, embedding AS cv, label AS cl
+               FROM embeddings),
+    pairs AS (
+      SELECT qid, ql, cid, cl, ROUND({_cos('qv', 'cv')}, 6) AS cosine
+      FROM q, c WHERE qid != cid
+    ),
+    topk AS (
+      SELECT qid, ql, cl FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY cosine DESC, cid
+        ) AS rank
+        FROM pairs
+      ) WHERE rank <= 5
+    )
+    SELECT qid,
+           CAST(MAX(ql) AS BIGINT) AS label,
+           CAST(COUNT(CASE WHEN cl = ql THEN 1 END) AS BIGINT) AS n_same,
+           CAST(COUNT(CASE WHEN cl = ql THEN 1 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS precision_ppm
+    FROM topk GROUP BY qid
+    """,
+)
+def knn_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval (X173): kNN label precision@5 — for each
+    probe vector, the fraction of its 5 nearest neighbors sharing its
+    label, in exact integer ppm. THE standard intrinsic metric for an
+    embedding space (kNN classification accuracy); run after every
+    encoder change, before the store feeds retrieval or dedup.
+
+    Scale: probes broadcast against one corpus scan (the cosine_topk
+    shape — the corpus never shuffles rows); the fold moves k·|probes|
+    rows. Probe count is the knob; precision is hits·1e6 DIV k,
+    bit-stable cross-engine."""
+    from seng550_a3_etl_spark.operators.similarity import cosine_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("cl"),
+    )
+    # carry both labels through the top-k: join them onto the pruned
+    # (qid, cid) pairs AFTER ranking so the broadcast scan stays narrow
+    topk = cosine_topk(q.select("qid", "qv"), c.select("cid", "cv"), k=5)
+    labeled = (
+        topk.join(F.broadcast(q.select("qid", "ql")), "qid")
+        .join(c.select("cid", "cl"), "cid")
+    )
+    return (
+        labeled.groupBy("qid")
+        .agg(
+            F.max("ql").cast("long").alias("label"),
+            F.count(F.when(F.col("cl") == F.col("ql"), F.lit(1)))
+            .cast("long")
+            .alias("n_same"),
+            F.count(F.lit(1)).alias("__k"),
+        )
+        .select(
+            "qid",
+            "label",
+            "n_same",
+            F.expr("n_same * 1000000 DIV __k").alias("precision_ppm"),
+        )
+    )
+
+
+@query(
+    "cluster_purity",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding AS v, label FROM embeddings),
+    cent AS (SELECT vec_id AS bid, embedding AS bv
+             FROM embeddings WHERE vec_id % 100 = 0
+             ORDER BY vec_id LIMIT 50),
+    assign AS (
+      SELECT vec_id, label, bid FROM (
+        SELECT vec_id, label, bid, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, bid
+        ) AS rn
+        FROM (SELECT vec_id, label, bid, ROUND({_cos('v', 'bv')}, 6) AS sim
+              FROM c, cent)
+      ) WHERE rn = 1
+    ),
+    counts AS (
+      SELECT bid, label, COUNT(*) AS n FROM assign GROUP BY 1, 2
+    ),
+    major AS (
+      SELECT bid, label AS major_label, n AS n_major FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY bid ORDER BY n DESC, label
+        ) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    )
+    SELECT m.bid,
+           CAST(m.major_label AS BIGINT) AS major_label,
+           CAST(m.n_major AS BIGINT) AS n_major,
+           CAST(SUM(c2.n) AS BIGINT) AS n_members,
+           CAST(m.n_major * 1000000 // SUM(c2.n) AS BIGINT) AS purity_ppm
+    FROM major m JOIN counts c2 USING (bid)
+    GROUP BY m.bid, m.major_label, m.n_major
+    """,
+)
+def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality eval (X174): purity of the k-means/IVF cells
+    against the ground-truth labels — per cell, the majority label
+    (tie -> smallest) and majority share in exact ppm. The acceptance
+    check before clusters drive SemDeDup blocking (X164), diversity
+    strata, or topic budgets: low-purity cells mean the quantizer is
+    mixing concepts and cluster-blocked dedup will compare unrelated
+    docs.
+
+    Scale: assignment is the zero-exchange fold; then ONE (cell, label)
+    aggregate with map-side combine (k·|labels| groups) and a k-row
+    argmax window — nothing corpus-sized shuffles."""
+    from seng550_a3_etl_spark.operators.similarity import assign_buckets
+
+    t = load_tables(spark, sf_dir)
+    corpus = t.embeddings.select(
+        "vec_id", F.col("embedding").alias("v"), "label"
+    )
+    cent = (
+        t.embeddings.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(50)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    )
+    assigned = assign_buckets(
+        corpus.select("vec_id", "v"), cent, "vec_id", "v"
+    ).join(corpus.select("vec_id", "label"), "vec_id")
+    counts = assigned.groupBy("bid", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("bid").orderBy(F.desc("n"), F.asc("label"))
+    major = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "bid",
+            F.col("label").cast("long").alias("major_label"),
+            F.col("n").cast("long").alias("n_major"),
+        )
+    )
+    sizes = counts.groupBy("bid").agg(
+        F.sum("n").cast("long").alias("n_members")
+    )
+    return (
+        major.join(sizes, "bid")
+        .select(
+            "bid",
+            "major_label",
+            "n_major",
+            "n_members",
+            F.expr("n_major * 1000000 DIV n_members").alias("purity_ppm"),
+        )
+    )
+
+
+_RNN_DOMAIN = 300  # mutual-NN probe subset: both directions fully ranked
+
+
+@query(
+    "reciprocal_nn_pairs",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS id, embedding AS v
+               FROM embeddings WHERE vec_id < {_RNN_DOMAIN}),
+    nn AS (
+      SELECT id, nid FROM (
+        SELECT a.id, b.id AS nid, ROW_NUMBER() OVER (
+          PARTITION BY a.id
+          ORDER BY ROUND({_cos('a.v', 'b.v')}, 6) DESC, b.id
+        ) AS rn
+        FROM c a JOIN c b ON a.id != b.id
+      ) WHERE rn = 1
+    )
+    SELECT x.id AS id_a, x.nid AS id_b
+    FROM nn x JOIN nn y ON y.id = x.nid AND y.nid = x.id
+    WHERE x.id < x.nid
+    """,
+)
+def reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest-neighbor pairs (X175): (a, b) where each is the
+    other's top-1 cosine neighbor — the high-precision alignment/dedup
+    primitive (bitext mining, cross-encoder candidate seeding) that
+    survives where one-directional NN is noisy. Computed exactly over a
+    bounded probe subset; at corpus scale the same mutual-join runs
+    over the ANN top-1 table (X7/X160's output) instead of the exact
+    ranking — the composition is identical from the nn table on.
+
+    Scale: the nn build is the cosine_topk shape (k=1); the mutuality
+    check is a self-join of |domain| 2-column rows; id_a < id_b halves
+    the output."""
+    from seng550_a3_etl_spark.operators.similarity import cosine_topk
+
+    t = load_tables(spark, sf_dir)
+    sub = t.embeddings.filter(F.col("vec_id") < _RNN_DOMAIN)
+    q = sub.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    c = sub.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    nn = (
+        cosine_topk(q, c, k=1)
+        .select(F.col("qid").alias("id"), F.col("cid").alias("nid"))
+        .localCheckpoint(eager=True)
+    )
+    other = nn.select(
+        F.col("id").alias("nid"), F.col("nid").alias("__back")
+    )
+    return (
+        nn.join(other, "nid")
+        .filter(F.col("__back") == F.col("id"))
+        .filter(F.col("id") < F.col("nid"))
+        .select(F.col("id").alias("id_a"), F.col("nid").alias("id_b"))
+    )
