@@ -1854,3 +1854,159 @@ def reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id") < F.col("nid"))
         .select(F.col("id").alias("id_a"), F.col("nid").alias("id_b"))
     )
+
+
+def _semantic_cc_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({ORACLES['reciprocal_nn_pairs']}) q
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS t FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges) t1
+      UNION
+      SELECT e.s, r.label FROM reach r JOIN edges e ON e.t = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS canonical FROM reach GROUP BY node)
+    SELECT v.vec_id AS id, COALESCE(c.canonical, v.vec_id) AS canonical_id
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id < {_RNN_DOMAIN}) v
+    LEFT JOIN comp c ON c.node = v.vec_id
+    """
+
+
+@query("semantic_cc_clusters", oracle=_semantic_cc_oracle())
+def semantic_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic cluster labels (X176): connected components over the
+    mutual-NN graph (X175's edges) — every probe vector maps to the min
+    id of its mutual-neighbor component (itself when unpaired), the
+    cluster key a curation run groups on to pick one representative per
+    semantic clique (the X25 canonical-keep shape, driven by geometry
+    instead of shingles). The oracle computes the same fixpoint as a
+    recursive reachability closure, proving the ITERATIVE operator
+    end-to-end on vector-derived edges.
+
+    Scale: the edge list is ≤ |domain|/2 rows (mutual top-1 pairs);
+    CC's adaptive strategy solves small graphs driver-side and larger
+    ones with the co-partitioned min-label loop — same contract as the
+    shingle-pair dedup graph (X21)."""
+    from seng550_a3_etl_spark.operators.graph import connected_components
+
+    t = load_tables(spark, sf_dir)
+    rnn = reciprocal_nn_pairs(spark, sf_dir)
+    labels = connected_components(rnn, src="id_a", dst="id_b")
+    domain = t.embeddings.filter(F.col("vec_id") < _RNN_DOMAIN).select(
+        F.col("vec_id").alias("id")
+    )
+    return domain.join(
+        labels.withColumnRenamed("node", "id"), "id", "left"
+    ).select(
+        "id", F.coalesce("label", "id").alias("canonical_id")
+    )
+
+
+_SEM_INC_SPLIT = 400  # vec_id < split = persisted index; rest = new batch
+
+
+@query(
+    "incremental_semantic_dedup",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS bid, embedding AS bv
+                  FROM embeddings WHERE vec_id % 100 = 0
+                  ORDER BY vec_id LIMIT 50),
+    idx AS (
+      SELECT id, v, bid FROM (
+        SELECT vec_id AS id, embedding AS v, bid, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, bid
+        ) AS rn
+        FROM (SELECT vec_id, embedding, bid,
+                     ROUND({_cos('embedding', 'bv')}, 6) AS sim
+              FROM embeddings, cent WHERE vec_id < {_SEM_INC_SPLIT})
+      ) WHERE rn = 1
+    ),
+    batch AS (
+      SELECT id, v, bid FROM (
+        SELECT vec_id AS id, embedding AS v, bid, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, bid
+        ) AS rn
+        FROM (SELECT vec_id, embedding, bid,
+                     ROUND({_cos('embedding', 'bv')}, 6) AS sim
+              FROM embeddings, cent WHERE vec_id >= {_SEM_INC_SPLIT})
+      ) WHERE rn = 1
+    ),
+    hits AS (
+      SELECT b.id, COUNT(*) AS n_index_dups,
+             MAX(ROUND({_cos('b.v', 'i.v')}, 6)) AS best_cos
+      FROM batch b JOIN idx i ON i.bid = b.bid
+      WHERE ROUND({_cos('b.v', 'i.v')}, 6) >= {_SEMDEDUP_THRESHOLD}
+      GROUP BY b.id
+    )
+    SELECT b.id,
+           CAST(COALESCE(h.n_index_dups, 0) AS BIGINT) AS n_index_dups,
+           h.best_cos,
+           h.id IS NULL AS survives
+    FROM batch b LEFT JOIN hits h ON h.id = b.id
+    """,
+)
+def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch semantic dedup against a PERSISTED cluster index
+    (X177) — the production entry point for X164, exactly as X109 is
+    for the LSH tier: a new ingest batch assigns to the existing coarse
+    quantizer's cells and compares ONLY against same-cell index
+    members; batch vectors within 0.95 cosine of an indexed vector are
+    dropped, the rest survive and would append to the index. Nothing
+    ever re-compares the corpus against itself — per-batch cost is
+    |batch| assignment folds plus same-cell pair verifies.
+
+    Scale: the index side arrives pre-assigned (its cell id is stored —
+    here recomputed only because the fixture has no index table); the
+    batch assignment is the zero-exchange fold; the verify join
+    shuffles on the cell id with the batch side tiny. The oracle
+    replays assignment on both sides and the same-cell verify."""
+    from seng550_a3_etl_spark.functions.vectors import dot
+    from seng550_a3_etl_spark.operators.similarity import assign_buckets
+
+    t = load_tables(spark, sf_dir)
+    cent = (
+        t.embeddings.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(50)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    )
+    emb = t.embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    idx = assign_buckets(
+        emb.filter(F.col("id") < _SEM_INC_SPLIT), cent, "id", "v"
+    ).select("bid", F.col("id").alias("iid"), F.col("v").alias("iv"),
+             F.col("__cn").alias("in_"))
+    batch = assign_buckets(
+        emb.filter(F.col("id") >= _SEM_INC_SPLIT), cent, "id", "v"
+    ).select("bid", "id", "v", F.col("__cn").alias("bn")
+             ).localCheckpoint(eager=True)
+    cos = F.round(
+        dot(F.col("v"), F.col("iv")) / (F.col("bn") * F.col("in_")), 6
+    )
+    hits = (
+        batch.join(idx, "bid")
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= _SEMDEDUP_THRESHOLD)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_index_dups"),
+            F.max("__cos").alias("best_cos"),
+        )
+    )
+    return batch.select("id").join(hits, "id", "left").select(
+        "id",
+        F.coalesce("n_index_dups", F.lit(0)).cast("long").alias(
+            "n_index_dups"
+        ),
+        "best_cos",
+        F.col("n_index_dups").isNull().alias("survives"),
+    )
