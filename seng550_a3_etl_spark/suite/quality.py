@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from seng550_a3_etl_spark.catalog import load_tables
+from seng550_a3_etl_spark.functions.text import tokens
 from seng550_a3_etl_spark.operators.quality import check_rules, fk_violations
 from seng550_a3_etl_spark.suite.registry import query
 
@@ -269,3 +270,123 @@ def fk_orphan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# "a" added to the published 8-word list: the synthetic fixture's
+# vocabulary contains only "a"/"the" from the original set, and a rule
+# that can never pass verifies nothing (same stand-in precedent as the
+# word-count bounds below).
+_GOPHER_STOPWORDS = (
+    "a", "the", "be", "to", "of", "and", "that", "have", "with",
+)
+# Fixture-scaled stand-ins for the published Gopher bounds (50..100k
+# words, mean word length 3..10): the documents fixture runs 10..~100
+# whitespace words, so the word-count gate is 20..1000.
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 20, 1000
+_GOPHER_MIN_MEANLEN, _GOPHER_MAX_MEANLEN = 3, 10
+
+_DUCK_STOPS = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(t, x -> length(x)))
+                  AS BIGINT) AS sum_chars,
+             CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(t,
+                    x -> regexp_matches(x, '^(#|\.\.\.)')))
+                  AS BIGINT) AS n_symbol,
+             CAST(len(list_distinct(list_filter(t,
+                    x -> list_contains([{_DUCK_STOPS}], lower(x)))))
+                  AS BIGINT) AS n_stop_types
+      FROM tok
+    )
+    SELECT doc_id, n_words,
+           n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+             AS r_word_count,
+           sum_chars >= {_GOPHER_MIN_MEANLEN} * n_words
+             AND sum_chars <= {_GOPHER_MAX_MEANLEN} * n_words
+             AS r_mean_word_len,
+           5 * n_alpha >= 4 * n_words AS r_alpha_words,
+           10 * n_symbol <= n_words AS r_symbol_ratio,
+           n_stop_types >= 2 AS r_stopwords,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+             AND sum_chars >= {_GOPHER_MIN_MEANLEN} * n_words
+             AND sum_chars <= {_GOPHER_MAX_MEANLEN} * n_words
+             AND 5 * n_alpha >= 4 * n_words
+             AND 10 * n_symbol <= n_words
+             AND n_stop_types >= 2 AS pass_gopher
+    FROM m
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (X178; Rae et al. 2021 §A1.1
+    rules, fixture-scaled thresholds) — per-document boolean outcomes
+    for the five cheap repetition-free heuristics a pretraining corpus
+    applies before any model-based filter: word count within bounds,
+    mean word length within [3,10], >=80% of words containing an
+    alphabetic character, symbol-prefixed (#/ellipsis) words <=10%, and
+    at least two distinct stop words present. Every comparison is kept
+    in cross-multiplied INTEGER form (``5*n_alpha >= 4*n_words``, never
+    a float ratio), so the flags are bit-exact across engines.
+
+    The reference has no corpus path at all (its quality checks are the
+    row-count asserts at /root/reference/etl.py:214-218); this is the
+    declarative-rules shape of X50 applied to the documents table.
+
+    Scale: one scan, zero shuffles — every rule folds over the token
+    array in a single projection (higher-order functions, JVM-side);
+    rule count never adds jobs. At 100 TB this is the map-only first
+    stage of the curation funnel, and the flags land beside the doc for
+    the X78-style per-stage accounting."""
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    sum_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    n_alpha = F.size(
+        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_symbol = F.size(
+        F.filter(toks, lambda x: x.rlike(r"^(#|\.\.\.)"))
+    ).cast("long")
+    stops = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
+    n_stop_types = F.size(
+        F.array_distinct(
+            F.filter(toks, lambda x: F.array_contains(stops, F.lower(x)))
+        )
+    ).cast("long")
+    m = t.documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_chars.alias("sum_chars"),
+        n_alpha.alias("n_alpha"),
+        n_symbol.alias("n_symbol"),
+        n_stop_types.alias("n_stop_types"),
+    )
+    r_wc = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    r_ml = (
+        F.col("sum_chars") >= _GOPHER_MIN_MEANLEN * F.col("n_words")
+    ) & (F.col("sum_chars") <= _GOPHER_MAX_MEANLEN * F.col("n_words"))
+    r_al = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    r_sy = 10 * F.col("n_symbol") <= F.col("n_words")
+    r_st = F.col("n_stop_types") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        r_wc.alias("r_word_count"),
+        r_ml.alias("r_mean_word_len"),
+        r_al.alias("r_alpha_words"),
+        r_sy.alias("r_symbol_ratio"),
+        r_st.alias("r_stopwords"),
+        (r_wc & r_ml & r_al & r_sy & r_st).alias("pass_gopher"),
+    )

@@ -1045,3 +1045,162 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(ids, lambda i: i.cast("string")), " "
         ).alias("piece_ids"),
     )
+
+
+# DSIR target domain: the sources whose distribution we select toward.
+# Fixture stand-in for "Wikipedia+books vs Common Crawl".
+_DSIR_TARGET = ("src0", "src1")
+_DSIR_TGT_SQL = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split_regex(text, '\\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, source IN ({_DSIR_TGT_SQL}) AS is_tgt,
+             unnest({_duck_shingles(2)}) AS b
+      FROM tok
+    ),
+    cnt AS (
+      SELECT b,
+             COUNT(*) FILTER (WHERE is_tgt) AS ct,
+             COUNT(*) FILTER (WHERE NOT is_tgt) AS cr
+      FROM bg GROUP BY b
+    ),
+    tot AS (
+      SELECT SUM(ct) AS tt, SUM(cr) AS tr, COUNT(*) AS v FROM cnt
+    ),
+    model AS (
+      SELECT b, LN(((ct + 1) / (tt + v)) / ((cr + 1) / (tr + v)))
+               AS logw
+      FROM cnt, tot
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(logw), 6) AS avg_llr
+    FROM bg JOIN model USING (b)
+    WHERE NOT is_tgt
+    GROUP BY bg.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (X179; Xie et al. 2023)
+    — per-document importance weights for selecting raw-pool documents
+    that look like a target domain: fit Laplace-smoothed bigram unigram
+    models on the target sources and on the raw pool, then score every
+    raw document by the mean log-likelihood ratio of its bigram
+    occurrences, ``avg_llr = mean(ln(p_target(b)/p_raw(b)))``. High
+    scorers are target-like; the actual resample step is the standing
+    weighted-sampling operator (`es_weighted_sample`, X45) fed by these
+    weights. The published method hashes bigrams into 10^4 buckets to
+    bound the feature space — a one-line `xxhash64(b) % B` change that
+    only relabels features, kept unhashed here so the DuckDB oracle can
+    replay feature identity exactly.
+
+    Scale: the corpus tokenizes once; the feature-count table is
+    |bigram vocab| rows (map-side-combined single shuffle), the totals
+    one broadcast row, and scoring is a broadcast join of the model
+    onto the exploded stream followed by one per-doc mean — the X87
+    (unigram logprob) shape with a two-sided conditional count. At
+    100 TB the vocab cap (hash-bucketing) bounds the broadcast; no step
+    depends on |corpus| beyond the two linear scans."""
+    t = load_tables(spark, sf_dir)
+    is_tgt = F.col("source").isin(*_DSIR_TARGET)
+    # Pinned: both the model build and the scoring pass consume this
+    # frame — unpinned, each replays the scan + tokenize + explode
+    # (the standing fan-out rule; 3 scans -> 1).
+    bg = t.documents.select(
+        "doc_id",
+        is_tgt.alias("is_tgt"),
+        F.explode(shingles(tokens(F.col("text")), 2)).alias("b"),
+    ).localCheckpoint(eager=True)
+    cnt = bg.groupBy("b").agg(
+        F.count_if(F.col("is_tgt")).alias("ct"),
+        F.count_if(~F.col("is_tgt")).alias("cr"),
+    )
+    tot = cnt.agg(
+        F.sum("ct").alias("tt"),
+        F.sum("cr").alias("tr"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    model = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            ((F.col("ct") + 1) / (F.col("tt") + F.col("v")))
+            / ((F.col("cr") + 1) / (F.col("tr") + F.col("v")))
+        ).alias("logw"),
+    )
+    return (
+        bg.filter(~F.col("is_tgt"))
+        .join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("logw"), 6).alias("avg_llr"),
+        )
+    )
+
+
+def _fertility_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return f"""
+    WITH enc AS ({ORACLES['bpe_encode_docs']}),
+    words AS (
+      SELECT doc_id, source,
+             CAST(len({_DUCK_CTOKS}) AS BIGINT) AS n_words
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(n_unk) AS BIGINT) AS n_unk,
+           CAST((SUM(n_pieces) * 1000000) // SUM(n_words) AS BIGINT)
+             AS fertility_ppm,
+           CAST((SUM(n_unk) * 1000000) // SUM(n_pieces) AS BIGINT)
+             AS unk_ppm
+    FROM enc JOIN words USING (doc_id)
+    GROUP BY source
+    """
+
+
+@query("bpe_fertility_by_source", oracle=_fertility_oracle())
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report (X180): subword pieces per whitespace
+    word and UNK share, by source — THE acceptance metric for a learned
+    tokenizer (fertility near 1 on the target language, spikes on
+    sources the vocab underserves; rising unk_ppm flags alphabet drift).
+    Composes the X162 encoder output with per-doc word counts; ratios
+    are exact integer ppm (``DIV``), never engine floats.
+
+    Scale: the encode is the existing single-scan fold; the word count
+    rides the same documents scan the encoder reads, the join is
+    doc_id-keyed, and the rollup is |sources| rows."""
+    enc = bpe_encode_docs(spark, sf_dir).select(
+        "doc_id", "n_pieces", "n_unk"
+    )
+    t = load_tables(spark, sf_dir)
+    words = t.documents.select(
+        "doc_id",
+        "source",
+        F.size(_ctoks(F.col("text"))).cast("long").alias("n_words"),
+    )
+    return (
+        enc.join(words, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum("n_unk").cast("long").alias("n_unk"),
+            F.expr(
+                "CAST(sum(n_pieces) * 1000000 DIV sum(n_words) AS LONG)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "CAST(sum(n_unk) * 1000000 DIV sum(n_pieces) AS LONG)"
+            ).alias("unk_ppm"),
+        )
+    )
