@@ -113,6 +113,11 @@ SF1_SPOT = [
     # ratio would mean the vocab build or broadcast flipped).
     "curation_pipeline_full",
     "bpe_encode_docs",
+    # DSIR scales with the corpus (exploded bigram stream + model
+    # broadcast); the semantic-dedup batch ops (X176/X177) run over
+    # fixed probe domains and are scale-invariant by construction, so
+    # they are not spotted.
+    "dsir_importance_weights",
 ]
 
 

@@ -519,3 +519,104 @@ def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("click_ts", _TS_FMT).alias("click_ts"),
         )
     )
+
+
+_SEMDEDUP_TABLE = "stream_semantic_dedup_sink"
+
+
+def _sem_dedup_oracle() -> str:
+    # Force the batch twin's registration first: this module sits
+    # before `vectors` in the package import list.
+    from seng550_a3_etl_spark.suite import vectors  # noqa: F401
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return ORACLES["incremental_semantic_dedup"]
+
+
+@query("stream_semantic_dedup", oracle=_sem_dedup_oracle())
+def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantic-dedup ingest (X181): the X177 per-batch
+    contract executed as a CONTINUOUS job — new embedding vectors
+    arrive as a file stream, assign to the persisted coarse-quantizer's
+    cells via the zero-exchange broadcast fold (stream-compatible: it
+    is a projection against one broadcast row), and verify against
+    same-cell members of the static index through a stream-static LEFT
+    join. The streaming job emits raw (id, hit, cos) rows in append
+    mode — NO streaming state at all — and the per-id rollup
+    (dup count / best cosine / survivor flag) folds over the bounded
+    sink batch-side. Same oracle as the batch twin, so the driver
+    checks the streaming execution of the identical contract.
+
+    Scale: per micro-batch cost is |batch| assignment folds plus a
+    same-cell verify join whose static side Spark re-plans per batch;
+    nothing stateful accumulates, so the job runs indefinitely at
+    constant memory — the production shape for dedup-on-ingest ahead
+    of an append to the index."""
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.functions.vectors import dot
+    from seng550_a3_etl_spark.operators.similarity import assign_buckets
+    from seng550_a3_etl_spark.suite.vectors import (
+        _SEM_INC_SPLIT,
+        _SEMDEDUP_THRESHOLD,
+    )
+
+    t = load_tables(spark, sf_dir)
+    cent = (
+        t.embeddings.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(50)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    )
+    idx = assign_buckets(
+        t.embeddings.filter(F.col("vec_id") < _SEM_INC_SPLIT).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+        ),
+        cent,
+        "id",
+        "v",
+    ).select(
+        "bid",
+        F.col("id").alias("iid"),
+        F.col("v").alias("iv"),
+        F.col("__cn").alias("in_"),
+    )
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/embeddings.parquet*"
+    )
+    batch = assign_buckets(
+        stream.filter(F.col("vec_id") >= _SEM_INC_SPLIT).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+        ),
+        cent,
+        "id",
+        "v",
+    ).select("bid", "id", "v", F.col("__cn").alias("bn"))
+    cos = F.round(
+        dot(F.col("v"), F.col("iv")) / (F.col("bn") * F.col("in_")), 6
+    )
+    emitted = (
+        batch.join(idx, "bid", "left")
+        .withColumn("__cos", cos)
+        .select(
+            "id",
+            (F.col("__cos") >= _SEMDEDUP_THRESHOLD).alias("hit"),
+            F.col("__cos").alias("c"),
+        )
+    )
+    q = (
+        emitted.writeStream.format("memory")
+        .queryName(_SEMDEDUP_TABLE)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sink = spark.table(_SEMDEDUP_TABLE)
+    return sink.groupBy("id").agg(
+        F.count_if(F.coalesce("hit", F.lit(False))).cast("long").alias(
+            "n_index_dups"
+        ),
+        F.max(F.when(F.col("hit"), F.col("c"))).alias("best_cos"),
+        (~F.max(F.coalesce("hit", F.lit(False)))).alias("survives"),
+    )
