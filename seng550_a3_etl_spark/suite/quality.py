@@ -390,3 +390,98 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_st.alias("r_stopwords"),
         (r_wc & r_ml & r_al & r_sy & r_st).alias("pass_gopher"),
     )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def _datacard_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return rf"""
+    WITH base AS (
+      SELECT md5(text) AS h,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS ntok,
+             lang, source,
+             regexp_matches(text, '{_EMAIL_RE}') AS has_email
+      FROM documents
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(ntok) AS n_tokens,
+             COUNT(DISTINCT h) AS n_uniq,
+             COUNT(DISTINCT source) AS n_sources,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(*) FILTER (WHERE has_email) AS n_email
+      FROM base
+    ),
+    gp AS (
+      SELECT COUNT(*) FILTER (WHERE pass_gopher) AS n_pass
+      FROM ({ORACLES['gopher_quality_flags']})
+    )
+    SELECT metric, CAST(value AS BIGINT) AS value FROM (
+      SELECT 'n_docs' AS metric, n_docs AS value FROM agg
+      UNION ALL SELECT 'n_tokens', n_tokens FROM agg
+      UNION ALL SELECT 'n_sources', n_sources FROM agg
+      UNION ALL SELECT 'n_langs', n_langs FROM agg
+      UNION ALL SELECT 'exact_dup_docs', n_docs - n_uniq FROM agg
+      UNION ALL SELECT 'mean_tokens_ppm',
+                       (n_tokens * 1000000) // n_docs FROM agg
+      UNION ALL SELECT 'gopher_pass_ppm',
+                       (n_pass * 1000000) // n_docs FROM agg, gp
+      UNION ALL SELECT 'pii_email_docs', n_email FROM agg
+    )
+    """
+
+
+@query("corpus_datacard", oracle=_datacard_oracle())
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datacard (X183): the one-call summary a dataset release
+    ships — doc/token/source/language counts, exact-duplicate count,
+    mean document length, Gopher-gate pass rate, and PII (email)
+    incidence — in long (metric, value) form so new metrics append
+    without a schema change. Ratios are exact integer ppm.
+
+    Composes the X178 gate via its registered query (same collapsing
+    pattern as bpe_fertility_by_source); everything else folds in ONE
+    documents scan: per-doc derived columns, then a single global
+    aggregate (the three DISTINCTs are over hash/source/lang — tiny
+    domains or pre-hashed, the standard Spark expand-agg). The 1-row
+    aggregates cross-join broadcast, and `stack` unpivots driver-free.
+
+    Scale: two corpus scans total (metrics + gate), no row-level
+    shuffle beyond the distinct-aggregate expand; output is 8 rows."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select(
+        F.md5("text").alias("h"),
+        F.size(
+            F.filter(tokens(F.col("text")), lambda x: x != "")
+        ).alias("ntok"),
+        "lang",
+        "source",
+        F.col("text").rlike(_EMAIL_RE).alias("has_email"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("n_tokens"),
+        F.countDistinct("h").alias("n_uniq"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.count_if("has_email").alias("n_email"),
+    )
+    gp = gopher_quality_flags(spark, sf_dir).agg(
+        F.count_if("pass_gopher").alias("n_pass")
+    )
+    return agg.crossJoin(F.broadcast(gp)).selectExpr(
+        """stack(8,
+          'n_docs', CAST(n_docs AS LONG),
+          'n_tokens', CAST(n_tokens AS LONG),
+          'n_sources', CAST(n_sources AS LONG),
+          'n_langs', CAST(n_langs AS LONG),
+          'exact_dup_docs', CAST(n_docs - n_uniq AS LONG),
+          'mean_tokens_ppm', CAST(n_tokens * 1000000 DIV n_docs AS LONG),
+          'gopher_pass_ppm', CAST(n_pass * 1000000 DIV n_docs AS LONG),
+          'pii_email_docs', CAST(n_email AS LONG)
+        ) AS (metric, value)"""
+    )

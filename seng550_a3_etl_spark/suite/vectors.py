@@ -2010,3 +2010,148 @@ def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_cos",
         F.col("n_index_dups").isNull().alias("survives"),
     )
+
+
+_NPROBE_LEVELS = (1, 2, 4, 8)
+_NPROBE_SQL = ", ".join(str(p) for p in _NPROBE_LEVELS)
+
+
+def _nprobe_curve_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+    cent AS (SELECT vec_id AS bid, embedding AS bv
+             FROM embeddings WHERE vec_id % 50 = 0
+             ORDER BY vec_id LIMIT 100),
+    q AS (SELECT vec_id AS qid, embedding AS qv
+          FROM embeddings WHERE vec_id < 20),
+    assign AS (
+      SELECT cid, cv, bid FROM (
+        SELECT cid, cv, bid, ROW_NUMBER() OVER (
+          PARTITION BY cid ORDER BY sim DESC, bid
+        ) AS rn
+        FROM (SELECT cid, cv, bid, ROUND({_cos('cv', 'bv')}, 6) AS sim
+              FROM c, cent)
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT qid, qv, bid, rn AS pr FROM (
+        SELECT qid, qv, bid, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY sim DESC, bid
+        ) AS rn
+        FROM (SELECT qid, qv, bid, ROUND({_cos('qv', 'bv')}, 6) AS sim
+              FROM q, cent)
+      ) WHERE rn <= {max(_NPROBE_LEVELS)}
+    ),
+    pairs AS (
+      SELECT qid, pr, cid, ROUND({_cos('qv', 'cv')}, 6) AS cosine
+      FROM probes JOIN assign USING (bid) WHERE qid != cid
+    ),
+    lv AS (SELECT unnest([{_NPROBE_SQL}]) AS nprobe),
+    topk AS (
+      SELECT nprobe, qid, cid FROM (
+        SELECT l.nprobe, p.qid, p.cid, ROW_NUMBER() OVER (
+          PARTITION BY l.nprobe, p.qid ORDER BY p.cosine DESC, p.cid
+        ) AS rk
+        FROM pairs p JOIN lv l ON p.pr <= l.nprobe
+      ) WHERE rk <= 5
+    ),
+    exact AS (SELECT qid, cid FROM ({ORACLES['embedding_topk']}))
+    SELECT l.nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(t.cid) AS BIGINT) AS n_hit,
+           CAST((COUNT(t.cid) * 1000000) // COUNT(*) AS BIGINT)
+             AS recall_ppm
+    FROM lv l CROSS JOIN exact e
+    LEFT JOIN topk t
+      ON t.nprobe = l.nprobe AND t.qid = e.qid AND t.cid = e.cid
+    GROUP BY l.nprobe
+    """
+
+
+@query("ivf_nprobe_recall_curve", oracle=_nprobe_curve_oracle())
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve (X182): recall@5 vs nprobe in {1,2,4,8} from
+    ONE shared probe pass — the measurement behind the nprobe knob that
+    X72 gates a single point of. The corpus buckets once (zero-exchange
+    fold), each query ranks all cells once keeping probe rank <= 8, and
+    every candidate pair replicates onto the levels whose probe budget
+    admits it (broadcast <=4-row level table, predicate join) — so the
+    whole curve costs ONE corpus assignment + one candidate join, not
+    one IVF run per level. recall is exact integer ppm.
+
+    Scale: identical candidate-volume contract as ivf_topk at the
+    largest level; the exact side is the brute-force baseline every
+    recall gate inherently pays (bounded probe set, top-k-pruned
+    comparison join)."""
+    from seng550_a3_etl_spark.operators.similarity import (
+        _pair_cosine,
+        _with_norm,
+        assign_buckets,
+        cosine_topk,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    cent = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(100)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    )
+    bucketed = assign_buckets(c, cent, "cid", "cv")
+    probes = (
+        _with_norm(q, "qv", "__qn")
+        .join(F.broadcast(_with_norm(cent, "bv", "__bn")))
+        .withColumn("__sim", _pair_cosine("qv", "bv", "__qn", "__bn"))
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("__sim"), F.asc("bid")
+                )
+            ),
+        )
+        .filter(F.col("__pr") <= max(_NPROBE_LEVELS))
+        .select("qid", "qv", "__qn", "bid", "__pr")
+    )
+    pairs = (
+        probes.join(bucketed, "bid")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cosine", _pair_cosine("qv", "cv", "__qn", "__cn"))
+        .select("qid", "__pr", "cid", "cosine")
+    )
+    levels = spark.range(0).sparkSession.createDataFrame(
+        [(p,) for p in _NPROBE_LEVELS], "nprobe int"
+    )
+    topk = (
+        pairs.join(F.broadcast(levels), F.col("__pr") <= F.col("nprobe"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("nprobe", "qid").orderBy(
+                    F.desc("cosine"), F.asc("cid")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("nprobe", "qid", "cid", F.lit(1).alias("__hit"))
+    )
+    exact = cosine_topk(q, c, k=5).select("qid", "cid")
+    return (
+        exact.crossJoin(F.broadcast(levels))
+        .join(topk, ["nprobe", "qid", "cid"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("__hit").cast("long").alias("n_hit"),
+            F.expr(
+                "CAST(count(__hit) * 1000000 DIV count(1) AS LONG)"
+            ).alias("recall_ppm"),
+        )
+    )
