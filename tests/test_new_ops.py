@@ -1065,3 +1065,66 @@ def test_assign_buckets_keep_sim_matches_recompute(spark):
     got = {r.cid: (r.bid, r.s) for r in rows}
     assert got[1] == (8, 0.8)   # cos([3,4],[0,1]) = 4/5
     assert got[2] == (8, 1.0)
+
+
+def test_gopher_rules_integer_boundaries(spark, tmp_path):
+    """The cross-multiplied integer comparisons sit exactly ON their
+    published boundaries: 20 words passes the word-count gate, mean
+    word length exactly 3 or 10 passes, exactly 80% alphabetic passes,
+    exactly 10% symbol-prefixed passes."""
+    import shutil
+
+    import seng550_a3_etl_spark.suite.quality as q
+
+    # 20 words of 3 chars -> word count ON lower bound, mean len ON
+    # lower bound; includes 'the'+'a' so the stopword gate passes; all
+    # alphabetic, no symbols.
+    passing = " ".join(["the", "and"] + ["bcd"] * 18)
+    # 10 words, one '#'-prefixed (10% exactly), two non-alpha tokens
+    # (80% alpha exactly)
+    edge = "the a #x1 22 bbb ccc ddd eee fff ggg"
+    df = spark.createDataFrame(
+        [(0, passing, "en", "s0", len(passing)),
+         (1, edge, "en", "s0", len(edge))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path / "docs"
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    # flatten: fixture loader expects <dir>/documents.parquet
+    out = {r["doc_id"]: r.asDict() for r in
+           q.gopher_quality_flags(spark, str(d)).collect()}
+    assert out[0]["r_word_count"] and out[0]["r_mean_word_len"]
+    assert out[0]["r_alpha_words"] and out[0]["pass_gopher"]
+    assert out[1]["r_alpha_words"]          # exactly 80% alpha passes
+    assert out[1]["r_symbol_ratio"]         # exactly 10% symbols passes
+    assert not out[1]["r_word_count"]       # 10 words < 20
+
+
+def test_dsir_weights_sign_and_smoothing(spark, tmp_path):
+    """Raw docs made of target-only bigrams score positive, docs of
+    raw-only bigrams score negative; Laplace smoothing keeps every
+    weight finite even for bigrams absent from one side."""
+    import seng550_a3_etl_spark.suite.text_lm as tl
+
+    rows = [
+        # target docs (src0): bigram "alpha beta" dominates
+        (0, "alpha beta alpha beta alpha", "en", "src0", 0),
+        (1, "alpha beta alpha beta", "en", "src0", 0),
+        # raw doc that mimics the target distribution
+        (2, "alpha beta alpha beta alpha", "en", "src5", 0),
+        # raw doc with bigrams the target never saw
+        (3, "zeta eta zeta eta zeta", "en", "src5", 0),
+        (4, "zeta eta zeta eta", "en", "src6", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    d = tmp_path / "docs"
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    out = {r["doc_id"]: r["avg_llr"] for r in
+           tl.dsir_importance_weights(spark, str(d)).collect()}
+    assert set(out) == {2, 3, 4}            # target docs never scored
+    assert out[2] > 0                       # target-like -> positive
+    assert out[3] < 0 and out[4] < 0        # target-unseen -> negative
+    assert all(abs(v) < 100 for v in out.values())  # smoothed, finite
