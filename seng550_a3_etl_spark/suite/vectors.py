@@ -2155,3 +2155,122 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+_MRL_DIMS = (8, 16, 32, 64)  # prefix dims; last = full dimension
+_MRL_SQL = ", ".join(str(d) for d in _MRL_DIMS)
+
+
+def _mrl_oracle() -> str:
+    qs, cs = "p.qv[1:l.dims]", "p.cv[1:l.dims]"
+    return f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qv
+          FROM embeddings WHERE vec_id < 20),
+    pairs AS (SELECT qid, cid, qv, cv FROM q, c WHERE qid != cid),
+    lv AS (SELECT unnest([{_MRL_SQL}]) AS dims),
+    ranked AS (
+      SELECT dims, qid, cid FROM (
+        SELECT dims, qid, cid, ROW_NUMBER() OVER (
+          PARTITION BY dims, qid ORDER BY cosine DESC, cid
+        ) AS rk
+        FROM (
+          SELECT l.dims, p.qid, p.cid,
+                 ROUND({_cos(qs, cs)}, 6) AS cosine
+          FROM pairs p, lv l
+        )
+      ) WHERE rk <= 5
+    ),
+    base AS (SELECT qid, cid FROM ranked WHERE dims = {_MRL_DIMS[-1]})
+    SELECT l.dims,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(r.cid) AS BIGINT) AS n_hit,
+           CAST((COUNT(r.cid) * 1000000) // COUNT(*) AS BIGINT)
+             AS recall_ppm
+    FROM lv l CROSS JOIN base e
+    LEFT JOIN ranked r
+      ON r.dims = l.dims AND r.qid = e.qid AND r.cid = e.cid
+    GROUP BY l.dims
+    """
+
+
+@query("matryoshka_recall_curve", oracle=_mrl_oracle())
+def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval (X184; Kusupati et al. 2022): recall@5
+    of cosine retrieval over each PREFIX of the embedding (8/16/32/64
+    dims) against the full-dimension ranking — the acceptance curve
+    before shipping truncated vectors (an MRL-trained encoder holds
+    recall at small prefixes; a conventional one collapses, which is
+    exactly what a random fixture shows). All four levels score in ONE
+    pair pass: each (query, corpus) pair computes its four prefix
+    cosines in a single projection, levels explode onto the pair rows,
+    and one window per (dims, qid) ranks them — the full-dim rows ARE
+    the exact baseline, so no second corpus scan exists at all. recall
+    is exact integer ppm.
+
+    Scale: the pair join is the brute-force eval-set baseline every
+    truncation study pays (bounded query set x corpus, top-k-pruned
+    before any further join); prefix dots reuse one array slice each,
+    JVM-side."""
+    from seng550_a3_etl_spark.functions.vectors import dot
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+
+    def pcos(d: int):
+        a, b = F.slice("qv", 1, d), F.slice("cv", 1, d)
+        return F.round(
+            dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), 6
+        )
+
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(d).alias("dims"), pcos(d).alias("cosine")
+                    )
+                    for d in _MRL_DIMS
+                ])
+            ).alias("lv"),
+        )
+        .select("qid", "cid", "lv.dims", "lv.cosine")
+    )
+    ranked = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("dims", "qid").orderBy(
+                    F.desc("cosine"), F.asc("cid")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("dims", "qid", "cid")
+        .localCheckpoint(eager=True)  # base + hits both read this
+    )
+    base = ranked.filter(F.col("dims") == _MRL_DIMS[-1]).select("qid", "cid")
+    levels = spark.createDataFrame(
+        [(d,) for d in _MRL_DIMS], "dims int"
+    )
+    hits = ranked.withColumn("__hit", F.lit(1))
+    return (
+        base.crossJoin(F.broadcast(levels))
+        .join(hits, ["dims", "qid", "cid"], "left")
+        .groupBy("dims")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("__hit").cast("long").alias("n_hit"),
+            F.expr(
+                "CAST(count(__hit) * 1000000 DIV count(1) AS LONG)"
+            ).alias("recall_ppm"),
+        )
+    )
