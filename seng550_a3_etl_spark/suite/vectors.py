@@ -2274,3 +2274,95 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+@query(
+    "knn_label_noise_flags",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 50),
+         c AS (SELECT vec_id AS cid, embedding AS cv, label AS cl
+               FROM embeddings),
+    pairs AS (
+      SELECT qid, ql, cid, cl, ROUND({_cos('qv', 'cv')}, 6) AS cosine
+      FROM q, c WHERE qid != cid
+    ),
+    topk AS (
+      SELECT qid, ql, cl FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY cosine DESC, cid
+        ) AS rank
+        FROM pairs
+      ) WHERE rank <= 5
+    ),
+    votes AS (
+      SELECT qid, MAX(ql) AS ql, cl, COUNT(*) AS n
+      FROM topk GROUP BY qid, cl
+    ),
+    maj AS (
+      SELECT qid, ql, cl AS maj_label, n AS n_major FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY n DESC, cl ASC
+        ) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT qid,
+           CAST(ql AS BIGINT) AS label,
+           CAST(maj_label AS BIGINT) AS maj_label,
+           CAST(n_major AS BIGINT) AS n_major,
+           maj_label != ql AND n_major >= 3 AS noisy
+    FROM maj
+    """,
+)
+def knn_label_noise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection (X185, confident-learning-lite / cleanlab
+    shape): each probe item is flagged ``noisy`` when the MAJORITY
+    label of its 5 nearest cosine neighbors disagrees with its own
+    label at >=3/5 consensus — the per-item CLEANING operator behind
+    X173's aggregate precision metric (X173 tells you the space is
+    healthy; this tells you WHICH labels to relabel or drop before the
+    set trains a classifier gate like X156). Majority tie breaks to the
+    smallest label id, deterministically on both engines (argmax on
+    (count DESC, label ASC)).
+
+    Scale: identical plumbing as X173 — probes broadcast against one
+    corpus scan, everything after the top-k prune moves k·|probes|
+    rows; the vote is a (qid,label) rollup of 5-row groups."""
+    from seng550_a3_etl_spark.operators.similarity import cosine_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("cl"),
+    )
+    topk = cosine_topk(q.select("qid", "qv"), c.select("cid", "cv"), k=5)
+    labeled = (
+        topk.join(F.broadcast(q.select("qid", "ql")), "qid")
+        .join(c.select("cid", "cl"), "cid")
+    )
+    votes = labeled.groupBy("qid", "cl").agg(
+        F.max("ql").alias("ql"), F.count(F.lit(1)).alias("n")
+    )
+    maj = votes.groupBy("qid").agg(
+        F.max("ql").alias("ql"),
+        F.max(F.struct(F.col("n"), (-F.col("cl")).alias("negcl"))).alias(
+            "__m"
+        ),
+    )
+    return maj.select(
+        "qid",
+        F.col("ql").cast("long").alias("label"),
+        (-F.col("__m.negcl")).cast("long").alias("maj_label"),
+        F.col("__m.n").cast("long").alias("n_major"),
+        (
+            (-F.col("__m.negcl") != F.col("ql")) & (F.col("__m.n") >= 3)
+        ).alias("noisy"),
+    )
