@@ -809,6 +809,78 @@ def dedup_doc_spans(
     )
 
 
+def dedup_doc_spans_exploded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """:func:`dedup_doc_spans` with an explode/aggregate physical plan —
+    byte-identical output (same split, same keep-first-occurrence rule,
+    same reading-order rebuild), different execution shape: spans
+    posexplode, the first occurrence per (doc, span) is marked by a
+    min-position window, and ONE groupBy(doc) rebuilds the text — two
+    narrow shuffles instead of zero.
+
+    Exists for COMPOSED pipelines (X161): the zero-shuffle HOF form
+    generates a very large expression tree, and chaining three such
+    stages in one job makes the per-session codegen compile (janino)
+    the dominant cost at bench scale (~50-60 s before the first row
+    moves; measured r9). The explode form keeps every generated class
+    small. At production scale the trade inverts benignly: the compile
+    is a fixed cost a 100 TB run never notices, and the two shuffles
+    move (pos, span) pairs — bounded, map-side-combinable traffic — so
+    either form is scale-safe; pick HOF when the job is this operator
+    alone, exploded when it composes with other heavy per-row stages.
+
+    ``carry`` columns ride the rebuild groupBy key (constant per doc),
+    exactly as in :func:`remove_boilerplate_spans`.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    nb = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    blocks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # posexplode_outer keeps empty/NULL-text docs as one (null, null)
+    # row, so they survive to the rebuild with 0 spans and '' text —
+    # matching the HOF form's empty-array branch.
+    ex = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.posexplode_outer(blocks).alias("pos", "b"),
+    )
+    w = Window.partitionBy(id_col, "b")
+    marked = ex.withColumn("__minpos", F.min("pos").over(w))
+    return marked.groupBy(id_col, *[F.col(c) for c in carry]).agg(
+        F.count("b").cast("long").alias("n_spans"),
+        (
+            F.count("b")
+            - F.count(F.when(F.col("pos") == F.col("__minpos"), F.lit(1)))
+        ).cast("long").alias("n_dup_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("pos") == F.col("__minpos"),
+                            F.struct("pos", "b"),
+                        )
+                    )
+                ),
+                lambda s: s["b"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+
+
 def remove_boilerplate_spans(
     df: DataFrame,
     id_col: str,

@@ -3015,7 +3015,7 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage materialization a production pipeline writes anyway."""
     from seng550_a3_etl_spark.functions.text import repair_text
     from seng550_a3_etl_spark.operators.text_dedup import (
-        dedup_doc_spans,
+        dedup_doc_spans_exploded,
         ngram_jaccard_pairs,
         remove_boilerplate_spans,
     )
@@ -3029,13 +3029,23 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     t = load_tables(spark, sf_dir)
+    # rep pins so the span stage reads a materialized string column:
+    # unpinned, the repair HOF inlines into every span-split reference
+    # and the composed expression's codegen compile dominates the job
+    # at bench scale (r9: 112 s -> ~25 s end-to-end with the pins plus
+    # the exploded span stage below).
     rep = t.documents.select(
         "doc_id",
         "lang",
         tokcnt(F.col("text")).alias("n0"),
         repair_text(F.col("text")).alias("t1"),
-    ).withColumn("n1", tokcnt(F.col("t1")))
-    sd = dedup_doc_spans(
+    ).withColumn("n1", tokcnt(F.col("t1"))).localCheckpoint(eager=True)
+    # Exploded form, not the zero-shuffle HOF form the X155 singleton
+    # uses: byte-identical output (unit-tested equal), but each
+    # generated class stays small — chaining three scan-stage HOF
+    # rebuilds in one job is exactly the composition that makes the
+    # janino compile the dominant cost (see the operator docstring).
+    sd = dedup_doc_spans_exploded(
         rep, "doc_id", "t1", k=_DOC_SPAN_K, carry=("lang", "n0", "n1")
     )
     d2 = sd.select(

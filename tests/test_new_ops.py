@@ -1128,3 +1128,41 @@ def test_dsir_weights_sign_and_smoothing(spark, tmp_path):
     assert out[2] > 0                       # target-like -> positive
     assert out[3] < 0 and out[4] < 0        # target-unseen -> negative
     assert all(abs(v) < 100 for v in out.values())  # smoothed, finite
+
+
+def test_dedup_doc_spans_exploded_equals_hof(spark):
+    """The explode/aggregate form is byte-identical to the zero-shuffle
+    HOF form on crafted repeats, NULL text, empty text, and partial
+    trailing spans."""
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        dedup_doc_spans,
+        dedup_doc_spans_exploded,
+    )
+
+    rows = [
+        (0, "a b a b a b"),          # pure repeat, k=2 -> one span kept
+        (1, "a b c d a b"),          # repeat of first span at the end
+        (2, "x y z"),                # trailing partial span
+        (3, None),                   # NULL text
+        (4, ""),                     # empty text
+        (5, "q"),                    # single token
+        (6, "m n m n m"),            # repeat + partial tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dedup_text"])
+        for r in dedup_doc_spans(df, "doc_id", "text", k=2).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dedup_text"])
+        for r in dedup_doc_spans_exploded(
+            df, "doc_id", "text", k=2
+        ).collect()
+    }
+    assert a == b
+    # carry columns pass through identically
+    dfc = df.withColumn("src", F.lit("s"))
+    c = dedup_doc_spans_exploded(
+        dfc, "doc_id", "text", k=2, carry=("src",)
+    ).collect()
+    assert all(r["src"] == "s" for r in c)
