@@ -89,3 +89,23 @@ def write_zordered(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(path)
+
+
+def spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a frame to the session's core count —
+    ONLY when its scan under-parallelizes (fewer partitions than
+    cores). For CPU-bound per-row stages (HOF folds: subword encode,
+    span rebuild, text repair) the partition count IS the parallelism;
+    a small fixture parquet written as one row group scans as ONE
+    partition and pins the whole stage to one core (r9: bpe_encode at
+    sf0.1 ran 32x under-parallel; 10x data landed on 2 cores and
+    graded "superlinear" when the operator is linear).
+
+    At production scale this is a no-op by construction: a 100 TB scan
+    yields thousands of splits (>= cores), so the guard skips the
+    shuffle and no corpus bytes move. The guard reads only partition
+    METADATA (no job runs)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)

@@ -2600,9 +2600,16 @@ def doc_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     The rebuilt text feeds the canonical dedup / near-dup family
     unchanged."""
     from seng550_a3_etl_spark.operators.text_dedup import dedup_doc_spans
+    from seng550_a3_etl_spark.plans.layout import spread_for_cpu
 
     t = load_tables(spark, sf_dir)
-    return dedup_doc_spans(t.documents, "doc_id", "text", k=_DOC_SPAN_K)
+    # CPU-bound per-row rebuild: spread when the scan under-parallelizes
+    # (no-op at scale; see spread_for_cpu).
+    return spread_for_cpu(t.documents).select(
+        "doc_id", "text"
+    ).transform(
+        lambda d: dedup_doc_spans(d, "doc_id", "text", k=_DOC_SPAN_K)
+    )
 
 
 @query(
@@ -3034,7 +3041,9 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the composed expression's codegen compile dominates the job
     # at bench scale (r9: 112 s -> ~25 s end-to-end with the pins plus
     # the exploded span stage below).
-    rep = t.documents.select(
+    from seng550_a3_etl_spark.plans.layout import spread_for_cpu
+
+    rep = spread_for_cpu(t.documents).select(
         "doc_id",
         "lang",
         tokcnt(F.col("text")).alias("n0"),

@@ -968,9 +968,13 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    docs = t.documents.select("doc_id", "text").crossJoin(
-        F.broadcast(vocab_row)
-    )
+    from seng550_a3_etl_spark.plans.layout import spread_for_cpu
+
+    # The encode is a CPU-bound per-row fold: partitions = parallelism.
+    # spread_for_cpu is a no-op when the scan already splits >= cores.
+    docs = spread_for_cpu(
+        t.documents.select("doc_id", "text")
+    ).crossJoin(F.broadcast(vocab_row))
     vmap = F.col("__vmap")
     st_type = "struct<pending:string,ids:array<int>,nunk:int>"
 

@@ -424,3 +424,14 @@ def test_psi_output_bounded_by_sources(spark):
     assert len(rows) == len({r.source for r in rows})
     assert all(r.psi is not None and abs(r.psi) < 100 for r in rows)
     assert sum(r.n_docs for r in rows) > 0
+
+
+def test_spread_for_cpu_guard(spark):
+    from seng550_a3_etl_spark.plans.layout import spread_for_cpu
+
+    cores = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    assert spread_for_cpu(narrow).rdd.getNumPartitions() == cores
+    wide = spark.range(100).repartition(cores + 4)
+    # already >= cores: untouched (no extra shuffle)
+    assert spread_for_cpu(wide) is wide
