@@ -975,3 +975,75 @@ def sql_correlated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     t.orders.createOrReplaceTempView("orders_v")
     return spark.sql(_SQL_CORRELATED.format(orders="orders_v"))
+
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_CUTOFF = "1998-06-01"
+
+
+@query(
+    "shipping_priority_topn",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority AS orderpriority,
+           CAST(SUM(CAST(ROUND(
+             l.l_extendedprice * (1 - l.l_discount) * 100
+           ) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+      AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+      AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_cents DESC, orderdate, orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (X187): the 10 highest-revenue orders from one
+    market segment that were booked before the cutoff but have line
+    items still shipping after it — the classic 3-way
+    filter→join→agg→top-N every warehouse benchmarks. Revenue is
+    summed in INTEGER CENTS (per-row round of extprice·(1−discount),
+    the X137/benford recipe), so the ranking and the hash are
+    bit-exact cross-engine; the top-10 order is fully tie-broken
+    (revenue DESC, orderdate, orderkey).
+
+    Scale: the segment-filtered customer side broadcasts into orders,
+    the date predicates push to both scans (only surviving orders meet
+    lineitem in the one keyed shuffle), the rollup map-side-combines on
+    the order key, and the top-10 is a TakeOrdered — no global sort
+    materializes."""
+    t = load_tables(spark, sf_dir)
+    cust = t.customer.filter(
+        F.col("c_mktsegment") == _Q3_SEGMENT
+    ).select("c_custkey")
+    orders = t.orders.filter(
+        F.col("o_orderdate") < F.lit(_Q3_CUTOFF).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = t.lineitem.filter(
+        F.col("l_shipdate") > F.lit(_Q3_CUTOFF).cast("timestamp")
+    ).select(
+        "l_orderkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long").alias("cents"),
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("cents").cast("long").alias("revenue_cents"))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+            "revenue_cents",
+        )
+        .orderBy(
+            F.desc("revenue_cents"), "orderdate", "orderkey"
+        )
+        .limit(10)
+    )

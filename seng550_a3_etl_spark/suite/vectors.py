@@ -2366,3 +2366,83 @@ def knn_label_noise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("__m.negcl") != F.col("ql")) & (F.col("__m.n") >= 3)
         ).alias("noisy"),
     )
+
+
+@query(
+    "retrieval_mrr",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 50),
+         c AS (SELECT vec_id AS cid, embedding AS cv, label AS cl
+               FROM embeddings),
+    pairs AS (
+      SELECT qid, ql, cid, cl, ROUND({_cos('qv', 'cv')}, 6) AS cosine
+      FROM q, c WHERE qid != cid
+    ),
+    topk AS (
+      SELECT qid, ql, cl, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY cosine DESC, cid
+        ) AS rank
+        FROM pairs
+      ) WHERE rank <= 10
+    ),
+    firsts AS (
+      SELECT qid, MIN(rank) AS first_rank
+      FROM topk WHERE cl = ql GROUP BY qid
+    )
+    SELECT q.qid,
+           CAST(q.ql AS BIGINT) AS label,
+           CAST(f.first_rank AS BIGINT) AS first_rank,
+           CAST(COALESCE(1000000 // f.first_rank, 0) AS BIGINT) AS rr_ppm
+    FROM q LEFT JOIN firsts f ON f.qid = q.qid
+    """,
+)
+def retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval MRR@10 (X186): per probe, the rank of the FIRST
+    same-label neighbor in the top-10 cosine ranking, as a reciprocal
+    rank in exact integer ppm (0 when no same-label neighbor surfaces)
+    — the third leg of the embedding-eval suite: X173 measures
+    precision (how MANY neighbors agree), X185 flags noise (which
+    items to clean), this measures rank quality (how SOON retrieval
+    finds a relevant hit — the metric RAG/recs stacks report). Mean
+    over probes is the corpus MRR; per-probe rows keep the failure
+    cases inspectable.
+
+    Scale: identical plumbing as X173 — probes broadcast against one
+    corpus scan, the prune keeps k·|probes| rows, the first-hit fold
+    is a per-probe MIN."""
+    from seng550_a3_etl_spark.operators.similarity import cosine_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("cl"),
+    )
+    topk = cosine_topk(q.select("qid", "qv"), c.select("cid", "cv"), k=10)
+    firsts = (
+        topk.join(F.broadcast(q.select("qid", "ql")), "qid")
+        .join(c.select("cid", "cl"), "cid")
+        .filter(F.col("cl") == F.col("ql"))
+        .groupBy("qid")
+        .agg(F.min("rank").alias("first_rank"))
+    )
+    return (
+        q.select("qid", "ql")
+        .join(firsts, "qid", "left")
+        .select(
+            "qid",
+            F.col("ql").cast("long").alias("label"),
+            F.col("first_rank").cast("long").alias("first_rank"),
+            F.coalesce(
+                F.expr("1000000 DIV first_rank"), F.lit(0)
+            ).cast("long").alias("rr_ppm"),
+        )
+    )
