@@ -485,3 +485,52 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
           'pii_email_docs', CAST(n_email AS LONG)
         ) AS (metric, value)"""
     )
+
+
+_LDIV_L = 3
+
+
+@query(
+    "quasi_id_ldiversity",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             COUNT(DISTINCT c_mktsegment) AS l_distinct,
+             COUNT(*) AS class_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT l_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           l_distinct < {_LDIV_L} AS below_l
+    FROM classes GROUP BY l_distinct
+    """,
+)
+def quasi_id_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity census (X188) — the attribute-disclosure complement
+    of X130's k-anonymity: for each quasi-identifier equivalence class
+    (nation, account-balance bucket), the number of DISTINCT values of
+    the sensitive attribute (market segment), histogrammed with each
+    diversity level flagged against l=3. A class can be k-anonymous yet
+    leak the sensitive value outright when every member shares it
+    (l=1); release gates require both censuses green.
+
+    Scale: same two-level rollup as X130 — one map-side-combined
+    shuffle to the class rollup (the DISTINCT rides the same exchange),
+    then a fold over |classes| rows."""
+    t = load_tables(spark, sf_dir)
+    classes = t.customer.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias(
+            "bal_bucket"
+        ),
+    ).agg(
+        F.countDistinct("c_mktsegment").alias("l_distinct"),
+        F.count(F.lit(1)).alias("class_size"),
+    )
+    return classes.groupBy("l_distinct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        (F.col("l_distinct") < _LDIV_L).alias("below_l"),
+    )

@@ -2446,3 +2446,123 @@ def retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("rr_ppm"),
         )
     )
+
+
+_KCENTER_M = 6  # greedy farthest-point seeds
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy farthest-point CTE chain: seeds0 = min vec_id;
+    each step picks the corpus vector maximizing its min cosine
+    distance to the chosen set (dist = ROUND(1 - MAX(ROUND(cos,6)),6),
+    exactly the Spark fold's arithmetic), tie to the smallest id."""
+    parts = [
+        """seeds0 AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    )""",
+        """out0 AS (
+      SELECT CAST(0 AS BIGINT) AS seed_rank, vec_id,
+             CAST(NULL AS DOUBLE) AS min_dist
+      FROM seeds0
+    )""",
+    ]
+    for i in range(1, _KCENTER_M):
+        p = i - 1
+        parts.append(f"""d{i} AS (
+      SELECT e.vec_id, e.embedding,
+             ROUND(1 - MAX(ROUND({_cos('e.embedding', 's.embedding')}, 6)),
+                   6) AS d
+      FROM embeddings e, seeds{p} s
+      GROUP BY e.vec_id, e.embedding
+    )""")
+        parts.append(f"""pick{i} AS (
+      SELECT vec_id, embedding, d FROM d{i}
+      ORDER BY d DESC, vec_id LIMIT 1
+    )""")
+        parts.append(f"""seeds{i} AS (
+      SELECT vec_id, embedding FROM seeds{p}
+      UNION ALL SELECT vec_id, embedding FROM pick{i}
+    )""")
+        parts.append(f"""out{i} AS (
+      SELECT CAST({i} AS BIGINT) AS seed_rank, vec_id, d AS min_dist
+      FROM pick{i}
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM out{i}" for i in range(_KCENTER_M)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+@query("kcenter_diverse_seeds", oracle=_kcenter_oracle())
+def kcenter_diverse_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center / farthest-point seed selection (X189, the
+    2-approximation coreset primitive): starting from the smallest
+    vec_id, repeatedly pick the corpus vector FARTHEST (max-min cosine
+    distance) from the chosen set — the diversity-maximizing
+    counterpart to X179's target-likeness (DSIR selects SIMILAR data,
+    k-center selects data that COVERS the space: seed sets for
+    diversity strata, annotation batches, eval-probe panels).
+    Deterministic: distances round to 6 before the argmax, ties to the
+    smallest id; the oracle unrolls the identical greedy chain.
+
+    Scale: each of the m-1 iterations is one corpus scan with the
+    zero-exchange assign_buckets fold (seed set packs into ONE
+    broadcast row) followed by a 1-row argmax aggregate — m corpus
+    scans total, the algorithm's inherent cost; the seed frame (≤ m
+    rows) checkpoints per step so iterations never replay lineage."""
+    from seng550_a3_etl_spark.operators.similarity import assign_buckets
+
+    t = load_tables(spark, sf_dir)
+    corpus = t.embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    seed0 = corpus.orderBy("id").limit(1).localCheckpoint(eager=True)
+    seeds = seed0.select(
+        F.col("id").alias("bid"), F.col("v").alias("bv")
+    )
+    rows = [
+        seed0.select(
+            F.lit(0).cast("long").alias("seed_rank"),
+            F.col("id").alias("vec_id"),
+            F.lit(None).cast("double").alias("min_dist"),
+        )
+    ]
+    for i in range(1, _KCENTER_M):
+        scored = assign_buckets(
+            corpus, seeds, "id", "v", keep_sim="__sim"
+        ).select(
+            "id", "v", F.round(1 - F.col("__sim"), 6).alias("d")
+        )
+        pick = (
+            scored.agg(
+                F.max(
+                    F.struct(
+                        F.col("d"),
+                        (-F.col("id")).alias("negid"),
+                        F.col("id"),
+                        F.col("v"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("m.id").alias("id"),
+                F.col("m.v").alias("v"),
+                F.col("m.d").alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rows.append(
+            pick.select(
+                F.lit(i).cast("long").alias("seed_rank"),
+                F.col("id").alias("vec_id"),
+                F.col("d").alias("min_dist"),
+            )
+        )
+        seeds = seeds.unionByName(
+            pick.select(F.col("id").alias("bid"), F.col("v").alias("bv"))
+        ).localCheckpoint(eager=True)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
