@@ -9,9 +9,13 @@ exchanges, >=4 scans). The flagged set should stay explainable:
 multi-aggregate shapes (tfidf, region_revenue), set operations
 (segment_setops), incremental-maintenance comparisons
 (incremental_nation_revenue), intentional broadcast theta joins
-(BNLJ rows), and per-FK-edge unions (fk_orphan_census: 7 arms x
-child+parent = 14 scans, the per-arm minimum) are by design; a new
-unexplained flag is a regression.
+(BNLJ rows), per-FK-edge unions (fk_orphan_census: 7 arms x
+child+parent = 14 scans, the per-arm minimum), recall gates (the
+exact brute-force baseline plus the approximate path each re-read
+the small q/cent frames: ann_recall_*, ivf_nprobe_recall_curve,
+knn_label_*), and BPE-encoder compositions (bpe_fertility: the vocab
+build + encode + word-count arms) are by design; a new unexplained
+flag is a regression.
 """
 
 from __future__ import annotations
