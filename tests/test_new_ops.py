@@ -1166,3 +1166,42 @@ def test_dedup_doc_spans_exploded_equals_hof(spark):
         dfc, "doc_id", "text", k=2, carry=("src",)
     ).collect()
     assert all(r["src"] == "s" for r in c)
+
+
+def test_kcenter_greedy_invariants(spark):
+    """Greedy farthest-point guarantees: picked distances are
+    non-increasing (each new seed covers the previous worst gap), all
+    seeds distinct, rank 0 is the smallest vec_id with NULL distance."""
+    from seng550_a3_etl_spark.suite.vectors import kcenter_diverse_seeds
+
+    rows = sorted(
+        kcenter_diverse_seeds(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["seed_rank"],
+    )
+    assert rows[0]["seed_rank"] == 0 and rows[0]["min_dist"] is None
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    dists = [r["min_dist"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    assert all(d > 0 for d in dists)
+
+
+def test_recall_curves_monotone(spark):
+    """More probes / more dims can only add candidates: recall@5 is
+    non-decreasing in nprobe, and the full-dim Matryoshka row is the
+    baseline itself (recall exactly 1e6 ppm)."""
+    from seng550_a3_etl_spark.suite.vectors import (
+        ivf_nprobe_recall_curve,
+        matryoshka_recall_curve,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    np_rows = sorted(
+        ivf_nprobe_recall_curve(spark, sf).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    rec = [r["recall_ppm"] for r in np_rows]
+    assert all(a <= b for a, b in zip(rec, rec[1:]))
+    mrl = {r["dims"]: r["recall_ppm"]
+           for r in matryoshka_recall_curve(spark, sf).collect()}
+    assert mrl[64] == 1_000_000
