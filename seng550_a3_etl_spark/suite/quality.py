@@ -348,6 +348,14 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage of the curation funnel, and the flags land beside the doc for
     the X78-style per-stage accounting."""
     t = load_tables(spark, sf_dir)
+    return gopher_flags_projection(t.documents)
+
+
+def gopher_flags_projection(documents: DataFrame) -> DataFrame:
+    """The X178 rule projection over any (doc_id, text) frame — shared
+    by the batch query and the streaming ingest gate (X190), which runs
+    it on a readStream frame (pure projection: stream-compatible
+    as-is)."""
     toks = tokens(F.col("text"))
     n_words = F.size(toks).cast("long")
     sum_chars = F.aggregate(
@@ -365,7 +373,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(toks, lambda x: F.array_contains(stops, F.lower(x)))
         )
     ).cast("long")
-    m = t.documents.select(
+    m = documents.select(
         "doc_id",
         n_words.alias("n_words"),
         sum_chars.alias("sum_chars"),

@@ -620,3 +620,43 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("hit"), F.col("c"))).alias("best_cos"),
         (~F.max(F.coalesce("hit", F.lit(False)))).alias("survives"),
     )
+
+
+_QGATE_TABLE = "stream_quality_gate_sink"
+
+
+def _qgate_oracle() -> str:
+    from seng550_a3_etl_spark.suite import quality  # noqa: F401  (register)
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return ORACLES["gopher_quality_flags"]
+
+
+@query("stream_quality_gate", oracle=_qgate_oracle())
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality gate (X190): the X178 Gopher rules executed on
+    a document INGEST stream — a pure stateless projection per
+    micro-batch (the rules fold over the token array inside the scan,
+    zero streaming state, append mode), which is exactly where a
+    production corpus runs them: on arrival, before anything lands in
+    the lake. Same oracle as the batch twin, so the driver checks the
+    streaming execution of the identical rule arithmetic.
+
+    Scale: per-batch cost is |batch| row projections; the job holds no
+    state and runs indefinitely at constant memory."""
+    from seng550_a3_etl_spark.suite.quality import gopher_flags_projection
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/documents.parquet*"
+    )
+    out = gopher_flags_projection(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_QGATE_TABLE)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(_QGATE_TABLE)
