@@ -3238,3 +3238,44 @@ def source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+_CV_FOLDS = 5
+
+
+def _cv_folds_oracle() -> str:
+    from seng550_a3_etl_spark.functions.hashing import duck_hash64
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    h = duck_hash64("CAST(canonical_id AS VARCHAR)", seed=47)
+    return f"""
+    WITH labels AS ({ORACLES["dup_clusters"]})
+    SELECT doc_id, canonical_id,
+           CAST({h} % {_CV_FOLDS} AS BIGINT) AS fold
+    FROM labels
+    """
+
+
+@query("crossval_fold_assignment", oracle=_cv_folds_oracle())
+def crossval_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free k-fold assignment (X192): X71's cluster-keyed hash
+    split generalized to {k} cross-validation folds — every document in
+    a near-dup cluster lands in the SAME fold (hash of the canonical
+    id, not the doc id), so no fold's held-out set contains a
+    paraphrase of another fold's training data; the failure mode that
+    silently inflates every cross-validated quality-classifier score
+    (X156) trained on undeduplicated text. Hash-stable: adding
+    documents never reassigns an existing cluster's fold.
+
+    Scale: zero shuffle past the (session-cached) cluster-label build —
+    the fold is a per-row stable hash, the same X26/X71 construction.
+    """
+    labels = _labels_df(spark, sf_dir)
+    return labels.select(
+        "doc_id",
+        "canonical_id",
+        (
+            hash64(F.col("canonical_id").cast("string"), seed=47)
+            % _CV_FOLDS
+        ).cast("long").alias("fold"),
+    )

@@ -2566,3 +2566,78 @@ def kcenter_diverse_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+_LOGREG_DIM = 64
+# Deterministic non-trivial starting weights; both engines parse the
+# identical decimal literals, so w0 is bit-equal cross-engine.
+_LOGREG_W0 = [((j % 7) - 3) / 10.0 for j in range(_LOGREG_DIM)]
+_LOGREG_W0_SQL = "[" + ", ".join(repr(w) for w in _LOGREG_W0) + "]"
+
+
+@query(
+    "logistic_grad_step",
+    oracle=f"""
+    WITH e AS (
+      SELECT embedding,
+             CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings
+    ),
+    p AS (
+      SELECT embedding, y,
+             1 / (1 + exp(-(list_sum(list_transform(
+               range(1, {_LOGREG_DIM} + 1),
+               i -> embedding[i]::DOUBLE * ({_LOGREG_W0_SQL})[i]
+             ))))) AS p
+      FROM e
+    )
+    SELECT CAST(d.i - 1 AS BIGINT) AS dim,
+           ROUND(AVG(embedding[d.i]::DOUBLE * (p - y)), 6) AS grad
+    FROM p, (SELECT unnest(range(1, {_LOGREG_DIM} + 1)) AS i) d
+    GROUP BY 1
+    """,
+)
+def logistic_grad_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One logistic-regression gradient step IN the engine (X191):
+    per-dimension gradient of binary cross-entropy for a class-0-vs-
+    rest probe over the embedding table, at fixed deterministic weights
+    — completing the in-engine training loop family (X75 k-means step,
+    X91 PCA step, X112 OLS, X156 classifier INFERENCE): distributed
+    gradient computation is the step a driver loop iterates to train
+    the very quality classifiers X156 then applies. grad_j =
+    avg(x_j · (σ(w·x) − y)); exp/σ differ across engines by ≤1 ulp,
+    far inside the 6-decimal rounding (the suite's standing float
+    rule).
+
+    Scale: σ(w·x) folds per row against ONE broadcast literal weight
+    array inside the scan; the per-dimension rollup explodes to
+    (dim, x·residual) pairs and map-side-combines onto |dim| groups —
+    one shuffle of 64 partials per partition, the textbook distributed
+    gradient shape."""
+    from seng550_a3_etl_spark.functions.vectors import dot
+
+    t = load_tables(spark, sf_dir)
+    w0 = F.array(*[F.lit(w) for w in _LOGREG_W0])
+    e = t.embeddings.select(
+        "embedding",
+        F.when(F.col("label") == 0, F.lit(1.0)).otherwise(0.0).alias("y"),
+    )
+    margin = dot(F.col("embedding"), w0)
+    p = e.select(
+        "embedding",
+        "y",
+        (1 / (1 + F.exp(-margin))).alias("p"),
+    )
+    return (
+        p.select(
+            F.posexplode("embedding").alias("dim", "x"),
+            (F.col("p") - F.col("y")).alias("r"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.round(
+                F.avg(F.col("x").cast("double") * F.col("r")), 6
+            ).alias("grad")
+        )
+        .select(F.col("dim").cast("long").alias("dim"), "grad")
+    )
