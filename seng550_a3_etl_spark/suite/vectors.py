@@ -2641,3 +2641,156 @@ def logistic_grad_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("dim").cast("long").alias("dim"), "grad")
     )
+
+
+_LOGREG_STEPS = 3
+_LOGREG_LR = 0.5  # binary-exact scale factor
+
+
+def _logreg_auc_oracle() -> str:
+    dim = _LOGREG_DIM
+    parts = [f"""e AS (
+      SELECT vec_id, embedding,
+             CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings
+    )""", f"""w0 AS (SELECT {_LOGREG_W0_SQL} AS w)"""]
+    for t in range(1, _LOGREG_STEPS + 1):
+        p = t - 1
+        parts.append(f"""g{t} AS (
+      SELECT d.i AS dim,
+             ROUND(AVG(e.embedding[d.i]::DOUBLE *
+               (1 / (1 + exp(-(list_sum(list_transform(
+                  range(1, {dim} + 1),
+                  i -> e.embedding[i]::DOUBLE * w.w[i]))))) - e.y)), 6)
+               AS grad
+      FROM e, w{p} w, (SELECT unnest(range(1, {dim} + 1)) AS i) d
+      GROUP BY 1
+    )""")
+        parts.append(f"""gl{t} AS (
+      SELECT list(grad ORDER BY dim) AS g FROM g{t}
+    )""")
+        parts.append(f"""w{t} AS (
+      SELECT list_transform(range(1, {dim} + 1),
+                            i -> w.w[i] - {_LOGREG_LR} * gl.g[i]) AS w
+      FROM w{p} w, gl{t} gl
+    )""")
+    parts.append(f"""scores AS (
+      SELECT e.vec_id, e.y,
+             ROUND(list_sum(list_transform(
+               range(1, {dim} + 1),
+               i -> e.embedding[i]::DOUBLE * w.w[i])), 6) AS s
+      FROM e, w{_LOGREG_STEPS} w
+    )""")
+    parts.append("""ranked AS (
+      SELECT y, 2 * AVG(rn) OVER (PARTITION BY s) AS ar2 FROM (
+        SELECT y, s, ROW_NUMBER() OVER (ORDER BY s, vec_id) AS rn
+        FROM scores
+      )
+    )""")
+    return "WITH " + ",\n".join(parts) + f"""
+    SELECT CAST(COUNT(*) FILTER (WHERE y = 1) AS BIGINT) AS npos,
+           CAST(COUNT(*) FILTER (WHERE y = 0) AS BIGINT) AS nneg,
+           CAST(ROUND(SUM(ar2) FILTER (WHERE y = 1))
+                - COUNT(*) FILTER (WHERE y = 1)
+                  * (COUNT(*) FILTER (WHERE y = 1) + 1) AS BIGINT)
+             AS auc_num_x2,
+           CAST((CAST(ROUND(SUM(ar2) FILTER (WHERE y = 1))
+                 - COUNT(*) FILTER (WHERE y = 1)
+                   * (COUNT(*) FILTER (WHERE y = 1) + 1) AS BIGINT)
+                 * 1000000)
+                // (2 * COUNT(*) FILTER (WHERE y = 1)
+                      * COUNT(*) FILTER (WHERE y = 0)) AS BIGINT)
+             AS auc_ppm
+    FROM ranked
+    """
+
+
+@query("logistic_train_auc", oracle=_logreg_auc_oracle())
+def logistic_train_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-evaluate IN the engine (X193): three driver-iterated
+    logistic gradient steps (the X191 step, lr=0.5 on 6-decimal-rounded
+    gradients so the weight trajectory is bit-equal cross-engine), then
+    the trained scores graded by EXACT AUC — the Mann-Whitney rank form
+    with average-rank tie handling on the rounded scores, kept in
+    integer 2·U so the statistic (and its ppm) hash-match exactly. The
+    full supervised loop a quality-classifier pipeline runs: X192
+    assigns folds, this trains + grades, X156 applies the winner.
+
+    Scale: each step is one corpus scan (weights ride ONE broadcast
+    row; per-dim rollup map-side-combines to 64 groups) with the
+    64-row weight update checkpointed between steps — the
+    kmeans_iterated pattern; the AUC rank runs over the EVAL-sized
+    score table (one bounded sort), never the training corpus at
+    100 TB."""
+    from seng550_a3_etl_spark.functions.vectors import dot
+
+    t = load_tables(spark, sf_dir)
+    e = t.embeddings.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        F.when(F.col("label") == 0, F.lit(1.0)).otherwise(0.0).alias("y"),
+    )
+    w = spark.range(1).select(
+        F.array(*[F.lit(v) for v in _LOGREG_W0]).alias("w")
+    ).localCheckpoint(eager=True)
+    for _ in range(_LOGREG_STEPS):
+        scored = e.crossJoin(F.broadcast(w)).select(
+            "embedding",
+            "y",
+            (1 / (1 + F.exp(-dot(F.col("embedding"), F.col("w"))))).alias(
+                "p"
+            ),
+        )
+        grads = (
+            scored.select(
+                F.posexplode("embedding").alias("dim", "x"),
+                (F.col("p") - F.col("y")).alias("r"),
+            )
+            .groupBy("dim")
+            .agg(
+                F.round(
+                    F.avg(F.col("x").cast("double") * F.col("r")), 6
+                ).alias("grad")
+            )
+        )
+        gl = grads.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "grad"))),
+                lambda s: s["grad"],
+            ).alias("g")
+        )
+        w = (
+            w.crossJoin(F.broadcast(gl))
+            .select(
+                F.zip_with(
+                    "w", "g", lambda a, b: a - _LOGREG_LR * b
+                ).alias("w")
+            )
+            .localCheckpoint(eager=True)
+        )
+    scores = e.crossJoin(F.broadcast(w)).select(
+        "vec_id",
+        "y",
+        F.round(dot(F.col("embedding"), F.col("w")), 6).alias("s"),
+    )
+    rn = F.row_number().over(Window.orderBy("s", "vec_id"))
+    ranked = scores.select("y", rn.alias("rn"), "s").select(
+        "y",
+        (2 * F.avg("rn").over(Window.partitionBy("s"))).alias("ar2"),
+    )
+    npos = F.count_if(F.col("y") == 1)
+    auc2 = (
+        F.round(F.sum(F.when(F.col("y") == 1, F.col("ar2"))))
+        - npos * (npos + 1)
+    ).cast("long")
+    return ranked.agg(
+        npos.cast("long").alias("npos"),
+        F.count_if(F.col("y") == 0).cast("long").alias("nneg"),
+        auc2.alias("auc_num_x2"),
+        F.expr(
+            "CAST(CAST(ROUND(SUM(CASE WHEN y = 1 THEN ar2 END)) "
+            "- count_if(y = 1) * (count_if(y = 1) + 1) AS BIGINT) "
+            "* 1000000 DIV (2 * count_if(y = 1) * count_if(y = 0)) "
+            "AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
