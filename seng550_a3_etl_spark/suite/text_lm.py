@@ -1208,3 +1208,96 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("unk_ppm"),
         )
     )
+
+
+@query(
+    "source_pairwise_jsd",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_DUCK_CTOKS}) AS t FROM documents
+    ),
+    freq AS (
+      SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    prob AS (
+      SELECT source, t,
+             c / SUM(c) OVER (PARTITION BY source) AS p
+      FROM freq
+    ),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             COUNT(*) AS n_shared_types,
+             SUM(a.p) AS sp, SUM(b.p) AS sq,
+             SUM(a.p * log2(2 * a.p / (a.p + b.p))) AS ta,
+             SUM(b.p * log2(2 * b.p / (a.p + b.p))) AS tb
+      FROM prob a JOIN prob b ON a.t = b.t AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           CAST(n_shared_types AS BIGINT) AS n_shared_types,
+           ROUND(0.5 * (ta + (1 - sp)) + 0.5 * (tb + (1 - sq)), 6)
+             AS jsd_bits
+    FROM shared
+    """,
+)
+def source_pairwise_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source token
+    distributions, in bits (X194) — completes the drift family: PSI
+    (X79, binned numeric), KS (X127, lengths), lang-source MI (X123);
+    JSD is the symmetric, bounded [0,1]-bit measure mixture designers
+    read to decide which sources are near-redundant (low JSD — merge
+    their budgets) vs complementary (high JSD). Tokens present in only
+    one source contribute p·log2(2) = p, so the whole statistic folds
+    from the SHARED-token join alone: JSD = ½(Σp·log2(2p/(p+q)) +
+    (1−Σp)) + ½(symmetric) — no full-outer join needed.
+
+    Scale: one (source, token) rollup (map-side combined), per-source
+    totals via one window over that rollup, then a token-keyed
+    self-join whose output folds immediately to |sources|² rows. At
+    100 TB the rollup is vocab-bounded (Heaps' law); nothing
+    corpus-sized survives the first aggregation."""
+    t = load_tables(spark, sf_dir)
+    freq = (
+        t.documents.select(
+            "source", F.explode(_ctoks(F.col("text"))).alias("t")
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    prob = freq.select(
+        "source",
+        "t",
+        (
+            F.col("c")
+            / F.sum("c").over(Window.partitionBy("source"))
+        ).alias("p"),
+    )
+    a = prob.select(
+        F.col("source").alias("src_a"), "t", F.col("p").alias("pa")
+    )
+    b = prob.select(
+        F.col("source").alias("src_b"), "t", F.col("p").alias("pb")
+    )
+    j = a.join(b, "t").filter(F.col("src_a") < F.col("src_b"))
+    return j.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_types"),
+        F.round(
+            0.5
+            * (
+                F.sum(
+                    F.col("pa")
+                    * F.log2(2 * F.col("pa") / (F.col("pa") + F.col("pb")))
+                )
+                + (1 - F.sum("pa"))
+            )
+            + 0.5
+            * (
+                F.sum(
+                    F.col("pb")
+                    * F.log2(2 * F.col("pb") / (F.col("pa") + F.col("pb")))
+                )
+                + (1 - F.sum("pb"))
+            ),
+            6,
+        ).alias("jsd_bits"),
+    )
