@@ -660,3 +660,96 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(_QGATE_TABLE)
+
+
+_DSIR_TABLE = "stream_dsir_sink"
+
+
+def _stream_dsir_oracle() -> str:
+    # Force the batch twin's registration (text_lm precedes this module
+    # in the package import list only alphabetically by chance — import
+    # explicitly, as the X181 pattern does for vectors).
+    from seng550_a3_etl_spark.suite import text_lm  # noqa: F401
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return ORACLES["dsir_importance_weights"]
+
+
+@query("stream_dsir_scores", oracle=_stream_dsir_oracle())
+def stream_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR scoring (X195): the X179 importance weights
+    computed for an INGEST stream of raw-pool documents against the
+    PERSISTED bigram model — the production selection path (the model
+    trains batch-side on the existing corpus; every arriving document
+    scores immediately, and the weight rides with it into the X45
+    resample). The model is a static frame broadcast into each
+    micro-batch (stream-static join); the streaming job itself stays
+    STATELESS by emitting per-bigram (doc_id, logw) rows in append
+    mode, and the per-doc mean folds over the bounded sink batch-side
+    (the X181 shape — a deployment wanting in-stream rollups would do
+    the same agg per micro-batch in foreachBatch). Same oracle as the
+    batch twin, so the driver checks the streaming scoring path
+    against the identical contract.
+
+    Scale: per-batch cost is |batch| bigram explodes + one broadcast
+    join; the model build never re-runs on the stream path."""
+    from seng550_a3_etl_spark.functions.text import shingles, tokens
+    from seng550_a3_etl_spark.suite.text_lm import _DSIR_TARGET
+
+    from seng550_a3_etl_spark.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    is_tgt = F.col("source").isin(*_DSIR_TARGET)
+    # Model built batch-side on the full static corpus (target + raw),
+    # exactly as the batch twin builds it.
+    bg = t.documents.select(
+        "doc_id",
+        is_tgt.alias("is_tgt"),
+        F.explode(shingles(tokens(F.col("text")), 2)).alias("b"),
+    )
+    cnt = bg.groupBy("b").agg(
+        F.count_if(F.col("is_tgt")).alias("ct"),
+        F.count_if(~F.col("is_tgt")).alias("cr"),
+    )
+    tot = cnt.agg(
+        F.sum("ct").alias("tt"),
+        F.sum("cr").alias("tr"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    model = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            ((F.col("ct") + 1) / (F.col("tt") + F.col("v")))
+            / ((F.col("cr") + 1) / (F.col("tr") + F.col("v")))
+        ).alias("logw"),
+    ).localCheckpoint(eager=True)
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/documents.parquet*"
+    )
+    emitted = (
+        stream.filter(~F.col("source").isin(*_DSIR_TARGET))
+        .select(
+            "doc_id",
+            F.explode(shingles(tokens(F.col("text")), 2)).alias("b"),
+        )
+        .join(F.broadcast(model), "b")
+        .select("doc_id", "logw")
+    )
+    q = (
+        emitted.writeStream.format("memory")
+        .queryName(_DSIR_TABLE)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(_DSIR_TABLE)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg("logw"), 6).alias("avg_llr"),
+        )
+    )
