@@ -1301,3 +1301,98 @@ def source_pairwise_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jsd_bits"),
     )
+
+
+_DISTINCT_TOPK = 5
+
+
+@query(
+    "source_distinctive_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_DUCK_CTOKS}) AS t FROM documents
+    ),
+    st AS (SELECT source, t, COUNT(*) AS y FROM tok GROUP BY 1, 2),
+    tt AS (SELECT t, SUM(y) AS y_all FROM st GROUP BY t),
+    ns AS (SELECT source, SUM(y) AS n FROM st GROUP BY source),
+    gl AS (SELECT SUM(y) AS nn, COUNT(DISTINCT t) AS v FROM st),
+    z AS (
+      SELECT st.source, st.t,
+             CAST(st.y AS BIGINT) AS y_src,
+             ROUND(
+               (LN((st.y + 1.0) / (ns.n + gl.v - st.y - 1.0))
+                - LN((tt.y_all - st.y + 1.0)
+                     / (gl.nn - ns.n + gl.v - (tt.y_all - st.y) - 1.0)))
+               / sqrt(1.0 / (st.y + 1.0) + 1.0 / (tt.y_all - st.y + 1.0)),
+               6) AS zscore
+      FROM st
+      JOIN tt USING (t)
+      JOIN ns USING (source)
+      CROSS JOIN gl
+    )
+    SELECT source, t AS token, y_src, zscore FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY zscore DESC, t
+      ) AS rk FROM z
+    ) WHERE rk <= {_DISTINCT_TOPK}
+    """,
+)
+def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source (X196; Monroe et al. 2008
+    log-odds with informative Dirichlet prior, a_i=1, a_0=|vocab|):
+    for each source, the top-{k} tokens by z-scored log-odds against
+    the REST of the corpus — the standard corpus-linguistics answer to
+    "what is this source actually about", more robust than raw TF-IDF
+    at the source level because the prior shrinks rare-token noise and
+    the variance term ~1/(y+a) downweights unstable estimates. Mixture
+    designers read it next to X194's JSD: JSD says HOW different two
+    sources are, this says IN WHICH WORDS.
+
+    Scale: one (source, token) rollup feeds everything (token totals,
+    source totals, and the one-row global fold are all derived from
+    it); the z-score is a per-row projection over the vocab-bounded
+    rollup and the top-k window partitions by source — nothing
+    corpus-sized past the first shuffle."""
+    t = load_tables(spark, sf_dir)
+    st = (
+        t.documents.select(
+            "source", F.explode(_ctoks(F.col("text"))).alias("t")
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .localCheckpoint(eager=True)  # 4 consumers: tt, ns, gl, z
+    )
+    tt = st.groupBy("t").agg(F.sum("y").alias("y_all"))
+    ns = st.groupBy("source").agg(F.sum("y").alias("n"))
+    gl = st.agg(
+        F.sum("y").alias("nn"), F.countDistinct("t").alias("v")
+    )
+    yy = F.col("y")
+    yrest = F.col("y_all") - yy
+    delta = F.log(
+        (yy + 1.0) / (F.col("n") + F.col("v") - yy - 1.0)
+    ) - F.log(
+        (yrest + 1.0)
+        / (F.col("nn") - F.col("n") + F.col("v") - yrest - 1.0)
+    )
+    z = (
+        st.join(tt, "t")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(gl))
+        .select(
+            "source",
+            "t",
+            yy.cast("long").alias("y_src"),
+            F.round(
+                delta
+                / F.sqrt(1.0 / (yy + 1.0) + 1.0 / (yrest + 1.0)),
+                6,
+            ).alias("zscore"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("zscore"), F.asc("t"))
+    return (
+        z.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _DISTINCT_TOPK)
+        .select("source", F.col("t").alias("token"), "y_src", "zscore")
+    )
