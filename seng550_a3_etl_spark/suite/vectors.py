@@ -2794,3 +2794,104 @@ def logistic_train_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("auc_ppm"),
     )
+
+
+_SWEEP_THRESHOLDS = (0.9, 0.95, 0.99)
+_SWEEP_SQL = ", ".join(repr(t) for t in _SWEEP_THRESHOLDS)
+
+
+@query(
+    "semantic_threshold_sweep",
+    oracle=f"""
+    WITH corpus AS ({_SEMDEDUP_CORPUS_SQL}),
+    cent AS (SELECT vec_id AS bid, embedding AS bv
+             FROM embeddings WHERE vec_id % 100 = 0
+             ORDER BY vec_id LIMIT 50),
+    assign AS (
+      SELECT id, v, bid FROM (
+        SELECT id, v, bid, ROW_NUMBER() OVER (
+          PARTITION BY id ORDER BY sim DESC, bid
+        ) AS rn
+        FROM (SELECT id, v, bid, ROUND({_cos('v', 'bv')}, 6) AS sim
+              FROM corpus, cent)
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             ROUND({_cos('a.v', 'b.v')}, 6) AS cosine
+      FROM assign a JOIN assign b ON a.bid = b.bid AND a.id < b.id
+      WHERE ROUND({_cos('a.v', 'b.v')}, 6) >= {min(_SWEEP_THRESHOLDS)!r}
+    ),
+    n AS (SELECT COUNT(*) AS n_corpus FROM corpus),
+    lv AS (SELECT unnest([{_SWEEP_SQL}]) AS threshold)
+    SELECT l.threshold,
+           CAST(COUNT(p.cosine) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT p.id_b) AS BIGINT) AS n_dropped,
+           CAST(n.n_corpus - COUNT(DISTINCT p.id_b) AS BIGINT)
+             AS n_survivors
+    FROM lv l
+    CROSS JOIN n
+    LEFT JOIN pairs p ON p.cosine >= l.threshold
+    GROUP BY l.threshold, n.n_corpus
+    """,
+)
+def semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup threshold tuning sweep (X197): pair counts, dropped-doc
+    counts, and survivor counts at cosine thresholds {{0.90, 0.95,
+    0.99}} from ONE pair pass at the loosest threshold — the artifact a
+    curation run reads to pick its dedup aggressiveness (Abbas et al.
+    report the retained-fraction-vs-threshold curve before committing
+    a corpus), exactly as X63's dup_threshold_sweep does for the
+    shingle tier. Keep-first policy: a document is dropped when it is
+    the LATER id of any surviving pair.
+
+    Scale: the pair set is the X164 cluster-blocked candidate build
+    (never all-pairs), mined once at the loosest threshold; the sweep
+    itself is a broadcast 3-row predicate join over the (tiny) pair
+    list, so extra thresholds cost nothing."""
+    from seng550_a3_etl_spark.operators.similarity import semantic_dedup_pairs
+
+    t = load_tables(spark, sf_dir)
+    base = t.embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    jitter = t.embeddings.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x.cast("double") + F.lit(0.02)).cast("float"),
+        ).alias("v"),
+    )
+    corpus = base.unionAll(jitter)
+    cent = (
+        t.embeddings.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(50)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    )
+    pairs = semantic_dedup_pairs(
+        corpus, cent, threshold=min(_SWEEP_THRESHOLDS),
+        id_col="id", vec_col="v",
+    ).select("id_b", "cosine").localCheckpoint(eager=True)
+    n = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+    levels = spark.createDataFrame(
+        [(th,) for th in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    return (
+        F.broadcast(levels)
+        .join(pairs, F.col("cosine") >= F.col("threshold"), "left")
+        .crossJoin(F.broadcast(n))
+        .groupBy("threshold", "n_corpus")
+        .agg(
+            F.count("cosine").cast("long").alias("n_pairs"),
+            F.countDistinct("id_b").cast("long").alias("n_dropped"),
+        )
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_dropped",
+            (F.col("n_corpus") - F.col("n_dropped")).cast("long").alias(
+                "n_survivors"
+            ),
+        )
+    )
