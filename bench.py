@@ -232,7 +232,15 @@ def _prev_record(full_path: str, sf) -> tuple[dict[str, float], set]:
         if isinstance(v, (int, float)) and v > 0
     }
     retimed = prev.get("retimed") or {}
-    steady = {n for n in retimed if n in timings}
+    # Steady-verified is CUMULATIVE (the prev record's persisted
+    # ``steady_verified`` union whatever that run itself re-timed):
+    # trigger 3 must stay quiesced permanently once a query has ever
+    # been steady-verified — deriving the set from the prev ``retimed``
+    # block alone made every ≥2 s query oscillate (re-timed in round N,
+    # absent from round N+1's block, re-timed again in N+2, with the
+    # off-rounds committing a possibly cold-inflated first-pass wall).
+    steady = {n for n, v in retimed.items() if isinstance(v, list)}
+    steady |= set(prev.get("steady_verified") or [])
     return timings, steady
 
 
@@ -259,8 +267,11 @@ def _retime_outliers(
     3. its wall is substantial (≥ 2 s) and its committed record never
        came from a steady re-run (not in the prev ``retimed`` block) —
        the baseline itself may be inflated, so the ratio test is void.
-       Once re-timed, the query enters ``retimed`` and becomes
-       steady-verified, so this trigger self-quiesces next round.
+       Once re-timed, the query enters the CUMULATIVE
+       ``steady_verified`` set persisted in bench_full.json, so this
+       trigger quiesces permanently (deriving steadiness from the
+       previous ``retimed`` block alone made it fire every other
+       round — ADVICE r9).
 
     BOTH numbers are recorded: ``retimed[name] = [first_run_s,
     steady_s]``, and the per-query dict carries the steady number (the
@@ -337,6 +348,7 @@ def main() -> None:
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_full.json")
+    prev_steady: set = set()
     try:
         prev, prev_steady = _prev_record(full_path, sf)
         retimed = _retime_outliers(spark, sf_dir, timings, prev, prev_steady)
@@ -373,6 +385,13 @@ def main() -> None:
         # first-pass walls are preserved as retimed[name][0]).
         "total_is_first_pass_wall": True,
         "retimed": retimed,
+        # Union of every name ever steady-verified at this sf (prev
+        # record's set + this run's re-times) — _prev_record reads it
+        # back so retime trigger 3 stays quiesced across rounds.
+        "steady_verified": sorted(
+            prev_steady
+            | {n for n, v in retimed.items() if isinstance(v, list)}
+        ),
         "sf": sf,
         "idle_check": idle_check,
         "ladder": ladder,

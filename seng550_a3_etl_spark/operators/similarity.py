@@ -115,7 +115,23 @@ def assign_buckets(
     exchange, the dominant cost of every IVF/k-means pass. The fold
     does the identical k dot products per row entirely inside the scan
     stage (zero exchanges; same IEEE sequence, so oracles still match
-    bit-for-bit)."""
+    bit-for-bit).
+
+    Contract (ADVICE r9): the centroid id column must be an INTEGRAL
+    type — the tie-break negates the id inside the struct-max fold, so
+    string ids (which the old window form happened to support) are
+    rejected up front, and ``Long.MIN_VALUE`` is excluded because its
+    negation overflows. Every in-repo quantizer generates dense ids
+    0..k-1, which always satisfy this."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = centroids.schema[centroid_id].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"assign_buckets requires an integral centroid id column; "
+            f"{centroid_id!r} is {id_type.simpleString()} (the argmax "
+            f"tie-break negates the id inside the fold)"
+        )
     corpus = _with_norm(corpus, corpus_vec, "__cn")
     centroids = _with_norm(centroids, centroid_vec, "__bn")
     packed = centroids.agg(

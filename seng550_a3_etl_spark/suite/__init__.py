@@ -120,6 +120,13 @@ _CHANGED: dict[str, int] = {
     "embedding_topk_ivf": 9,
     "ann_recall_ivf": 9,
     "ivf_pq_search": 9,
+    # round 10: ADVICE-r9 ppm-overflow fixes — token-count ppm
+    # numerators moved to DECIMAL(38,0) / HUGEINT (int64 wraps at the
+    # ~1e13-token operating point). Value-identical at sf0.01, but the
+    # code under them changed.
+    "corpus_datacard": 10,
+    "shard_skew_report": 10,
+    "bpe_fertility_by_source": 10,
 }
 
 

@@ -435,7 +435,8 @@ def _datacard_oracle() -> str:
       UNION ALL SELECT 'n_langs', n_langs FROM agg
       UNION ALL SELECT 'exact_dup_docs', n_docs - n_uniq FROM agg
       UNION ALL SELECT 'mean_tokens_ppm',
-                       (n_tokens * 1000000) // n_docs FROM agg
+                       (CAST(n_tokens AS HUGEINT) * 1000000) // n_docs
+                       FROM agg
       UNION ALL SELECT 'gopher_pass_ppm',
                        (n_pass * 1000000) // n_docs FROM agg, gp
       UNION ALL SELECT 'pii_email_docs', n_email FROM agg
@@ -481,6 +482,11 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     gp = gopher_quality_flags(spark, sf_dir).agg(
         F.count_if("pass_gopher").alias("n_pass")
     )
+    # mean_tokens_ppm's numerator is DECIMAL(38,0): token counts at the
+    # ~1e13 operating point times 1e6 wrap int64 (Spark wraps silently
+    # where DuckDB errors — the X137 overflow class; oracle HUGEINT).
+    # gopher_pass_ppm's numerator is a DOC count (≤ ~1e12 · 1e6 fits
+    # int64), so it stays integral.
     return agg.crossJoin(F.broadcast(gp)).selectExpr(
         """stack(8,
           'n_docs', CAST(n_docs AS LONG),
@@ -488,7 +494,9 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
           'n_sources', CAST(n_sources AS LONG),
           'n_langs', CAST(n_langs AS LONG),
           'exact_dup_docs', CAST(n_docs - n_uniq AS LONG),
-          'mean_tokens_ppm', CAST(n_tokens * 1000000 DIV n_docs AS LONG),
+          'mean_tokens_ppm',
+            CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000
+                 DIV n_docs AS LONG),
           'gopher_pass_ppm', CAST(n_pass * 1000000 DIV n_docs AS LONG),
           'pii_email_docs', CAST(n_email AS LONG)
         ) AS (metric, value)"""

@@ -250,8 +250,8 @@ _SHARD_SEED = 13
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
            CAST(MAX(n_toks) AS BIGINT) AS max_doc_tokens,
-           CAST(SUM(n_toks) * 1000000 // total_toks AS BIGINT)
-             AS token_share_ppm
+           CAST(CAST(SUM(n_toks) AS HUGEINT) * 1000000 // total_toks
+                AS BIGINT) AS token_share_ppm
     FROM assigned, tot
     GROUP BY shard_id, total_toks
     """,
@@ -292,8 +292,12 @@ def shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_tokens",
             "max_doc_tokens",
-            F.expr("n_tokens * 1000000 DIV total_toks").alias(
-                "token_share_ppm"
-            ),
+            # DECIMAL(38,0) numerator: n_tokens*1e6 wraps int64 at the
+            # ~1e13-token operating point (Spark wraps silently where
+            # DuckDB errors) — the X137 overflow class, oracle HUGEINT.
+            F.expr(
+                "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000"
+                " DIV total_toks AS LONG)"
+            ).alias("token_share_ppm"),
         )
     )

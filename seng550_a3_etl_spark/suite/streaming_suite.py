@@ -45,6 +45,25 @@ def _state_partitions(spark: SparkSession, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _await(q) -> None:
+    """Block until an availableNow query drains, HARD-failing on
+    timeout (ADVICE r9): ``awaitTermination(t)`` returns False when the
+    clock runs out with the query still live — ignoring that aggregated
+    a half-filled memory sink as if complete, and the still-running
+    query kept its global queryName registered, breaking any re-run in
+    the same session. On timeout the query is stopped (frees the name)
+    before raising."""
+    if not q.awaitTermination(300):
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError(
+                f"streaming query {q.name!r} did not drain within 300 s; "
+                "stopped it to release the sink name — partial results "
+                "discarded"
+            )
+
+
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded file stream over the events fixture (nanos/NTZ ts handled)."""
     from seng550_a3_etl_spark.catalog import set_parquet_ts_confs
@@ -97,7 +116,7 @@ def stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
     return spark.table(_TABLE).select(
         F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
         "event_type",
@@ -139,7 +158,7 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
     return spark.table(_ATTR_TABLE).select(
         "user_id",
         "purchase_id",
@@ -175,7 +194,7 @@ def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
     return spark.table(_DEDUP_TABLE)
 
 
@@ -217,7 +236,7 @@ def stream_segment_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
     return spark.table(_ENRICH_TABLE).select(
         F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
         "c_mktsegment",
@@ -283,7 +302,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await(q)
     return spark.table(_INCR_TABLE)
 
 
@@ -354,7 +373,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
     return spark.table(_SESS_TABLE).select(
         "user_id",
         F.date_format(F.col("w.start"), _TS_FMT).alias("session_start"),
@@ -414,7 +433,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
     return (
         spark.table(_CDC_TABLE)
         .filter(F.col("last.op") != "D")
@@ -484,7 +503,7 @@ def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
     cut = (
         load_tables(spark, sf_dir)
         .events.agg(
@@ -611,7 +630,7 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await(q)
     sink = spark.table(_SEMDEDUP_TABLE)
     return sink.groupBy("id").agg(
         F.count_if(F.coalesce("hit", F.lit(False))).cast("long").alias(
@@ -658,7 +677,7 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await(q)
     return spark.table(_QGATE_TABLE)
 
 
@@ -744,7 +763,7 @@ def stream_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await(q)
     return (
         spark.table(_DSIR_TABLE)
         .groupBy("doc_id")

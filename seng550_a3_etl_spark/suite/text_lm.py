@@ -1163,10 +1163,10 @@ def _fertility_oracle() -> str:
            CAST(SUM(n_words) AS BIGINT) AS n_words,
            CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
            CAST(SUM(n_unk) AS BIGINT) AS n_unk,
-           CAST((SUM(n_pieces) * 1000000) // SUM(n_words) AS BIGINT)
-             AS fertility_ppm,
-           CAST((SUM(n_unk) * 1000000) // SUM(n_pieces) AS BIGINT)
-             AS unk_ppm
+           CAST((CAST(SUM(n_pieces) AS HUGEINT) * 1000000)
+                // SUM(n_words) AS BIGINT) AS fertility_ppm,
+           CAST((CAST(SUM(n_unk) AS HUGEINT) * 1000000)
+                // SUM(n_pieces) AS BIGINT) AS unk_ppm
     FROM enc JOIN words USING (doc_id)
     GROUP BY source
     """
@@ -1200,11 +1200,16 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("long").alias("n_words"),
             F.sum("n_pieces").cast("long").alias("n_pieces"),
             F.sum("n_unk").cast("long").alias("n_unk"),
+            # DECIMAL(38,0) numerators: piece counts * 1e6 wrap int64
+            # at the ~1e13-token operating point (the X137 overflow
+            # class); oracle numerators are HUGEINT to match.
             F.expr(
-                "CAST(sum(n_pieces) * 1000000 DIV sum(n_words) AS LONG)"
+                "CAST(CAST(sum(n_pieces) AS DECIMAL(38,0)) * 1000000"
+                " DIV sum(n_words) AS LONG)"
             ).alias("fertility_ppm"),
             F.expr(
-                "CAST(sum(n_unk) * 1000000 DIV sum(n_pieces) AS LONG)"
+                "CAST(CAST(sum(n_unk) AS DECIMAL(38,0)) * 1000000"
+                " DIV sum(n_pieces) AS LONG)"
             ).alias("unk_ppm"),
         )
     )

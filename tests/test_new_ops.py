@@ -1080,9 +1080,11 @@ def test_gopher_rules_integer_boundaries(spark, tmp_path):
     # lower bound; includes 'the'+'a' so the stopword gate passes; all
     # alphabetic, no symbols.
     passing = " ".join(["the", "and"] + ["bcd"] * 18)
-    # 10 words, one '#'-prefixed (10% exactly), two non-alpha tokens
-    # (80% alpha exactly)
-    edge = "the a #x1 22 bbb ccc ddd eee fff ggg"
+    # 10 words, one '#'-prefixed (10% exactly), two tokens with NO
+    # alphabetic character ('#11' and '22' — 8/10 alpha, so the
+    # 5*n_alpha >= 4*n_words equality boundary is actually exercised;
+    # the earlier '#x1' contained an 'x' and made the doc 90% alpha)
+    edge = "the a #11 22 bbb ccc ddd eee fff ggg"
     df = spark.createDataFrame(
         [(0, passing, "en", "s0", len(passing)),
          (1, edge, "en", "s0", len(edge))],
@@ -1205,3 +1207,21 @@ def test_recall_curves_monotone(spark):
     mrl = {r["dims"]: r["recall_ppm"]
            for r in matryoshka_recall_curve(spark, sf).collect()}
     assert mrl[64] == 1_000_000
+
+
+def test_assign_buckets_rejects_non_integral_ids(spark):
+    """The argmax fold's tie-break negates the centroid id, so string
+    ids (which the old window form tolerated) must be rejected up
+    front, not silently miscompared (ADVICE r9)."""
+    import pytest as _pytest
+
+    from seng550_a3_etl_spark.operators.similarity import assign_buckets
+
+    corpus = spark.createDataFrame(
+        [(1, [3.0, 4.0])], "cid long, cv array<float>"
+    )
+    cents = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "bid string, bv array<float>"
+    )
+    with _pytest.raises(TypeError, match="integral centroid id"):
+        assign_buckets(corpus, cents)
