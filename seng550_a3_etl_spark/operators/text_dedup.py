@@ -963,3 +963,113 @@ def remove_boilerplate_spans(
             " ",
         ).alias("clean_text"),
     )
+
+
+def cross_doc_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_span_tokens: int,
+    max_anchor_freq: int,
+) -> DataFrame:
+    """Maximal exact shared token spans across document pairs — the
+    substring-granularity dedup rung of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), whose suffix-array
+    pass finds verbatim ≥50-token spans repeated across documents.
+    Where :func:`dup_span_stats` only counts per-doc duplicated window
+    positions, this returns WHICH pair shares WHAT span: one row per
+    maximal run, ``(doc_a < doc_b, a_start, b_start, span_tokens)``
+    with 0-based token offsets.
+
+    Spark-first shape (no distributed suffix array needed): every
+    k-token window hashes to a 60-bit anchor; postings group by anchor
+    hash (the X2/X89 posting pattern) and each posting list emits its
+    cross-doc position pairs; a pair of docs sharing a span of L ≥ k
+    tokens produces exactly L−k+1 anchor matches at CONSECUTIVE a-side
+    positions on one diagonal (pa − pb), so maximal shared spans are
+    the maximal consecutive runs per (doc_a, doc_b, diagonal) — a
+    gaps-and-islands pass: island = pa − row_number(), one run row per
+    island, span_tokens = run_length + k − 1.
+
+    ``max_anchor_freq`` is the posting stop-list (an anchor appearing
+    in more than this many windows corpus-wide is dropped BEFORE pair
+    emission): the C(freq, 2) pair budget per anchor is the ONLY
+    superlinear term, and at web scale hot anchors are exactly the
+    boilerplate the span census should not pay for. Spans bridged by a
+    dropped anchor split into two shorter runs in BOTH engines — the
+    documented approximation, exact whenever no anchor exceeds the
+    bound (asserted against the fixtures in tests).
+
+    Scale: corpus text never shuffles — anchors are (hash, doc, pos)
+    longs. TWO exchanges total (verified in the executed plan):
+    postings shuffle once on hash (the stop-list window and the bucket
+    groupBy share that partitioning), pairs shuffle once on (doc_a,
+    doc_b, diag) (the run window and the island rollup share it —
+    hash partitioning on the window keys satisfies the rollup's
+    superset grouping keys). Per-(pair, diagonal) run windows are
+    bounded by doc length, so no skewed window partition exists."""
+    from pyspark.sql.window import Window
+
+    docs = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__tk")
+    )
+    anchors = docs.filter(F.size("__tk") >= k).select(
+        "doc",
+        F.posexplode(F.transform(shingles(F.col("__tk"), k), hash64)).alias(
+            "pos", "h"
+        ),
+    )
+    anchors = (
+        anchors.withColumn(
+            "__f", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("__f") <= max_anchor_freq)
+        .drop("__f")
+    )
+    buckets = anchors.groupBy("h").agg(
+        F.sort_array(F.collect_list(F.struct("doc", "pos"))).alias("__ms")
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "__ms",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("__ms"),
+                                i + F.lit(2),
+                                F.size("__ms"),
+                            ),
+                            lambda y: F.struct(
+                                x["doc"].alias("doc_a"),
+                                x["pos"].alias("pa"),
+                                y["doc"].alias("doc_b"),
+                                y["pos"].alias("pb"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("__p")
+        )
+        .select("__p.*")
+        # the posting list is sorted by (doc, pos), so i < j gives
+        # doc_a <= doc_b; drop the intra-doc (self-repeat) pairs
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .withColumn("diag", F.col("pa") - F.col("pb"))
+    )
+    wrun = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = pairs.withColumn(
+        "__isl", F.col("pa") - F.row_number().over(wrun)
+    )
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "__isl").agg(
+        F.min("pa").alias("a_start"), F.count(F.lit(1)).alias("__n")
+    )
+    return spans.select(
+        "doc_a",
+        "doc_b",
+        F.col("a_start").cast("long").alias("a_start"),
+        (F.col("a_start") - F.col("diag")).cast("long").alias("b_start"),
+        (F.col("__n") + (k - 1)).cast("long").alias("span_tokens"),
+    ).filter(F.col("span_tokens") >= min_span_tokens)

@@ -3288,3 +3288,93 @@ def crossval_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _CV_FOLDS
         ).cast("long").alias("fold"),
     )
+
+
+# Cross-doc substring dedup knobs (X198): anchor window length (the
+# fixture-sized stand-in for the literature's ~50 tokens), the minimum
+# reported span, and the anchor-frequency stop-list that bounds the
+# C(freq,2) pair budget. Single-sourced: interpolated into the oracle
+# and asserted exact against the fixtures in tests.
+_XSPAN_K = 8
+_XSPAN_MIN = 12
+_XSPAN_MAXF = 64
+
+
+@query(
+    "cross_doc_substring_dedup",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+    ),
+    anchors AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(tk) - {_XSPAN_K - 1}, 0) + 1),
+               i -> struct_pack(
+                 pos := i - 1,
+                 h := {duck_hash64(
+                     f"array_to_string(tk[i:i+{_XSPAN_K - 1}], ' ')"
+                 )})
+             )) AS s
+      FROM d
+    ),
+    a2 AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM anchors),
+    kept AS (
+      SELECT doc_id, pos, h FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY h) AS f FROM a2
+      ) WHERE f <= {_XSPAN_MAXF}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos AS pb
+      FROM kept a JOIN kept b USING (h)
+      WHERE a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, pa - pb AS diag, pa,
+             pa - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+      FROM pairs
+    ),
+    spans AS (
+      SELECT doc_a, doc_b, diag, isl,
+             MIN(pa) AS a_start, COUNT(*) AS n
+      FROM runs GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(a_start AS BIGINT) AS a_start,
+           CAST(a_start - diag AS BIGINT) AS b_start,
+           CAST(n + {_XSPAN_K - 1} AS BIGINT) AS span_tokens
+    FROM spans
+    WHERE n + {_XSPAN_K - 1} >= {_XSPAN_MIN}
+    """,
+)
+def cross_doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup (X198) — the missing rung
+    between window-position counting (X89) and doc-level near-dup
+    (X2/X3): every maximal verbatim token span of ≥ 12 tokens shared
+    between a document pair, with both sides' 0-based offsets — the
+    Lee et al. 2022 substring-dedup signal, re-expressed as k-gram
+    anchor postings + per-diagonal gaps-and-islands instead of a
+    distributed suffix array. Downstream, the b-side offsets are what a
+    trimming pass cuts (keep-first: the smaller doc id holds the
+    canonical copy).
+
+    Scale: see ``operators.text_dedup.cross_doc_substring_spans`` —
+    text never shuffles (hash/pos longs only), the stop-list bounds the
+    per-anchor pair budget, two exchanges total. The oracle replays
+    the identical anchor/stop-list/island construction in SQL, so the
+    stop-list's span-splitting behavior is checked, not idealized."""
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        cross_doc_substring_spans,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return cross_doc_substring_spans(
+        t.documents,
+        "doc_id",
+        "text",
+        k=_XSPAN_K,
+        min_span_tokens=_XSPAN_MIN,
+        max_anchor_freq=_XSPAN_MAXF,
+    )

@@ -1225,3 +1225,87 @@ def test_assign_buckets_rejects_non_integral_ids(spark):
     )
     with _pytest.raises(TypeError, match="integral centroid id"):
         assign_buckets(corpus, cents)
+
+
+def test_cross_doc_substring_spans_crafted(spark):
+    """Maximal-run semantics on crafted docs: a 5-token shared span at
+    k=3 yields ONE maximal run of 3 anchors (span_tokens=5) at the
+    right offsets; intra-doc repeats emit no pair; min_span filters."""
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        cross_doc_substring_spans,
+    )
+
+    rows = [
+        # docs 1,2 share "p q r s t" (5 tokens); doc 1 offset 1, doc 2
+        # offset 2. Doc 3 repeats its own trigram (intra-doc only).
+        (1, "z p q r s t y"),
+        (2, "a b p q r s t"),
+        (3, "m n o m n o m n o"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = cross_doc_substring_spans(
+        df, "doc_id", "text", k=3, min_span_tokens=5, max_anchor_freq=64
+    ).collect()
+    assert [
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_tokens) for r in got
+    ] == [(1, 2, 1, 2, 5)]
+    # raising min_span past the shared span drops it
+    assert (
+        cross_doc_substring_spans(
+            df, "doc_id", "text", k=3, min_span_tokens=6, max_anchor_freq=64
+        ).count()
+        == 0
+    )
+
+
+def test_cross_doc_substring_spans_stop_list_splits_run(spark):
+    """An anchor over the stop-list frequency is dropped in BOTH the
+    operator and its documented approximation: a span bridged by a hot
+    anchor splits into two shorter runs."""
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        cross_doc_substring_spans,
+    )
+
+    # 7-token shared span "a b c d e f g" (k=3 -> anchors at 0..4 of
+    # the span). Four extra docs all contain "c d e", pushing that one
+    # anchor's corpus frequency over max_anchor_freq=5.
+    shared = "a b c d e f g"
+    rows = [(1, shared), (2, shared)] + [
+        (10 + i, f"x{i} c d e y{i}") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.a_start, r.span_tokens)
+        for r in cross_doc_substring_spans(
+            df, "doc_id", "text", k=3, min_span_tokens=4, max_anchor_freq=5
+        ).collect()
+        if (r.doc_a, r.doc_b) == (1, 2)
+    )
+    # "c d e" dropped -> runs [0,1] (span 4: "a b c d") and [3,4]
+    # (span 4: "d e f g")
+    assert got == [(0, 4), (3, 4)]
+
+
+def test_cross_doc_substring_fixture_under_anchor_budget(spark):
+    """The suite knobs are exact on the fixtures: no 8-token anchor is
+    shared by more than _XSPAN_MAXF windows at either test scale, so
+    the stop-list never splits a fixture span."""
+    import duckdb
+
+    from seng550_a3_etl_spark.suite.text import _XSPAN_K, _XSPAN_MAXF
+
+    for sf in ("sf0.001", "sf0.01"):
+        con = duckdb.connect()
+        max_f = con.sql(
+            f"""
+            WITH d AS (SELECT string_split_regex(text, '\\s+') AS tk
+                       FROM '/root/testdata/{sf}/documents.parquet'),
+            a AS (SELECT unnest(list_transform(
+                    range(1, greatest(len(tk) - {_XSPAN_K - 1}, 0) + 1),
+                    i -> array_to_string(tk[i:i+{_XSPAN_K - 1}], ' ')))
+                    AS g FROM d)
+            SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM a GROUP BY g)
+            """
+        ).fetchone()[0]
+        con.close()
+        assert max_f <= _XSPAN_MAXF, (sf, max_f)
