@@ -1073,3 +1073,49 @@ def cross_doc_substring_spans(
         (F.col("a_start") - F.col("diag")).cast("long").alias("b_start"),
         (F.col("__n") + (k - 1)).cast("long").alias("span_tokens"),
     ).filter(F.col("span_tokens") >= min_span_tokens)
+
+
+def union_span_coverage(
+    spans: DataFrame, key_cols: list[str], start_col: str, len_col: str
+) -> DataFrame:
+    """Total length of the UNION of half-open intervals
+    ``[start, start+len)`` per key — what a substring-trim pass charges
+    a document when several shared spans overlap (summing raw lengths
+    would double-count the overlap).
+
+    Distributed sweep, no per-key collect: intervals window-order by
+    (start, end) per key; an interval opens a NEW island when its start
+    is ≥ the running max end of every preceding interval (adjacent
+    islands need no merge — island lengths already sum correctly);
+    covered = Σ islands (max end − min start). Tied (start, end) rows
+    are interchangeable, so the island assignment is order-stable and
+    a DuckDB oracle replays it bit-for-bit.
+
+    Scale: ONE exchange on the key — both window functions share one
+    (partition, order) spec and the island rollup + per-key fold reuse
+    the key partitioning. Per-key interval counts are bounded by doc
+    length. Output: key_cols + ``covered`` (long)."""
+    from pyspark.sql.window import Window
+
+    end = (F.col(start_col) + F.col(len_col)).alias("__e")
+    w = Window.partitionBy(*key_cols).orderBy(start_col, "__e")
+    prev_e = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = (
+        spans.select(*key_cols, F.col(start_col), end)
+        .withColumn(
+            "__new",
+            F.when(
+                prev_e.isNull() | (F.col(start_col) >= prev_e), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        flagged.groupBy(*key_cols, "__isl")
+        .agg((F.max("__e") - F.min(start_col)).alias("__cov"))
+        .groupBy(*key_cols)
+        .agg(F.sum("__cov").cast("long").alias("covered"))
+    )

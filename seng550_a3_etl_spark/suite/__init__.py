@@ -127,6 +127,11 @@ _CHANGED: dict[str, int] = {
     "corpus_datacard": 10,
     "shard_skew_report": 10,
     "bpe_fertility_by_source": 10,
+    # round 10: the composed pipeline gained the X198 substring-trim
+    # as stage 4 (rebuilt trimmed text feeds every later stage) —
+    # OUTPUT-changing: stage rows renumbered 04-07 and their counts
+    # reflect the trimmed corpus.
+    "curation_pipeline_full": 10,
 }
 
 

@@ -2837,6 +2837,64 @@ def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cross-doc substring dedup knobs (X198): anchor window length (the
+# fixture-sized stand-in for the literature's ~50 tokens), the minimum
+# reported span, and the anchor-frequency stop-list that bounds the
+# C(freq,2) pair budget. Single-sourced: interpolated into the oracle
+# and asserted exact against the fixtures in tests.
+_XSPAN_K = 8
+_XSPAN_MIN = 12
+_XSPAN_MAXF = 64
+
+
+def _xspan_ctes(p: str, src: str) -> str:
+    """DuckDB CTE chain ending in ``<p>spans`` (doc_a < doc_b, a_start,
+    b_start, span_tokens ≥ _XSPAN_MIN): the X198 anchor → stop-list →
+    cross-doc pair → per-diagonal island construction over ``src``,
+    which must expose (doc_id, tk token-array). Single-sourced so the
+    standalone X198 oracle and the X161 stage-7 oracle replay the
+    IDENTICAL construction with the identical knobs."""
+    return rf"""
+    {p}anchors AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(tk) - {_XSPAN_K - 1}, 0) + 1),
+               i -> struct_pack(
+                 pos := i - 1,
+                 h := {duck_hash64(
+                     f"array_to_string(tk[i:i+{_XSPAN_K - 1}], ' ')"
+                 )})
+             )) AS s
+      FROM {src}
+    ),
+    {p}a2 AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM {p}anchors),
+    {p}kept AS (
+      SELECT doc_id, pos, h FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY h) AS f FROM {p}a2
+      ) WHERE f <= {_XSPAN_MAXF}
+    ),
+    {p}pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos AS pb
+      FROM {p}kept a JOIN {p}kept b USING (h)
+      WHERE a.doc_id < b.doc_id
+    ),
+    {p}runs AS (
+      SELECT doc_a, doc_b, pa - pb AS diag, pa,
+             pa - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+      FROM {p}pairs
+    ),
+    {p}spans AS (
+      SELECT doc_a, doc_b,
+             CAST(MIN(pa) AS BIGINT) AS a_start,
+             CAST(MIN(pa) - diag AS BIGINT) AS b_start,
+             CAST(COUNT(*) + {_XSPAN_K - 1} AS BIGINT) AS span_tokens
+      FROM {p}runs GROUP BY doc_a, doc_b, diag, isl
+      HAVING COUNT(*) + {_XSPAN_K - 1} >= {_XSPAN_MIN}
+    )"""
+
+
 def _curation_full_oracle() -> str:
     from seng550_a3_etl_spark.functions.text import duck_repair_expr
 
@@ -2913,9 +2971,43 @@ def _curation_full_oracle() -> str:
              COALESCE(a.t3, '') AS t3, {tokcnt('a.t3')} AS n3
       FROM d2 d LEFT JOIN bp_agg a USING (doc_id)
     ),
-    q_toks AS (
-      SELECT doc_id, lang, unnest(string_split_regex(t3, '\s+')) AS tok
+    xs_tok AS (
+      SELECT doc_id, string_split_regex(t3, '\s+') AS tk
       FROM base WHERE n3 > 0
+    ),
+    {_xspan_ctes('xs_', 'xs_tok')},
+    cut AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_b AS doc_id,
+               unnest(range(b_start, b_start + span_tokens)) AS pos
+        FROM xs_spans)
+    ),
+    tok4_flat AS (
+      SELECT doc_id, lang, s.pos AS pos, s.tok AS tok FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                 range(1, len(tk) + 1),
+                 i -> struct_pack(pos := i - 1, tok := tk[i]))) AS s
+        FROM (SELECT b.doc_id, b.lang, t.tk
+              FROM base b JOIN xs_tok t USING (doc_id)))
+    ),
+    tok4 AS (
+      SELECT f.doc_id, f.lang, f.pos, f.tok
+      FROM tok4_flat f LEFT JOIN cut c
+        ON c.doc_id = f.doc_id AND c.pos = f.pos
+      WHERE c.doc_id IS NULL
+    ),
+    d4 AS (
+      SELECT b.doc_id, b.lang, b.n3,
+             COALESCE(r.t4, '') AS t4,
+             COALESCE(r.n4, 0) AS n4
+      FROM base b LEFT JOIN (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS t4,
+               COUNT(*) AS n4
+        FROM tok4 GROUP BY doc_id) r USING (doc_id)
+    ),
+    q_toks AS (
+      SELECT doc_id, lang, tok FROM tok4
     ),
     q_counts AS (
       SELECT tok,
@@ -2938,18 +3030,18 @@ def _curation_full_oracle() -> str:
       FROM q_toks JOIN q_w USING (tok) GROUP BY doc_id
     ),
     kept AS (
-      SELECT b.doc_id, b.t3, b.n3
-      FROM base b JOIN q_scored s USING (doc_id)
-      WHERE b.n3 > 0 AND s.score_nano > 0
+      SELECT b.doc_id, b.t4, b.n4
+      FROM d4 b JOIN q_scored s USING (doc_id)
+      WHERE b.n4 > 0 AND s.score_nano > 0
     ),
     uniq AS (
-      SELECT doc_id, t3, n3 FROM (
-        SELECT k.*, MIN(doc_id) OVER (PARTITION BY md5(t3)) AS canon
+      SELECT doc_id, t4, n4 FROM (
+        SELECT k.*, MIN(doc_id) OVER (PARTITION BY md5(t4)) AS canon
         FROM kept k) WHERE doc_id = canon
     ),
     usets AS (
       SELECT doc, list_distinct({_duck_shingles(3, 'tk')}) AS sh
-      FROM (SELECT doc_id AS doc, string_split_regex(t3, '\s+') AS tk
+      FROM (SELECT doc_id AS doc, string_split_regex(t4, '\s+') AS tk
             FROM uniq)
     ),
     sizes AS (SELECT doc, CAST(len(sh) AS BIGINT) AS n_sh FROM usets),
@@ -2965,7 +3057,7 @@ def _curation_full_oracle() -> str:
       WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.8
     ),
     final AS (
-      SELECT doc_id, n3 FROM uniq
+      SELECT doc_id, n4 FROM uniq
       WHERE doc_id NOT IN (SELECT doc_b FROM near_dupes)
     )
     SELECT '00_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2980,14 +3072,18 @@ def _curation_full_oracle() -> str:
     SELECT '03_boilerplate', CAST(COUNT(*) FILTER (n3 > 0) AS BIGINT),
            CAST(COALESCE(SUM(n3), 0) AS BIGINT) FROM base
     UNION ALL
-    SELECT '04_quality_gate', CAST(COUNT(*) AS BIGINT),
-           CAST(COALESCE(SUM(n3), 0) AS BIGINT) FROM kept
+    SELECT '04_substring_trim',
+           CAST(COUNT(*) FILTER (n4 > 0) AS BIGINT),
+           CAST(COALESCE(SUM(n4), 0) AS BIGINT) FROM d4
     UNION ALL
-    SELECT '05_exact_dedup', CAST(COUNT(*) AS BIGINT),
-           CAST(COALESCE(SUM(n3), 0) AS BIGINT) FROM uniq
+    SELECT '05_quality_gate', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n4), 0) AS BIGINT) FROM kept
     UNION ALL
-    SELECT '06_near_dedup', CAST(COUNT(*) AS BIGINT),
-           CAST(COALESCE(SUM(n3), 0) AS BIGINT) FROM final
+    SELECT '06_exact_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n4), 0) AS BIGINT) FROM uniq
+    UNION ALL
+    SELECT '07_near_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n4), 0) AS BIGINT) FROM final
     """
 
 
@@ -3003,11 +3099,20 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. intra-doc repeated-span removal (X155, ``dedup_doc_spans``);
     3. cross-doc boilerplate removal (X158,
        ``remove_boilerplate_spans``) — docs reduced to '' drop here;
-    4. linear quality gate (X156 inference shape) — naive-Bayes
-       log-odds weights derived from the CLEANED corpus, integer-nano
+    4. cross-doc substring TRIM (X198,
+       ``cross_doc_substring_spans``): every maximal verbatim
+       ≥12-token span still shared between a doc pair is cut from the
+       larger-id side (keep-first — doc_a < doc_b by construction),
+       and the trimmed text is REBUILT and fed downstream — the Lee
+       et al. 2022 placement, before doc-level dedup, where it
+       demonstrably subsumes most of what exact/near dedup would
+       otherwise drop (fixture: 1062 tokens + 13 fully-copied docs
+       die here; the exact-dedup stage then only finds 7);
+    5. linear quality gate (X156 inference shape) — naive-Bayes
+       log-odds weights derived from the TRIMMED corpus, integer-nano
        scores, keep score > 0;
-    5. exact dedup on the cleaned text (X1 shape — min-id per md5);
-    6. near-dup drop (X2, ``ngram_jaccard_pairs`` at Jaccard ≥ 0.8,
+    6. exact dedup on the trimmed text (X1 shape — min-id per md5);
+    7. near-dup drop (X2, ``ngram_jaccard_pairs`` at Jaccard ≥ 0.8,
        drop the doc_b side).
 
     Output: one row per stage boundary — (stage, n_docs, n_tokens) of
@@ -3015,22 +3120,26 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens die, which is the acceptance artifact data engineers read
     before green-lighting a run (singleton queries verify each stage;
     only this composition verifies the handoffs: rebuilt text from 2
-    feeds 3's census, 3's residue feeds 4's weight DERIVATION, not
-    just its scoring).
+    feeds 3's census, 4's rebuilt trim feeds 5's weight DERIVATION —
+    not just its scoring — and 6/7 hash the trimmed bytes).
 
     Scale & plan: stages 1-2 are per-row HOF projections in the scan;
-    stage 3 is the operator's two bounded shuffles; the stage-frame
-    ``base`` is localCheckpoint-pinned because FIVE consumers branch
-    off it (4 stage aggregates fold into ONE agg; weight build; score
+    stage 3 is the operator's two bounded shuffles; stage 4 is the
+    span operator's two exchanges plus a co-partitioned (doc, pos)
+    anti-join — the trim rebuild is exploded-relational, never a
+    chained HOF (janino compile hazard). The stage frames ``base`` and
+    ``d4`` are localCheckpoint-pinned because multiple consumers
+    branch off each (stage aggregates, span build, weight build, score
     join) — unlike X25's deliberately-unpinned ``uniq`` (2 consumers,
-    thin lineage), base's lineage contains the boilerplate
-    collect_list rebuild, which must not replay per branch. Survivor
-    frames ``kept``/``uniq`` pin for the same reason (window + pair
-    scan + anti-join fan-out). Weights broadcast; the score join
-    shuffles (doc_id, text) once — at 100 TB each checkpoint is the
-    stage materialization a production pipeline writes anyway."""
+    thin lineage), their lineages contain collect_list rebuilds, which
+    must not replay per branch. Survivor frames ``kept``/``uniq`` pin
+    for the same reason (window + pair scan + anti-join fan-out).
+    Weights broadcast; the score join shuffles (doc_id, text) once —
+    at 100 TB each checkpoint is the stage materialization a
+    production pipeline writes anyway."""
     from seng550_a3_etl_spark.functions.text import repair_text
     from seng550_a3_etl_spark.operators.text_dedup import (
+        cross_doc_substring_spans,
         dedup_doc_spans_exploded,
         ngram_jaccard_pairs,
         remove_boilerplate_spans,
@@ -3116,10 +3225,74 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.*")
 
-    toks3 = base.filter(F.col("n3") > 0).select(
-        "doc_id", "lang", F.explode(tokens(F.col("t3"))).alias("tok")
+    # Stage 4 (X198 composed): maximal verbatim ≥12-token spans shared
+    # across doc pairs of the boilerplate-cleaned corpus; keep-first —
+    # every span row has doc_a < doc_b by construction, so the b-side
+    # copy is cut. The cut set is the exploded (doc, position) union of
+    # the b-side spans (DISTINCT absorbs overlapping spans from
+    # different partners), the rebuild an anti-join on it — the
+    # exploded-relational form, not a per-row HOF chain (the janino
+    # compile hazard the r9 session notes flag for 3+ chained HOF
+    # rebuilds). At 100 TB the cut explode is bounded by shared-span
+    # mass, the anti-join co-partitions on (doc, pos), and the rebuild
+    # groupBy is the stage materialization a production trim writes.
+    spans4 = cross_doc_substring_spans(
+        base.filter(F.col("n3") > 0).select("doc_id", "t3"),
+        "doc_id",
+        "t3",
+        k=_XSPAN_K,
+        min_span_tokens=_XSPAN_MIN,
+        max_anchor_freq=_XSPAN_MAXF,
     )
-    counts = toks3.groupBy("tok").agg(
+    cut = spans4.select(
+        F.col("doc_b").alias("doc_id"),
+        F.explode(
+            F.sequence(
+                F.col("b_start"),
+                F.col("b_start") + F.col("span_tokens") - 1,
+            )
+        ).alias("pos"),
+    ).distinct()
+    tok_pos = base.filter(F.col("n3") > 0).select(
+        "doc_id", F.posexplode(tokens(F.col("t3"))).alias("pos", "tok")
+    )
+    re4 = (
+        tok_pos.join(cut, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("t4"),
+            F.count(F.lit(1)).cast("long").alias("n4"),
+        )
+    )
+    d4 = (
+        base.join(re4, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("t4", F.lit("")).alias("t4"),
+            F.coalesce("n4", F.lit(0)).cast("long").alias("n4"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    s4 = d4.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("n4") > 0, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("n4"), F.lit(0)).cast("long").alias("n_tokens"),
+    ).select(
+        F.lit("04_substring_trim").alias("stage"), "n_docs", "n_tokens"
+    )
+
+    toks4 = d4.filter(F.col("n4") > 0).select(
+        "doc_id", "lang", F.explode(tokens(F.col("t4"))).alias("tok")
+    )
+    counts = toks4.groupBy("tok").agg(
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("c0"),
     )
@@ -3141,29 +3314,29 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w_nano"),
     )
     scored = (
-        toks3.join(F.broadcast(w), "tok")
+        toks4.join(F.broadcast(w), "tok")
         .groupBy("doc_id")
         .agg(F.sum("w_nano").alias("score_nano"))
     )
     kept = (
-        base.filter(F.col("n3") > 0)
-        .select("doc_id", "t3", "n3")
+        d4.filter(F.col("n4") > 0)
+        .select("doc_id", "t4", "n4")
         .join(scored, "doc_id")
         .filter(F.col("score_nano") > 0)
-        .select("doc_id", "t3", "n3")
+        .select("doc_id", "t4", "n4")
         .localCheckpoint(eager=True)
     )
 
-    w_hash = Window.partitionBy(F.md5("t3"))
+    w_hash = Window.partitionBy(F.md5("t4"))
     uniq = (
         kept.withColumn("__canon", F.min("doc_id").over(w_hash))
         .filter(F.col("doc_id") == F.col("__canon"))
-        .select("doc_id", "t3", "n3")
+        .select("doc_id", "t4", "n4")
         .localCheckpoint(eager=True)
     )
     near = (
         ngram_jaccard_pairs(
-            uniq, "doc_id", "t3", n=3, threshold=0.8, max_shingle_freq=64
+            uniq, "doc_id", "t4", n=3, threshold=0.8, max_shingle_freq=64
         )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
@@ -3173,13 +3346,14 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     def srow(name: str, frame: DataFrame) -> DataFrame:
         return frame.agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("n3"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("n4"), F.lit(0)).cast("long").alias("n_tokens"),
         ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
 
     return (
-        rows_base.unionByName(srow("04_quality_gate", kept))
-        .unionByName(srow("05_exact_dedup", uniq))
-        .unionByName(srow("06_near_dedup", final))
+        rows_base.unionByName(s4)
+        .unionByName(srow("05_quality_gate", kept))
+        .unionByName(srow("06_exact_dedup", uniq))
+        .unionByName(srow("07_near_dedup", final))
     )
 
 
@@ -3290,63 +3464,14 @@ def crossval_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Cross-doc substring dedup knobs (X198): anchor window length (the
-# fixture-sized stand-in for the literature's ~50 tokens), the minimum
-# reported span, and the anchor-frequency stop-list that bounds the
-# C(freq,2) pair budget. Single-sourced: interpolated into the oracle
-# and asserted exact against the fixtures in tests.
-_XSPAN_K = 8
-_XSPAN_MIN = 12
-_XSPAN_MAXF = 64
-
-
 @query(
     "cross_doc_substring_dedup",
     oracle=rf"""
-    WITH d AS (
+    WITH xd AS (
       SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
     ),
-    anchors AS (
-      SELECT doc_id,
-             unnest(list_transform(
-               range(1, greatest(len(tk) - {_XSPAN_K - 1}, 0) + 1),
-               i -> struct_pack(
-                 pos := i - 1,
-                 h := {duck_hash64(
-                     f"array_to_string(tk[i:i+{_XSPAN_K - 1}], ' ')"
-                 )})
-             )) AS s
-      FROM d
-    ),
-    a2 AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM anchors),
-    kept AS (
-      SELECT doc_id, pos, h FROM (
-        SELECT *, COUNT(*) OVER (PARTITION BY h) AS f FROM a2
-      ) WHERE f <= {_XSPAN_MAXF}
-    ),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.pos AS pa, b.pos AS pb
-      FROM kept a JOIN kept b USING (h)
-      WHERE a.doc_id < b.doc_id
-    ),
-    runs AS (
-      SELECT doc_a, doc_b, pa - pb AS diag, pa,
-             pa - row_number() OVER (
-               PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
-      FROM pairs
-    ),
-    spans AS (
-      SELECT doc_a, doc_b, diag, isl,
-             MIN(pa) AS a_start, COUNT(*) AS n
-      FROM runs GROUP BY 1, 2, 3, 4
-    )
-    SELECT doc_a, doc_b,
-           CAST(a_start AS BIGINT) AS a_start,
-           CAST(a_start - diag AS BIGINT) AS b_start,
-           CAST(n + {_XSPAN_K - 1} AS BIGINT) AS span_tokens
-    FROM spans
-    WHERE n + {_XSPAN_K - 1} >= {_XSPAN_MIN}
+    {_xspan_ctes('x', 'xd')}
+    SELECT doc_a, doc_b, a_start, b_start, span_tokens FROM xspans
     """,
 )
 def cross_doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3377,4 +3502,93 @@ def cross_doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_XSPAN_K,
         min_span_tokens=_XSPAN_MIN,
         max_anchor_freq=_XSPAN_MAXF,
+    )
+
+
+@query(
+    "doc_substring_coverage",
+    oracle=rf"""
+    WITH xd AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+    ),
+    {_xspan_ctes('x', 'xd')},
+    cov AS (
+      SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS covered FROM (
+        SELECT doc_id, isl, MAX(e) - MIN(s) AS cov FROM (
+          SELECT doc_id, s, e,
+                 SUM(CASE WHEN prev_e IS NULL OR s >= prev_e
+                     THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS isl
+          FROM (
+            SELECT doc_b AS doc_id, b_start AS s,
+                   b_start + span_tokens AS e,
+                   MAX(b_start + span_tokens) OVER (
+                     PARTITION BY doc_b
+                     ORDER BY b_start, b_start + span_tokens
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS prev_e
+            FROM xspans))
+        GROUP BY doc_id, isl)
+      GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.covered,
+           CAST(len(d.tk) AS BIGINT) AS n_tokens,
+           CAST(c.covered * 1000000 // len(d.tk) AS BIGINT)
+             AS covered_ppm
+    FROM cov c JOIN xd d USING (doc_id)
+    """,
+)
+def doc_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document substring-duplication burden (X199): for every doc
+    that is the KEEP-LAST side of at least one X198 shared span (doc_b
+    — the copy a keep-first trim cuts), the total token count covered
+    by the UNION of those spans, plus the doc's token count and the
+    coverage in exact integer ppm — the per-doc number a trim pass
+    reports and a curation dashboard thresholds on ("docs ≥50%
+    verbatim-copied from an earlier doc").
+
+    Overlapping spans from different partners must not double-count a
+    position, so coverage is the interval union
+    (``operators.text_dedup.union_span_coverage`` — the one-exchange
+    distributed sweep), not a sum of span lengths. ppm is integer
+    ``DIV`` (covered ≤ n_tokens, so the 1e6 numerator is overflow-safe
+    at any doc length).
+
+    Scale: the span build's two exchanges + the sweep's one (keyed on
+    doc_id) + a doc_id equi-join against the two-column token-count
+    projection. Only covered docs emit rows — at web scale this output
+    is the trim worklist, proportional to duplicated mass, not corpus
+    size."""
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        cross_doc_substring_spans,
+        union_span_coverage,
+    )
+
+    t = load_tables(spark, sf_dir)
+    spans = cross_doc_substring_spans(
+        t.documents,
+        "doc_id",
+        "text",
+        k=_XSPAN_K,
+        min_span_tokens=_XSPAN_MIN,
+        max_anchor_freq=_XSPAN_MAXF,
+    )
+    cov = union_span_coverage(
+        spans.select(
+            F.col("doc_b").alias("doc_id"), "b_start", "span_tokens"
+        ),
+        ["doc_id"],
+        "b_start",
+        "span_tokens",
+    )
+    nt = t.documents.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return cov.join(nt, "doc_id").select(
+        "doc_id",
+        "covered",
+        "n_tokens",
+        F.expr("covered * 1000000 DIV n_tokens").alias("covered_ppm"),
     )

@@ -1309,3 +1309,26 @@ def test_cross_doc_substring_fixture_under_anchor_budget(spark):
         ).fetchone()[0]
         con.close()
         assert max_f <= _XSPAN_MAXF, (sf, max_f)
+
+
+def test_union_span_coverage(spark):
+    """Overlap merges, adjacency sums, disjoint islands sum, multiple
+    keys independent."""
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        union_span_coverage,
+    )
+
+    rows = [
+        # key 1: [0,5) + [3,8) overlap -> 8; [10,12) disjoint -> +2
+        (1, 0, 5), (1, 3, 5), (1, 10, 2),
+        # key 2: adjacent [0,4) + [4,6) -> 6
+        (2, 0, 4), (2, 4, 2),
+        # key 3: contained [0,10) + [2,3) -> 10; duplicate row ignored
+        (3, 0, 10), (3, 2, 1), (3, 2, 1),
+    ]
+    df = spark.createDataFrame(rows, "k long, s long, n long")
+    got = {
+        r.k: r.covered
+        for r in union_span_coverage(df, ["k"], "s", "n").collect()
+    }
+    assert got == {1: 10, 2: 6, 3: 10}
