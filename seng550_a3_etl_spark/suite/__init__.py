@@ -132,6 +132,10 @@ _CHANGED: dict[str, int] = {
     # OUTPUT-changing: stage rows renumbered 04-07 and their counts
     # reflect the trimmed corpus.
     "curation_pipeline_full": 10,
+    # round 10: X146 extended from a 2-tier (ngram/minhash) census to
+    # the full 8-tier dedup-family census — output schema gains six
+    # flag columns and the pair universe widens.
+    "dedup_strategy_delta": 10,
 }
 
 

@@ -2501,52 +2501,6 @@ def quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_delta_oracle() -> str:
-    from seng550_a3_etl_spark.suite.registry import ORACLES
-
-    return f"""
-    WITH ng AS (SELECT doc_a, doc_b FROM ({ORACLES["ngram_dup_pairs"]}) x),
-    mh AS (SELECT doc_a, doc_b FROM ({ORACLES["minhash_dup_pairs"]}) y)
-    SELECT COALESCE(ng.doc_a, mh.doc_a) AS doc_a,
-           COALESCE(ng.doc_b, mh.doc_b) AS doc_b,
-           ng.doc_a IS NOT NULL AS in_ngram,
-           mh.doc_a IS NOT NULL AS in_minhash
-    FROM ng FULL OUTER JOIN mh
-      ON ng.doc_a = mh.doc_a AND ng.doc_b = mh.doc_b
-    """
-
-
-@query("dedup_strategy_delta", oracle=_dedup_delta_oracle())
-def dedup_strategy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X146 — near-dup strategy agreement census: the exact-Jaccard
-    posting-list pairs (X2) full-outer-joined with the MinHash+LSH
-    verified pairs (X3) at the same 0.8 threshold, flagging each pair's
-    membership — the acceptance artifact that quantifies banding recall
-    (in_ngram ∧ ¬in_minhash = pairs the 4×2 banding missed; the
-    converse flags the OTHER approximation — pairs X2's stop-shingle
-    bound undercounted below threshold that minhash's unbounded
-    array_intersect verify kept) before LSH replaces the exact scan in
-    production.
-
-    Scale: both inputs ride the session shingle cache and are
-    threshold-filtered pair sets (tiny relative to the corpus); the
-    census is one full-outer join on the pair key."""
-    ng = ngram_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    mh = minhash_dup_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("m_a"), F.col("doc_b").alias("m_b")
-    )
-    return ng.join(
-        mh,
-        (F.col("doc_a") == F.col("m_a")) & (F.col("doc_b") == F.col("m_b")),
-        "full_outer",
-    ).select(
-        F.coalesce("doc_a", "m_a").alias("doc_a"),
-        F.coalesce("doc_b", "m_b").alias("doc_b"),
-        F.col("doc_a").isNotNull().alias("in_ngram"),
-        F.col("m_a").isNotNull().alias("in_minhash"),
-    )
-
-
 # Intra-doc span dedup unit: non-overlapping _DOC_SPAN_K-token blocks.
 # 2 tokens on the ~54-token fixture docs (where 181/500 sf0.01 docs
 # carry a repeat); production splits on newlines / ~50-token paragraphs.
@@ -3591,4 +3545,212 @@ def doc_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "covered",
         "n_tokens",
         F.expr("covered * 1000000 DIV n_tokens").alias("covered_ppm"),
+    )
+
+
+# Census tiers in ladder order; the output carries one in_<tier>
+# boolean per entry.
+_DELTA_TIERS = (
+    "exact",
+    "normalized",
+    "spandedup",
+    "substring",
+    "ngram",
+    "minhash",
+    "simhash",
+    "semantic",
+)
+
+
+def _dedup_delta_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+    from seng550_a3_etl_spark.suite.vectors import (
+        _SEMDEDUP_THRESHOLD,
+        _cos,
+    )
+
+    na = _DUCK_NORM.format(col="a.text")
+    nb = _DUCK_NORM.format(col="b.text")
+    flags = ",\n           ".join(
+        f"bool_or(tier = '{t}') AS in_{t}" for t in _DELTA_TIERS
+    )
+    return rf"""
+    WITH xd AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+    ),
+    {_xspan_ctes('x', 'xd')},
+    sd AS (SELECT doc_id, dedup_text
+           FROM ({ORACLES["doc_dedup_spans"]})),
+    sem_assign AS (
+      SELECT id, v, bid FROM (
+        SELECT id, v, bid, ROW_NUMBER() OVER (
+          PARTITION BY id ORDER BY sim DESC, bid
+        ) AS rn
+        FROM (SELECT e.vec_id AS id, e.embedding AS v, c.bid,
+                     ROUND({_cos('e.embedding', 'c.bv')}, 6) AS sim
+              FROM embeddings e,
+                   (SELECT vec_id AS bid, embedding AS bv
+                    FROM embeddings WHERE vec_id % 100 = 0
+                    ORDER BY vec_id LIMIT 50) c)
+      ) WHERE rn = 1
+    ),
+    u AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 'exact' AS tier
+      FROM documents a JOIN documents b
+        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, 'normalized'
+      FROM documents a JOIN documents b
+        ON md5({na}) = md5({nb}) AND a.doc_id < b.doc_id
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, 'spandedup'
+      FROM sd a JOIN sd b
+        ON md5(a.dedup_text) = md5(b.dedup_text)
+       AND a.doc_id < b.doc_id AND a.dedup_text <> ''
+      UNION ALL
+      SELECT DISTINCT doc_a, doc_b, 'substring' FROM xspans
+      UNION ALL
+      SELECT doc_a, doc_b, 'ngram'
+      FROM ({ORACLES["ngram_dup_pairs"]})
+      UNION ALL
+      SELECT doc_a, doc_b, 'minhash'
+      FROM ({ORACLES["minhash_dup_pairs"]})
+      UNION ALL
+      SELECT doc_a, doc_b, 'simhash'
+      FROM ({ORACLES["simhash_near_pairs"]})
+      UNION ALL
+      SELECT a.id, b.id, 'semantic'
+      FROM sem_assign a JOIN sem_assign b
+        ON a.bid = b.bid AND a.id < b.id
+      WHERE ROUND({_cos('a.v', 'b.v')}, 6) >= {_SEMDEDUP_THRESHOLD}
+    )
+    SELECT doc_a, doc_b,
+           {flags}
+    FROM u GROUP BY doc_a, doc_b
+    """
+
+
+@query("dedup_strategy_delta", oracle=_dedup_delta_oracle())
+def dedup_strategy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X146 (extended r10 per VERDICT r9 #6) — the FULL dedup-family
+    agreement census: every candidate duplicate pair flagged with its
+    membership in each of the engine's eight dedup tiers —
+
+    - ``exact`` (X1): byte-identical content;
+    - ``normalized`` (X91): identical after lowercase/punct/ws
+      canonicalization;
+    - ``spandedup`` (X155-canonical): identical after intra-doc
+      repeated-span removal (catches self-padded copies);
+    - ``substring`` (X198): share a maximal verbatim span ≥12 tokens;
+    - ``ngram`` (X2): exact shingle Jaccard ≥ 0.8;
+    - ``minhash`` (X3): MinHash+LSH verified at the same threshold;
+    - ``simhash`` (X4): fingerprint Hamming ≤ 3;
+    - ``semantic`` (X164): SemDeDup in-cluster embedding cosine
+      ≥ 0.95, keyed by the fixture's vec_id↔doc_id alignment (the
+      hybrid-search query's standing convention). The fixture's
+      embeddings are random vectors (measured max real-pair cosine
+      0.51), so this flag is all-false here by construction — the
+      join path and oracle replay are still exercised; at production
+      the embeddings derive from the text and the tier is live.
+
+    The census is THE acceptance artifact for choosing a production
+    dedup stack: in_ngram ∧ ¬in_minhash quantifies LSH banding recall,
+    in_substring ∧ ¬in_ngram counts partial-copy pairs doc-level
+    Jaccard misses, in_normalized ∧ ¬in_exact measures reformatting,
+    and rows where ONLY the cheap tiers fire justify skipping the
+    expensive ones.
+
+    Scale: each tier emits a threshold-filtered PAIR set (tiny vs the
+    corpus); hash-equality tiers group by a 128-bit digest and emit
+    C(g,2) pairs per group with the bucket HOF (a production census
+    caps group size exactly like the posting stop-list); the union is
+    one tag column wider than the widest tier and the rollup is a
+    single (doc_a, doc_b) groupBy with bool_or flags — one shuffle
+    over the union of pair sets."""
+    from seng550_a3_etl_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        bucket_pairs,
+        cross_doc_substring_spans,
+        dedup_doc_spans_exploded,
+    )
+    from seng550_a3_etl_spark.suite.vectors import _SEMDEDUP_THRESHOLD
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+
+    def hash_tier(keyed: DataFrame, tier: str) -> DataFrame:
+        return bucket_pairs(keyed, ["__h"], F.col("doc_id")).select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.lit(tier).alias("tier"),
+        )
+
+    def tag(pairs: DataFrame, tier: str) -> DataFrame:
+        return pairs.select(
+            "doc_a", "doc_b", F.lit(tier).alias("tier")
+        )
+
+    ex = hash_tier(
+        docs.select("doc_id", F.md5("text").alias("__h")), "exact"
+    )
+    nm = hash_tier(
+        docs.select(
+            "doc_id", F.md5(_spark_norm(F.col("text"))).alias("__h")
+        ),
+        "normalized",
+    )
+    sd = dedup_doc_spans_exploded(docs, "doc_id", "text", k=_DOC_SPAN_K)
+    sp = hash_tier(
+        sd.filter(F.col("dedup_text") != "").select(
+            "doc_id", F.md5("dedup_text").alias("__h")
+        ),
+        "spandedup",
+    )
+    sub = tag(
+        cross_doc_substring_spans(
+            docs,
+            "doc_id",
+            "text",
+            k=_XSPAN_K,
+            min_span_tokens=_XSPAN_MIN,
+            max_anchor_freq=_XSPAN_MAXF,
+        )
+        .select("doc_a", "doc_b")
+        .distinct(),
+        "substring",
+    )
+    ng = tag(ngram_dup_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+             "ngram")
+    mh = tag(minhash_dup_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+             "minhash")
+    sh = tag(simhash_near_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+             "simhash")
+    cent = (
+        t.embeddings.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(50)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    )
+    sem = tag(
+        semantic_dedup_pairs(
+            t.embeddings.select(
+                F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+            ),
+            cent,
+            threshold=_SEMDEDUP_THRESHOLD,
+        ).select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        ),
+        "semantic",
+    )
+    u = ex
+    for frame in (nm, sp, sub, ng, mh, sh, sem):
+        u = u.unionByName(frame)
+    return u.groupBy("doc_a", "doc_b").agg(
+        *[
+            F.max(F.col("tier") == tier).alias(f"in_{tier}")
+            for tier in _DELTA_TIERS
+        ]
     )
