@@ -118,6 +118,21 @@ SF1_SPOT = [
     # fixed probe domains and are scale-invariant by construction, so
     # they are not spotted.
     "dsir_importance_weights",
+    # r10 additions (VERDICT r9 #4): the r9 heavy family, each with a
+    # measurable scale claim — LPA's bounded-pass joins, SemDeDup's
+    # constant-cell-size pair work (the recipe's k grows with the
+    # corpus until the 50-cap, so pair volume stays ~linear through
+    # this window), fixed-k Lloyd iterations, the recall-curve eval,
+    # IVF-PQ search, and the new anchor-posting span build.
+    # dedup_strategy_delta is deliberately NOT spotted: its 10x wall
+    # (~155 s measured) re-pays the ngram/minhash/simhash/substring
+    # tiers that are each already spotted individually.
+    "label_propagation_parts",
+    "semantic_dedup_clusters",
+    "kmeans_iterated_centroids",
+    "matryoshka_recall_curve",
+    "ann_recall_ivf_pq",
+    "cross_doc_substring_dedup",
 ]
 
 

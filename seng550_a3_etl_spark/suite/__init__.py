@@ -136,6 +136,11 @@ _CHANGED: dict[str, int] = {
     # the full 8-tier dedup-family census — output schema gains six
     # flag columns and the pair universe widens.
     "dedup_strategy_delta": 10,
+    # round 10: k-means seed recipe moved from density sampling
+    # (vec_id % 100, k grew with the corpus — the 13.0x sf1 spot) to
+    # the scale-stable 50 smallest vec_ids. OUTPUT-changing at every
+    # sf (5 -> 50 seeds at sf0.01).
+    "kmeans_iterated_centroids": 10,
 }
 
 

