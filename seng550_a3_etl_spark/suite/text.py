@@ -3754,3 +3754,200 @@ def dedup_strategy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             for tier in _DELTA_TIERS
         ]
     )
+
+
+@query(
+    "cross_source_span_flow",
+    oracle=rf"""
+    WITH xd AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+    ),
+    {_xspan_ctes('x', 'xd')}
+    SELECT da.source AS src_from, db.source AS src_to,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(DISTINCT s.doc_a * 1000000 + s.doc_b) AS BIGINT)
+             AS n_pairs,
+           CAST(SUM(s.span_tokens) AS BIGINT) AS span_tokens
+    FROM xspans s
+    JOIN documents da ON da.doc_id = s.doc_a
+    JOIN documents db ON db.doc_id = s.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_span_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional source-level copy flow at substring granularity
+    (X200): the X198 maximal shared spans rolled up by (source of the
+    keep side, source of the trim side) — under keep-first the smaller
+    id (doc_a) is the canonical copy, so a row says "content flowed
+    FROM src_from TO src_to". The matrix a curation run reads to find
+    syndication/scraper relationships BETWEEN feeds — complementing
+    X169's near-dup source matrix, which only sees whole-document
+    similarity and is symmetric. ``span_tokens`` is raw span mass
+    (per-pair overlaps intentionally not unioned here; X199 reports
+    the per-doc union).
+
+    Determinism: the pair key for the distinct count packs
+    (doc_a, doc_b) into one integer (ids < 1e6 in every fixture and
+    the pack is identical in both engines).
+
+    Scale: the span build's two exchanges; the source attribution is
+    two doc_id equi-joins against the (doc_id, source) projection and
+    the rollup is |sources|² rows."""
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        cross_doc_substring_spans,
+    )
+
+    t = load_tables(spark, sf_dir)
+    spans = cross_doc_substring_spans(
+        t.documents, "doc_id", "text",
+        k=_XSPAN_K, min_span_tokens=_XSPAN_MIN, max_anchor_freq=_XSPAN_MAXF,
+    )
+    src = t.documents.select("doc_id", "source")
+    return (
+        spans.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("src_from"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("src_to"),
+            ),
+            "doc_b",
+        )
+        .groupBy("src_from", "src_to")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.countDistinct(
+                F.col("doc_a") * 1000000 + F.col("doc_b")
+            ).cast("long").alias("n_pairs"),
+            F.sum("span_tokens").cast("long").alias("span_tokens"),
+        )
+    )
+
+
+@query(
+    "anchor_stoplist_census",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+    ),
+    a AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(tk) - {_XSPAN_K - 1}, 0) + 1),
+               i -> {duck_hash64(
+                   f"array_to_string(tk[i:i+{_XSPAN_K - 1}], ' ')"
+               )})) AS h
+      FROM d
+    ),
+    freqs AS (SELECT h, COUNT(*) AS f FROM a GROUP BY h)
+    SELECT CAST(1 << (length(ltrim(bin(f), '0')) - 1) AS BIGINT)
+             AS freq_bucket,
+           f > {_XSPAN_MAXF} AS dropped,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           CAST(SUM(f) AS BIGINT) AS n_positions
+    FROM freqs GROUP BY 1, 2
+    """,
+)
+def anchor_stoplist_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the X198 stop-list approximation (X201): the
+    corpus-frequency histogram of k-gram anchors (power-of-two
+    buckets), each bucket flagged with whether its anchors fall to the
+    ``max_anchor_freq`` stop-list — the artifact that says how much
+    window mass the substring pass ignores (dropped positions are
+    boilerplate by definition) and where to set the knob. The pow2
+    bucket is the HLL bit-length idiom (ltrim-bin), identical in both
+    engines.
+
+    Scale: one corpus scan to hashed (h) rows, ONE map-side-combined
+    groupBy to |distinct anchors| frequencies, then a ≤64-row bucket
+    rollup. Anchor strings never leave the scan — only 60-bit longs
+    shuffle."""
+    from seng550_a3_etl_spark.functions.text import shingles
+
+    t = load_tables(spark, sf_dir)
+    anchors = t.documents.select(
+        tokens(F.col("text")).alias("__tk")
+    ).filter(F.size("__tk") >= _XSPAN_K).select(
+        F.explode(
+            F.transform(shingles(F.col("__tk"), _XSPAN_K), hash64)
+        ).alias("h")
+    )
+    freqs = anchors.groupBy("h").agg(F.count(F.lit(1)).alias("f"))
+    bucket = F.expr(
+        "CAST(shiftleft(1L, length(ltrim('0', bin(f))) - 1) AS LONG)"
+    )
+    return freqs.select(
+        bucket.alias("freq_bucket"),
+        (F.col("f") > _XSPAN_MAXF).alias("dropped"),
+        "f",
+    ).groupBy("freq_bucket", "dropped").agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        F.sum("f").cast("long").alias("n_positions"),
+    )
+
+
+def _tier_funnel_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    rows = []
+    for i, t in enumerate(_DELTA_TIERS):
+        earlier = " OR ".join(f"in_{e}" for e in _DELTA_TIERS[:i])
+        marg = f"in_{t} AND NOT ({earlier})" if earlier else f"in_{t}"
+        rows.append(
+            f"SELECT {i} AS tier_rank, '{t}' AS tier, "
+            f"CAST(COUNT(*) FILTER (in_{t}) AS BIGINT) AS n_pairs, "
+            f"CAST(COUNT(*) FILTER ({marg}) AS BIGINT) AS n_marginal "
+            "FROM census"
+        )
+    return (
+        f"WITH census AS ({ORACLES['dedup_strategy_delta']})\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+@query("dedup_tier_funnel", oracle=_tier_funnel_oracle())
+def dedup_tier_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The X146 census folded into the decision artifact (X202): per
+    dedup tier (ladder order), how many pairs it catches and how many
+    it catches that NO earlier (cheaper) tier already caught — the
+    marginal-recall column is what justifies each tier's cost in a
+    production stack ("simhash adds 0 pairs over minhash here ⇒ drop
+    it"; "substring adds N pairs doc-level tiers miss ⇒ keep it").
+
+    Scale: one pass over the census (itself pair-set-sized, tiny vs
+    the corpus); the funnel is 8 aggregates over the same frame folded
+    into ONE agg via conditional counts — no per-tier rescans."""
+    census = dedup_strategy_delta(spark, sf_dir)
+    aggs = []
+    for i, tier in enumerate(_DELTA_TIERS):
+        caught = F.col(f"in_{tier}")
+        earlier = None
+        for e in _DELTA_TIERS[:i]:
+            earlier = (
+                F.col(f"in_{e}") if earlier is None
+                else (earlier | F.col(f"in_{e}"))
+            )
+        marginal = caught & ~earlier if earlier is not None else caught
+        aggs.append(
+            F.sum(caught.cast("long")).cast("long").alias(f"__p{i}")
+        )
+        aggs.append(
+            F.sum(marginal.cast("long")).cast("long").alias(f"__m{i}")
+        )
+    folded = census.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("tier_rank"),
+                F.lit(t).alias("tier"),
+                F.col(f"__p{i}").alias("n_pairs"),
+                F.col(f"__m{i}").alias("n_marginal"),
+            )
+            for i, t in enumerate(_DELTA_TIERS)
+        ]
+    )
+    return folded.select(F.explode(rows).alias("r")).select("r.*")
