@@ -301,3 +301,119 @@ def shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_share_ppm"),
         )
     )
+
+
+# Mixture-allocation knobs (X203): per-source target weight derived
+# from the source index (a deterministic stand-in for the mixture
+# config a training run supplies), and the token budget as a fraction
+# of the corpus (half — large enough that popular sources hit their
+# availability and the waterfilling pass actually redistributes).
+_MIX_W = "(CAST(substring(source, 4) AS INT) % 4 + 1)"
+
+
+@query(
+    "mixture_budget_allocation",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+               AS a
+      FROM documents GROUP BY source
+    ),
+    w AS (SELECT source, a, {_MIX_W} AS wt FROM avail),
+    tot AS (
+      SELECT SUM(a) AS ta, SUM(wt) AS tw, SUM(a) // 2 AS b FROM w
+    ),
+    s1 AS (
+      SELECT source, a, wt,
+             (t.b * wt) // t.tw AS target,
+             LEAST(a, (t.b * wt) // t.tw) AS alloc1
+      FROM w, tot t
+    ),
+    s2 AS (
+      SELECT SUM(alloc1) AS sa1, SUM(a - alloc1) AS cap FROM s1
+    )
+    SELECT s1.source,
+           CAST(s1.a AS BIGINT) AS available_tokens,
+           CAST(s1.target AS BIGINT) AS target_tokens,
+           CAST(s1.alloc1
+                + LEAST(s1.a - s1.alloc1,
+                        ((t.b - s2.sa1) * (s1.a - s1.alloc1))
+                          // NULLIF(s2.cap, 0)) AS BIGINT)
+             AS allocated_tokens,
+           CAST((s1.alloc1
+                 + LEAST(s1.a - s1.alloc1,
+                         ((t.b - s2.sa1) * (s1.a - s1.alloc1))
+                           // NULLIF(s2.cap, 0))) * 1000000
+                // s1.target AS BIGINT) AS fill_ppm
+    FROM s1, s2, tot t
+    """,
+)
+def mixture_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture token allocation (X203): given per-source
+    available token mass, per-source target weights, and a total token
+    budget (half the corpus here), allocate tokens per source —
+    proportional to weight, capped at availability, with ONE
+    waterfilling pass redistributing the shortfall from capped sources
+    to the remaining capacity pro-rata. This is the sampling-weight
+    solver every mixture-trained run executes before writing shards
+    (the DoReMi/Pile-style "target mixture vs what the corpus actually
+    has" reconciliation); ``fill_ppm`` (allocated/target, integer ppm)
+    is the per-source health number — below 1e6 means the corpus
+    cannot deliver that source's target even after redistribution.
+
+    Determinism: every step is integer floor arithmetic (``DIV``) on
+    token counts — no engine floats anywhere.
+
+    Scale: ONE corpus scan folds to the |sources| availability rollup;
+    everything after is arithmetic on that rollup joined against two
+    broadcast scalar rows. The redistribution is one pass (the
+    production loop iterates to fixpoint; one pass is the documented
+    demo depth — further passes are the same 3-line stage)."""
+    t = load_tables(spark, sf_dir)
+    avail = (
+        t.documents.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), r"\s+")))
+            .cast("long")
+            .alias("a")
+        )
+        .withColumn("wt", F.expr(_MIX_W))
+    )
+    tot = avail.agg(
+        F.sum("a").alias("ta"),
+        F.sum("wt").alias("tw"),
+        F.expr("SUM(a) DIV 2").alias("b"),
+    )
+    s1 = avail.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "a",
+        "wt",
+        "b",
+        F.expr("(b * wt) DIV tw").alias("target"),
+        F.expr("LEAST(a, (b * wt) DIV tw)").alias("alloc1"),
+    )
+    s2 = s1.agg(
+        F.sum("alloc1").alias("sa1"),
+        F.sum(F.col("a") - F.col("alloc1")).alias("cap"),
+    )
+    alloc = F.expr(
+        "alloc1 + LEAST(a - alloc1,"
+        " ((b - sa1) * (a - alloc1)) DIV NULLIF(cap, 0))"
+    )
+    return s1.crossJoin(F.broadcast(s2)).select(
+        "source",
+        F.col("a").cast("long").alias("available_tokens"),
+        F.col("target").cast("long").alias("target_tokens"),
+        alloc.cast("long").alias("allocated_tokens"),
+        (alloc * 1000000)
+        .cast("long")
+        .alias("__num"),
+        "target",
+    ).select(
+        "source",
+        "available_tokens",
+        "target_tokens",
+        "allocated_tokens",
+        F.expr("__num DIV target").cast("long").alias("fill_ppm"),
+    )

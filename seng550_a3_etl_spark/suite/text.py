@@ -3951,3 +3951,188 @@ def dedup_tier_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return folded.select(F.explode(rows).alias("r")).select("r.*")
+
+
+_ZIPF_TOP_N = 100
+
+# OLS slope/intercept from the integer-nano sums — ONE shared SQL text
+# parsed by both engines, so the double arithmetic is IEEE-identical
+# given identical integer inputs.
+_ZIPF_SLOPE = (
+    "(n * sxy / 1e9 - (sx / 1e9) * (sy / 1e9))"
+    " / (n * sxx / 1e9 - (sx / 1e9) * (sx / 1e9))"
+)
+_ZIPF_INTERCEPT = f"(sy / 1e9 - ({_ZIPF_SLOPE}) * sx / 1e9) / n"
+
+
+@query(
+    "zipf_slope_fit",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+    ),
+    freqs AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok),
+    top AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r
+      FROM freqs ORDER BY f DESC, tok LIMIT {_ZIPF_TOP_N}
+    ),
+    terms AS (
+      SELECT CAST(ROUND(LN(r) * 1000000000) AS BIGINT) AS x,
+             CAST(ROUND(LN(f) * 1000000000) AS BIGINT) AS y,
+             CAST(ROUND(LN(r) * LN(f) * 1000000000) AS BIGINT) AS xy,
+             CAST(ROUND(LN(r) * LN(r) * 1000000000) AS BIGINT) AS xx
+      FROM top
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(xy) AS DOUBLE) AS sxy,
+             CAST(SUM(xx) AS DOUBLE) AS sxx
+      FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           ROUND({_ZIPF_SLOPE}, 6) AS slope,
+           ROUND({_ZIPF_INTERCEPT}, 6) AS intercept
+    FROM s
+    """,
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution (X204): OLS
+    slope of ln(freq) against ln(rank) over the top-100 tokens — a
+    natural-language corpus sits near −1; a slope drifting toward 0
+    flags templated/generated text, one far below −1 flags a
+    boilerplate-dominated head. The single-number corpus-health check
+    a curation dashboard tracks per crawl.
+
+    Determinism: rank is a row_number on the total order
+    (freq DESC, token) shared by both engines; every per-token ln term
+    is quantized to integer nanos BEFORE summation (the X69
+    order-independent-statistics pattern), and the closing OLS
+    arithmetic is ONE shared SQL text evaluated on those identical
+    integers — bit-stable.
+
+    Scale: one corpus scan to the token-frequency rollup
+    (map-side-combined), then a TakeOrdered top-100 (per-partition
+    heaps, never a global sort) and arithmetic on 100 rows. The
+    |vocab|-row rollup is the only shuffle."""
+    t = load_tables(spark, sf_dir)
+    freqs = (
+        t.documents.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    top = (
+        freqs.orderBy(F.desc("f"), F.asc("tok"))
+        .limit(_ZIPF_TOP_N)
+        .select(
+            "f",
+            F.row_number()
+            .over(Window.orderBy(F.desc("f"), F.asc("tok")))
+            .alias("r"),
+        )
+    )
+    nano = lambda c: F.round(c * 1e9).cast("long")  # noqa: E731
+    terms = top.select(
+        nano(F.log("r")).alias("x"),
+        nano(F.log("f")).alias("y"),
+        nano(F.log("r") * F.log("f")).alias("xy"),
+        nano(F.log("r") * F.log("r")).alias("xx"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.expr(f"ROUND({_ZIPF_SLOPE}, 6)").alias("slope"),
+        F.expr(f"ROUND({_ZIPF_INTERCEPT}, 6)").alias("intercept"),
+    )
+
+
+# LSH band-configuration grid: every (bands, rows_per_band) factoring
+# of the 8-permutation signature. The production config is (4, 2).
+_BAND_GRID = ((1, 8), (2, 4), (4, 2), (8, 1))
+
+
+def _pow_chain(base: str, e: int) -> str:
+    """x**e for e in {1,2,4,8} as a repeated-squaring product — ONE
+    text both engines parse, so the IEEE sequence is identical (pow()
+    implementations may differ across engines; chained * cannot)."""
+    s = base
+    while e > 1:
+        s = f"({s} * {s})"
+        e //= 2
+    return s
+
+
+def _capture_micros(j: str, bands: int, rpb: int) -> str:
+    """round(1e6 * (1 - (1 - j^r)^b)) — the S-curve capture
+    probability of an LSH config for a pair at Jaccard ``j``."""
+    miss = f"(1.0 - {_pow_chain(j, rpb)})"
+    return (
+        f"CAST(ROUND((1.0 - {_pow_chain(miss, bands)}) * 1000000)"
+        " AS BIGINT)"
+    )
+
+
+def _band_tuning_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    rows = [
+        f"SELECT {b} AS bands, {r} AS rows_per_band, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        f"CAST(SUM({_capture_micros('jaccard', b, r)}) // COUNT(*)"
+        " AS BIGINT) AS est_recall_ppm "
+        "FROM pairs"
+        for b, r in _BAND_GRID
+    ]
+    return (
+        f"WITH pairs AS ({ORACLES['ngram_dup_pairs']})\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+@query("minhash_band_tuning", oracle=_band_tuning_oracle())
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-configuration tuning table (X205): for every (bands,
+    rows-per-band) factoring of the 8-perm MinHash signature, the
+    expected recall over the VERIFIED near-dup pair set — each pair at
+    Jaccard j is captured by at least one band with probability
+    1 − (1 − j^r)^b (the S-curve), and averaging that over the exact
+    ground-truth pairs (X2) gives the recall each config would deliver
+    on THIS corpus. The artifact that justifies the production (4, 2)
+    choice with a measurement instead of the generic S-curve plot —
+    and at 100 TB it prices a re-banding before anyone re-hashes the
+    corpus.
+
+    Determinism: powers are repeated-squaring product chains in ONE
+    SQL text shared by both engines (pow() is not cross-engine
+    IEEE-stable; chained * is); per-pair capture quantizes to integer
+    micros before the sum; the average is integer DIV.
+
+    Scale: one pass over the threshold-filtered pair set (tiny vs the
+    corpus, session-cached shingle sets); all four configs fold in ONE
+    aggregate — no per-config rescans."""
+    pairs = ngram_dup_pairs(spark, sf_dir).select("jaccard")
+    aggs = []
+    for i, (b, r) in enumerate(_BAND_GRID):
+        aggs.append(F.count(F.lit(1)).cast("long").alias(f"__n{i}"))
+        aggs.append(
+            F.sum(F.expr(_capture_micros("jaccard", b, r))).alias(f"__s{i}")
+        )
+    folded = pairs.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.col(f"__n{i}").alias("n_pairs"),
+                F.expr(f"__s{i} DIV __n{i}").alias("est_recall_ppm"),
+            )
+            for i, (b, r) in enumerate(_BAND_GRID)
+        ]
+    )
+    return folded.select(F.explode(rows).alias("r")).select("r.*")
