@@ -2902,3 +2902,149 @@ def semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_INT8_KS = (1, 5, 10)
+_INT8_NPROBE = 20
+# int8 quantization replayed in SQL (the X31 oracle recipe): per-vector
+# symmetric scale 127/max|x|, rounded to int.
+_INT8_Q = (
+    "list_transform(embedding, x -> CAST(ROUND(x::DOUBLE * (127.0 / "
+    "list_max(list_transform(embedding, y -> abs(y::DOUBLE))))) AS INT))"
+)
+
+
+def _int8_recall_oracle() -> str:
+    ks = ", ".join(str(k) for k in _INT8_KS)
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv, {_INT8_Q} AS cq
+      FROM embeddings
+      WHERE list_max(list_transform(embedding, y -> abs(y::DOUBLE))) > 0
+    ),
+    q AS (SELECT cid AS qid, cv AS qv, cq AS qq FROM c
+          WHERE cid < {_INT8_NPROBE}),
+    fl AS (
+      SELECT qid, cid, ROW_NUMBER() OVER (
+        PARTITION BY qid
+        ORDER BY ROUND({_cos('qv', 'cv')}, 6) DESC, cid) AS rf
+      FROM q, c WHERE qid != cid
+    ),
+    i8 AS (
+      SELECT qid, cid, ROW_NUMBER() OVER (
+        PARTITION BY qid
+        ORDER BY ROUND({_cos('qq', 'cq')}, 6) DESC, cid) AS ri
+      FROM q, c WHERE qid != cid
+    ),
+    m AS (
+      SELECT fl.qid, fl.rf, i8.ri
+      FROM fl JOIN i8 ON fl.qid = i8.qid AND fl.cid = i8.cid
+      WHERE fl.rf <= {max(_INT8_KS)} AND i8.ri <= {max(_INT8_KS)}
+    ),
+    np AS (SELECT COUNT(*) AS n FROM q)
+    SELECT k,
+           CAST(np.n AS BIGINT) AS n_probes,
+           CAST(COALESCE(SUM(CASE WHEN m.rf <= k AND m.ri <= k
+                             THEN 1 ELSE 0 END), 0) * 1000000
+                // (k * np.n) AS BIGINT) AS recall_ppm
+    FROM (SELECT unnest([{ks}]) AS k) kv, np
+    LEFT JOIN m ON true
+    GROUP BY k, np.n
+    """
+
+
+@query("int8_recall_curve", oracle=_int8_recall_oracle())
+def int8_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-search quality gate (X207): recall@k of brute-force
+    cosine search over the int8-quantized corpus (X31's compression)
+    against the float ground truth, for k ∈ (1, 5, 10) — the
+    acceptance measurement before a store swaps float32 for int8 (4×
+    smaller, and the claim "recall loss <1%" becomes a number instead
+    of folklore). Per-vector symmetric scales cancel in cosine, so
+    int8 ordering is the integer-array cosine — computed from exact
+    integers in both engines, rounded 6 with the id tiebreak (the
+    standing total-order recipe).
+
+    Scale: this is the EVAL harness, not the serving path — a bounded
+    probe set (20) against the corpus, one broadcast-probe pass per
+    representation, ranks from per-probe windows; recall folds as
+    conditional counts over the rank join, exact integer ppm. The
+    serving path at scale is IVF/PQ (X160/X162); this curve prices
+    the quantization alone."""
+    from seng550_a3_etl_spark.operators.similarity import quantize_int8
+
+    t = load_tables(spark, sf_dir)
+    c = t.embeddings.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        quantize_int8(F.col("embedding"))["q"].alias("cq"),
+    ).filter(F.col("cq").isNotNull())
+    qf = c.filter(F.col("cid") < _INT8_NPROBE).select(
+        F.col("cid").alias("qid"),
+        F.col("cv").alias("qv"),
+        F.col("cq").alias("qq"),
+    )
+
+    def ranks(qcol: str, ccol: str, out: str) -> DataFrame:
+        num = F.expr(
+            f"aggregate(zip_with({qcol}, {ccol},"
+            " (a, b) -> a * CAST(b AS DOUBLE)), 0.0D, (s, x) -> s + x)"
+        )
+        den_q = F.sqrt(
+            F.expr(
+                f"aggregate({qcol}, 0.0D,"
+                " (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+            )
+        )
+        den_c = F.sqrt(
+            F.expr(
+                f"aggregate({ccol}, 0.0D,"
+                " (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+            )
+        )
+        cos = F.round(num / (den_q * den_c), 6)
+        w = Window.partitionBy("qid").orderBy(F.desc("__cos"), F.asc("cid"))
+        return (
+            F.broadcast(qf)
+            .crossJoin(c)
+            .filter(F.col("qid") != F.col("cid"))
+            .withColumn("__cos", cos)
+            .select(
+                "qid", "cid", F.row_number().over(w).alias(out)
+            )
+        )
+
+    kmax = max(_INT8_KS)
+    m = (
+        ranks("qv", "cv", "rf")
+        .filter(F.col("rf") <= kmax)
+        .join(
+            ranks("qq", "cq", "ri").filter(F.col("ri") <= kmax),
+            ["qid", "cid"],
+        )
+    )
+    np_ = qf.agg(F.count(F.lit(1)).alias("n"))
+    folded = m.crossJoin(F.broadcast(np_)).agg(
+        F.max("n").alias("n"),
+        *[
+            F.sum(
+                F.when(
+                    (F.col("rf") <= k) & (F.col("ri") <= k), 1
+                ).otherwise(0)
+            ).alias(f"__m{k}")
+            for k in _INT8_KS
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.col("n").cast("long").alias("n_probes"),
+                F.expr(f"__m{k} * 1000000 DIV ({k} * n)")
+                .cast("long")
+                .alias("recall_ppm"),
+            )
+            for k in _INT8_KS
+        ]
+    )
+    return folded.select(F.explode(rows).alias("r")).select("r.*")
