@@ -31,8 +31,19 @@ from pyspark.sql import functions as F
 HASH_BITS = 60
 
 
-def hash64(col: Column, seed: int | None = None) -> Column:
-    """60-bit deterministic hash of a string column (optionally seeded)."""
+def hash64(col: Column, *, seed: int | None = None) -> Column:
+    """60-bit deterministic hash of a string column (optionally seeded).
+
+    ``seed`` is KEYWORD-ONLY on purpose: ``F.transform(arr, fn)``
+    inspects ``fn``'s positional arity and, for a two-positional-arg
+    function, passes the element INDEX as the second argument — which
+    here landed in the seed f-string as the index Column's repr,
+    silently prefixing every hash with a plan-unique string (r10 bug:
+    values stayed internally consistent per plan, so grouping-only
+    oracles kept passing, but cross-lineage hash joins matched ZERO
+    rows and the documented DuckDB bit-equality was false). With seed
+    keyword-only the positional arity is 1 and a bare
+    ``F.transform(arr, hash64)`` hashes exactly the element."""
     s = F.concat(F.lit(f"{seed}:"), col) if seed is not None else col
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 

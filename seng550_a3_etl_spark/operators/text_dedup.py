@@ -120,7 +120,9 @@ def dup_span_stats(
     )
     wins = docs.filter(F.size("__tk") >= k).select(
         id_col,
-        F.explode(F.transform(shingles(F.col("__tk"), k), hash64)).alias(
+        F.explode(
+            F.transform(shingles(F.col("__tk"), k), lambda c: hash64(c))
+        ).alias(
             "__h"
         ),
     )
@@ -1016,7 +1018,9 @@ def cross_doc_substring_spans(
     )
     anchors = docs.filter(F.size("__tk") >= k).select(
         "doc",
-        F.posexplode(F.transform(shingles(F.col("__tk"), k), hash64)).alias(
+        F.posexplode(
+            F.transform(shingles(F.col("__tk"), k), lambda c: hash64(c))
+        ).alias(
             "pos", "h"
         ),
     )

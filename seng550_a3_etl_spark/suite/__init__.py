@@ -141,6 +141,12 @@ _CHANGED: dict[str, int] = {
     # the scale-stable 50 smallest vec_ids. OUTPUT-changing at every
     # sf (5 -> 50 seeds at sf0.01).
     "kmeans_iterated_centroids": 10,
+    # round 10: transform-applied hash64 was silently index-salted
+    # (plan-unique prefix); fixed to true md5 values via keyword-only
+    # seed + explicit lambdas. dup_span_stats' internal window hashes
+    # change (output value-identical — grouping is bijection-
+    # invariant), but the code under it changed.
+    "dup_span_stats": 10,
 }
 
 

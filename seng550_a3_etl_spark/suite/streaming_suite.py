@@ -772,3 +772,111 @@ def stream_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("logw"), 6).alias("avg_llr"),
         )
     )
+
+
+_XGUARD_TABLE = "stream_substring_guard_sink"
+
+
+def _stream_xguard_oracle() -> str:
+    from seng550_a3_etl_spark.suite import text  # noqa: F401
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return ORACLES["dup_span_stats"]
+
+
+@query("stream_substring_guard", oracle=_stream_xguard_oracle())
+def stream_substring_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming substring-duplication guard (X208): the X89 per-doc
+    duplicated-window census executed on a document INGEST stream
+    against a STATIC anchor index of the corpus — the quarantine gate
+    that flags a partially-copied incoming doc (dup_frac of its
+    k-token windows found elsewhere) before it lands in the lake,
+    where the batch substring pass (X198) would only catch it at the
+    next full run. Same oracle as the batch twin, so the driver checks
+    the streaming execution of the identical construction.
+
+    Physical shape: the stream side explodes each doc into hashed
+    k-gram anchors inside the micro-batch (stateless projection); a
+    stream-STATIC equi-join on the anchor hash looks each window up in
+    the per-anchor rollup (n_docs, solitary doc id) built once from
+    the batch table — "duplicated elsewhere" is nd ≥ 2 OR the one
+    indexed holder differs from the incoming doc, which makes the
+    self-match of replayed corpus docs correct. Per-window verdicts
+    append to the sink (no streaming aggregation ⇒ no watermark
+    needed); the per-doc fold and the sub-k-token-doc restore happen
+    batch-side on the sink, the X184 post-sink pattern.
+
+    Scale: streaming state is ZERO (stateless explode + join); the
+    static index is a (hash, nd, doc) rollup — corpus-anchor-sized,
+    shuffled once per micro-batch on the hash (no broadcast claimed);
+    per-batch cost is |batch| × windows-per-doc join rows."""
+    from seng550_a3_etl_spark.functions.hashing import hash64
+    from seng550_a3_etl_spark.functions.text import shingles, tokens
+    from seng550_a3_etl_spark.suite.text import _SPAN_K
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/documents.parquet*"
+    )
+
+    def anchors(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col("text"))
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(toks) >= _SPAN_K,
+                    F.transform(shingles(toks, _SPAN_K), lambda c: hash64(c)),
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("h"),
+        )
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = (
+        anchors(static)
+        .groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("holder"),
+        )
+    )
+    verdicts = anchors(stream).join(index, "h", "left").select(
+        "doc_id",
+        (
+            F.coalesce("nd", F.lit(0)) >= 2
+        ) | (
+            (F.coalesce("nd", F.lit(0)) == 1)
+            & (F.col("holder") != F.col("doc_id"))
+        ),
+    ).toDF("doc_id", "dup")
+    q = (
+        verdicts.writeStream.format("memory")
+        .queryName(_XGUARD_TABLE)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    sink = spark.table(_XGUARD_TABLE)
+    per_doc = sink.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum(F.col("dup").cast("int")).cast("long").alias("n_dup_windows"),
+    )
+    all_docs = static.select(
+        "doc_id",
+        F.greatest(
+            F.size(tokens(F.col("text"))) - (_SPAN_K - 1), F.lit(0)
+        ).cast("long").alias("__nw"),
+    )
+    return all_docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias(
+            "n_dup_windows"
+        ),
+        F.round(
+            F.coalesce("n_dup_windows", F.lit(0))
+            / F.nullif(F.coalesce("n_windows", F.lit(0)), F.lit(0)),
+            6,
+        ).alias("dup_frac"),
+    )

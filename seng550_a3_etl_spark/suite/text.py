@@ -3873,7 +3873,9 @@ def anchor_stoplist_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens(F.col("text")).alias("__tk")
     ).filter(F.size("__tk") >= _XSPAN_K).select(
         F.explode(
-            F.transform(shingles(F.col("__tk"), _XSPAN_K), hash64)
+            F.transform(
+                shingles(F.col("__tk"), _XSPAN_K), lambda c: hash64(c)
+            )
         ).alias("h")
     )
     freqs = anchors.groupBy("h").agg(F.count(F.lit(1)).alias("f"))

@@ -1332,3 +1332,30 @@ def test_union_span_coverage(spark):
         for r in union_span_coverage(df, ["k"], "s", "n").collect()
     }
     assert got == {1: 10, 2: 6, 3: 10}
+
+
+def test_transform_applied_hash64_is_true_md5(spark):
+    """F.transform(arr, hash64) must produce the documented md5-derived
+    values — not plan-salted ones. Regression for the keyword-only-seed
+    fix: PySpark passes the element index as a second positional arg to
+    two-positional-arity lambdas, which used to land in the seed
+    f-string; grouping-only queries kept working (per-plan-consistent
+    bijection) but any cross-lineage hash join silently matched zero
+    rows."""
+    import hashlib
+
+    from seng550_a3_etl_spark.functions.hashing import hash64
+
+    df = spark.createDataFrame([(["ab", "cd e", "f"],)], "a array<string>")
+    got = df.select(
+        F.transform("a", lambda c: hash64(c)).alias("h")
+    ).collect()[0].h
+    want = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        for s in ["ab", "cd e", "f"]
+    ]
+    assert got == want
+    # the bare form must now fail LOUDLY (keyword-only seed), never
+    # silently salt the hash with the index column again
+    with pytest.raises(Exception, match="POSITIONAL"):
+        df.select(F.transform("a", hash64))
