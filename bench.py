@@ -153,6 +153,23 @@ def _compact_line(
                 for k, v in (tbl or {}).items()}
             for q, tbl in sf1_spot["stages"].items()
         }
+    if sf1_spot and isinstance(sf1_spot.get("queries"), dict):
+        # The full per-query table rides in bench_full.json; at 30+
+        # spotted queries it alone would blow the 1800-char line and
+        # the floor case then dropped the WHOLE block (r10). The line
+        # keeps every anomalous entry verbatim (superlinear / failed /
+        # skipped / n-a) and folds the "ok" rows into a count plus the
+        # worst ok ratio.
+        qd = sf1_spot["queries"]
+        ok = {
+            n: v for n, v in qd.items()
+            if isinstance(v, list) and len(v) == 3 and v[2] == "ok"
+        }
+        sf1_spot = dict(sf1_spot)
+        sf1_spot["queries"] = {n: v for n, v in qd.items() if n not in ok}
+        sf1_spot["n_ok"] = len(ok)
+        ok_ratios = [v[1] for v in ok.values() if v[1] is not None]
+        sf1_spot["ok_max_ratio"] = max(ok_ratios) if ok_ratios else None
     payload = {
         "metric": "suite_total_wall",
         "value": total,

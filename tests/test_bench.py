@@ -19,6 +19,15 @@ SPOT = {
     "scale_build_s": 8.0,
     "queries": {n: [12.34, 9.9, "ok"] for n in bench.SF1_SPOT},
 }
+# One anomalous entry so compaction has something it must keep verbatim.
+SPOT_MIXED = {
+    "x": 10,
+    "scale_build_s": 8.0,
+    "queries": dict(
+        {n: [12.34, 9.9, "ok"] for n in bench.SF1_SPOT},
+        normalized_exact_dedup=[16.76, 16.8, "superlinear"],
+    ),
+}
 
 
 def test_compact_line_fits_with_full_headline():
@@ -30,7 +39,9 @@ def test_compact_line_fits_with_full_headline():
     d = json.loads(line)
     assert d["idle_check"] == IDLE
     assert d["queries"]  # headline present
-    assert d["sf1_spot"]["queries"]  # spot block rides the line
+    # ok rows fold to a count on the line; full table in bench_full
+    assert d["sf1_spot"]["n_ok"] == len(bench.SF1_SPOT)
+    assert d["sf1_spot"]["ok_max_ratio"] == 9.9
 
 
 def test_compact_line_realistic_payload_keeps_spot_and_ladder():
@@ -56,10 +67,15 @@ def test_compact_line_realistic_payload_keeps_spot_and_ladder():
     }
     idle = {"load1_initial": 4.11, "waited_s": 120.0,
             "load1": 0.4, "idle": True}
-    line = bench._compact_line(110.8, timings, 0.1, ladder, idle, SPOT)
+    line = bench._compact_line(110.8, timings, 0.1, ladder, idle, SPOT_MIXED)
     assert len(line) <= 1800
     d = json.loads(line)
-    assert d["sf1_spot"] == SPOT
+    # every anomalous spot entry must survive verbatim; ok rows fold
+    assert d["sf1_spot"]["queries"] == {
+        "normalized_exact_dedup": [16.76, 16.8, "superlinear"]
+    }
+    # the superlinear entry REPLACED one ok row in the fixture
+    assert d["sf1_spot"]["n_ok"] == len(bench.SF1_SPOT) - 1
     assert d["ladder"]["design_point_10x"]["points_x"] == 10
 
 
@@ -190,8 +206,23 @@ def test_prev_record_reads_timings_and_steady_set(tmp_path):
     }))
     timings, steady = bench._prev_record(str(p), 0.1)
     assert timings == {"a": 1.0, "b": 4.0}  # failed (-1) rows dropped
-    # steady only covers names still present in the timings dict
-    assert steady == {"b"}
+    # steadiness is CUMULATIVE (ADVICE r9: trigger 3 must quiesce
+    # permanently): retimed names survive even when absent from this
+    # run's timings (a removed query's entry is inert), and a
+    # persisted steady_verified list unions in
+    assert steady == {"b", "gone"}
+    p.write_text(json.dumps({
+        "sf": 0.1,
+        "queries": {"a": 1.0},
+        "retimed": {},
+        "steady_verified": ["b", "z"],
+    }))
+    assert bench._prev_record(str(p), 0.1)[1] == {"b", "z"}
+    p.write_text(json.dumps({
+        "sf": 0.1,
+        "queries": {"a": 1.0, "b": 4.0, "c": -1.0},
+        "retimed": {"b": [9.0, 4.0], "gone": [2.0, 1.0]},
+    }))
     # sf mismatch -> no baseline at all (a sf0.01 verify run must not
     # become the re-time baseline for a sf0.1 round)
     assert bench._prev_record(str(p), 0.01) == ({}, set())
