@@ -4138,3 +4138,94 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return folded.select(F.explode(rows).alias("r")).select("r.*")
+
+
+_HEAPS_BUCKETS = 10
+
+
+@query(
+    "heaps_vocab_growth",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+      FROM documents
+    ),
+    fo AS (SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(*) AS nd,
+                 (COUNT(*) + {_HEAPS_BUCKETS - 1}) // {_HEAPS_BUCKETS}
+                   AS w
+          FROM documents),
+    b AS (
+      SELECT fd // n.w AS bucket, COUNT(*) AS new_tokens
+      FROM fo, n GROUP BY 1
+    ),
+    g AS (SELECT unnest(range(0, {_HEAPS_BUCKETS})) AS bucket)
+    SELECT CAST(LEAST((g.bucket + 1) * n.w, n.nd) AS BIGINT)
+             AS prefix_docs,
+           CAST(COALESCE(b.new_tokens, 0) AS BIGINT) AS new_tokens,
+           CAST(SUM(COALESCE(b.new_tokens, 0)) OVER (
+                  ORDER BY g.bucket) AS BIGINT) AS vocab_size
+    FROM g LEFT JOIN b USING (bucket), n
+    """,
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (X209): distinct-token count
+    at 10 equal document-count prefixes of the corpus (doc_id as
+    ingest order) — the companion to X204's Zipf fit: natural text
+    grows vocabulary ~n^β (β≈0.5); a curve that flattens early flags
+    template/boilerplate corpora, one that stays linear flags
+    noise/IDs. Computed WITHOUT a quadratic prefix-distinct: a token
+    is new exactly at its FIRST-occurrence doc, so the per-bucket new
+    counts are a |vocab|-rollup histogram and the curve is their
+    running sum. (On the synthetic fixture the detector fires exactly
+    as designed: the generator's closed 31-token vocabulary is
+    exhausted inside the first bucket and the curve is flat — the
+    template-corpus signature.)
+
+    Scale: one corpus explode → (token, min doc) rollup
+    (map-side-combined, the only corpus-sized shuffle) → a 10-row
+    histogram; the cumulative window runs over exactly 10 rows
+    (bounded by construction, so the single-partition window is
+    free). Bucket width derives from the doc count, so the output is
+    always 10 rows at any sf."""
+    t = load_tables(spark, sf_dir)
+    fo = (
+        t.documents.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    n = t.documents.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.expr(
+            f"(COUNT(1) + {_HEAPS_BUCKETS - 1}) DIV {_HEAPS_BUCKETS}"
+        ).alias("w"),
+    )
+    b = (
+        fo.crossJoin(F.broadcast(n))
+        .groupBy(F.expr("fd DIV w").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    g = spark.range(_HEAPS_BUCKETS).select(F.col("id").alias("bucket"))
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.join(b, "bucket", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bucket",
+            F.least((F.col("bucket") + 1) * F.col("w"), F.col("nd"))
+            .cast("long")
+            .alias("prefix_docs"),
+            F.coalesce("new_tokens", F.lit(0))
+            .cast("long")
+            .alias("new_tokens"),
+        )
+        .select(
+            "prefix_docs",
+            "new_tokens",
+            F.sum("new_tokens").over(w_cum).cast("long").alias("vocab_size"),
+        )
+    )
