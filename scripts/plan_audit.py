@@ -13,9 +13,13 @@ multi-aggregate shapes (tfidf, region_revenue), set operations
 child+parent = 14 scans, the per-arm minimum), recall gates (the
 exact brute-force baseline plus the approximate path each re-read
 the small q/cent frames: ann_recall_*, ivf_nprobe_recall_curve,
-knn_label_*), and BPE-encoder compositions (bpe_fertility: the vocab
-build + encode + word-count arms) are by design; a new unexplained
-flag is a regression.
+knn_label_*, int8_recall_curve: float + quantized arms), BPE-encoder
+compositions (bpe_fertility: the vocab build + encode + word-count
+arms), and the dedup-family census (dedup_strategy_delta /
+dedup_tier_funnel: one arm per tier — 8 tiers, each with its own
+posting/window shuffles; the composition of independently-spotted
+tiers, scans = arms by design) are by design; a new unexplained flag
+is a regression.
 """
 
 from __future__ import annotations

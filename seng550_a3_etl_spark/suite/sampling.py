@@ -371,6 +371,9 @@ def mixture_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     production loop iterates to fixpoint; one pass is the documented
     demo depth — further passes are the same 3-line stage)."""
     t = load_tables(spark, sf_dir)
+    # Pinned: FOUR consumers (tot, s1, s2, final) branch off this
+    # |sources|-row rollup — unpinned, each branch re-scanned the
+    # corpus (plan audit: 4 scans for numbers derivable from 20 rows).
     avail = (
         t.documents.groupBy("source")
         .agg(
@@ -379,6 +382,7 @@ def mixture_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("a")
         )
         .withColumn("wt", F.expr(_MIX_W))
+        .localCheckpoint(eager=True)
     )
     tot = avail.agg(
         F.sum("a").alias("ta"),

@@ -4196,12 +4196,14 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.min("doc_id").alias("fd"))
     )
+    # Pinned scalar: consumed by the bucket rollup AND the final
+    # projection — unpinned, each consumer re-scanned the corpus.
     n = t.documents.agg(
         F.count(F.lit(1)).alias("nd"),
         F.expr(
             f"(COUNT(1) + {_HEAPS_BUCKETS - 1}) DIV {_HEAPS_BUCKETS}"
         ).alias("w"),
-    )
+    ).localCheckpoint(eager=True)
     b = (
         fo.crossJoin(F.broadcast(n))
         .groupBy(F.expr("fd DIV w").alias("bucket"))
