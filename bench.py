@@ -974,6 +974,28 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
     try:
         start = time.perf_counter()
         _scale_10x(spark, sf_dir, scaled)
+        # Build the SHARED session caches for the replica before any
+        # spot query runs, mirroring the 1x regime: in the 233-query
+        # suite loop the shingle-set / dup-label caches are charged to
+        # whichever (usually non-spotted) query consumes them first, so
+        # every spotted query's 1x base wall is cache-warm — but at 10x
+        # the first SPOTTED consumer paid the whole cache build inside
+        # its measured wall (r10: minhash_dup_pairs graded 14.2x
+        # "superlinear" while its isolated cold-vs-cold ratio is 2.9x).
+        # Charging the builds to scale_build_s makes both sides of the
+        # ratio cache-warm.
+        try:
+            from seng550_a3_etl_spark.suite.text import (
+                _labels_df,
+                _shingle_sets_df,
+            )
+
+            for hashed in (True, False):
+                _shingle_sets_df(spark, scaled, n=3, hashed=hashed)
+            _labels_df(spark, scaled)
+        except Exception as exc:
+            print(f"bench: sf1 cache prewarm failed: {exc}",
+                  file=sys.stderr)
         spot["scale_build_s"] = round(time.perf_counter() - start, 1)
         spent = spot["scale_build_s"]
         # Sorted to mirror the main suite loop's alphabetical order:
