@@ -1359,3 +1359,86 @@ def test_transform_applied_hash64_is_true_md5(spark):
     # silently salt the hash with the index column again
     with pytest.raises(Exception, match="POSITIONAL"):
         df.select(F.transform("a", hash64))
+
+
+def test_cross_doc_substring_spans_matches_brute_force_random(spark):
+    """Property check: the anchor-posting/diagonal-island construction
+    equals a brute-force maximal-shared-run scan for random token
+    sequences over a tiny alphabet (dense with repeats and intra-doc
+    self-matches), across k and min_span settings, with the stop-list
+    disabled (exactness regime)."""
+    import random
+
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        cross_doc_substring_spans,
+    )
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(rng.choice("abc") for _ in range(rng.randint(0, 14))))
+        for i in range(8)
+    ]
+    toks = {i: t.split() if t else [] for i, t in docs}
+
+    def brute(k, min_span):
+        out = set()
+        for a in range(8):
+            for b in range(a + 1, 8):
+                ta, tb = toks[a], toks[b]
+                for d in range(-len(tb), len(ta) + 1):
+                    # maximal runs of matching positions on diagonal d
+                    run = 0
+                    for pa in range(len(ta) + 1):
+                        pb = pa - d
+                        ok = (
+                            pa < len(ta)
+                            and 0 <= pb < len(tb)
+                            and ta[pa] == tb[pb]
+                        )
+                        if ok:
+                            run += 1
+                        else:
+                            if run >= k:
+                                span = run  # tokens, = anchors + k - 1
+                                start = pa - run
+                                if span >= min_span:
+                                    out.add((a, b, start, start - d, span))
+                            run = 0
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for k, min_span in ((2, 2), (2, 4), (3, 5)):
+        got = {
+            (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_tokens)
+            for r in cross_doc_substring_spans(
+                df, "doc_id", "text", k=k,
+                min_span_tokens=min_span, max_anchor_freq=10**6,
+            ).collect()
+        }
+        assert got == brute(k, min_span), (k, min_span)
+
+
+def test_union_span_coverage_matches_brute_force_random(spark):
+    """Property check: the sweep equals the position-set union for
+    random interval sets, including heavy overlap and duplicates."""
+    import random
+
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        union_span_coverage,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (key, rng.randint(0, 30), rng.randint(1, 12))
+        for key in range(6)
+        for _ in range(rng.randint(1, 9))
+    ]
+    want = {}
+    for key, s, n in rows:
+        want.setdefault(key, set()).update(range(s, s + n))
+    df = spark.createDataFrame(rows, "k long, s long, n long")
+    got = {
+        r.k: r.covered
+        for r in union_span_coverage(df, ["k"], "s", "n").collect()
+    }
+    assert got == {k: len(v) for k, v in want.items()}
