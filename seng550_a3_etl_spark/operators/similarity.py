@@ -428,7 +428,9 @@ def quantize_int8(vec: Column) -> Column:
     127/max|x| and round — the standard embedding-compression step
     before writing a training/ANN corpus (4× smaller than float32,
     recall loss usually <1%). Returns a (scale, q) struct; dequantize
-    as q[i]/scale. All-zero vectors get a null scale and null q.
+    as q[i]/scale. All-zero vectors get a null scale and a q whose
+    ELEMENTS are all null (the array itself is NOT null — filter such
+    vectors with max|x| > 0, not isNotNull on q).
 
     Per-row array math, codegen-eligible, zero shuffle. Elements are
     widened float→double before scaling so the arithmetic is exact and

@@ -338,13 +338,15 @@ _MIX_W = "(CAST(substring(source, 4) AS INT) % 4 + 1)"
            CAST(s1.target AS BIGINT) AS target_tokens,
            CAST(s1.alloc1
                 + LEAST(s1.a - s1.alloc1,
-                        ((t.b - s2.sa1) * (s1.a - s1.alloc1))
+                        (CAST(t.b - s2.sa1 AS HUGEINT)
+                         * (s1.a - s1.alloc1))
                           // NULLIF(s2.cap, 0)) AS BIGINT)
              AS allocated_tokens,
-           CAST((s1.alloc1
+           CAST(CAST(s1.alloc1
                  + LEAST(s1.a - s1.alloc1,
-                         ((t.b - s2.sa1) * (s1.a - s1.alloc1))
-                           // NULLIF(s2.cap, 0))) * 1000000
+                         (CAST(t.b - s2.sa1 AS HUGEINT)
+                          * (s1.a - s1.alloc1))
+                           // NULLIF(s2.cap, 0)) AS HUGEINT) * 1000000
                 // s1.target AS BIGINT) AS fill_ppm
     FROM s1, s2, tot t
     """,
@@ -401,23 +403,28 @@ def mixture_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("alloc1").alias("sa1"),
         F.sum(F.col("a") - F.col("alloc1")).alias("cap"),
     )
+    # DECIMAL(38,0) / HUGEINT on the waterfill product and the ppm
+    # numerator: shortfall x residual-capacity reaches ~1e25 and
+    # alloc*1e6 ~1e19 at the ~1e13-token operating point — the X137
+    # overflow class (Spark wraps silently where DuckDB errors).
     alloc = F.expr(
         "alloc1 + LEAST(a - alloc1,"
-        " ((b - sa1) * (a - alloc1)) DIV NULLIF(cap, 0))"
+        " CAST(CAST(b - sa1 AS DECIMAL(38,0)) * (a - alloc1)"
+        " DIV NULLIF(cap, 0) AS LONG))"
     )
     return s1.crossJoin(F.broadcast(s2)).select(
         "source",
         F.col("a").cast("long").alias("available_tokens"),
         F.col("target").cast("long").alias("target_tokens"),
         alloc.cast("long").alias("allocated_tokens"),
-        (alloc * 1000000)
-        .cast("long")
-        .alias("__num"),
+        alloc.cast("decimal(38,0)").alias("__num"),
         "target",
     ).select(
         "source",
         "available_tokens",
         "target_tokens",
         "allocated_tokens",
-        F.expr("__num DIV target").cast("long").alias("fill_ppm"),
+        F.expr("CAST(__num * 1000000 DIV target AS LONG)").alias(
+            "fill_ppm"
+        ),
     )

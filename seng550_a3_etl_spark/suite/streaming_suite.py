@@ -862,12 +862,7 @@ def stream_substring_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_windows"),
         F.sum(F.col("dup").cast("int")).cast("long").alias("n_dup_windows"),
     )
-    all_docs = static.select(
-        "doc_id",
-        F.greatest(
-            F.size(tokens(F.col("text"))) - (_SPAN_K - 1), F.lit(0)
-        ).cast("long").alias("__nw"),
-    )
+    all_docs = static.select("doc_id")
     return all_docs.join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),

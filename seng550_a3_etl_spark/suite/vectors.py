@@ -2974,11 +2974,16 @@ def int8_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seng550_a3_etl_spark.operators.similarity import quantize_int8
 
     t = load_tables(spark, sf_dir)
-    c = t.embeddings.select(
+    # All-zero vectors are excluded by max|x| > 0, matching the
+    # oracle: quantize_int8 returns an array of NULL ELEMENTS (not a
+    # null array) for them, so isNotNull on the array is a no-op.
+    c = t.embeddings.filter(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x))) > 0
+    ).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("cv"),
         quantize_int8(F.col("embedding"))["q"].alias("cq"),
-    ).filter(F.col("cq").isNotNull())
+    )
     qf = c.filter(F.col("cid") < _INT8_NPROBE).select(
         F.col("cid").alias("qid"),
         F.col("cv").alias("qv"),
@@ -3024,17 +3029,24 @@ def int8_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     np_ = qf.agg(F.count(F.lit(1)).alias("n"))
-    folded = m.crossJoin(F.broadcast(np_)).agg(
-        F.max("n").alias("n"),
+    # Aggregate the match join ALONE, then attach the probe count:
+    # taking n from inside the m-aggregate returned NULL rows whenever
+    # the rank join was empty (total recall collapse — exactly the
+    # case this gate exists to catch), where the oracle emits
+    # (k, n_probes, 0).
+    folded = m.agg(
         *[
-            F.sum(
-                F.when(
-                    (F.col("rf") <= k) & (F.col("ri") <= k), 1
-                ).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("rf") <= k) & (F.col("ri") <= k), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             ).alias(f"__m{k}")
             for k in _INT8_KS
         ],
-    )
+    ).crossJoin(F.broadcast(np_))
     rows = F.array(
         *[
             F.struct(
