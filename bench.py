@@ -988,11 +988,13 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
             from seng550_a3_etl_spark.suite.text import (
                 _labels_df,
                 _shingle_sets_df,
+                _xspan_spans_df,
             )
 
             for hashed in (True, False):
                 _shingle_sets_df(spark, scaled, n=3, hashed=hashed)
             _labels_df(spark, scaled)
+            _xspan_spans_df(spark, scaled)
         except Exception as exc:
             print(f"bench: sf1 cache prewarm failed: {exc}",
                   file=sys.stderr)
