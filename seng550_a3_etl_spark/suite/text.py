@@ -3644,6 +3644,15 @@ def _dedup_delta_oracle() -> str:
     """
 
 
+# (applicationId, sf_dir) -> materialized 8-tier census. The census
+# is consumed by TWO suite queries (the X146 delta itself and the X202
+# funnel) and is pair-set-sized (tiny vs the corpus), so it follows the
+# _SHINGLE_CACHE/_XSPAN_CACHE convention: at 100 TB it is a
+# materialized artifact one job writes; localCheckpoint is the
+# session-scoped analog.
+_CENSUS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 @query("dedup_strategy_delta", oracle=_dedup_delta_oracle())
 def dedup_strategy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X146 (extended r10 per VERDICT r9 #6) — the FULL dedup-family
@@ -3680,7 +3689,14 @@ def dedup_strategy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps group size exactly like the posting stop-list); the union is
     one tag column wider than the widest tier and the rollup is a
     single (doc_a, doc_b) groupBy with bool_or flags — one shuffle
-    over the union of pair sets."""
+    over the union of pair sets. Materialized once per (application,
+    sf_dir) and shared with the X202 funnel via ``_CENSUS_CACHE``."""
+    _evict_stopped_sessions(_CENSUS_CACHE)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CENSUS_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     from seng550_a3_etl_spark.operators.similarity import (
         semantic_dedup_pairs,
     )
@@ -3754,12 +3770,14 @@ def dedup_strategy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = ex
     for frame in (nm, sp, sub, ng, mh, sh, sem):
         u = u.unionByName(frame)
-    return u.groupBy("doc_a", "doc_b").agg(
+    out = u.groupBy("doc_a", "doc_b").agg(
         *[
             F.max(F.col("tier") == tier).alias(f"in_{tier}")
             for tier in _DELTA_TIERS
         ]
-    )
+    ).localCheckpoint(eager=True)
+    _CENSUS_CACHE[key] = out
+    return out
 
 
 @query(
