@@ -550,3 +550,190 @@ def quasi_id_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("class_size").cast("long").alias("n_rows"),
         (F.col("l_distinct") < _LDIV_L).alias("below_l"),
     )
+
+
+# Rae et al. 2021 Table A1 repetition thresholds (char-fraction form,
+# kept as integer cross-multiplications below): top-2-gram 0.20,
+# top-3-gram 0.18, top-4-gram 0.16, duplicated-5-gram 0.15.
+_REP_NS = (2, 3, 4, 5)
+_DUP_N = 5
+
+
+@query(
+    "gopher_repetition_signals",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(t, x -> length(x)))
+                  AS BIGINT) AS sum_chars
+      FROM tok
+    ),
+    gr AS (
+      SELECT doc_id, n,
+             unnest(list_transform(
+               range(greatest(len(t) - n + 1, 0)),
+               i -> array_to_string(list_slice(t, i + 1, i + n), ' ')
+             )) AS g
+      FROM tok CROSS JOIN (VALUES (2), (3), (4), (5)) v(n)
+    ),
+    cnt AS (
+      SELECT doc_id, n, g, COUNT(*) AS c,
+             CAST(length(g) - (n - 1) AS BIGINT) AS chars
+      FROM gr GROUP BY doc_id, n, g
+    ),
+    topg AS (
+      SELECT doc_id, n, c * chars AS top_mass
+      FROM (SELECT doc_id, n, c, chars,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY doc_id, n ORDER BY c DESC, g
+                   ) AS rn
+            FROM cnt)
+      WHERE rn = 1
+    ),
+    piv AS (
+      SELECT doc_id,
+             CAST(COALESCE(MAX(CASE WHEN n = 2 THEN top_mass END), 0)
+                  AS BIGINT) AS top2_chars,
+             CAST(COALESCE(MAX(CASE WHEN n = 3 THEN top_mass END), 0)
+                  AS BIGINT) AS top3_chars,
+             CAST(COALESCE(MAX(CASE WHEN n = 4 THEN top_mass END), 0)
+                  AS BIGINT) AS top4_chars
+      FROM topg GROUP BY doc_id
+    ),
+    dup AS (
+      SELECT doc_id,
+             CAST(COALESCE(SUM(CASE WHEN n = 5 AND c >= 2
+                                    THEN c * chars END), 0)
+                  AS BIGINT) AS dup5_chars
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT b.doc_id, n_words, sum_chars,
+           COALESCE(top2_chars, 0) AS top2_chars,
+           COALESCE(top3_chars, 0) AS top3_chars,
+           COALESCE(top4_chars, 0) AS top4_chars,
+           COALESCE(dup5_chars, 0) AS dup5_chars,
+           5 * COALESCE(top2_chars, 0) <= sum_chars AS r_top2gram,
+           50 * COALESCE(top3_chars, 0) <= 9 * sum_chars AS r_top3gram,
+           25 * COALESCE(top4_chars, 0) <= 4 * sum_chars AS r_top4gram,
+           20 * COALESCE(dup5_chars, 0) <= 3 * sum_chars AS r_dup5gram,
+           5 * COALESCE(top2_chars, 0) <= sum_chars
+             AND 50 * COALESCE(top3_chars, 0) <= 9 * sum_chars
+             AND 25 * COALESCE(top4_chars, 0) <= 4 * sum_chars
+             AND 20 * COALESCE(dup5_chars, 0) <= 3 * sum_chars
+             AS pass_repetition
+    FROM base b
+    LEFT JOIN piv USING (doc_id)
+    LEFT JOIN dup USING (doc_id)
+    """,
+)
+def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (X210; Rae et al. 2021 Table A1) — the
+    repetition HALF of the Gopher rule-set that X178 deliberately left
+    out: per document, the character mass of the single most frequent
+    {{2,3,4}}-gram and the total character mass inside duplicated
+    5-grams, each flagged against the published char-fraction
+    thresholds (0.20 / 0.18 / 0.16 / 0.15) in cross-multiplied INTEGER
+    form so the booleans are bit-exact across engines. (The line-based
+    Gopher signals — duplicate line / paragraph fraction — degenerate
+    on the single-line fixture text and are intentionally not modeled.)
+
+    Gram char mass = occurrences x (token chars in the gram): the
+    space-joined shingle's length minus its n-1 separators. The
+    most-frequent gram ties break lexicographically (smallest gram), a
+    total order both engines replay. Docs shorter than n tokens emit no
+    n-grams and coalesce to zero mass -> flags pass vacuously.
+
+    Scale: ONE explode over all four gram sizes tagged (n, gram) —
+    four shingle views of the same token array, built zip_with-style
+    with no per-position slicing — then ONE map-side-combined
+    (doc, n, gram) count, a (doc, n) struct-min argmax (no window, no
+    global sort), and a (doc) pivot fold; the base stats ride a
+    separate scan-stage projection and join co-partitioned on doc_id.
+    Gram rows are token-count-sized (4x), never corpus-squared; at
+    100 TB this is the same two-exchange budget as the X89 window
+    census."""
+    from seng550_a3_etl_spark.functions.text import shingles
+
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    base = t.documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("sum_chars"),
+    )
+    def _tag(n: int):
+        # one-arg lambda only: a two-arg transform lambda would be
+        # interpreted by Spark as (element, array_index)
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    tagged = F.flatten(
+        F.array(*[F.transform(shingles(toks, n), _tag(n)) for n in _REP_NS])
+    )
+    cnt = (
+        t.documents.select(
+            "doc_id", F.explode(tagged).alias("ng")
+        )
+        .select("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "chars", (F.length("g") - (F.col("n") - 1)).cast("long")
+        )
+    )
+    pern = cnt.groupBy("doc_id", "n").agg(
+        F.min(
+            F.struct(
+                (-F.col("c")).alias("nc"),
+                F.col("g").alias("g"),
+                (F.col("c") * F.col("chars")).alias("mass"),
+            )
+        )["mass"].alias("top_mass"),
+        F.sum(
+            F.when(
+                (F.col("n") == _DUP_N) & (F.col("c") >= 2),
+                F.col("c") * F.col("chars"),
+            )
+        ).alias("dup_mass"),
+    )
+    piv = pern.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("top_mass"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"top{n}_chars")
+            for n in (2, 3, 4)
+        ],
+        F.coalesce(F.sum("dup_mass"), F.lit(0))
+        .cast("long")
+        .alias(f"dup{_DUP_N}_chars"),
+    )
+    m = base.join(piv, "doc_id", "left")
+    top2 = F.coalesce("top2_chars", F.lit(0))
+    top3 = F.coalesce("top3_chars", F.lit(0))
+    top4 = F.coalesce("top4_chars", F.lit(0))
+    dup5 = F.coalesce("dup5_chars", F.lit(0))
+    r2 = 5 * top2 <= F.col("sum_chars")
+    r3 = 50 * top3 <= 9 * F.col("sum_chars")
+    r4 = 25 * top4 <= 4 * F.col("sum_chars")
+    r5 = 20 * dup5 <= 3 * F.col("sum_chars")
+    return m.select(
+        "doc_id",
+        "n_words",
+        "sum_chars",
+        top2.cast("long").alias("top2_chars"),
+        top3.cast("long").alias("top3_chars"),
+        top4.cast("long").alias("top4_chars"),
+        dup5.cast("long").alias("dup5_chars"),
+        r2.alias("r_top2gram"),
+        r3.alias("r_top3gram"),
+        r4.alias("r_top4gram"),
+        r5.alias("r_dup5gram"),
+        (r2 & r3 & r4 & r5).alias("pass_repetition"),
+    )
