@@ -1401,3 +1401,101 @@ def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _DISTINCT_TOPK)
         .select("source", F.col("t").alias("token"), "y_src", "zscore")
     )
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS n FROM freq),
+    score AS (
+      SELECT tok.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(AVG(LN(freq.cnt / tot.n)), 6) AS avg_logp
+      FROM tok, freq, tot
+      WHERE tok.token = freq.token
+      GROUP BY tok.doc_id
+    ),
+    ranked AS (
+      SELECT d.source, s.n_tokens, s.avg_logp,
+             NTILE(3) OVER (
+               PARTITION BY d.source
+               ORDER BY s.avg_logp DESC, s.doc_id
+             ) AS b
+      FROM score s JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(ROUND(avg_logp * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_score_micro
+    FROM ranked GROUP BY source, bucket
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity terciles (X211; Wenzek et al. 2020): each
+    document's X87 unigram mean log-probability, ranked WITHIN its
+    source and split head/middle/tail — the selection artifact CCNet
+    computes per language (here per source) so that "well-written"
+    (head) mass can be kept, middle down-sampled, and tail dropped
+    without a single global threshold penalizing whole sources. Output
+    is the per-(source, bucket) census: doc count, token mass, and the
+    summed per-doc score in exact micro-nat integers (per-doc scores
+    are rounded-6 doubles — the suite's standing float rule — so the
+    micro-int sum is order-independent and bit-exact across engines).
+
+    Ranking is total-ordered (score DESC, doc_id) and NTILE(3) fills
+    earlier buckets first in both engines, so bucket assignment is
+    deterministic under ties.
+
+    Scale: the model is |vocab| rows broadcast to the exploded token
+    stream (no corpus shuffle — X87's plan); the tercile is one hash
+    exchange on source + a per-source sort. At 100 TB a giant source
+    makes that sort the bottleneck; production CCNet computes the two
+    percentile CUTOFFS from a score histogram and assigns by broadcast
+    comparison — same buckets up to tie handling, no sort. The exact
+    NTILE form is the checked semantics at suite scale."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n"))
+    model = freq.crossJoin(F.broadcast(total)).select(
+        "token", F.log(F.col("cnt") / F.col("n")).alias("logp")
+    )
+    score = (
+        tok.join(F.broadcast(model), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("avg_logp"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("avg_logp"), F.asc("doc_id")
+    )
+    ranked = (
+        score.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("b", F.ntile(3).over(w))
+        .withColumn(
+            "bucket",
+            F.when(F.col("b") == 1, "head")
+            .when(F.col("b") == 2, "middle")
+            .otherwise("tail"),
+        )
+    )
+    return ranked.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(
+            F.round(F.col("avg_logp") * 1000000, 0).cast("long")
+        ).cast("long").alias("sum_score_micro"),
+    )
