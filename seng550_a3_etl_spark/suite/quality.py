@@ -655,11 +655,25 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gram rows are token-count-sized (4x), never corpus-squared; at
     100 TB this is the same two-exchange budget as the X89 window
     census."""
-    from seng550_a3_etl_spark.functions.text import shingles
-
     t = load_tables(spark, sf_dir)
+    return repetition_signals(t.documents)
+
+
+def repetition_signals(documents: DataFrame) -> DataFrame:
+    """The X210 computation over any (doc_id, text) frame — factored
+    out (like ``gopher_flags_projection``) so crafted-document tests
+    and future composed stages reuse the exact checked construction.
+    Unlike the X178 projection this is NOT stream-compatible as-is:
+    the gram census aggregates. The four-size shingle build is a
+    CPU-bound per-row HOF stage, so the scan gets the
+    ``spread_for_cpu`` under-parallelism guard (a metadata-only no-op
+    once splits >= cores)."""
+    from seng550_a3_etl_spark.functions.text import shingles
+    from seng550_a3_etl_spark.plans.layout import spread_for_cpu
+
+    documents = spread_for_cpu(documents)
     toks = tokens(F.col("text"))
-    base = t.documents.select(
+    base = documents.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_words"),
         F.aggregate(
@@ -675,7 +689,7 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.transform(shingles(toks, n), _tag(n)) for n in _REP_NS])
     )
     cnt = (
-        t.documents.select(
+        documents.select(
             "doc_id", F.explode(tagged).alias("ng")
         )
         .select("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))

@@ -1442,3 +1442,73 @@ def test_union_span_coverage_matches_brute_force_random(spark):
         for r in union_span_coverage(df, ["k"], "s", "n").collect()
     }
     assert got == {k: len(v) for k, v in want.items()}
+
+
+def test_repetition_signals_crafted_docs(spark):
+    from seng550_a3_etl_spark.suite.quality import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # doc 0: "ab cd" repeated 5x -> top 2-gram mass 5*5=25 of
+            # sum_chars 20... tokens: ab cd ab cd ... 2-gram "ab cd"
+            # occurs 5 times, "cd ab" 4 times. chars("ab cd")=4.
+            # top2 = 5*4 = 20, sum_chars = 20 -> 5*20 > 20 -> fails.
+            (0, "ab cd ab cd ab cd ab cd ab cd"),
+            # doc 1: all-distinct tokens -> every gram count 1; top2 is
+            # the lexicographically smallest 2-gram "t00 t01" (mass =
+            # its token chars = 6); 30 tokens x 3 chars = 90 chars.
+            # 5*6=30 <= 90 -> passes; no duplicated 5-gram -> dup5=0.
+            (1, " ".join(f"t{i:02d}" for i in range(30))),
+            # doc 2: single token, shorter than every n -> no grams,
+            # all masses 0, flags vacuously true.
+            (2, "lonely"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+
+    r0 = got[0]
+    assert r0.sum_chars == 20
+    assert r0.top2_chars == 20  # "ab cd" x5, 4 chars each occurrence
+    assert not r0.r_top2gram and not r0.pass_repetition
+    # duplicated 5-grams over 10 tokens: starts 0,2,4 give one
+    # alternating form (c=3), starts 1,3,5 the other (c=3); each
+    # occurrence has 10 token chars -> mass 3*10 + 3*10 = 60.
+    assert r0.dup5_chars == 60
+    assert not r0.r_dup5gram
+
+    r1 = got[1]
+    assert r1.n_words == 30 and r1.sum_chars == 90
+    assert r1.top2_chars == 6 and r1.dup5_chars == 0
+    assert r1.pass_repetition
+
+    r2 = got[2]
+    assert (
+        r2.top2_chars == 0
+        and r2.top3_chars == 0
+        and r2.top4_chars == 0
+        and r2.dup5_chars == 0
+    )
+    assert r2.pass_repetition
+
+
+def test_ccnet_ntile_determinism():
+    # All docs in one source with IDENTICAL text => identical scores;
+    # ntile must still split 7 docs deterministically 3/2/2 by doc_id.
+    # Exercised at fixture scale by parity; here pin the tie split on
+    # the smallest possible frame via the oracle itself.
+    import duckdb
+
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, 'a a a', 'src')" for i in range(7))
+        + ") t(doc_id, text, source)"
+    )
+    want = con.execute(
+        ORACLES["ccnet_perplexity_buckets"]
+    ).fetchdf()
+    sizes = dict(zip(want["bucket"], want["n_docs"]))
+    assert sizes == {"head": 3, "middle": 2, "tail": 2}
