@@ -435,3 +435,22 @@ def test_spread_for_cpu_guard(spark):
     wide = spark.range(100).repartition(cores + 4)
     # already >= cores: untouched (no extra shuffle)
     assert spread_for_cpu(wide) is wide
+
+
+def test_repetition_signals_no_window(spark):
+    # gopher_repetition_signals (X210): the per-(doc,n) most-frequent
+    # gram must be the struct-min AGGREGATE, never a row_number window
+    # (a window would sort every gram row); the gram census and pivot
+    # are hash aggregates.
+    plan = _executed_plan(
+        QUERIES["gopher_repetition_signals"](spark, SF_ORACLE)
+    )
+    assert "Window" not in plan, plan
+
+
+def test_ccnet_model_join_broadcasts(spark):
+    # ccnet_perplexity_buckets (X211): the |vocab|-row unigram model
+    # must broadcast to the exploded token stream — the corpus-sized
+    # side never shuffles for the scoring join.
+    plan = _executed_plan(QUERIES["ccnet_perplexity_buckets"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan, plan
