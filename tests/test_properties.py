@@ -331,3 +331,52 @@ def test_canonical_dedup_partition_properties(spark, docs):
             assert r.canonical_id == min(members)
             assert r.group_size == len(members)
             assert r.n_raw_variants == len(raws)
+
+
+@given(docs=_docs)
+@settings(**SET)
+def test_repetition_signals_match_brute_force(spark, docs):
+    from collections import Counter
+
+    from seng550_a3_etl_spark.suite.quality import repetition_signals
+
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (
+            r.sum_chars,
+            r.top2_chars,
+            r.top3_chars,
+            r.top4_chars,
+            r.dup5_chars,
+        )
+        for r in repetition_signals(df).collect()
+    }
+    for i, txt in enumerate(texts):
+        toks = txt.split() or [""]
+        sum_chars = sum(len(t) for t in toks)
+        tops = {}
+        for n in (2, 3, 4):
+            grams = [
+                " ".join(toks[j : j + n])
+                for j in range(len(toks) - n + 1)
+            ]
+            if not grams:
+                tops[n] = 0
+                continue
+            c = Counter(grams)
+            # most frequent, lexicographically-smallest tiebreak
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            tops[n] = best[1] * (len(best[0]) - (n - 1))
+        g5 = Counter(
+            " ".join(toks[j : j + 5]) for j in range(len(toks) - 4)
+        )
+        dup5 = sum(
+            cnt * (len(g) - 4) for g, cnt in g5.items() if cnt >= 2
+        )
+        assert got[i] == (sum_chars, tops[2], tops[3], tops[4], dup5), (
+            i,
+            txt,
+        )
