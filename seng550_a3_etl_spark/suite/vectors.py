@@ -3060,3 +3060,145 @@ def int8_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return folded.select(F.explode(rows).alias("r")).select("r.*")
+
+
+_MARGIN_TAU_MICRO = 100_000  # |logit| < 0.1 => uncertainty band
+
+
+def _margin_oracle() -> str:
+    """Replays the X193 weight trajectory (identical CTE construction,
+    duplicated rather than shared so the checked X193 oracle string
+    stays byte-stable), then folds the margin census per label."""
+    dim = _LOGREG_DIM
+    parts = [
+        """e AS (
+      SELECT vec_id, label, embedding,
+             CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings
+    )""",
+        f"""w0 AS (SELECT {_LOGREG_W0_SQL} AS w)""",
+    ]
+    for t in range(1, _LOGREG_STEPS + 1):
+        p = t - 1
+        parts.append(f"""g{t} AS (
+      SELECT d.i AS dim,
+             ROUND(AVG(e.embedding[d.i]::DOUBLE *
+               (1 / (1 + exp(-(list_sum(list_transform(
+                  range(1, {dim} + 1),
+                  i -> e.embedding[i]::DOUBLE * w.w[i]))))) - e.y)), 6)
+               AS grad
+      FROM e, w{p} w, (SELECT unnest(range(1, {dim} + 1)) AS i) d
+      GROUP BY 1
+    )""")
+        parts.append(f"""gl{t} AS (
+      SELECT list(grad ORDER BY dim) AS g FROM g{t}
+    )""")
+        parts.append(f"""w{t} AS (
+      SELECT list_transform(range(1, {dim} + 1),
+                            i -> w.w[i] - {_LOGREG_LR} * gl.g[i]) AS w
+      FROM w{p} w, gl{t} gl
+    )""")
+    parts.append(f"""m AS (
+      SELECT e.label,
+             CAST(ROUND(ABS(ROUND(list_sum(list_transform(
+               range(1, {dim} + 1),
+               i -> e.embedding[i]::DOUBLE * w.w[i])), 6)) * 1000000)
+               AS BIGINT) AS am
+      FROM e, w{_LOGREG_STEPS} w
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) FILTER (WHERE am < {_MARGIN_TAU_MICRO})
+                AS BIGINT) AS n_hard,
+           CAST(COUNT(*) FILTER (WHERE am < {_MARGIN_TAU_MICRO})
+                * 1000000 // COUNT(*) AS BIGINT) AS hard_ppm,
+           CAST(SUM(am) AS BIGINT) AS sum_abs_margin_micro
+    FROM m GROUP BY label
+    """
+    )
+
+
+@query("margin_hard_examples", oracle=_margin_oracle())
+def margin_hard_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based hard-example census (X212) — uncertainty sampling,
+    the data-selection step after X193's train-and-grade: score every
+    vector with the SAME deterministic 3-step trained weights (the
+    X193 trajectory: 6-decimal-rounded gradients, lr=0.5, bit-equal
+    cross-engine) and census, per label, the vectors inside the
+    decision band |logit| < 0.1 — the examples an active-learning /
+    hard-mining loop sends for labeling or upweights in the next
+    training round. The band test and per-label mass run on integer
+    MICRO margins (|rounded-6 logit| x 1e6), so counts, ppm shares,
+    and margin sums hash-match exactly.
+
+    Scale: each training step is one corpus scan (weights ride one
+    broadcast row, per-dim rollup map-side-combines to 64 groups) with
+    a 64-value checkpoint between steps — the X193/X75 iterated
+    pattern; the census itself is one scan folding to |labels| rows.
+    Nothing per-row survives the final aggregation, and the corpus
+    never shuffles."""
+    from seng550_a3_etl_spark.functions.vectors import dot
+
+    t = load_tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.when(F.col("label") == 0, F.lit(1.0)).otherwise(0.0).alias("y"),
+    )
+    w = spark.range(1).select(
+        F.array(*[F.lit(v) for v in _LOGREG_W0]).alias("w")
+    ).localCheckpoint(eager=True)
+    for _ in range(_LOGREG_STEPS):
+        scored = e.crossJoin(F.broadcast(w)).select(
+            "embedding",
+            "y",
+            (1 / (1 + F.exp(-dot(F.col("embedding"), F.col("w"))))).alias(
+                "p"
+            ),
+        )
+        grads = (
+            scored.select(
+                F.posexplode("embedding").alias("dim", "x"),
+                (F.col("p") - F.col("y")).alias("r"),
+            )
+            .groupBy("dim")
+            .agg(
+                F.round(
+                    F.avg(F.col("x").cast("double") * F.col("r")), 6
+                ).alias("grad")
+            )
+        )
+        gl = grads.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "grad"))),
+                lambda s: s["grad"],
+            ).alias("g")
+        )
+        w = (
+            w.crossJoin(F.broadcast(gl))
+            .select(
+                F.zip_with(
+                    "w", "g", lambda a, b: a - _LOGREG_LR * b
+                ).alias("w")
+            )
+            .localCheckpoint(eager=True)
+        )
+    am = F.round(
+        F.abs(F.round(dot(F.col("embedding"), F.col("w")), 6)) * 1000000
+    ).cast("long")
+    m = e.crossJoin(F.broadcast(w)).select("label", am.alias("am"))
+    hard = F.count_if(F.col("am") < _MARGIN_TAU_MICRO)
+    return m.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        hard.cast("long").alias("n_hard"),
+        F.expr(
+            f"CAST(count_if(am < {_MARGIN_TAU_MICRO}) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("hard_ppm"),
+        F.sum("am").cast("long").alias("sum_abs_margin_micro"),
+    )
