@@ -3202,3 +3202,93 @@ def margin_hard_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hard_ppm"),
         F.sum("am").cast("long").alias("sum_abs_margin_micro"),
     )
+
+
+@query(
+    "label_centroid_matrix",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, d.i AS dim,
+             ROUND(AVG(e.embedding[d.i]::DOUBLE), 6) AS c
+      FROM embeddings e,
+           (SELECT unnest(range(1, {_LOGREG_DIM} + 1)) AS i) d
+      GROUP BY 1, 2
+    ),
+    cl AS (
+      SELECT label, list(c ORDER BY dim) AS cv
+      FROM cent GROUP BY label
+    ),
+    sized AS (
+      SELECT c.label, c.cv, CAST(s.n AS BIGINT) AS n_vecs
+      FROM cl c JOIN (SELECT label, COUNT(*) AS n
+                      FROM embeddings GROUP BY label) s
+        USING (label)
+    )
+    SELECT CAST(a.label AS BIGINT) AS label_a,
+           CAST(b.label AS BIGINT) AS label_b,
+           a.n_vecs AS n_a, b.n_vecs AS n_b,
+           ROUND({_cos('a.cv', 'b.cv')}, 6) AS centroid_cos
+    FROM sized a JOIN sized b ON a.label < b.label
+    """,
+)
+def label_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separability audit (X213): the pairwise cosine matrix of
+    per-label embedding CENTROIDS — the embedding-store diagnostic
+    read before trusting label-conditioned selection (X167 label
+    propagation, X173 kNN precision, X185 noise flags): labels whose
+    centroids sit near cosine 1 are indistinguishable in this space
+    and every downstream label-driven selector will mix them. Centroid
+    coordinates are 6-decimal-rounded per dimension (the X191 gradient
+    recipe — AVG ulp noise is far inside the rounding), so the cosine
+    runs on identical doubles in both engines.
+
+    Scale: ONE corpus scan explodes to (label, dim) partial means —
+    map-side-combined, |labels|x|dim| groups; the matrix join is
+    |labels|² over |labels| rows (trivially broadcast). The corpus
+    never shuffles and nothing row-sized survives the first
+    aggregation."""
+    from seng550_a3_etl_spark.functions.vectors import cosine
+
+    t = load_tables(spark, sf_dir)
+    cent = (
+        t.embeddings.select(
+            "label", F.posexplode("embedding").alias("dim", "x")
+        )
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+    )
+    sized = cent.join(
+        t.embeddings.groupBy("label").agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs")
+        ),
+        "label",
+    )
+    a = sized.select(
+        F.col("label").cast("long").alias("label_a"),
+        F.col("cv").alias("cva"),
+        F.col("n_vecs").alias("n_a"),
+    )
+    b = sized.select(
+        F.col("label").cast("long").alias("label_b"),
+        F.col("cv").alias("cvb"),
+        F.col("n_vecs").alias("n_b"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(cosine(F.col("cva"), F.col("cvb")), 6).alias(
+                "centroid_cos"
+            ),
+        )
+    )
