@@ -4250,3 +4250,49 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_tokens").over(w_cum).cast("long").alias("vocab_size"),
         )
     )
+
+
+def _cluster_census_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return f"""
+    WITH labels AS ({ORACLES["dup_clusters"]}),
+    sizes AS (
+      SELECT canonical_id, COUNT(*) AS sz
+      FROM labels GROUP BY canonical_id
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_droppable
+    FROM sizes GROUP BY sz
+    """
+
+
+@query("dup_cluster_size_census", oracle=_cluster_census_oracle())
+def dup_cluster_size_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution (X214) — the census
+    RefinedWeb/C4-style dedup reports publish: for each near-dup
+    cluster size, how many clusters, how much document mass, and how
+    many docs keep-one-per-cluster dedup would drop (size−1 per
+    cluster). The size distribution is the capacity-planning artifact:
+    a heavy tail (one giant boilerplate cluster) changes the dedup
+    strategy (span removal before doc drop); a flat census says
+    doc-level dedup suffices.
+
+    Labels come from the shared per-session materialization
+    (:func:`_labels_df` — the X25 gold-table shape), so the pair scan
+    and connected components never re-run; the census itself is a
+    (canonical_id) rollup followed by a fold over |clusters| rows —
+    two map-side-combined exchanges over label-sized (never
+    text-sized) rows."""
+    sizes = (
+        _labels_df(spark, sf_dir)
+        .groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return sizes.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("long").alias("n_droppable"),
+    )
