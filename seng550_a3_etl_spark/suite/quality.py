@@ -751,3 +751,4 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
         r5.alias("r_dup5gram"),
         (r2 & r3 & r4 & r5).alias("pass_repetition"),
     )
+

@@ -4296,3 +4296,85 @@ def dup_cluster_size_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").cast("long").alias("n_docs"),
         F.sum(F.col("sz") - 1).cast("long").alias("n_droppable"),
     )
+
+
+def _quality_dup_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return f"""
+    WITH g AS ({ORACLES["gopher_quality_flags"]}),
+    labels AS ({ORACLES["dup_clusters"]}),
+    sz AS (
+      SELECT canonical_id, COUNT(*) AS cs FROM labels GROUP BY 1
+    ),
+    m AS (
+      SELECT d.source, g.pass_gopher, sz.cs >= 2 AS is_dup
+      FROM g
+      JOIN labels l ON l.doc_id = g.doc_id
+      JOIN sz ON sz.canonical_id = l.canonical_id
+      JOIN documents d ON d.doc_id = g.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (is_dup) AS BIGINT) AS n_dup,
+           CAST(COUNT(*) FILTER (NOT pass_gopher) AS BIGINT) AS n_lowq,
+           CAST(COUNT(*) FILTER (is_dup AND NOT pass_gopher)
+                AS BIGINT) AS n_dup_lowq,
+           CAST(COUNT(*) FILTER (is_dup) * 1000000 // COUNT(*)
+                AS BIGINT) AS dup_ppm,
+           CAST(CASE WHEN COUNT(*) FILTER (is_dup) = 0 THEN 0
+                ELSE COUNT(*) FILTER (is_dup AND NOT pass_gopher)
+                     * 1000000 // COUNT(*) FILTER (is_dup) END
+                AS BIGINT) AS lowq_given_dup_ppm
+    FROM m GROUP BY source
+    """
+
+
+@query("quality_dup_crosstab", oracle=_quality_dup_oracle())
+def quality_dup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality × duplication cross-signal audit (X215): per source,
+    the 2×2 census of the X178 Gopher gate against near-dup cluster
+    membership (X25 labels, cluster size ≥ 2) — the correlation check
+    a curation run reads before ordering its stages: if duplicates are
+    disproportionately low-quality (lowq_given_dup_ppm >> the base
+    rate implied by n_lowq/n_docs), dedup-first recovers most of the
+    quality gate's drops for free; if the signals are independent,
+    both stages earn their cost. Counts and conditional rates are
+    exact integer ppm.
+
+    Scale: the gate is a map-only projection; dup membership rides
+    the shared per-session label materialization (no pair rescan);
+    the join is doc_id-co-partitioned label-sized rows and the rollup
+    folds to |sources| rows in one map-side-combined exchange."""
+    from seng550_a3_etl_spark.suite.quality import gopher_flags_projection
+
+    t = load_tables(spark, sf_dir)
+    flags = gopher_flags_projection(t.documents).select(
+        "doc_id", "pass_gopher"
+    )
+    labels = _labels_df(spark, sf_dir)
+    sz = labels.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cs")
+    )
+    m = (
+        flags.join(labels, "doc_id")
+        .join(sz, "canonical_id")
+        .join(t.documents.select("doc_id", "source"), "doc_id")
+        .select("source", "pass_gopher", (F.col("cs") >= 2).alias("is_dup"))
+    )
+    n_dup = F.count_if(F.col("is_dup"))
+    n_dup_lowq = F.count_if(F.col("is_dup") & ~F.col("pass_gopher"))
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        n_dup.cast("long").alias("n_dup"),
+        F.count_if(~F.col("pass_gopher")).cast("long").alias("n_lowq"),
+        n_dup_lowq.cast("long").alias("n_dup_lowq"),
+        F.expr(
+            "CAST(count_if(is_dup) * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("dup_ppm"),
+        F.expr(
+            "CAST(CASE WHEN count_if(is_dup) = 0 THEN 0"
+            " ELSE count_if(is_dup AND NOT pass_gopher) * 1000000"
+            " DIV count_if(is_dup) END AS BIGINT)"
+        ).alias("lowq_given_dup_ppm"),
+    )
