@@ -1512,3 +1512,64 @@ def test_ccnet_ntile_determinism():
     ).fetchdf()
     sizes = dict(zip(want["bucket"], want["n_docs"]))
     assert sizes == {"head": 3, "middle": 2, "tail": 2}
+
+
+def test_dup_cluster_census_invariants(spark):
+    # totals must reconcile: sum(n_docs) = corpus size, droppable =
+    # docs minus clusters, size-1 clusters contribute zero droppable
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["dup_cluster_size_census"](spark, sf).collect()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(r.n_droppable == r.n_docs - r.n_clusters for r in rows)
+    ones = [r for r in rows if r.cluster_size == 1]
+    assert ones and ones[0].n_droppable == 0
+
+
+def test_quality_dup_crosstab_invariants(spark):
+    # conditional counts nest: n_dup_lowq <= min(n_dup, n_lowq); ppm
+    # fields are consistent integer floors of their count ratios
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["quality_dup_crosstab"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.n_dup_lowq <= min(r.n_dup, r.n_lowq)
+        assert r.dup_ppm == r.n_dup * 1000000 // r.n_docs
+        want = (
+            r.n_dup_lowq * 1000000 // r.n_dup if r.n_dup else 0
+        )
+        assert r.lowq_given_dup_ppm == want
+
+
+def test_label_centroid_matrix_shape(spark):
+    # |labels| choose 2 rows, cosine within [-1, 1], symmetric pair
+    # key ordering (label_a < label_b), counts positive
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["label_centroid_matrix"](spark, sf).collect()
+    labels = set()
+    for r in rows:
+        labels.update((r.label_a, r.label_b))
+        assert r.label_a < r.label_b
+        assert -1.0 <= r.centroid_cos <= 1.0
+        assert r.n_a > 0 and r.n_b > 0
+    n = len(labels)
+    assert len(rows) == n * (n - 1) // 2
+
+
+def test_margin_hard_examples_invariants(spark):
+    # hard band is a subset; ppm floors; margin mass non-negative
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["margin_hard_examples"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hard <= r.n_vecs
+        assert r.hard_ppm == r.n_hard * 1000000 // r.n_vecs
+        assert r.sum_abs_margin_micro >= 0
