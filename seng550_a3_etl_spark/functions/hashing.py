@@ -87,15 +87,17 @@ def minhash_signature(shingles: Column, num_perm: int) -> Column:
     sentinel-free null mins (array_min of empty → null)."""
     a, b = _mh_coeffs(num_perm)
     hs = F.transform(shingles, lambda s: hash64(s) % MH_DOMAIN)
+
+    def _perm(i: int):
+        # one-arg lambda only: a two-arg transform lambda is
+        # interpreted by Spark as (element, array_index), which made
+        # the previous default-arg form a build-time TypeError
+        ai, bi = F.lit(a[i]), F.lit(b[i])
+        return lambda h: (h * ai + bi) % F.lit(MH_PRIME)
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    hs,
-                    lambda h, i=i: (h * F.lit(a[i]) + F.lit(b[i]))
-                    % F.lit(MH_PRIME),
-                )
-            )
+            F.array_min(F.transform(hs, _perm(i)))
             for i in range(num_perm)
         ]
     )

@@ -875,3 +875,109 @@ def stream_substring_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_frac"),
     )
+
+
+_MH_STREAM_TABLE = "stream_minhash_sink"
+
+
+def _stream_minhash_oracle() -> str:
+    # Force the batch twin's registration (text follows this module in
+    # the package import list) — the X195 pattern.
+    from seng550_a3_etl_spark.suite import text  # noqa: F401
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return ORACLES["minhash_dup_pairs"]
+
+
+@query("stream_minhash_dedup", oracle=_stream_minhash_oracle())
+def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash+LSH near-dup detection (X216) — completes the
+    streaming-twin family (exact X74, semantic X181, substring X208,
+    quality X190, DSIR X195) with the banded near-dup rung: incoming
+    documents are signature-banded INSIDE the micro-batch (stateless
+    per-row HOFs — shingle set, 8-perm signature, 4 band keys) and
+    candidate-joined against the STATIC corpus band index; candidate
+    pairs append to the sink (zero streaming state, no watermark) and
+    the exact-Jaccard verification runs batch-side on the sink — the
+    X208 post-sink pattern. Same oracle as the batch twin
+    (`minhash_dup_pairs`), so the driver checks the streaming execution
+    of the identical banding + verification contract.
+
+    Scale: per-batch cost is |batch| x bands join rows against a
+    band-keyed index — the corpus is never re-paired (the
+    `lsh_incremental_survivors` economics); the index is the persisted
+    (doc, band, key) gold table at production, rebuilt here per run
+    from the session shingle cache. Verification joins move only the
+    candidate pair set against the shingle table."""
+    from seng550_a3_etl_spark.functions.hashing import minhash_signature
+    from seng550_a3_etl_spark.functions.text import shingles, tokens
+    from seng550_a3_etl_spark.operators.text_dedup import band_keys
+    from seng550_a3_etl_spark.suite.text import (
+        MINHASH_BANDS,
+        MINHASH_NUM_PERM,
+        MINHASH_THRESHOLD,
+        _shingle_sets_df,
+    )
+
+    rows_per_band = MINHASH_NUM_PERM // MINHASH_BANDS
+
+    def banded(df: DataFrame) -> DataFrame:
+        signed = df.filter(F.size("sh") > 0).select(
+            "doc",
+            minhash_signature(F.col("sh"), MINHASH_NUM_PERM).alias("sig"),
+        )
+        return band_keys(signed, MINHASH_BANDS, rows_per_band)
+
+    sets_ = _shingle_sets_df(spark, sf_dir, n=3, hashed=False)
+    index = banded(sets_).select(
+        F.col("doc").alias("odoc"), "band", "key"
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/documents.parquet*"
+    )
+    sbands = banded(
+        stream.select(
+            F.col("doc_id").alias("doc"),
+            F.array_distinct(
+                shingles(tokens(F.col("text")), 3)
+            ).alias("sh"),
+        )
+    )
+    cands = (
+        sbands.join(index, ["band", "key"])
+        .filter(F.col("doc") != F.col("odoc"))
+        .select(
+            F.least("doc", "odoc").alias("doc_a"),
+            F.greatest("doc", "odoc").alias("doc_b"),
+        )
+    )
+    q = (
+        cands.writeStream.format("memory")
+        .queryName(_MH_STREAM_TABLE)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    pairs = spark.table(_MH_STREAM_TABLE).distinct()
+    sa = sets_.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = sets_.select(F.col("doc").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb")).cast("long")
+    size_a = F.size("sha").cast("long")
+    size_b = F.size("shb").cast("long")
+    jac = inter / (size_a + size_b - inter)
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            size_a.alias("size_a"),
+            size_b.alias("size_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= MINHASH_THRESHOLD)
+    )
