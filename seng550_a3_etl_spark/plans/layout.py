@@ -104,7 +104,12 @@ def spread_for_cpu(df: DataFrame) -> DataFrame:
     At production scale this is a no-op by construction: a 100 TB scan
     yields thousands of splits (>= cores), so the guard skips the
     shuffle and no corpus bytes move. The guard reads only partition
-    METADATA (no job runs)."""
+    METADATA (no job runs). Streaming frames pass through untouched:
+    the ``.rdd`` probe is illegal on them, and micro-batch parallelism
+    is the source's admission knob (maxFilesPerTrigger etc.), not the
+    scan split count."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
         return df

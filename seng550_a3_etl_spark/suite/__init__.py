@@ -147,6 +147,29 @@ _CHANGED: dict[str, int] = {
     # change (output value-identical — grouping is bijection-
     # invariant), but the code under it changed.
     "dup_span_stats": 10,
+    # round 11: similarity operators gained spread_for_cpu on the
+    # corpus side (the embeddings parquet scans as ONE split — every
+    # interpreted HOF dot ran on one core; the r10 ANN sf1-spot
+    # "superlinear" grades) and two-stage top-k ranking (partial
+    # per-partition row_number before the global per-query window —
+    # kills the |queries|-task sort bottleneck). Output byte-identical
+    # (deterministic total order; partial top-k keeps a superset).
+    "embedding_topk": 11,
+    "embedding_topk_ivf": 11,
+    "ann_recall_ivf": 11,
+    "ann_recall_ivf_pq": 11,
+    "ivf_pq_search": 11,
+    "matryoshka_recall_curve": 11,
+    "kmeans_iterated_centroids": 11,
+    # round 11: SemDeDup pair builders' centroid count moved from a
+    # fixed 50-cap (pair volume n²/100, quadratic) to ceil(sqrt(n))
+    # (_semdedup_cent — the published n^1.5 operating point). Values
+    # identical at driver scales (the %100 candidate pool binds below
+    # n=10^4), but the recipe under them — and their oracles — changed.
+    "semantic_dedup_clusters": 11,
+    "semantic_threshold_sweep": 11,
+    "dedup_strategy_delta": 11,
+    "dedup_tier_funnel": 11,
 }
 
 

@@ -3579,6 +3579,7 @@ _DELTA_TIERS = (
 def _dedup_delta_oracle() -> str:
     from seng550_a3_etl_spark.suite.registry import ORACLES
     from seng550_a3_etl_spark.suite.vectors import (
+        _SEMDEDUP_CENT_SQL,
         _SEMDEDUP_THRESHOLD,
         _cos,
     )
@@ -3602,10 +3603,7 @@ def _dedup_delta_oracle() -> str:
         ) AS rn
         FROM (SELECT e.vec_id AS id, e.embedding AS v, c.bid,
                      ROUND({_cos('e.embedding', 'c.bv')}, 6) AS sim
-              FROM embeddings e,
-                   (SELECT vec_id AS bid, embedding AS bv
-                    FROM embeddings WHERE vec_id % 100 = 0
-                    ORDER BY vec_id LIMIT 50) c)
+              FROM embeddings e, ({_SEMDEDUP_CENT_SQL}) c)
       ) WHERE rn = 1
     ),
     u AS (
@@ -3704,7 +3702,10 @@ def dedup_strategy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_pairs,
         dedup_doc_spans_exploded,
     )
-    from seng550_a3_etl_spark.suite.vectors import _SEMDEDUP_THRESHOLD
+    from seng550_a3_etl_spark.suite.vectors import (
+        _SEMDEDUP_THRESHOLD,
+        _semdedup_cent,
+    )
 
     t = load_tables(spark, sf_dir)
     docs = t.documents
@@ -3749,12 +3750,7 @@ def dedup_strategy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
              "minhash")
     sh = tag(simhash_near_pairs(spark, sf_dir).select("doc_a", "doc_b"),
              "simhash")
-    cent = (
-        t.embeddings.filter(F.col("vec_id") % 100 == 0)
-        .orderBy("vec_id")
-        .limit(50)
-        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
-    )
+    cent = _semdedup_cent(t.embeddings)
     sem = tag(
         semantic_dedup_pairs(
             t.embeddings.select(

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from seng550_a3_etl_spark.catalog import load_tables
 from seng550_a3_etl_spark.operators.similarity import cosine_topk, ivf_topk
+from seng550_a3_etl_spark.plans.layout import spread_for_cpu
 from seng550_a3_etl_spark.suite.registry import query
 
 # Sign-LSH scale knobs for embedding_cosine_dedup — single-sourced so
@@ -1177,6 +1178,37 @@ def ann_recall_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_THRESHOLD = 0.95
+# Coarse-quantizer centroid set for the SemDeDup PAIR builders: every
+# 100th vector, capped at ceil(sqrt(n)) — cell count must grow with the
+# corpus or in-cell pair volume Σ C(|cell|,2) is quadratic (fixed k=50
+# gives n²/2k; sqrt-scaled k gives the n^1.5 SemDeDup operating point,
+# the same capacity rule the r10 kmeans seed fix applied). At the
+# driver-checked scales the %100 candidate pool (n/100 < sqrt(n) for
+# n < 10^4) binds first, so results are unchanged there; the cap
+# engages exactly where the sf1 spot measures. Assignment-only queries
+# (cluster_purity, prototypicality) keep the fixed cap — their n·k cost
+# is linear and a stable k is the point.
+_SEMDEDUP_CENT_SQL = """
+      SELECT bid, bv FROM (
+        SELECT vec_id AS bid, embedding AS bv,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS rk
+        FROM embeddings WHERE vec_id % 100 = 0
+      ) WHERE rk <= CEIL(SQRT((SELECT COUNT(*) FROM embeddings)))
+"""
+
+
+def _semdedup_cent(emb: DataFrame) -> DataFrame:
+    cap = emb.agg(
+        F.ceil(F.sqrt(F.count(F.lit(1)))).cast("int").alias("__cap")
+    )
+    return (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+        .withColumn("__rk", F.row_number().over(Window.orderBy("bid")))
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("__rk") <= F.col("__cap"))
+        .select("bid", "bv")
+    )
 # Planted-duplicate corpus (shared with embedding_cosine_dedup): base
 # vectors plus a +0.02-jittered copy of every 5th — cosine ~0.988
 # against its source, so the expected catch is known.
@@ -1193,9 +1225,7 @@ _SEMDEDUP_CORPUS_SQL = """
     "semantic_dedup_clusters",
     oracle=f"""
     WITH corpus AS ({_SEMDEDUP_CORPUS_SQL}),
-    cent AS (SELECT vec_id AS bid, embedding AS bv
-             FROM embeddings WHERE vec_id % 100 = 0
-             ORDER BY vec_id LIMIT 50),
+    cent AS ({_SEMDEDUP_CENT_SQL}),
     assign AS (
       SELECT id, v, bid FROM (
         SELECT id, v, bid, ROW_NUMBER() OVER (
@@ -1232,8 +1262,10 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing, and the keep-first fold.
 
     Scale: centroids broadcast; ONE corpus shuffle on the cluster id;
-    pair volume Σ C(|cell|,2) with k ~ sqrt(n) cells (the operator's
-    knob) keeps total pair work ~n^1.5 — never all-pairs."""
+    pair volume Σ C(|cell|,2) with k = ceil(sqrt(n)) cells
+    (``_semdedup_cent`` — r11: the previous fixed k=50 made pair volume
+    n²/100, quadratic; sqrt-scaled cells are SemDeDup's published
+    n^1.5 operating point) — never all-pairs."""
     from seng550_a3_etl_spark.operators.similarity import semantic_dedup_pairs
 
     t = load_tables(spark, sf_dir)
@@ -1248,12 +1280,7 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     corpus = base.unionAll(jitter)
-    cent = (
-        t.embeddings.filter(F.col("vec_id") % 100 == 0)
-        .orderBy("vec_id")
-        .limit(50)
-        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
-    )
+    cent = _semdedup_cent(t.embeddings)
     pairs = semantic_dedup_pairs(
         corpus, cent, threshold=_SEMDEDUP_THRESHOLD, id_col="id", vec_col="v"
     )
@@ -2226,7 +2253,13 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    # 4 interpreted prefix-dot folds per pair run in the corpus scan
+    # stage; a small embeddings parquet scans as ONE split, pinning the
+    # whole pair pass to one core (the r10 9.2x sf1-spot term) — spread
+    # to core count (no-op at scale: guard skips when splits >= cores).
+    c = spread_for_cpu(
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
 
     def pcos(d: int):
         a, b = F.slice("qv", 1, d), F.slice("cv", 1, d)
@@ -2811,9 +2844,7 @@ _SWEEP_SQL = ", ".join(repr(t) for t in _SWEEP_THRESHOLDS)
     "semantic_threshold_sweep",
     oracle=f"""
     WITH corpus AS ({_SEMDEDUP_CORPUS_SQL}),
-    cent AS (SELECT vec_id AS bid, embedding AS bv
-             FROM embeddings WHERE vec_id % 100 = 0
-             ORDER BY vec_id LIMIT 50),
+    cent AS ({_SEMDEDUP_CENT_SQL}),
     assign AS (
       SELECT id, v, bid FROM (
         SELECT id, v, bid, ROW_NUMBER() OVER (
@@ -2870,12 +2901,7 @@ def semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     corpus = base.unionAll(jitter)
-    cent = (
-        t.embeddings.filter(F.col("vec_id") % 100 == 0)
-        .orderBy("vec_id")
-        .limit(50)
-        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
-    )
+    cent = _semdedup_cent(t.embeddings)
     pairs = semantic_dedup_pairs(
         corpus, cent, threshold=min(_SWEEP_THRESHOLDS),
         id_col="id", vec_col="v",
