@@ -248,9 +248,373 @@ def profile_cosine(spark, sf_dir: str) -> dict:
     return res
 
 
+def profile_ann_ivf(spark, sf_dir: str) -> dict:
+    # Mirrors ann_recall_ivf stage-by-stage; the centroid/probe knobs
+    # are the module constants ivf_pq_search shares (the query inlines
+    # the same values — its oracle hardcodes them too).
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.operators.similarity import (
+        assign_buckets,
+        cosine_topk,
+        ivf_topk,
+    )
+    from seng550_a3_etl_spark.suite.vectors import (
+        _IVF_CENT_CAP,
+        _IVF_CENT_MOD,
+        _IVF_NPROBE,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    res: dict = {"scan_partitions": emb.rdd.getNumPartitions()}
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    cent = (
+        emb.filter(F.col("vec_id") % _IVF_CENT_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_IVF_CENT_CAP)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    )
+    exact, res["exact_topk"] = _t(
+        "exact cosine_topk ground truth (ckpt)",
+        lambda: cosine_topk(q, c, k=5)
+        .select("qid", "cid")
+        .localCheckpoint(eager=True),
+    )
+    _, res["bucket_assign"] = _t(
+        "assign_buckets corpus fold (noop)",
+        lambda: assign_buckets(c, cent)
+        .select("cid", "bid")
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    approx, res["ivf_probe_rank"] = _t(
+        "ivf_topk assign+probe+rank (ckpt)",
+        lambda: ivf_topk(q, c, cent, k=5, nprobe=_IVF_NPROBE)
+        .select("qid", "cid")
+        .localCheckpoint(eager=True),
+    )
+    gate = (
+        exact.join(approx.withColumn("__hit", F.lit(1)), ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n"), F.count("__hit").alias("h"))
+    )
+    _, res["gate_join"] = _t(
+        "recall gate join+fold (noop)",
+        lambda: gate.write.format("noop").mode("overwrite").save(),
+    )
+    return res
+
+
+def profile_ann_ivf_pq(spark, sf_dir: str) -> dict:
+    # The gate composes two registered queries; time each composed leg
+    # and the full gate (the legs re-run inside it — stages here are
+    # for per-stage RATIOS, not additivity).
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.suite.vectors import (
+        ann_recall_ivf_pq,
+        embedding_topk,
+        ivf_pq_search,
+    )
+
+    t = load_tables(spark, sf_dir)
+    res: dict = {"scan_partitions": t.embeddings.rdd.getNumPartitions()}
+    for label, fn in (
+        ("exact_topk", embedding_topk),
+        ("ivf_pq_search", ivf_pq_search),
+        ("gate_full", ann_recall_ivf_pq),
+    ):
+        _, res[label] = _t(
+            f"{label} (noop)",
+            lambda fn=fn: fn(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+    return res
+
+
+def profile_semantic_dedup(spark, sf_dir: str) -> dict:
+    # Mirrors semantic_dedup_clusters: sqrt-capped centroids, jittered
+    # corpus, cluster-blocked pair verify — plus the cell-size census
+    # that bounds the C(|cell|,2) pair budget.
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.operators.similarity import (
+        assign_buckets,
+        semantic_dedup_pairs,
+    )
+    from seng550_a3_etl_spark.suite.vectors import (
+        _SEMDEDUP_THRESHOLD,
+        _semdedup_cent,
+    )
+
+    t = load_tables(spark, sf_dir)
+    base = t.embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    jitter = t.embeddings.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x.cast("double") + F.lit(0.02)).cast("float"),
+        ).alias("v"),
+    )
+    corpus = base.unionAll(jitter)
+    cent = _semdedup_cent(t.embeddings).localCheckpoint(eager=True)
+    res: dict = {"n_cells": cent.count()}
+    assigned, res["assign"] = _t(
+        "assign_buckets fold (ckpt)",
+        lambda: assign_buckets(corpus, cent, "id", "v").localCheckpoint(
+            eager=True
+        ),
+    )
+    cs = (
+        assigned.groupBy("bid")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.max("sz").alias("max_sz"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2).alias("pair_budget"),
+        )
+        .collect()[0]
+    )
+    res["max_cell"] = cs["max_sz"]
+    res["pair_budget"] = int(cs["pair_budget"])
+    print(f"    cells={res['n_cells']} max={cs['max_sz']} "
+          f"C(n,2) budget={res['pair_budget']}")
+    _, res["pair_verify"] = _t(
+        "in-cell pair cosine verify (noop)",
+        lambda: semantic_dedup_pairs(
+            corpus, cent, threshold=_SEMDEDUP_THRESHOLD,
+            id_col="id", vec_col="v",
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    return res
+
+
+def profile_kmeans_iter(spark, sf_dir: str) -> dict:
+    # Per-iteration walls for the 3-step Lloyd loop (fixed 50-seed
+    # capacity, the r10 scale-stable recipe).
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.operators.clustering import kmeans_step
+    from seng550_a3_etl_spark.suite.vectors import _KMEANS_ITER_STEPS
+
+    t = load_tables(spark, sf_dir)
+    corpus = t.embeddings.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cent = (
+        t.embeddings.orderBy("vec_id")
+        .limit(50)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    )
+    res: dict = {"scan_partitions": t.embeddings.rdd.getNumPartitions()}
+    for i in range(_KMEANS_ITER_STEPS):
+        step, res[f"iter_{i}"] = _t(
+            f"kmeans_step {i} (E fold + M shuffle, ckpt)",
+            lambda c=cent: kmeans_step(corpus, c).localCheckpoint(eager=True),
+        )
+        cent = step.select(
+            "bid",
+            F.transform(
+                "centroid_micros", lambda m: m / F.lit(1000000.0)
+            ).alias("bv"),
+        )
+    return res
+
+
+def profile_matryoshka(spark, sf_dir: str) -> dict:
+    # Two stages: the prefix-cosine pair pass + per-(dims, qid) rank
+    # (the corpus-sized term) and the recall rollup (k-sized).
+    from pyspark.sql.window import Window
+
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.functions.vectors import dot
+    from seng550_a3_etl_spark.plans.layout import spread_for_cpu
+    from seng550_a3_etl_spark.suite.vectors import (
+        _MRL_DIMS,
+        matryoshka_recall_curve,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    res: dict = {"scan_partitions": emb.rdd.getNumPartitions()}
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = spread_for_cpu(
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+
+    def pcos(d):
+        a, b = F.slice("qv", 1, d), F.slice("cv", 1, d)
+        return F.round(dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), 6)
+
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(d).alias("dims"), pcos(d).alias("cosine"))
+                    for d in _MRL_DIMS
+                ])
+            ).alias("lv"),
+        )
+        .select("qid", "cid", "lv.dims", "lv.cosine")
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("dims", "qid").orderBy(
+                F.desc("cosine"), F.asc("cid")
+            )
+        ),
+    ).filter(F.col("rk") <= 5)
+    _, res["pair_score_rank"] = _t(
+        "prefix-cosine pair pass + rank (noop)",
+        lambda: ranked.select("dims", "qid", "cid")
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    _, res["full_query"] = _t(
+        "full query incl. recall rollup (noop)",
+        lambda: matryoshka_recall_curve(spark, sf_dir)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    return res
+
+
+def profile_fuzzy(spark, sf_dir: str) -> dict:
+    # Mirrors fuzzy_dup_pairs: min-shingle fingerprint build, bucket
+    # candidates (+ collision census), melt-join + Levenshtein verify.
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.functions.text import doc_fingerprint, tokens
+    from seng550_a3_etl_spark.operators.text_dedup import bucket_pairs
+    from seng550_a3_etl_spark.plans.layout import spread_for_cpu
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    res: dict = {}
+    fps, res["fingerprint_build"] = _t(
+        "min-shingle fingerprints (spread, ckpt)",
+        lambda: spread_for_cpu(docs).select(
+            "doc_id", doc_fingerprint(tokens(F.col("text")), n=5).alias("fp")
+        )
+        .filter(F.col("fp").isNotNull())
+        .localCheckpoint(eager=True),
+    )
+    cand, res["candidates"] = _t(
+        "fingerprint bucket pairs (ckpt)",
+        lambda: bucket_pairs(fps, ["fp"], F.col("doc_id"))
+        .toDF("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=True),
+    )
+    res["n_cand"] = cand.count()
+    print(f"    candidates: {res['n_cand']}")
+    melted = cand.select(
+        F.struct("doc_a", "doc_b").alias("__pair"),
+        F.posexplode(F.array("doc_a", "doc_b")).alias("__side", "doc_id"),
+    )
+    paired = (
+        melted.join(docs, "doc_id")
+        .groupBy("__pair")
+        .agg(
+            F.first(
+                F.when(F.col("__side") == 0, F.col("text")), ignorenulls=True
+            ).alias("ta"),
+            F.first(
+                F.when(F.col("__side") == 1, F.col("text")), ignorenulls=True
+            ).alias("tb"),
+        )
+    )
+    lev = F.levenshtein("ta", "tb")
+    _, res["lev_verify"] = _t(
+        "melt-join + Levenshtein verify (noop)",
+        lambda: paired.filter(
+            lev <= 0.2 * F.greatest(F.length("ta"), F.length("tb"))
+        )
+        .select(lev.alias("lev"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    return res
+
+
+def profile_dup_span(spark, sf_dir: str) -> dict:
+    # Mirrors operators.text_dedup.dup_span_stats' three stages at the
+    # suite's _SPAN_K; same knob-import caveat as profile_minhash.
+    from pyspark.sql.window import Window
+
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.functions.hashing import hash64
+    from seng550_a3_etl_spark.functions.text import shingles, tokens
+    from seng550_a3_etl_spark.plans.layout import spread_for_cpu
+    from seng550_a3_etl_spark.suite.text import _SPAN_K
+
+    t = load_tables(spark, sf_dir)
+    k = _SPAN_K
+    res: dict = {"scan_partitions": t.documents.rdd.getNumPartitions()}
+    docs = spread_for_cpu(t.documents).select(
+        "doc_id", tokens(F.col("text")).alias("__tk")
+    )
+    wins, res["window_hash_explode"] = _t(
+        "k-token window hashes exploded (ckpt)",
+        lambda: docs.filter(F.size("__tk") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(shingles(F.col("__tk"), k), lambda c: hash64(c))
+            ).alias("__h"),
+        )
+        .localCheckpoint(eager=True),
+    )
+    per = wins.groupBy("__h", "doc_id").agg(F.count(F.lit(1)).alias("__c"))
+    dupc = (
+        per.withColumn(
+            "__nd", F.count(F.lit(1)).over(Window.partitionBy("__h"))
+        )
+        .filter(F.col("__nd") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum("__c").alias("__dup"))
+    )
+    dupc_m, res["posting_rollup"] = _t(
+        "(hash, doc) rollup + shared filter (ckpt)",
+        lambda: dupc.localCheckpoint(eager=True),
+    )
+    _, res["closing_join"] = _t(
+        "per-doc closing left join (noop)",
+        lambda: docs.join(dupc_m, "doc_id", "left")
+        .select("doc_id", F.coalesce("__dup", F.lit(0)).alias("n"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    return res
+
+
 PROFILES = {
     "minhash_dup_pairs": profile_minhash,
     "embedding_cosine_dedup": profile_cosine,
+    "ann_recall_ivf": profile_ann_ivf,
+    "ann_recall_ivf_pq": profile_ann_ivf_pq,
+    "semantic_dedup_clusters": profile_semantic_dedup,
+    "kmeans_iterated_centroids": profile_kmeans_iter,
+    "matryoshka_recall_curve": profile_matryoshka,
+    "fuzzy_dup_pairs": profile_fuzzy,
+    "dup_span_stats": profile_dup_span,
 }
 
 

@@ -115,7 +115,13 @@ def dup_span_stats(
     sub-k-token docs the window builder skips)."""
     from pyspark.sql.window import Window
 
-    docs = df.select(
+    from seng550_a3_etl_spark.plans.layout import spread_for_cpu
+
+    # tokenize + k-shingle + hash64 are interpreted HOF folds running
+    # in the scan stage; a small documents parquet scans as 1-2 splits
+    # (r11 stage profile: window_hash_explode 8.7x for 10x rows on 2 of
+    # 32 cores). No-op at scale — the guard skips when splits >= cores.
+    docs = spread_for_cpu(df).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__tk")
     )
     wins = docs.filter(F.size("__tk") >= k).select(

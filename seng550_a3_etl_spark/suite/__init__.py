@@ -170,6 +170,11 @@ _CHANGED: dict[str, int] = {
     "semantic_threshold_sweep": 11,
     "dedup_strategy_delta": 11,
     "dedup_tier_funnel": 11,
+    # round 11: spread_for_cpu on the under-parallel scan feeding the
+    # fingerprint build / window-hash explode (stage profiles measured
+    # both on 2 of 32 cores at 10x). Values identical, plan changed.
+    "fuzzy_dup_pairs": 11,
+    "dup_span_stats": 11,
 }
 
 

@@ -775,10 +775,15 @@ def fuzzy_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single melt-join pass over the corpus, so the quadratic Levenshtein
     only ever runs on fingerprint-collision pairs."""
     from seng550_a3_etl_spark.operators.text_dedup import bucket_pairs
+    from seng550_a3_etl_spark.plans.layout import spread_for_cpu
 
     t = load_tables(spark, sf_dir)
     docs = t.documents.select("doc_id", "text")
-    fps = docs.select(
+    # fingerprinting is a tokenize+shingle+min-hash HOF chain in the
+    # scan stage; the fixture parquet scans as 1-2 splits (r11 stage
+    # profile: 8.8x for 10x rows on 2 of 32 cores) — spread restores
+    # scan parallelism, no-op when splits >= cores.
+    fps = spread_for_cpu(docs).select(
         "doc_id",
         doc_fingerprint(tokens(F.col("text")), n=5).alias("fp"),
     ).filter(F.col("fp").isNotNull())
