@@ -133,7 +133,68 @@ SF1_SPOT = [
     "matryoshka_recall_curve",
     "ann_recall_ivf_pq",
     "cross_doc_substring_dedup",
+    # r11 (VERDICT r10 #7): one streaming-machinery representative —
+    # the suite's slowest row; per-batch cost is |batch|·bands against
+    # a static band index, so the 10x wall should be the fixed
+    # availableNow machinery plus a linear batch term.
+    "stream_minhash_dedup",
 ]
+
+
+def _commit_summary(full: dict) -> str:
+    """Commit-message-ready one-liner computed FROM the record, never
+    hand-written (VERDICT r10 #2: commit a0b21ba claimed "all spots ok"
+    over a bench_full.json containing a superlinear row). Paste this
+    line verbatim into the bench-record commit message."""
+    n_failed = sum(
+        1 for v in full["queries"].values()
+        if isinstance(v, (int, float)) and v < 0
+    )
+    parts = [
+        f"{full['value']}s / {len(full['queries'])} queries at "
+        f"sf{full['sf']}",
+        "zero failures" if n_failed == 0 else f"{n_failed} FAILURES",
+    ]
+    spot = full.get("sf1_spot") or {}
+    entries: dict[str, tuple] = {}  # name -> (verdict, detail)
+    for n, v in (spot.get("queries") or {}).items():
+        if isinstance(v, list) and len(v) == 3:
+            entries[n] = (v[2], f"{n} {v[1]}x {v[2]}")
+        elif isinstance(v, dict):
+            entries[n] = (v.get("verdict"), f"{n} {v.get('verdict')}")
+    for n, v in (spot.get("cache_builds") or {}).items():
+        if isinstance(v, dict):
+            b = v.get("build_s") or [None, None, None]
+            entries[f"build:{n}"] = (
+                v.get("verdict"), f"build:{n} {b[2]}x {v.get('verdict')}"
+            )
+    bad = sorted(d for vd, d in entries.values() if vd not in ("ok", "n/a"))
+    n_ok = sum(1 for vd, _ in entries.values() if vd == "ok")
+    if not entries:
+        parts.append("no sf1 spots")
+    elif bad:
+        parts.append(
+            f"sf1 spots: {n_ok} ok, {len(bad)} NOT ok ({'; '.join(bad)})"
+        )
+    else:
+        ratios = [
+            v[1]
+            for v in (spot.get("queries") or {}).values()
+            if isinstance(v, list) and len(v) == 3 and v[1] is not None
+        ]
+        worst = max(ratios) if ratios else None
+        parts.append(f"all {n_ok} sf1 spots ok (worst {worst}x)")
+    n_prof = sum(
+        1 for tbl in (spot.get("stages") or {}).values()
+        if isinstance(tbl, dict) and not tbl.get("no_stage_profile")
+        and not tbl.get("failed")
+    )
+    n_unprof = len(spot.get("stages") or {}) - n_prof
+    if n_unprof:
+        parts.append(f"{n_unprof} >=8x rows WITHOUT stage profile")
+    elif n_prof:
+        parts.append(f"stage profiles attached for all {n_prof} >=8x rows")
+    return "; ".join(parts)
 
 
 def _compact_line(
@@ -152,6 +213,15 @@ def _compact_line(
             q: {k: (v[2] if isinstance(v, list) and len(v) == 3 else v)
                 for k, v in (tbl or {}).items()}
             for q, tbl in sf1_spot["stages"].items()
+        }
+    if sf1_spot and isinstance(sf1_spot.get("cache_builds"), dict):
+        # Full build rows ride in bench_full.json; the line carries
+        # name -> 10x/1x ratio only.
+        sf1_spot = dict(sf1_spot)
+        sf1_spot["cache_builds"] = {
+            n: (v.get("build_s") or [None, None, None])[2]
+            for n, v in sf1_spot["cache_builds"].items()
+            if isinstance(v, dict)
         }
     if sf1_spot and isinstance(sf1_spot.get("queries"), dict):
         # The full per-query table rides in bench_full.json; at 30+
@@ -432,6 +502,11 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     print(f"bench: full timings -> {full_path}", file=sys.stderr)
+    try:
+        print(f"bench: commit-summary: {_commit_summary(full)}",
+              file=sys.stderr)
+    except Exception as exc:
+        print(f"bench: commit-summary failed: {exc}", file=sys.stderr)
     try:
         spark.stop()
     except Exception as exc:  # a dead gateway must not eat the line
@@ -974,32 +1049,74 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
     try:
         start = time.perf_counter()
         _scale_10x(spark, sf_dir, scaled)
+        spot["scale_build_s"] = round(time.perf_counter() - start, 1)
         # Build the SHARED session caches for the replica before any
-        # spot query runs, mirroring the 1x regime: in the 233-query
-        # suite loop the shingle-set / dup-label caches are charged to
+        # spot query runs, mirroring the 1x regime: in the suite loop
+        # the shingle-set / dup-label / span caches are charged to
         # whichever (usually non-spotted) query consumes them first, so
         # every spotted query's 1x base wall is cache-warm — but at 10x
         # the first SPOTTED consumer paid the whole cache build inside
         # its measured wall (r10: minhash_dup_pairs graded 14.2x
         # "superlinear" while its isolated cold-vs-cold ratio is 2.9x).
-        # Charging the builds to scale_build_s makes both sides of the
-        # ratio cache-warm.
+        # r11 (VERDICT r10 #4): each build is now ALSO timed at 1x
+        # (evict + rebuild isolates it from the suite loop's charging)
+        # and 10x and recorded as its own [1x, 10x, ratio] row — the
+        # substring family's dominant 10x cost used to hide inside an
+        # opaque scale_build_s while its flagship query spotted at
+        # 0.03s/0.0x.
+        spot["cache_builds"] = {}
         try:
-            from seng550_a3_etl_spark.suite.text import (
-                _labels_df,
-                _shingle_sets_df,
-                _xspan_spans_df,
-            )
+            from seng550_a3_etl_spark.suite import text as _suite_text
 
-            for hashed in (True, False):
-                _shingle_sets_df(spark, scaled, n=3, hashed=hashed)
-            _labels_df(spark, scaled)
-            _xspan_spans_df(spark, scaled)
+            def _evict(cache: dict, sfd: str) -> None:
+                for k in [k for k in cache if k[1] == sfd]:
+                    del cache[k]
+
+            for cache in (
+                _suite_text._SHINGLE_CACHE,
+                _suite_text._LABELS_CACHE,
+                _suite_text._XSPAN_CACHE,
+            ):
+                _evict(cache, sf_dir)
+            # dependency order: labels ride the hashed shingle set, so
+            # each timing isolates exactly one build.
+            builds = [
+                ("shingle_sets_hashed",
+                 lambda d: _suite_text._shingle_sets_df(
+                     spark, d, n=3, hashed=True)),
+                ("shingle_sets_string",
+                 lambda d: _suite_text._shingle_sets_df(
+                     spark, d, n=3, hashed=False)),
+                ("dup_cluster_labels",
+                 lambda d: _suite_text._labels_df(spark, d)),
+                ("xspan_span_census",
+                 lambda d: _suite_text._xspan_spans_df(spark, d)),
+            ]
+            for bname, fn in builds:
+                t0 = time.perf_counter()
+                fn(sf_dir)
+                b1 = round(time.perf_counter() - t0, 2)
+                t0 = time.perf_counter()
+                fn(scaled)
+                b10 = round(time.perf_counter() - t0, 2)
+                ratio = round(b10 / b1, 1) if b1 > 0 else None
+                spot["cache_builds"][bname] = {
+                    "build_s": [b1, b10, ratio],
+                    "verdict": (
+                        "n/a" if ratio is None
+                        else "ok" if ratio <= 13.0
+                        else "superlinear"
+                    ),
+                    "note": "shared session cache, amortized across "
+                            "consumers (gold-table analog)",
+                }
+                print(f"bench: sf1 cache build {bname} "
+                      f"{spot['cache_builds'][bname]['build_s']}",
+                      file=sys.stderr)
         except Exception as exc:
             print(f"bench: sf1 cache prewarm failed: {exc}",
                   file=sys.stderr)
-        spot["scale_build_s"] = round(time.perf_counter() - start, 1)
-        spent = spot["scale_build_s"]
+        spent = round(time.perf_counter() - start, 1)
         # Sorted to mirror the main suite loop's alphabetical order:
         # session caches (shingle sets, labels) are charged to the
         # alphabetically-first consumer in BOTH timing contexts, so the
