@@ -752,3 +752,126 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
         (r2 & r3 & r4 & r5).alias("pass_repetition"),
     )
 
+
+
+def _quality_funnel_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    g = ORACLES["gopher_quality_flags"]
+    return f"""
+    WITH g AS ({g}),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        CAST(SUM(CASE WHEN NOT r_word_count THEN 1 ELSE 0 END)
+             AS BIGINT) AS d1,
+        CAST(SUM(CASE WHEN NOT r_word_count THEN n_words ELSE 0 END)
+             AS BIGINT) AS w1,
+        CAST(SUM(CASE WHEN r_word_count AND NOT r_mean_word_len
+                 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        CAST(SUM(CASE WHEN r_word_count AND NOT r_mean_word_len
+                 THEN n_words ELSE 0 END) AS BIGINT) AS w2,
+        CAST(SUM(CASE WHEN r_word_count AND r_mean_word_len
+                      AND NOT r_alpha_words THEN 1 ELSE 0 END)
+             AS BIGINT) AS d3,
+        CAST(SUM(CASE WHEN r_word_count AND r_mean_word_len
+                      AND NOT r_alpha_words THEN n_words ELSE 0 END)
+             AS BIGINT) AS w3,
+        CAST(SUM(CASE WHEN r_word_count AND r_mean_word_len
+                      AND r_alpha_words AND NOT r_symbol_ratio
+                 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+        CAST(SUM(CASE WHEN r_word_count AND r_mean_word_len
+                      AND r_alpha_words AND NOT r_symbol_ratio
+                 THEN n_words ELSE 0 END) AS BIGINT) AS w4,
+        CAST(SUM(CASE WHEN r_word_count AND r_mean_word_len
+                      AND r_alpha_words AND r_symbol_ratio
+                      AND NOT r_stopwords THEN 1 ELSE 0 END)
+             AS BIGINT) AS d5,
+        CAST(SUM(CASE WHEN r_word_count AND r_mean_word_len
+                      AND r_alpha_words AND r_symbol_ratio
+                      AND NOT r_stopwords THEN n_words ELSE 0 END)
+             AS BIGINT) AS w5
+      FROM g
+    )
+    SELECT CAST(1 AS BIGINT) AS stage, 'word_count' AS rule,
+           n0 AS docs_in, d1 AS docs_dropped, w1 AS tokens_dropped,
+           n0 - d1 AS docs_out FROM a
+    UNION ALL
+    SELECT 2, 'mean_word_len', n0 - d1, d2, w2, n0 - d1 - d2 FROM a
+    UNION ALL
+    SELECT 3, 'alpha_words', n0 - d1 - d2, d3, w3,
+           n0 - d1 - d2 - d3 FROM a
+    UNION ALL
+    SELECT 4, 'symbol_ratio', n0 - d1 - d2 - d3, d4, w4,
+           n0 - d1 - d2 - d3 - d4 FROM a
+    UNION ALL
+    SELECT 5, 'stopwords', n0 - d1 - d2 - d3 - d4, d5, w5,
+           n0 - d1 - d2 - d3 - d4 - d5 FROM a
+    """
+
+
+@query("quality_filter_funnel", oracle=_quality_funnel_oracle())
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel census (X219): the five X178 Gopher rungs
+    applied SEQUENTIALLY (published order), reporting per rung the
+    marginal documents and token mass it removes from the survivors of
+    the previous rungs — the justify-or-retire artifact for quality
+    filters, exactly as X202's funnel is for dedup tiers (a rung whose
+    marginal removal is ~0 after its predecessors is dead config; one
+    that removes half the corpus deserves scrutiny before a run
+    commits). Token mass uses the same whitespace n_words the rules
+    themselves read.
+
+    Scale: ONE corpus scan (the X178 flag projection) folds to a single
+    conditional-sum row; the 5-row funnel is arithmetic on that row
+    exploded — rung count never adds passes.
+
+    Reference parity: none (the reference's quality surface is row-count
+    asserts, /root/reference/etl.py:214-218); extends the X178/X202
+    observability family."""
+    t = load_tables(spark, sf_dir)
+    flags = gopher_flags_projection(t.documents)
+    c1 = ~F.col("r_word_count")
+    p1 = F.col("r_word_count")
+    c2 = p1 & ~F.col("r_mean_word_len")
+    p2 = p1 & F.col("r_mean_word_len")
+    c3 = p2 & ~F.col("r_alpha_words")
+    p3 = p2 & F.col("r_alpha_words")
+    c4 = p3 & ~F.col("r_symbol_ratio")
+    p4 = p3 & F.col("r_symbol_ratio")
+    c5 = p4 & ~F.col("r_stopwords")
+
+    def dsum(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    def wsum(cond):
+        return F.sum(F.when(cond, F.col("n_words")).otherwise(0)).cast(
+            "long"
+        )
+
+    a = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        dsum(c1).alias("d1"), wsum(c1).alias("w1"),
+        dsum(c2).alias("d2"), wsum(c2).alias("w2"),
+        dsum(c3).alias("d3"), wsum(c3).alias("w3"),
+        dsum(c4).alias("d4"), wsum(c4).alias("w4"),
+        dsum(c5).alias("d5"), wsum(c5).alias("w5"),
+    )
+    rungs = [
+        (1, "word_count", "n0", "d1", "w1"),
+        (2, "mean_word_len", "n0 - d1", "d2", "w2"),
+        (3, "alpha_words", "n0 - d1 - d2", "d3", "w3"),
+        (4, "symbol_ratio", "n0 - d1 - d2 - d3", "d4", "w4"),
+        (5, "stopwords", "n0 - d1 - d2 - d3 - d4", "d5", "w5"),
+    ]
+    rows = F.array(*[
+        F.struct(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(rule).alias("rule"),
+            F.expr(din).cast("long").alias("docs_in"),
+            F.col(d).alias("docs_dropped"),
+            F.col(w).alias("tokens_dropped"),
+            (F.expr(din) - F.col(d)).cast("long").alias("docs_out"),
+        )
+        for stage, rule, din, d, w in rungs
+    ])
+    return a.select(F.explode(rows).alias("__r")).select("__r.*")

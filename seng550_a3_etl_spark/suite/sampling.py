@@ -428,3 +428,83 @@ def mixture_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill_ppm"
         ),
     )
+
+
+@query(
+    "source_temperature_mix",
+    oracle=r"""
+    WITH n AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+               AS n_tok
+      FROM documents GROUP BY source
+    ),
+    q AS (
+      SELECT source, n_tok,
+             CAST(ROUND(SQRT(n_tok) * 1000000) AS BIGINT) AS s_micro,
+             CAST(n_tok AS HUGEINT) * n_tok AS n_sq
+      FROM n
+    ),
+    tot AS (SELECT SUM(n_tok) AS t1, SUM(s_micro) AS th, SUM(n_sq) AS t2
+            FROM q)
+    SELECT source, n_tok,
+           CAST(CAST(s_micro AS HUGEINT) * 1000000 // th AS BIGINT)
+             AS w_t05_ppm,
+           CAST(CAST(n_tok AS HUGEINT) * 1000000 // t1 AS BIGINT)
+             AS w_t10_ppm,
+           CAST(n_sq * 1000000 // t2 AS BIGINT) AS w_t20_ppm
+    FROM q, tot
+    """,
+)
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source sampling weights (X217): the
+    multinomial mixture p_i ∝ n_i^T every multi-source pretraining run
+    tunes (mT5/XLM-R's alpha, the Pile's per-set epochs) reported at
+    T ∈ {0.5, 1, 2} — flattening (0.5) boosts small sources, 1 is
+    proportional, 2 sharpens toward the head. Exponents are chosen so
+    every weight is ENGINE-EXACT: T=1 is the raw integer count, T=2 an
+    exact integer square (HUGEINT/DECIMAL(38,0) — n² wraps int64 near
+    the 1e13-token operating point), and T=0.5 the IEEE-exact sqrt
+    quantized to integer micros BEFORE the sum, so no float ever sums
+    in either engine (the X137 determinism pattern); a float pow(n, T)
+    would differ across libm implementations.
+
+    Scale: ONE corpus scan folds to the |sources| rollup; the three
+    normalizations are arithmetic against one broadcast scalar row.
+
+    Reference parity: the reference has no sampling surface at all
+    (SURVEY §2.10) — this extends the X203 mixture family."""
+    t = load_tables(spark, sf_dir)
+    n = (
+        t.documents.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), r"\s+")))
+            .cast("long")
+            .alias("n_tok")
+        )
+        .localCheckpoint(eager=True)  # tot + final both read this
+    )
+    q = n.select(
+        "source",
+        "n_tok",
+        F.round(F.sqrt(F.col("n_tok")) * 1_000_000)
+        .cast("long")
+        .alias("__s"),
+        (F.col("n_tok").cast("decimal(38,0)") * F.col("n_tok")).alias("__n2"),
+    )
+    tot = q.agg(
+        F.sum("n_tok").alias("__t1"),
+        F.sum("__s").alias("__th"),
+        F.sum("__n2").alias("__t2"),
+    )
+    return q.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tok",
+        F.expr(
+            "CAST(CAST(__s AS DECIMAL(38,0)) * 1000000 DIV __th AS LONG)"
+        ).alias("w_t05_ppm"),
+        F.expr(
+            "CAST(CAST(n_tok AS DECIMAL(38,0)) * 1000000 DIV __t1 AS LONG)"
+        ).alias("w_t10_ppm"),
+        F.expr("CAST(__n2 * 1000000 DIV __t2 AS LONG)").alias("w_t20_ppm"),
+    )

@@ -4379,3 +4379,108 @@ def quality_dup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV count_if(is_dup) END AS BIGINT)"
         ).alias("lowq_given_dup_ppm"),
     )
+
+
+def _dedup_shift_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return rf"""
+    WITH labels AS ({ORACLES["dup_clusters"]}),
+    d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    j AS (
+      SELECT d.source, d.nt, l.canonical_id = d.doc_id AS kept
+      FROM d JOIN labels l USING (doc_id)
+    ),
+    per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_kept,
+             CAST(SUM(nt) AS BIGINT) AS n_tok,
+             CAST(SUM(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT)
+               AS n_tok_kept
+      FROM j GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tok) AS tb, SUM(n_tok_kept) AS ta FROM per),
+    sh AS (
+      SELECT source, n_docs, n_docs_kept, n_tok, n_tok_kept,
+             CAST(CAST(n_tok AS HUGEINT) * 1000000 // tb AS BIGINT)
+               AS share_before_ppm,
+             CAST(CAST(n_tok_kept AS HUGEINT) * 1000000 // ta AS BIGINT)
+               AS share_after_ppm
+      FROM per, tot
+    )
+    SELECT source, n_docs, n_docs_kept, n_tok, n_tok_kept,
+           share_before_ppm, share_after_ppm,
+           share_after_ppm - share_before_ppm AS shift_ppm
+    FROM sh
+    """
+
+
+@query("dedup_distribution_shift", oracle=_dedup_shift_oracle())
+def dedup_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-induced mixture shift (X220): per source, token share of
+    the corpus BEFORE vs AFTER near-dup pruning (keep = cluster
+    canonical, the X21 labels) — deduplication is not
+    distribution-neutral (boilerplate-heavy sources shrink most), and a
+    curation run must re-check its mixture targets against the
+    SURVIVOR distribution, not the raw one (the X203 allocator's input
+    changes). shift_ppm is the signed per-source drift, computed from
+    the two already-floored integer shares so both engines agree
+    trivially.
+
+    Scale: rides the session label cache (the materialized-artifact
+    analog); one scan-side token projection, one |sources| rollup, and
+    arithmetic against a broadcast scalar row — the label build is the
+    only shuffled stage and it is shared with four other queries.
+
+    Reference parity: none (no dedup surface in the reference); extends
+    the X78/X202 dedup-accounting family."""
+    labels = _labels_df(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("__nt"),
+    )
+    kept = F.col("canonical_id") == F.col("doc_id")
+    per = (
+        d.join(labels, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias(
+                "n_docs_kept"
+            ),
+            F.sum("__nt").cast("long").alias("n_tok"),
+            F.sum(F.when(kept, F.col("__nt")).otherwise(0))
+            .cast("long")
+            .alias("n_tok_kept"),
+        )
+        .localCheckpoint(eager=True)  # tot + final both read this
+    )
+    tot = per.agg(
+        F.sum("n_tok").alias("__tb"), F.sum("n_tok_kept").alias("__ta")
+    )
+    sh = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_docs_kept",
+        "n_tok",
+        "n_tok_kept",
+        F.expr(
+            "CAST(CAST(n_tok AS DECIMAL(38,0)) * 1000000 DIV __tb AS LONG)"
+        ).alias("share_before_ppm"),
+        F.expr(
+            "CAST(CAST(n_tok_kept AS DECIMAL(38,0)) * 1000000 DIV __ta"
+            " AS LONG)"
+        ).alias("share_after_ppm"),
+    )
+    return sh.withColumn(
+        "shift_ppm",
+        (F.col("share_after_ppm") - F.col("share_before_ppm")).cast("long"),
+    )

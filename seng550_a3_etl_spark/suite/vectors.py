@@ -5,6 +5,8 @@ identical deterministic ranking (round(cos,6) DESC, id ASC)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2484,6 +2486,122 @@ def retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(
                 F.expr("1000000 DIV first_rank"), F.lit(0)
             ).cast("long").alias("rr_ppm"),
+        )
+    )
+
+
+# nDCG rank discounts 1e6/log2(r+1) for r = 1..10, precomputed ONCE in
+# Python and injected as the SAME integer literals into both engines —
+# no float log ever evaluates at query time, so the metric is bit-exact
+# cross-engine (a per-engine log2 would differ in the last ulp).
+_NDCG_K = 10
+_NDCG_DISC = tuple(
+    round(1_000_000 / math.log2(r + 1)) for r in range(1, _NDCG_K + 1)
+)
+_NDCG_DISC_SQL = ", ".join(str(d) for d in _NDCG_DISC)
+
+
+@query(
+    "retrieval_ndcg",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 50),
+         c AS (SELECT vec_id AS cid, embedding AS cv, label AS cl
+               FROM embeddings),
+    pairs AS (
+      SELECT qid, ql, cid, cl, ROUND({{cos}}, 6) AS cosine
+      FROM q, c WHERE qid != cid
+    ),
+    topk AS (
+      SELECT qid, ql, cl, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY cosine DESC, cid
+        ) AS rank
+        FROM pairs
+      ) WHERE rank <= {_NDCG_K}
+    ),
+    sc AS (
+      SELECT qid,
+             SUM(CASE WHEN cl = ql
+                 THEN list_extract([{_NDCG_DISC_SQL}], CAST(rank AS INT))
+                 ELSE 0 END) AS dcg,
+             SUM(CASE WHEN cl = ql THEN 1 ELSE 0 END) AS n_rel
+      FROM topk GROUP BY qid
+    )
+    SELECT q.qid,
+           CAST(q.ql AS BIGINT) AS label,
+           CAST(COALESCE(s.n_rel, 0) AS BIGINT) AS n_rel,
+           CAST(COALESCE(s.dcg, 0) AS BIGINT) AS dcg_micro,
+           CAST(COALESCE(
+             s.dcg * 1000000 // NULLIF(list_sum(list_slice(
+               [{_NDCG_DISC_SQL}], 1, CAST(s.n_rel AS INT))), 0),
+             0) AS BIGINT) AS ndcg_ppm
+    FROM q LEFT JOIN sc s ON s.qid = q.qid
+    """.format(cos=_cos("qv", "cv")),
+)
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval nDCG@10 (X218): per probe, DCG over the exact top-10
+    cosine ranking with binary same-label relevance, normalized by the
+    ideal ordering of the retrieved set — the graded-rank companion to
+    X186's MRR (MRR sees only the FIRST hit; nDCG rewards putting every
+    relevant neighbor early, the metric RAG/recs stacks actually
+    report). Discounts are precomputed integer micros (see
+    ``_NDCG_DISC``), DCG/IDCG are exact integer sums, and the final
+    ratio is integer ppm — bit-stable cross-engine.
+
+    Scale: same plumbing as X186 — probes broadcast against one corpus
+    scan, top-k pruned before any further join; the DCG fold is a
+    per-probe sum over <= k rows."""
+    from seng550_a3_etl_spark.operators.similarity import cosine_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("cl"),
+    )
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISC])
+    topk = cosine_topk(q.select("qid", "qv"), c.select("cid", "cv"), k=_NDCG_K)
+    sc = (
+        topk.join(F.broadcast(q.select("qid", "ql")), "qid")
+        .join(c.select("cid", "cl"), "cid")
+        .select(
+            "qid",
+            F.when(F.col("cl") == F.col("ql"), F.element_at(disc, F.col("rank")))
+            .otherwise(F.lit(0))
+            .alias("__d"),
+            F.when(F.col("cl") == F.col("ql"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("__r"),
+        )
+        .groupBy("qid")
+        .agg(F.sum("__d").alias("__dcg"), F.sum("__r").alias("__nrel"))
+        .withColumn(
+            "__idcg",
+            F.aggregate(
+                F.slice(disc, F.lit(1), F.col("__nrel").cast("int")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    return (
+        q.select("qid", "ql")
+        .join(sc, "qid", "left")
+        .select(
+            "qid",
+            F.col("ql").cast("long").alias("label"),
+            F.coalesce("__nrel", F.lit(0)).cast("long").alias("n_rel"),
+            F.coalesce("__dcg", F.lit(0)).cast("long").alias("dcg_micro"),
+            F.coalesce(
+                F.expr("__dcg * 1000000 DIV NULLIF(__idcg, 0)"), F.lit(0)
+            ).cast("long").alias("ndcg_ppm"),
         )
     )
 
