@@ -573,6 +573,26 @@ def simhash_pairs(
     ``max_hamming+1`` chunks — any qualifying pair agrees exactly on at
     least one chunk — then verify with popcount(xor). Output: doc_a,
     doc_b, hamming."""
+    return (
+        _simhash_candidates(df, id_col, text_col, max_hamming, bits)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int,
+    bits: int,
+) -> DataFrame:
+    """The pigeonhole candidate set behind :func:`simhash_pairs`, with
+    exact hamming attached but NOT yet thresholded: (doc_a, doc_b,
+    hamming) for every distinct pair agreeing on at least one of the
+    ``max_hamming + 1`` fingerprint chunks. Shared by the pair query
+    (filters to <= max_hamming) and the tuning census (histograms the
+    whole candidate set)."""
     n_bands = max_hamming + 1
     chunk = bits // n_bands
     fps = simhash_fingerprints(
@@ -612,8 +632,6 @@ def simhash_pairs(
             "hamming",
             F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 

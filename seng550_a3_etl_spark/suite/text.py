@@ -4484,3 +4484,56 @@ def dedup_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shift_ppm",
         (F.col("share_after_ppm") - F.col("share_before_ppm")).cast("long"),
     )
+
+
+@query(
+    "simhash_hamming_census",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id AS doc, {duck_simhash('t')} AS fp FROM {_TOKS}
+    ),
+    ch AS (
+      SELECT doc, fp, c, (fp >> (CAST(c AS INT) * 15)) & 32767 AS ck
+      FROM fp, range(0, 4) r(c)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS da, b.doc AS db, a.fp AS fa, b.fp AS fb
+      FROM ch a JOIN ch b ON a.c = b.c AND a.ck = b.ck AND a.doc < b.doc
+    )
+    SELECT CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           bit_count(xor(fa, fb)) <= 3 AS within_threshold
+    FROM cand GROUP BY 1, 3
+    """,
+)
+def simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash threshold-tuning census (X221): the full Hamming-distance
+    histogram of the pigeonhole candidate set (pairs agreeing on >= 1 of
+    the 4 fingerprint chunks) — the artifact that tunes X4's
+    ``max_hamming`` the way X205's S-curve tunes MinHash banding: the
+    mass above the current threshold is exactly what a looser gate
+    would admit, and a histogram dominated by high distances means the
+    chunk width is generating junk candidates (verify cost without
+    recall). ``within_threshold`` marks the rows the X4 pair query
+    keeps today.
+
+    Scale: identical candidate plumbing as X4 (one narrow shuffle on
+    (band, chunk-value), exact popcount per CANDIDATE, never all
+    pairs); the census replaces the threshold filter with a <= 61-row
+    rollup, so it costs what the pair query already costs.
+
+    Reference parity: none; extends the X63/X205 tuning-census family."""
+    from seng550_a3_etl_spark.operators.text_dedup import _simhash_candidates
+
+    t = load_tables(spark, sf_dir)
+    return (
+        _simhash_candidates(t.documents, "doc_id", "text",
+                            max_hamming=3, bits=60)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "hamming",
+            "n_pairs",
+            (F.col("hamming") <= 3).alias("within_threshold"),
+        )
+    )
