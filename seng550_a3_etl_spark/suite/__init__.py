@@ -141,12 +141,9 @@ _CHANGED: dict[str, int] = {
     # the scale-stable 50 smallest vec_ids. OUTPUT-changing at every
     # sf (5 -> 50 seeds at sf0.01).
     "kmeans_iterated_centroids": 10,
-    # round 10: transform-applied hash64 was silently index-salted
-    # (plan-unique prefix); fixed to true md5 values via keyword-only
-    # seed + explicit lambdas. dup_span_stats' internal window hashes
-    # change (output value-identical — grouping is bijection-
-    # invariant), but the code under it changed.
-    "dup_span_stats": 10,
+    # (round-10 dup_span_stats entry superseded by the r11 one below —
+    # duplicate literal keys silently keep the last, so only the
+    # latest round is listed.)
     # round 11: similarity operators gained spread_for_cpu on the
     # corpus side (the embeddings parquet scans as ONE split — every
     # interpreted HOF dot ran on one core; the r10 ANN sf1-spot
@@ -175,6 +172,12 @@ _CHANGED: dict[str, int] = {
     # both on 2 of 32 cores at 10x). Values identical, plan changed.
     "fuzzy_dup_pairs": 11,
     "dup_span_stats": 11,
+    # round 11 (end-of-round snapshot af294dc): simhash_pairs' candidate
+    # generation was extracted into _simhash_candidates (shared with the
+    # X221 Hamming census). Value-identical by inspection, but the code
+    # under the query changed — declared here so the r12 rotation
+    # re-checks it (last green r7).
+    "simhash_near_pairs": 11,
 }
 
 
