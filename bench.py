@@ -183,7 +183,22 @@ def _commit_summary(full: dict) -> str:
             if isinstance(v, list) and len(v) == 3 and v[1] is not None
         ]
         worst = max(ratios) if ratios else None
-        parts.append(f"all {n_ok} sf1 spots ok (worst {worst}x)")
+        # Cache-build ratios are graded too — report their worst
+        # separately so an ok-graded 12x build can't hide behind a
+        # smaller query worst (ADVICE r11).
+        bratios = [
+            (v.get("build_s") or [None, None, None])[2]
+            for v in (spot.get("cache_builds") or {}).values()
+            if isinstance(v, dict)
+        ]
+        bratios = [r for r in bratios if r is not None]
+        bworst = max(bratios) if bratios else None
+        parts.append(
+            f"all {n_ok} sf1 spots ok (worst query {worst}x"
+            + (f", worst cache build {bworst}x" if bworst is not None
+               else "")
+            + ")"
+        )
     n_prof = sum(
         1 for tbl in (spot.get("stages") or {}).values()
         if isinstance(tbl, dict) and not tbl.get("no_stage_profile")
@@ -1076,6 +1091,7 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 _suite_text._SHINGLE_CACHE,
                 _suite_text._LABELS_CACHE,
                 _suite_text._XSPAN_CACHE,
+                _suite_text._CENSUS_CACHE,
             ):
                 _evict(cache, sf_dir)
             # dependency order: labels ride the hashed shingle set, so
@@ -1091,6 +1107,14 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                  lambda d: _suite_text._labels_df(spark, d)),
                 ("xspan_span_census",
                  lambda d: _suite_text._xspan_spans_df(spark, d)),
+                # The 8-tier dedup census (_CENSUS_CACHE) rides all
+                # three caches above, so timed LAST its row isolates
+                # exactly the tier-union + flag-rollup work the X146/
+                # X202 consumers share (r11 omitted it — ADVICE r11 —
+                # so at 10x the census build was still charged into
+                # the first spotted consumer's wall).
+                ("dedup_tier_census",
+                 lambda d: _suite_text.dedup_strategy_delta(spark, d)),
             ]
             for bname, fn in builds:
                 t0 = time.perf_counter()

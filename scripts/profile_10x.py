@@ -605,6 +605,99 @@ def profile_dup_span(spark, sf_dir: str) -> dict:
     return res
 
 
+def profile_triangles(spark, sf_dir: str) -> dict:
+    # Mirrors copurchase_triangles (suite/analytics.py) +
+    # operators/graph.triangle_count stage-by-stage: the co-purchase
+    # edge build (the lineitem self-join), the degree rollup, the
+    # (deg,id)-orientation join, the oriented adjacency-list build, and
+    # the edge-iterator closing intersection — so a >=8x sf1 spot can
+    # name WHICH of the O(m) shuffles vs the O(m^1.5) intersection is
+    # moving superlinearly.
+    from pyspark.sql import Window  # noqa: F401
+
+    from seng550_a3_etl_spark.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    res: dict = {}
+
+    op = (
+        t.lineitem.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    x, y = op.alias("x"), op.alias("y")
+    e, res["edge_build"] = _t(
+        "co-purchase edge self-join + distinct (ckpt)",
+        lambda: x.join(
+            y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p"))
+        )
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True),
+    )
+    res["n_edges"] = e.count()
+    print(f"    edges: {res['n_edges']}")
+
+    deg, res["degree_rollup"] = _t(
+        "degree rollup (ckpt)",
+        lambda: e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True),
+    )
+
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    lo_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented, res["orientation_join"] = _t(
+        "orientation join e><deg><deg (ckpt)",
+        lambda: e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+        .localCheckpoint(eager=True),
+    )
+
+    adj, res["adjacency_build"] = _t(
+        "oriented adjacency collect_list (ckpt)",
+        lambda: oriented.groupBy("lo")
+        .agg(F.sort_array(F.collect_list("hi")).alias("nbrs"))
+        .localCheckpoint(eager=True),
+    )
+    # orientation caps out-degree at O(sqrt(m)); record the actual cap
+    mx = adj.select(F.max(F.size("nbrs")).alias("m")).collect()[0].m
+    res["max_out_degree"] = mx
+    print(f"    max oriented out-degree: {mx}")
+
+    _, res["closing_intersect"] = _t(
+        "edge-iterator closing intersection (agg)",
+        lambda: oriented.join(
+            adj.select(F.col("lo"), F.col("nbrs").alias("n_lo")), "lo"
+        )
+        .join(
+            adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("n_hi")),
+            "hi",
+            "left",
+        )
+        .select(
+            F.when(F.col("n_hi").isNull(), F.lit(0))
+            .otherwise(F.size(F.array_intersect("n_lo", "n_hi")))
+            .cast("long")
+            .alias("c")
+        )
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_triangles"))
+        .collect(),
+    )
+    return res
+
+
 PROFILES = {
     "minhash_dup_pairs": profile_minhash,
     "embedding_cosine_dedup": profile_cosine,
@@ -615,6 +708,7 @@ PROFILES = {
     "matryoshka_recall_curve": profile_matryoshka,
     "fuzzy_dup_pairs": profile_fuzzy,
     "dup_span_stats": profile_dup_span,
+    "copurchase_triangles": profile_triangles,
 }
 
 

@@ -178,6 +178,16 @@ _CHANGED: dict[str, int] = {
     # under the query changed — declared here so the r12 rotation
     # re-checks it (last green r7).
     "simhash_near_pairs": 11,
+    # round 12: sf0.1-regression clawback (VERDICT r11 #3/#5) — plan-
+    # only, value-identical changes: matryoshka's probe×corpus pairing
+    # gained the explicit broadcast hint (BNLJ at any scale, not just
+    # while AQE saves it), and the two driver-iterated vector loops
+    # (greedy k-center, Lloyd k-means) now spread+pin their loop-
+    # invariant corpus ONCE instead of re-spreading the under-parallel
+    # scan inside every iteration.
+    "matryoshka_recall_curve": 12,
+    "kcenter_diverse_seeds": 12,
+    "kmeans_iterated_centroids": 12,
 }
 
 

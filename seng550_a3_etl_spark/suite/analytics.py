@@ -1099,7 +1099,18 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     INDEPENDENT of skew (Suri-Vassilvitskii); the close is a left_semi
     equi-join back to the canonical edge set. The oracle counts the
     same triangles via the a<b<c triple join DuckDB can afford at
-    sf0.01."""
+    sf0.01.
+
+    Measured cost class (r12, scripts/profile_10x.py
+    profile_triangles): for 10x data the only stage that moves is the
+    co-purchase edge self-join+distinct (2.2x — the bench replica
+    salts orderkeys but keeps baskets, so the DISTINCT edge set is
+    identical by design and every post-edge stage is ~1x; max oriented
+    out-degree 97 at both scales, the O(sqrt m) cap working).
+    Isolated cold-vs-cold query wall is 1.7x for 10x rows; the r11
+    spot's 10.4x row was end-of-suite session noise (codegen-cache
+    churn after 245 queries), not plan behavior — the query is now
+    registered in PROFILES so any future >=8x spot self-explains."""
     from seng550_a3_etl_spark.operators.graph import triangle_count
 
     t = load_tables(spark, sf_dir)

@@ -1638,11 +1638,18 @@ def kmeans_iterated_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are the IVF/SemDeDup shape, measured by
     semantic_dedup_clusters' spot instead."""
     from seng550_a3_etl_spark.operators.clustering import kmeans_step
+    from seng550_a3_etl_spark.plans.layout import spread_for_cpu
 
     t = load_tables(spark, sf_dir)
-    corpus = t.embeddings.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
+    # Spread + pin the loop-invariant corpus once (the kcenter pattern):
+    # kmeans_step's assign fold otherwise re-spreads the under-parallel
+    # scan inside every Lloyd iteration — per-iteration shuffles of the
+    # same bytes; the persist is what a production iterative job does.
+    corpus = spread_for_cpu(
+        t.embeddings.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        )
+    ).localCheckpoint(eager=True)
     cent = (
         t.embeddings.orderBy("vec_id")
         .limit(50)
@@ -2270,7 +2277,7 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     scored = (
-        q.crossJoin(c)
+        F.broadcast(q).crossJoin(c)
         .filter(F.col("qid") != F.col("cid"))
         .select(
             "qid",
@@ -2671,10 +2678,20 @@ def kcenter_diverse_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows) checkpoints per step so iterations never replay lineage."""
     from seng550_a3_etl_spark.operators.similarity import assign_buckets
 
+    from seng550_a3_etl_spark.plans.layout import spread_for_cpu
+
     t = load_tables(spark, sf_dir)
-    corpus = t.embeddings.select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
-    )
+    # Spread + pin the loop-invariant corpus ONCE: assign_buckets
+    # spreads its corpus side internally, which inside this m-1-step
+    # loop would re-shuffle the (under-parallel fixture) scan every
+    # iteration — the r11 sf0.1 regression term. Checkpointing is the
+    # iterative-algorithm persist every production loop does anyway;
+    # the internal guard then sees >= core partitions and no-ops.
+    corpus = spread_for_cpu(
+        t.embeddings.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+        )
+    ).localCheckpoint(eager=True)
     seed0 = corpus.orderBy("id").limit(1).localCheckpoint(eager=True)
     seeds = seed0.select(
         F.col("id").alias("bid"), F.col("v").alias("bv")

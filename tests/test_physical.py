@@ -454,3 +454,27 @@ def test_ccnet_model_join_broadcasts(spark):
     # side never shuffles for the scoring join.
     plan = _executed_plan(QUERIES["ccnet_perplexity_buckets"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_vector_suite_no_unhinted_cartesian(spark):
+    # VERDICT r11 #5: every probe-x-corpus pairing in the vector suite
+    # must carry an explicit broadcast hint. At fixture scale AQE turns
+    # an unhinted crossJoin into BNLJ anyway (hiding the bug); with the
+    # auto-broadcast threshold disabled, ONLY explicit hints produce
+    # BroadcastNestedLoopJoin, so any CartesianProduct here is a real
+    # 100x-scale hazard (a true cartesian once the side outgrows the
+    # threshold).
+    from seng550_a3_etl_spark.suite import vectors as _v
+
+    vec_queries = sorted(
+        n for n, fn in QUERIES.items()
+        if getattr(fn, "__module__", "") == _v.__name__
+    )
+    assert vec_queries, "vector suite registered no queries?"
+    offenders = {}
+    with _conf(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        for name in vec_queries:
+            plan = _executed_plan(QUERIES[name](spark, SF_ORACLE))
+            if "CartesianProduct" in plan:
+                offenders[name] = True
+    assert not offenders, f"unhinted cartesian in: {sorted(offenders)}"
