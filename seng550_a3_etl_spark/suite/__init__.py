@@ -188,6 +188,19 @@ _CHANGED: dict[str, int] = {
     "matryoshka_recall_curve": 12,
     "kcenter_diverse_seeds": 12,
     "kmeans_iterated_centroids": 12,
+    # round 12 (ADVICE r11): _semdedup_cent's centroid pick moved from
+    # a global row_number window (whole %100 pool through ONE task) to
+    # driver-count + orderBy().limit(cap) — output identical, plan
+    # data-parallel. Declared for every consumer of the centroid set.
+    "semantic_dedup_clusters": 12,
+    "semantic_threshold_sweep": 12,
+    "dedup_strategy_delta": 12,
+    "dedup_tier_funnel": 12,
+    # round 12 (ADVICE r11): retrieval_ndcg now normalizes by STANDARD
+    # IDCG@k (ideal DCG over min(corpus-wide same-label count - 1, k))
+    # instead of the ideal ordering of the retrieved set — OUTPUT-
+    # changing for every probe whose label has > n_rel members.
+    "retrieval_ndcg": 12,
 }
 
 

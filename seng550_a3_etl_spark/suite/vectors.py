@@ -1200,16 +1200,24 @@ _SEMDEDUP_CENT_SQL = """
 
 
 def _semdedup_cent(emb: DataFrame) -> DataFrame:
-    cap = emb.agg(
-        F.ceil(F.sqrt(F.count(F.lit(1)))).cast("int").alias("__cap")
-    )
+    """The ceil(sqrt(n)) smallest candidate bids (vec_id % 100 pool) —
+    SemDeDup's n^1.5 operating point. The cap is a driver-side 1-row
+    count (bounded collect) and the pick is orderBy().limit(cap) —
+    TakeOrderedAndProject, a data-parallel per-partition top-cap merge.
+    ADVICE r11: the previous global row_number Window.orderBy funneled
+    the whole %100 pool through ONE task (10^7 rows at 10^9
+    embeddings); identical output, parallel plan."""
+    import math
+
+    # float sqrt matches the oracle's CEIL(SQRT(n)) bit-for-bit: double
+    # sqrt is correctly rounded and cannot cross an integer boundary
+    # for non-square n below 2^52.
+    cap = math.ceil(math.sqrt(emb.count()))
     return (
         emb.filter(F.col("vec_id") % 100 == 0)
         .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
-        .withColumn("__rk", F.row_number().over(Window.orderBy("bid")))
-        .crossJoin(F.broadcast(cap))
-        .filter(F.col("__rk") <= F.col("__cap"))
-        .select("bid", "bv")
+        .orderBy("bid")
+        .limit(cap)
     )
 # Planted-duplicate corpus (shared with embedding_cosine_dedup): base
 # vectors plus a +0.02-jittered copy of every 5th — cosine ~0.988
@@ -2534,31 +2542,38 @@ _NDCG_DISC_SQL = ", ".join(str(d) for d in _NDCG_DISC)
                  ELSE 0 END) AS dcg,
              SUM(CASE WHEN cl = ql THEN 1 ELSE 0 END) AS n_rel
       FROM topk GROUP BY qid
-    )
+    ),
+    lc AS (SELECT label, COUNT(*) AS n_lbl FROM embeddings GROUP BY label)
     SELECT q.qid,
            CAST(q.ql AS BIGINT) AS label,
            CAST(COALESCE(s.n_rel, 0) AS BIGINT) AS n_rel,
            CAST(COALESCE(s.dcg, 0) AS BIGINT) AS dcg_micro,
            CAST(COALESCE(
              s.dcg * 1000000 // NULLIF(list_sum(list_slice(
-               [{_NDCG_DISC_SQL}], 1, CAST(s.n_rel AS INT))), 0),
+               [{_NDCG_DISC_SQL}], 1,
+               CAST(least(lc.n_lbl - 1, {_NDCG_K}) AS INT))), 0),
              0) AS BIGINT) AS ndcg_ppm
-    FROM q LEFT JOIN sc s ON s.qid = q.qid
+    FROM q
+    JOIN lc ON lc.label = q.ql
+    LEFT JOIN sc s ON s.qid = q.qid
     """.format(cos=_cos("qv", "cv")),
 )
 def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval nDCG@10 (X218): per probe, DCG over the exact top-10
-    cosine ranking with binary same-label relevance, normalized by the
-    ideal ordering of the retrieved set — the graded-rank companion to
-    X186's MRR (MRR sees only the FIRST hit; nDCG rewards putting every
-    relevant neighbor early, the metric RAG/recs stacks actually
-    report). Discounts are precomputed integer micros (see
-    ``_NDCG_DISC``), DCG/IDCG are exact integer sums, and the final
-    ratio is integer ppm — bit-stable cross-engine.
+    cosine ranking with binary same-label relevance, normalized by
+    STANDARD IDCG@k — the ideal DCG over min(total corpus-wide
+    relevant, k) (r12, ADVICE r11: normalizing by the ideal ordering
+    of the RETRIEVED set overstated quality — a probe retrieving 1 of
+    many same-label neighbors at rank 1 scored 1.0). The graded-rank
+    companion to X186's MRR. Discounts are precomputed integer micros
+    (see ``_NDCG_DISC``), DCG/IDCG are exact integer sums, and the
+    final ratio is integer ppm — bit-stable cross-engine.
 
     Scale: same plumbing as X186 — probes broadcast against one corpus
     scan, top-k pruned before any further join; the DCG fold is a
-    per-probe sum over <= k rows."""
+    per-probe sum over <= k rows, and the total-relevant count is a
+    |labels|-row broadcast census, never a second corpus pass per
+    probe."""
     from seng550_a3_etl_spark.operators.similarity import cosine_topk
 
     t = load_tables(spark, sf_dir)
@@ -2589,17 +2604,27 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("qid")
         .agg(F.sum("__d").alias("__dcg"), F.sum("__r").alias("__nrel"))
+    )
+    # Standard IDCG@k: ideal DCG over min(total corpus-wide relevant
+    # excluding self, k) — the |labels|-row census broadcasts.
+    lbl_counts = emb.groupBy(F.col("label").alias("ql")).agg(
+        F.count(F.lit(1)).alias("__nlbl")
+    )
+    return (
+        q.select("qid", "ql")
+        .join(F.broadcast(lbl_counts), "ql")
         .withColumn(
             "__idcg",
             F.aggregate(
-                F.slice(disc, F.lit(1), F.col("__nrel").cast("int")),
+                F.slice(
+                    disc,
+                    F.lit(1),
+                    F.least(F.col("__nlbl") - 1, F.lit(_NDCG_K)).cast("int"),
+                ),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             ),
         )
-    )
-    return (
-        q.select("qid", "ql")
         .join(sc, "qid", "left")
         .select(
             "qid",
