@@ -212,6 +212,59 @@ def simhash_fingerprints(
     )
 
 
+def simhash_onepass(tokens: Column, bits: int = HASH_BITS) -> Column:
+    """Per-row SimHash fingerprint in ONE array fold — the stateless
+    form a streaming micro-batch needs (:func:`simhash_fingerprints`'s
+    explode+groupBy is a streaming AGGREGATION and illegal in append
+    mode; :func:`simhash`'s ``bits`` independent folds re-walk the
+    token array ``bits`` times and pay a ``bits``-sized codegen chain —
+    measured 9.8 s cold / 3.6 s warm for 500 docs at 60 bits).
+
+    One ``aggregate`` carries all ``bits`` ±1 counters as a long-array
+    accumulator (zip_with add of each hash's bit-plane 0/1 vector);
+    the sign test is the same ``2*ones_j > n_tokens`` identity the
+    packed batch form uses, so fingerprints are bit-identical to both
+    (asserted in tests/test_hashing.py)."""
+    hs = F.transform(tokens, lambda t: hash64(t))
+    n = F.size(hs)
+    # (h & mask != 0): plain Column methods work on HOF lambda vars,
+    # F.shiftright's int-arg signature doesn't (see simhash below).
+    ones = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (h.bitwiseAND(F.lit(1 << j)) != 0).cast("long")
+                    for j in range(bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    weights = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    fp = F.aggregate(
+        F.zip_with(
+            ones,
+            weights,
+            lambda o, w: F.when(o * 2 > n, w).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # coalesce does double duty: null token arrays → fp 0 (the batch
+    # form's closing-left-join contract), AND the result becomes
+    # non-nullable — without this, a downstream equi-join on a derived
+    # chunk key makes InferFiltersFromConstraints push
+    # isnotnull(<entire fold>) into the parquet scan's DataFilters,
+    # re-evaluating the fold per row BEFORE any repartition (measured:
+    # 20 s single-core at sf0.1 vs 2 s with the constraint gone).
+    return F.coalesce(fp, F.lit(0).cast("long"))
+
+
 def simhash(tokens: Column, bits: int = HASH_BITS) -> Column:
     """SimHash fingerprint (Charikar 2002): per bit position j, sum ±1
     over token hashes' j-th bit (with multiplicity); fingerprint bit j is

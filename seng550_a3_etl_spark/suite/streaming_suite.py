@@ -981,3 +981,126 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= MINHASH_THRESHOLD)
     )
+
+
+_SH_STREAM_TABLE = "stream_simhash_sink"
+
+
+def _stream_simhash_oracle() -> str:
+    # Same oracle as the batch twin (the X216/X195 pattern): force the
+    # donor module's registration first.
+    from seng550_a3_etl_spark.suite import text  # noqa: F401
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return ORACLES["simhash_near_pairs"]
+
+
+@query("stream_simhash_dedup", oracle=_stream_simhash_oracle())
+def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SimHash near-dup detection (X222) — the last dedup
+    rung without a streaming twin (exact X74, LSH/MinHash X109/X216,
+    semantic X181, substring X208): incoming documents are
+    fingerprinted INSIDE the micro-batch with the stateless one-fold
+    SimHash (``simhash_onepass`` — the explode+groupBy batch form is a
+    streaming AGGREGATION and illegal in append mode), pigeonhole-
+    chunked into ``max_hamming+1`` band keys, and candidate-joined
+    against the STATIC corpus chunk index; the exact popcount verify
+    is a stateless scalar on the joined row, so qualifying pairs
+    append with ZERO streaming state and no watermark. Same oracle as
+    the batch twin (`simhash_near_pairs`): the driver checks the
+    streaming execution of the identical pigeonhole construction.
+
+    Scale: per-batch cost is |batch| fingerprint folds plus a
+    (band, key) equi-join against the persisted chunk index — the
+    corpus is never re-paired per batch; the micro-batch repartitions
+    to core count before the fold (the interpreted fold's parallelism
+    is the batch's partition count — a one-file fixture batch
+    otherwise pins to one core; at production the admission knob
+    yields many files per trigger and the shuffle moves only the
+    batch). Verification never rescans text: the fingerprint IS the
+    verify artifact (bit_count(xor)), which is what makes SimHash the
+    cheapest streaming rung — MinHash (X216) still pays a shingle-set
+    join post-sink."""
+    from seng550_a3_etl_spark.functions.hashing import (
+        simhash_fingerprints,
+        simhash_onepass,
+    )
+    from seng550_a3_etl_spark.functions.text import tokens
+    from seng550_a3_etl_spark.catalog import load_tables
+
+    bits, max_hamming = 60, 3
+    n_bands = max_hamming + 1
+    chunk = bits // n_bands
+
+    def chunk_keys(fp_frame: DataFrame, doc: str, fp: str) -> DataFrame:
+        return fp_frame.select(
+            doc,
+            fp,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col(fp), b * chunk)
+                            .bitwiseAND(F.lit((1 << chunk) - 1))
+                            .alias("key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(doc, fp, "bk.band", "bk.key")
+
+    t = load_tables(spark, sf_dir)
+    index = chunk_keys(
+        simhash_fingerprints(
+            t.documents.select(F.col("doc_id").alias("odoc"), "text"),
+            "odoc",
+            tokens(F.col("text")),
+            bits=bits,
+        ),
+        "odoc",
+        "fp",
+    ).withColumnRenamed("fp", "ofp")
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/documents.parquet*"
+    )
+    sfp = (
+        stream.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("doc_id").alias("doc"),
+            simhash_onepass(tokens(F.col("text")), bits).alias("sfp"),
+        )
+        # Exchange boundary ON PURPOSE: without it CollapseProject
+        # inlines the interpreted fold into every downstream reference
+        # (4 chunk keys + the carried fp — measured 6 copies in the
+        # plan, 20 s vs 2 s at sf0.1). The shuffle moves only (doc,
+        # 8-byte fp) rows, and the fold computes exactly once in its
+        # own stage.
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc"))
+    )
+    matches = (
+        chunk_keys(sfp, "doc", "sfp")
+        .join(index, ["band", "key"])
+        .filter(F.col("doc") != F.col("odoc"))
+        .select(
+            F.least("doc", "odoc").alias("doc_a"),
+            F.greatest("doc", "odoc").alias("doc_b"),
+            F.bit_count(F.col("sfp").bitwiseXOR(F.col("ofp")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    q = (
+        matches.writeStream.format("memory")
+        .queryName(_SH_STREAM_TABLE)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    return spark.table(_SH_STREAM_TABLE).distinct()

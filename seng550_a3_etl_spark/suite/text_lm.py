@@ -1499,3 +1499,183 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("avg_logp") * 1000000, 0).cast("long")
         ).cast("long").alias("sum_score_micro"),
     )
+
+
+def _tok_drift_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    ppm = "CAST((CAST({x} AS HUGEINT) * 1000000) // {y} AS BIGINT)"
+    return f"""
+    WITH enc AS ({ORACLES['bpe_encode_docs']}),
+    d AS (
+      SELECT doc_id, doc_id % 2 AS snap, {_DUCK_CTOKS} AS ws
+      FROM documents
+    ),
+    per AS (
+      SELECT d.snap,
+             COUNT(*) AS n_docs,
+             SUM(len(d.ws)) AS n_words,
+             SUM(e.n_pieces) AS n_pieces,
+             SUM(e.n_unk) AS n_unk
+      FROM d JOIN enc e USING (doc_id) GROUP BY d.snap
+    ),
+    flat AS (
+      SELECT
+        (SELECT n_docs FROM per WHERE snap = 0) AS n_docs_a,
+        (SELECT n_docs FROM per WHERE snap = 1) AS n_docs_b,
+        (SELECT n_words FROM per WHERE snap = 0) AS w_a,
+        (SELECT n_words FROM per WHERE snap = 1) AS w_b,
+        (SELECT n_pieces FROM per WHERE snap = 0) AS p_a,
+        (SELECT n_pieces FROM per WHERE snap = 1) AS p_b,
+        (SELECT n_unk FROM per WHERE snap = 0) AS u_a,
+        (SELECT n_unk FROM per WHERE snap = 1) AS u_b
+    ),
+    tok AS (SELECT snap, unnest(ws) AS t FROM d),
+    vc AS (
+      SELECT t,
+             COUNT(*) FILTER (WHERE snap = 0) AS ca,
+             COUNT(*) FILTER (WHERE snap = 1) AS cb
+      FROM tok GROUP BY t
+    ),
+    vs AS (
+      SELECT
+        COUNT(*) FILTER (WHERE ca > 0) AS types_a,
+        COUNT(*) FILTER (WHERE cb > 0) AS types_b,
+        COUNT(*) FILTER (WHERE ca > 0 AND cb > 0) AS types_both,
+        COUNT(*) FILTER (WHERE cb > 0 AND ca = 0) AS new_types_b,
+        COALESCE(SUM(cb) FILTER (WHERE ca = 0), 0) AS new_mass_b,
+        SUM(cb) AS mass_b
+      FROM vc
+    )
+    SELECT
+      CAST(n_docs_a AS BIGINT) AS n_docs_a,
+      CAST(n_docs_b AS BIGINT) AS n_docs_b,
+      CAST(w_a AS BIGINT) AS n_words_a,
+      CAST(w_b AS BIGINT) AS n_words_b,
+      {ppm.format(x='p_a', y='w_a')} AS fertility_ppm_a,
+      {ppm.format(x='p_b', y='w_b')} AS fertility_ppm_b,
+      {ppm.format(x='p_b', y='w_b')} - {ppm.format(x='p_a', y='w_a')}
+        AS fertility_drift_ppm,
+      {ppm.format(x='u_a', y='p_a')} AS unk_ppm_a,
+      {ppm.format(x='u_b', y='p_b')} AS unk_ppm_b,
+      {ppm.format(x='u_b', y='p_b')} - {ppm.format(x='u_a', y='p_a')}
+        AS unk_drift_ppm,
+      CAST(types_a AS BIGINT) AS types_a,
+      CAST(types_b AS BIGINT) AS types_b,
+      CAST(new_types_b AS BIGINT) AS new_types_b,
+      {ppm.format(x='new_mass_b', y='mass_b')} AS new_type_token_ppm,
+      {ppm.format(x='types_both', y='types_a + types_b - types_both')}
+        AS vocab_jaccard_ppm
+    FROM flat, vs
+    """
+
+
+@query("tokenizer_drift_snapshots", oracle=_tok_drift_oracle())
+def tokenizer_drift_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab drift monitor between two corpus snapshots
+    (X223) — X180's fertility/UNK report is a STATIC per-source audit;
+    this is its snapshot-DIFF twin: split the corpus into two
+    ingestion snapshots (doc_id parity — the deterministic stand-in
+    for "last month's crawl" vs "this month's"), encode BOTH under the
+    same FIXED subword vocab (X162's encoder), and report per-snapshot
+    fertility/UNK with signed drift plus the word-type vocabulary
+    delta: types new in B, the token-mass share those new types carry
+    (the leading indicator that the tokenizer needs retraining —
+    fertility degrades only AFTER unseen types carry real mass), and
+    the type-set Jaccard between snapshots. Drift ppms subtract the
+    two already-floored integer ppms (the X220 recipe), so both
+    engines agree trivially.
+
+    Scale: the encode is the existing single-scan fold; the snapshot
+    split is a projection of the same scan (pinned once for its two
+    consumers — the standing fan-out rule); the type census is ONE
+    map-side-combined (type) rollup — |vocab| rows, never the token
+    stream twice — and the closing stats fold vocab-sized frames to
+    one broadcast row each. Nothing corpus-sized shuffles.
+
+    Reference parity: none (no tokenizer surface in the reference);
+    closes the X37/X180 loop flagged in VERDICT r11 #8."""
+    enc = bpe_encode_docs(spark, sf_dir).select(
+        "doc_id", "n_pieces", "n_unk"
+    )
+    t = load_tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        (F.col("doc_id") % 2).alias("snap"),
+        _ctoks(F.col("text")).alias("ws"),
+    ).localCheckpoint(eager=True)
+    per = (
+        d.join(enc, "doc_id")
+        .groupBy("snap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("ws")).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.sum("n_unk").alias("n_unk"),
+        )
+    )
+
+    def side(col: str, s: int):
+        return F.sum(F.when(F.col("snap") == s, F.col(col)))
+
+    flat = per.agg(
+        side("n_docs", 0).alias("n_docs_a"),
+        side("n_docs", 1).alias("n_docs_b"),
+        side("n_words", 0).alias("w_a"),
+        side("n_words", 1).alias("w_b"),
+        side("n_pieces", 0).alias("p_a"),
+        side("n_pieces", 1).alias("p_b"),
+        side("n_unk", 0).alias("u_a"),
+        side("n_unk", 1).alias("u_b"),
+    )
+    vc = (
+        d.select("snap", F.explode("ws").alias("t"))
+        .groupBy("t")
+        .agg(
+            F.count_if(F.col("snap") == 0).alias("ca"),
+            F.count_if(F.col("snap") == 1).alias("cb"),
+        )
+    )
+    vs = vc.agg(
+        F.count_if(F.col("ca") > 0).alias("types_a"),
+        F.count_if(F.col("cb") > 0).alias("types_b"),
+        F.count_if((F.col("ca") > 0) & (F.col("cb") > 0)).alias(
+            "types_both"
+        ),
+        F.count_if((F.col("cb") > 0) & (F.col("ca") == 0)).alias(
+            "new_types_b"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("ca") == 0, F.col("cb"))), F.lit(0)
+        ).alias("new_mass_b"),
+        F.sum("cb").alias("mass_b"),
+    )
+
+    def ppm(x: str, y: str):
+        return F.expr(
+            f"CAST(CAST({x} AS DECIMAL(38,0)) * 1000000 DIV ({y}) AS LONG)"
+        )
+
+    return flat.crossJoin(F.broadcast(vs)).select(
+        F.col("n_docs_a").cast("long").alias("n_docs_a"),
+        F.col("n_docs_b").cast("long").alias("n_docs_b"),
+        F.col("w_a").cast("long").alias("n_words_a"),
+        F.col("w_b").cast("long").alias("n_words_b"),
+        ppm("p_a", "w_a").alias("fertility_ppm_a"),
+        ppm("p_b", "w_b").alias("fertility_ppm_b"),
+        (ppm("p_b", "w_b") - ppm("p_a", "w_a")).cast("long").alias(
+            "fertility_drift_ppm"
+        ),
+        ppm("u_a", "p_a").alias("unk_ppm_a"),
+        ppm("u_b", "p_b").alias("unk_ppm_b"),
+        (ppm("u_b", "p_b") - ppm("u_a", "p_a")).cast("long").alias(
+            "unk_drift_ppm"
+        ),
+        F.col("types_a").cast("long").alias("types_a"),
+        F.col("types_b").cast("long").alias("types_b"),
+        F.col("new_types_b").cast("long").alias("new_types_b"),
+        ppm("new_mass_b", "mass_b").alias("new_type_token_ppm"),
+        ppm("types_both", "types_a + types_b - types_both").alias(
+            "vocab_jaccard_ppm"
+        ),
+    )

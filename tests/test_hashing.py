@@ -48,3 +48,33 @@ def test_packed_survives_token_counts_past_16bit(spark):
     tokens = [f"t{i % 997}" for i in range(70_000)]
     packed, spec = _fingerprint_pair(spark, [(1, tokens)])
     assert packed[1] == spec[1]
+
+
+def test_onepass_matches_hof_spec(spark):
+    # The streaming (single-fold) form must stay bit-identical to both
+    # the HOF spec and the packed aggregate, including the empty-array
+    # and repeated-token cases.
+    from seng550_a3_etl_spark.functions.hashing import simhash_onepass
+
+    docs = [
+        (1, ["alpha", "beta", "gamma", "alpha"]),
+        (2, ["alpha", "beta", "gamma", "delta"]),
+        (3, []),  # fold over [] → every bit sum 0 → fp 0
+        (4, ["solo"]),
+        (5, [f"t{i % 97}" for i in range(1_000)]),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<string>")
+    onepass = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", simhash_onepass(F.col("tokens")).alias("fp")
+        ).collect()
+    }
+    spec = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", simhash(F.col("tokens")).alias("fp")
+        ).collect()
+    }
+    assert onepass == spec
+    assert onepass[3] == 0
