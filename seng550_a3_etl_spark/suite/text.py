@@ -4537,3 +4537,227 @@ def simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hamming") <= 3).alias("within_threshold"),
         )
     )
+
+
+def _chaining_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return f"""
+    WITH labels AS ({ORACLES['dup_clusters']}),
+    pairs AS (SELECT doc_a, doc_b FROM ({ORACLES['ngram_dup_pairs']})),
+    sz AS (
+      SELECT canonical_id, COUNT(*) AS m
+      FROM labels GROUP BY canonical_id HAVING COUNT(*) >= 2
+    ),
+    dp AS (
+      SELECT l.canonical_id, COUNT(*) AS nd
+      FROM pairs p JOIN labels l ON l.doc_id = p.doc_a
+      GROUP BY l.canonical_id
+    ),
+    cl AS (
+      SELECT s.canonical_id, s.m,
+             s.m * (s.m - 1) // 2 AS poss,
+             COALESCE(d.nd, 0) AS nd
+      FROM sz s LEFT JOIN dp d USING (canonical_id)
+    )
+    SELECT CAST(m AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) FILTER (WHERE nd < poss) AS BIGINT)
+             AS n_chained,
+           CAST(SUM(poss) AS BIGINT) AS possible_pairs,
+           CAST(SUM(nd) AS BIGINT) AS direct_pairs,
+           CAST(SUM(poss) - SUM(nd) AS BIGINT) AS transitive_pairs,
+           CAST(SUM(nd) * 1000000 // SUM(poss) AS BIGINT)
+             AS density_ppm,
+           CAST(MIN(nd * 1000000 // poss) AS BIGINT)
+             AS min_density_ppm
+    FROM cl GROUP BY m
+    """
+
+
+@query("dup_cluster_chaining_audit", oracle=_chaining_oracle())
+def dup_cluster_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component chaining audit (X224): per dup-cluster size,
+    how many of each cluster's C(m,2) member pairs were DIRECTLY
+    verified near-dups vs merged only TRANSITIVELY — the standing
+    worry with CC-based dedup grouping (RefinedWeb/SemDeDup both flag
+    it): A~B and B~C chain A and C into one cluster even when A and C
+    share nothing, and a cluster whose pair density is far below 1 is
+    dropping non-duplicates if the pipeline keeps one survivor per
+    cluster. n_chained counts clusters with at least one unverified
+    member pair; min_density_ppm is the worst cluster at that size —
+    the row that justifies (or vetoes) survivor-per-cluster pruning at
+    a given threshold.
+
+    Scale: rides BOTH session materializations (labels, verified pair
+    set) — no new text or pair scan; the audit is a labels-sized
+    rollup joined with a pair-set-sized rollup (every verified pair is
+    within-cluster by CC construction, so doc_a's label IS the pair's
+    cluster), then a <= |distinct sizes| census.
+
+    Reference parity: none (no dedup surface in the reference);
+    extends the X202/X214 dedup-observability family."""
+    labels = _labels_df(spark, sf_dir)
+    pairs = ngram_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sz = (
+        labels.groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+    )
+    dp = (
+        pairs.join(
+            labels.select(
+                F.col("doc_id").alias("doc_a"), "canonical_id"
+            ),
+            "doc_a",
+        )
+        .groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    cl = sz.join(dp, "canonical_id", "left").select(
+        "m",
+        F.expr("m * (m - 1) DIV 2").alias("poss"),
+        F.coalesce("nd", F.lit(0)).alias("nd"),
+    )
+    return cl.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.count_if(F.col("nd") < F.col("poss")).cast("long").alias(
+            "n_chained"
+        ),
+        F.sum("poss").cast("long").alias("possible_pairs"),
+        F.sum("nd").cast("long").alias("direct_pairs"),
+        (F.sum("poss") - F.sum("nd")).cast("long").alias(
+            "transitive_pairs"
+        ),
+        F.expr("sum(nd) * 1000000 DIV sum(poss)").cast("long").alias(
+            "density_ppm"
+        ),
+        F.min(F.expr("nd * 1000000 DIV poss")).cast("long").alias(
+            "min_density_ppm"
+        ),
+    ).select(
+        F.col("m").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "n_chained",
+        "possible_pairs",
+        "direct_pairs",
+        "transitive_pairs",
+        "density_ppm",
+        "min_density_ppm",
+    )
+
+
+_CTX_BUDGETS = (128, 512, 2048)
+
+
+@query(
+    "context_budget_waste",
+    oracle=f"""
+    WITH n AS (
+      SELECT CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    folded AS (
+      SELECT COUNT(*) AS n_docs, SUM(nt) AS total_tokens,
+        {", ".join(
+            f'''SUM(CASE WHEN nt > {L} THEN 1 ELSE 0 END) AS over_{L},
+            SUM(CASE WHEN nt > {L} THEN nt - {L} ELSE 0 END) AS tr_{L},
+            SUM(CASE WHEN nt < {L} THEN {L} - nt ELSE 0 END) AS pad_{L},
+            SUM(least(nt, {L})) AS kept_{L}'''
+            for L in _CTX_BUDGETS
+        )}
+      FROM n
+    )
+    SELECT CAST(budget AS BIGINT) AS budget,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(over_b AS BIGINT) AS n_docs_truncated,
+           CAST(tr AS BIGINT) AS truncated_tokens,
+           CAST(tr * 1000000 // total_tokens AS BIGINT)
+             AS truncated_ppm,
+           CAST(pad AS BIGINT) AS padding_tokens,
+           CAST(pad * 1000000 // (kept + pad) AS BIGINT)
+             AS padding_ppm,
+           CAST((kept + budget - 1) // budget AS BIGINT)
+             AS packed_seqs_min,
+           CAST(n_docs - (kept + budget - 1) // budget AS BIGINT)
+             AS seqs_saved_by_packing
+    FROM folded,
+    (VALUES {", ".join(
+        f"({L}, 'over_{L}')" for L in _CTX_BUDGETS
+    )}) AS v(budget, tag),
+    LATERAL (SELECT
+      CASE budget {" ".join(f"WHEN {L} THEN over_{L}" for L in _CTX_BUDGETS)} END AS over_b,
+      CASE budget {" ".join(f"WHEN {L} THEN tr_{L}" for L in _CTX_BUDGETS)} END AS tr,
+      CASE budget {" ".join(f"WHEN {L} THEN pad_{L}" for L in _CTX_BUDGETS)} END AS pad,
+      CASE budget {" ".join(f"WHEN {L} THEN kept_{L}" for L in _CTX_BUDGETS)} END AS kept
+    ) AS picked
+    """,
+)
+def context_budget_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length budget planning census (X225): for each candidate
+    training sequence length L, the token mass LOST to truncation
+    (docs longer than L) and the mass WASTED on padding under naive
+    one-doc-per-sequence batching, plus the lower bound on packed
+    sequence count (ceil(kept/L)) — the artifact that prices the
+    sequence-packing work and picks max_len before a run commits
+    (truncation_ppm rises with smaller L, padding_ppm with larger L;
+    the crossover is corpus-specific). seqs_saved_by_packing is the
+    batch-count reduction packing buys at that L — the direct GPU-hour
+    lever.
+
+    Scale: ONE corpus scan folds every (budget, regime) conditional
+    sum into a single row (the X205 one-agg pattern); the |budgets|
+    output rows are arithmetic on that folded row — budget count never
+    adds passes.
+
+    Reference parity: none; extends the X56/X203 budget-planning
+    family (the actual packer is the standing mapInPandas operator —
+    this is its sizing artifact)."""
+    t = load_tables(spark, sf_dir)
+    n = t.documents.select(
+        F.size(F.filter(tokens(F.col("text")), lambda x: x != ""))
+        .cast("long")
+        .alias("nt")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+    ]
+    for L in _CTX_BUDGETS:
+        aggs += [
+            F.count_if(F.col("nt") > L).alias(f"over_{L}"),
+            F.sum(
+                F.when(F.col("nt") > L, F.col("nt") - L).otherwise(0)
+            ).alias(f"tr_{L}"),
+            F.sum(
+                F.when(F.col("nt") < L, L - F.col("nt")).otherwise(0)
+            ).alias(f"pad_{L}"),
+            F.sum(F.least(F.col("nt"), F.lit(L))).alias(f"kept_{L}"),
+        ]
+    folded = n.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(L).cast("long").alias("budget"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col(f"over_{L}").cast("long").alias("n_docs_truncated"),
+                F.col(f"tr_{L}").cast("long").alias("truncated_tokens"),
+                F.expr(f"tr_{L} * 1000000 DIV total_tokens")
+                .cast("long")
+                .alias("truncated_ppm"),
+                F.col(f"pad_{L}").cast("long").alias("padding_tokens"),
+                F.expr(f"pad_{L} * 1000000 DIV (kept_{L} + pad_{L})")
+                .cast("long")
+                .alias("padding_ppm"),
+                F.expr(f"(kept_{L} + {L} - 1) DIV {L}")
+                .cast("long")
+                .alias("packed_seqs_min"),
+                F.expr(f"n_docs - (kept_{L} + {L} - 1) DIV {L}")
+                .cast("long")
+                .alias("seqs_saved_by_packing"),
+            )
+            for L in _CTX_BUDGETS
+        ]
+    )
+    return folded.select(F.explode(rows).alias("r")).select("r.*")

@@ -3478,3 +3478,144 @@ def label_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_KNN_OUT_K = 5
+_KNN_OUT_THRESH = 990_000  # mean kNN cosine-distance micros
+
+
+@query(
+    "knn_bucket_outliers",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding AS v FROM embeddings),
+    cent AS (SELECT vec_id AS bid, embedding AS bv
+             FROM embeddings WHERE vec_id % 50 = 0
+             ORDER BY vec_id LIMIT 100),
+    assign AS (
+      SELECT vec_id, v, bid FROM (
+        SELECT vec_id, v, bid, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, bid
+        ) AS rn
+        FROM (SELECT vec_id, v, bid, ROUND({{cos}}, 6) AS sim
+              FROM c, cent)
+      ) WHERE rn = 1
+    ),
+    knn AS (
+      SELECT vec_id, dist_micro FROM (
+        SELECT a.vec_id,
+               1000000 - CAST(ROUND(ROUND({{cospair}}, 6) * 1000000)
+                              AS BIGINT) AS dist_micro,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ROUND({{cospair}}, 6) DESC, b.vec_id
+               ) AS rk
+        FROM assign a JOIN assign b
+          ON a.bid = b.bid AND a.vec_id <> b.vec_id
+      ) WHERE rk <= {_KNN_OUT_K}
+    ),
+    st AS (
+      SELECT vec_id, COUNT(*) AS n_nbrs,
+             CAST(ROUND(SUM(dist_micro) / COUNT(*)) AS BIGINT) AS md
+      FROM knn GROUP BY vec_id
+    )
+    SELECT a.vec_id, CAST(a.bid AS BIGINT) AS bid,
+           CAST(COALESCE(s.n_nbrs, 0) AS BIGINT) AS n_nbrs,
+           CAST(COALESCE(s.md, -1) AS BIGINT) AS knn_mean_dist_micro,
+           COALESCE(s.md, -1) >= {_KNN_OUT_THRESH} AS is_outlier
+    FROM assign a LEFT JOIN st s ON s.vec_id = a.vec_id
+    """.format(cos=_cos("v", "bv"), cospair=_cos("a.v", "b.v")),
+)
+def knn_bucket_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed kNN-distance outlier census (X226): per vector, the
+    mean cosine distance to its k=5 nearest IN-CELL neighbors under
+    the X168 IVF index — the embedding-space isolation score data
+    curation uses to flag mislabeled/garbage/OOD vectors (a vector far
+    from even its nearest neighbors is nobody's neighbor: the
+    kNN-distance member of the LOF family, kept rank-free so it is
+    engine-exact). is_outlier applies the fixed micro threshold; on
+    the random fixture most vectors sit near distance 1, so the flag
+    exercises the boundary rather than a planted anomaly — the
+    PLUMBING (bucketed self-kNN without an all-pairs scan) is the
+    operator.
+
+    Scale: the self-kNN is confined to IVF cells (assign is the
+    zero-exchange broadcast fold; pair volume is sum of cell sizes
+    squared, bounded by the X168-audited balance, never |corpus|²);
+    the per-vector top-k window partitions by vec_id — |corpus|
+    groups, WindowGroupLimit-pruned map-side. Mean distances are
+    exact-integer micro sums (ROUND(SUM/COUNT) on bigint sums, the
+    X168 recipe).
+
+    Reference parity: none; extends the X166/X168/X187 vector-quality
+    family."""
+    from seng550_a3_etl_spark.functions.vectors import dot
+    from seng550_a3_etl_spark.operators.similarity import assign_buckets
+
+    t = load_tables(spark, sf_dir)
+    corpus = t.embeddings.select("vec_id", F.col("embedding").alias("v"))
+    cent = (
+        t.embeddings.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(100)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    )
+    assigned = assign_buckets(corpus, cent, "vec_id", "v").localCheckpoint(
+        eager=True
+    )
+    a = assigned.select(
+        "bid",
+        F.col("vec_id").alias("va"),
+        F.col("v").alias("xa"),
+        F.col("__cn").alias("na"),
+    )
+    b = assigned.select(
+        "bid",
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("xb"),
+        F.col("__cn").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "bid")
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(
+                dot(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("va").orderBy(F.desc("cos"), F.asc("vb"))
+    knn = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNN_OUT_K)
+        .select(
+            "va",
+            (
+                F.lit(1_000_000)
+                - F.round(F.col("cos") * 1_000_000).cast("long")
+            ).alias("dist_micro"),
+        )
+    )
+    st = knn.groupBy("va").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nbrs"),
+        F.round(F.sum("dist_micro") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("md"),
+    )
+    return (
+        assigned.select("vec_id", "bid")
+        .join(st, assigned["vec_id"] == st["va"], "left")
+        .select(
+            "vec_id",
+            F.col("bid").cast("long").alias("bid"),
+            F.coalesce("n_nbrs", F.lit(0)).cast("long").alias("n_nbrs"),
+            F.coalesce("md", F.lit(-1))
+            .cast("long")
+            .alias("knn_mean_dist_micro"),
+            (F.coalesce("md", F.lit(-1)) >= _KNN_OUT_THRESH).alias(
+                "is_outlier"
+            ),
+        )
+    )
