@@ -4761,3 +4761,371 @@ def context_budget_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return folded.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def _selector_agreement_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    # Truncate-toward-zero integer division on a possibly-negative
+    # numerator (kappa < 0 when selectors anti-correlate): Spark's DIV
+    # truncates, DuckDB's // floors — the sign split makes the oracle
+    # truncate too.
+    kappa = """
+      CASE WHEN knum >= 0 THEN knum * 1000000 // kden
+           ELSE -((-knum) * 1000000 // kden) END
+    """
+    return f"""
+    WITH g AS ({ORACLES['gopher_quality_flags']}),
+    labels AS ({ORACLES['dup_clusters']}),
+    lg AS (
+      SELECT doc_id,
+             (CASE {_LANG_CASE} ELSE 'und' END) = 'en' AS k
+      FROM (
+        SELECT doc_id,
+               {_duck_marker('en')} AS c_en, {_duck_marker('es')} AS c_es,
+               {_duck_marker('de')} AS c_de, {_duck_marker('fr')} AS c_fr,
+               {_duck_marker('zh')} AS c_zh,
+               greatest({_duck_marker('en')}, {_duck_marker('es')},
+                        {_duck_marker('de')}, {_duck_marker('fr')},
+                        {_duck_marker('zh')}) AS best
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+              FROM documents)
+      )
+    ),
+    sig AS (
+      SELECT d.doc_id,
+             lg.k AS k_lang,
+             g.pass_gopher AS k_quality,
+             l.canonical_id = d.doc_id AS k_dedup
+      FROM documents d
+      JOIN lg ON lg.doc_id = d.doc_id
+      JOIN g ON g.doc_id = d.doc_id
+      JOIN labels l ON l.doc_id = d.doc_id
+    ),
+    cells AS (
+      SELECT p.pair, p.ka, p.kb FROM sig,
+      LATERAL (VALUES
+        ('lang~quality', k_lang, k_quality),
+        ('lang~dedup', k_lang, k_dedup),
+        ('quality~dedup', k_quality, k_dedup)
+      ) AS p(pair, ka, kb)
+    ),
+    ct AS (
+      SELECT pair,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE ka AND kb) AS a,
+             COUNT(*) FILTER (WHERE ka AND NOT kb) AS b,
+             COUNT(*) FILTER (WHERE NOT ka AND kb) AS c,
+             COUNT(*) FILTER (WHERE NOT ka AND NOT kb) AS d
+      FROM cells GROUP BY pair
+    )
+    SELECT pair,
+           CAST(a AS BIGINT) AS n_both,
+           CAST(b AS BIGINT) AS n_only_a,
+           CAST(c AS BIGINT) AS n_only_b,
+           CAST(d AS BIGINT) AS n_neither,
+           CAST((a + d) * 1000000 // n AS BIGINT) AS agree_ppm,
+           CAST(({kappa}) AS BIGINT) AS kappa_ppm
+    FROM (
+      SELECT pair, n, a, b, c, d,
+             n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))
+               AS knum,
+             n * n - ((a + b) * (a + c) + (c + d) * (b + d)) AS kden
+      FROM ct
+    )
+    """
+
+
+@query("selector_agreement_census", oracle=_selector_agreement_oracle())
+def selector_agreement_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-selector agreement census (X227): the three independent
+    keep-signals the curation funnel applies sequentially — language
+    gate (X12 argmax lang-id = 'en'), Gopher quality gate (X178
+    all-five-rungs), near-dup survivorship (X21 cluster canonical) —
+    cross-tabbed pairwise with exact-integer Cohen's kappa: agreement
+    says whether two filters are buying overlapping selections (high
+    kappa ⇒ the cheaper one nearly subsumes the dearer; kappa ≈ 0 ⇒
+    orthogonal signals, both earn their cost). The funnel (X219/X202)
+    prices rungs WITHIN one family; this prices agreement ACROSS
+    families — together they decide the stack. kappa = (N·(a+d) −
+    Σ marginals)/(N² − Σ marginals) stays in exact integers end-to-end
+    (ppm by truncating division, sign-split in the oracle so both
+    engines truncate).
+
+    Scale: the lang and quality signals are single-scan projections
+    (HOF folds, zero shuffle); dedup survivorship rides the session
+    label materialization; the three signals join doc_id-keyed once
+    and the census folds to 3 rows in one aggregate over an exploded
+    3-struct array — pair count never adds passes.
+
+    Reference parity: none; extends the X202/X215/X219 observability
+    family."""
+    from seng550_a3_etl_spark.functions.text import lang_id, quality_score  # noqa: F401
+    from seng550_a3_etl_spark.suite.quality import gopher_flags_projection
+
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    lang = t.documents.select(
+        "doc_id", (lang_id(toks) == "en").alias("k_lang")
+    )
+    qual = gopher_flags_projection(t.documents).select(
+        "doc_id", F.col("pass_gopher").alias("k_quality")
+    )
+    labels = _labels_df(spark, sf_dir)
+    sig = (
+        t.documents.select("doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(labels, "doc_id")
+        .select(
+            "k_lang",
+            "k_quality",
+            (F.col("canonical_id") == F.col("doc_id")).alias("k_dedup"),
+        )
+    )
+    cells = sig.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lang~quality").alias("pair"),
+                    F.col("k_lang").alias("ka"),
+                    F.col("k_quality").alias("kb"),
+                ),
+                F.struct(
+                    F.lit("lang~dedup").alias("pair"),
+                    F.col("k_lang").alias("ka"),
+                    F.col("k_dedup").alias("kb"),
+                ),
+                F.struct(
+                    F.lit("quality~dedup").alias("pair"),
+                    F.col("k_quality").alias("ka"),
+                    F.col("k_dedup").alias("kb"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    ct = cells.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("ka") & F.col("kb")).alias("a"),
+        F.count_if(F.col("ka") & ~F.col("kb")).alias("b"),
+        F.count_if(~F.col("ka") & F.col("kb")).alias("c"),
+        F.count_if(~F.col("ka") & ~F.col("kb")).alias("d"),
+    )
+    return ct.select(
+        "pair",
+        F.col("a").cast("long").alias("n_both"),
+        F.col("b").cast("long").alias("n_only_a"),
+        F.col("c").cast("long").alias("n_only_b"),
+        F.col("d").cast("long").alias("n_neither"),
+        F.expr("(a + d) * 1000000 DIV n").cast("long").alias("agree_ppm"),
+        F.expr(
+            "(n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d)))"
+            " * 1000000 DIV"
+            " (n * n - ((a + b) * (a + c) + (c + d) * (b + d)))"
+        ).cast("long").alias("kappa_ppm"),
+    )
+
+
+_LEN_BUCKETS = ((0, 31, "000-031"), (32, 127, "032-127"),
+                (128, 511, "128-511"), (512, None, "512+"))
+
+
+def _lsh_len_recall_oracle() -> str:
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    bucket = " ".join(
+        f"WHEN ml <= {hi} THEN '{tag}'"
+        for lo, hi, tag in _LEN_BUCKETS if hi is not None
+    )
+    return f"""
+    WITH ng AS (SELECT doc_a, doc_b FROM ({ORACLES['ngram_dup_pairs']})),
+    mh AS (SELECT doc_a, doc_b FROM ({ORACLES['minhash_dup_pairs']})),
+    u AS (
+      SELECT COALESCE(ng.doc_a, mh.doc_a) AS doc_a,
+             COALESCE(ng.doc_b, mh.doc_b) AS doc_b,
+             ng.doc_a IS NOT NULL AS in_ng,
+             mh.doc_a IS NOT NULL AS in_mh
+      FROM ng FULL OUTER JOIN mh
+        ON ng.doc_a = mh.doc_a AND ng.doc_b = mh.doc_b
+    ),
+    lens AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    tagged AS (
+      SELECT CASE {bucket} ELSE '512+' END AS len_bucket, in_ng, in_mh
+      FROM (
+        SELECT least(la.nt, lb.nt) AS ml, u.in_ng, u.in_mh
+        FROM u
+        JOIN lens la ON la.doc_id = u.doc_a
+        JOIN lens lb ON lb.doc_id = u.doc_b
+      )
+    )
+    SELECT len_bucket,
+           CAST(COUNT(*) FILTER (WHERE in_ng) AS BIGINT) AS n_truth_pairs,
+           CAST(COUNT(*) FILTER (WHERE in_ng AND in_mh) AS BIGINT)
+             AS n_caught,
+           CAST(COUNT(*) FILTER (WHERE in_mh AND NOT in_ng) AS BIGINT)
+             AS n_lsh_only,
+           CAST(CASE WHEN COUNT(*) FILTER (WHERE in_ng) = 0 THEN -1
+                ELSE COUNT(*) FILTER (WHERE in_ng AND in_mh) * 1000000
+                     // COUNT(*) FILTER (WHERE in_ng) END AS BIGINT)
+             AS recall_ppm
+    FROM tagged GROUP BY len_bucket
+    """
+
+
+@query("lsh_recall_by_length", oracle=_lsh_len_recall_oracle())
+def lsh_recall_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall by document length (X228): the X205 band-tuning
+    S-curve prices MinHash recall GLOBALLY; this census breaks it by
+    the SHORTER document's token count — the known failure axis (short
+    docs have few shingles, so their 8-perm signatures are noisy and
+    banding misses them first). A production stack reads this to
+    decide a per-length policy: exact-tier short docs, LSH the rest —
+    the census names the cutoff. n_lsh_only is the other direction
+    (banding collisions that exact Jaccard rejects — the verify
+    stage's workload).
+
+    Scale: rides the session tier census (X146 — the pair sets are
+    already materialized and flagged; no pair rescan), joined to a
+    one-scan length projection on the pair endpoints (pair-set-sized
+    join, corpus text never moves); the rollup is <= |buckets| rows.
+
+    Reference parity: none; extends the X202/X205/X221
+    dedup-tuning-observability family."""
+    census = dedup_strategy_delta(spark, sf_dir).select(
+        "doc_a", "doc_b", "in_ngram", "in_minhash"
+    ).filter(F.col("in_ngram") | F.col("in_minhash"))
+    t = load_tables(spark, sf_dir)
+    lens = t.documents.select(
+        "doc_id",
+        F.size(F.filter(tokens(F.col("text")), lambda x: x != ""))
+        .cast("long")
+        .alias("nt"),
+    )
+    ml = F.least("nta", "ntb")
+    bucket = F.lit(_LEN_BUCKETS[-1][2])
+    for lo, hi, tag in reversed(_LEN_BUCKETS[:-1]):
+        bucket = F.when(ml <= hi, F.lit(tag)).otherwise(bucket)
+    tagged = (
+        census.join(
+            lens.select(F.col("doc_id").alias("doc_a"),
+                        F.col("nt").alias("nta")),
+            "doc_a",
+        )
+        .join(
+            lens.select(F.col("doc_id").alias("doc_b"),
+                        F.col("nt").alias("ntb")),
+            "doc_b",
+        )
+        .select(bucket.alias("len_bucket"), "in_ngram", "in_minhash")
+    )
+    return tagged.groupBy("len_bucket").agg(
+        F.count_if(F.col("in_ngram")).cast("long").alias("n_truth_pairs"),
+        F.count_if(F.col("in_ngram") & F.col("in_minhash"))
+        .cast("long")
+        .alias("n_caught"),
+        F.count_if(F.col("in_minhash") & ~F.col("in_ngram"))
+        .cast("long")
+        .alias("n_lsh_only"),
+        F.expr(
+            "CASE WHEN count_if(in_ngram) = 0 THEN -1"
+            " ELSE count_if(in_ngram AND in_minhash) * 1000000"
+            " DIV count_if(in_ngram) END"
+        ).cast("long").alias("recall_ppm"),
+    )
+
+
+_WINNOW_K = 4       # k-gram shingle size (Schleimer et al. "noise threshold")
+_WINNOW_W = 4       # winnowing window (guarantee t = w + k - 1 = 7 tokens)
+_WINNOW_MAXFREQ = 64   # stop-print posting cap (the X2 stop-shingle knob)
+_WINNOW_MIN_SHARED = 2
+
+
+def _winnow_oracle() -> str:
+    h = duck_hash64("s")
+    k, w = _WINNOW_K, _WINNOW_W
+    return f"""
+    WITH hs AS (
+      SELECT doc_id AS doc,
+             list_transform({_duck_shingles(k, 't')}, s -> {h}) AS hv
+      FROM {_TOKS}
+    ),
+    prints AS (
+      SELECT doc, p FROM (
+        SELECT doc,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, len(hv) - {w} + 1),
+                 i -> list_min(hv[i:i+{w - 1}])))) AS p
+        FROM hs WHERE len(hv) >= {w}
+      )
+    ),
+    hot AS (SELECT p FROM prints GROUP BY p
+            HAVING COUNT(*) > {_WINNOW_MAXFREQ}),
+    cold AS (SELECT doc, p FROM prints WHERE p NOT IN (SELECT p FROM hot))
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_prints
+    FROM cold a JOIN cold b ON a.p = b.p AND a.doc < b.doc
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    """
+
+
+@query("winnowing_dup_pairs", oracle=_winnow_oracle())
+def winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint candidate pairs (X229; Schleimer, Wilkerson
+    & Aiken SIGMOD'03 — the MOSS algorithm): per document, hash every
+    k-gram, keep the MINIMUM hash of each window of w consecutive
+    k-gram hashes, and pair documents sharing >= 2 selected prints.
+    Winnowing's guarantee is LOCAL: any shared run of t = w + k - 1
+    tokens is detected with certainty (some window inside the run
+    selects the same print on both sides) while storing only ~2/(w+1)
+    of the k-gram hashes — the density/guarantee trade neither doc-
+    level MinHash (X3, global Jaccard only) nor the exact span scan
+    (X198, full posting volume) offers. The plagiarism-detection rung
+    of the dedup ladder.
+
+    Scale: selection is a per-row HOF pass (hash array once, window
+    minima via sequence+slice — no explode until AFTER the ~2/(w+1)
+    thinning); the posting table carries only selected prints, hot
+    prints are capped by the X2 stop-list knob, and pairs come from
+    the single-shuffle bucket groupBy (C(freq,2) bounded by the cap).
+    Corpus text never shuffles — prints are 60-bit longs.
+
+    Reference parity: none; the 13th rung of the dedup family
+    (SURVEY §2.10)."""
+    from seng550_a3_etl_spark.functions.text import shingles
+    from seng550_a3_etl_spark.operators.text_dedup import bucket_pairs
+
+    t = load_tables(spark, sf_dir)
+    k, w = _WINNOW_K, _WINNOW_W
+    hs = t.documents.select(
+        F.col("doc_id").alias("doc"),
+        F.transform(
+            shingles(tokens(F.col("text")), k), lambda s: hash64(s)
+        ).alias("hv"),
+    ).filter(F.size("hv") >= w)
+    prints = hs.select(
+        "doc",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("hv") - w + 1),
+                    lambda i: F.array_min(F.slice(F.col("hv"), i, w)),
+                )
+            )
+        ).alias("p"),
+    )
+    freq = prints.groupBy("p").agg(F.count(F.lit(1)).alias("__f"))
+    cold = prints.join(
+        freq.filter(F.col("__f") <= _WINNOW_MAXFREQ).select("p"), "p"
+    )
+    return (
+        bucket_pairs(cold, ["p"], F.col("doc"))
+        .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_prints"))
+        .filter(F.col("n_shared_prints") >= _WINNOW_MIN_SHARED)
+    )

@@ -3619,3 +3619,81 @@ def knn_bucket_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_DEAD_DIM_VAR_MICRO2 = 100_000_000  # var < 1e-4 (micro^2 units)
+
+
+@query(
+    "embedding_dead_dims",
+    oracle=f"""
+    WITH ex AS (
+      SELECT j - 1 AS dim_idx,
+             CAST(ROUND(CAST(embedding[j] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS m
+      FROM embeddings CROSS JOIN range(1, 65) t(j)
+    ),
+    g AS (
+      SELECT dim_idx, COUNT(*) AS n, SUM(m) AS s1,
+             SUM(m::HUGEINT * m::HUGEINT) AS s2
+      FROM ex GROUP BY dim_idx
+    )
+    SELECT CAST(dim_idx AS BIGINT) AS dim_idx,
+           CAST(n AS BIGINT) AS n_vecs,
+           CAST(s1 AS BIGINT) AS sum_micro,
+           CAST((n::HUGEINT * s2 - s1::HUGEINT * s1::HUGEINT)
+                // (n::HUGEINT * n::HUGEINT) AS BIGINT) AS var_micro2,
+           (n::HUGEINT * s2 - s1::HUGEINT * s1::HUGEINT)
+             // (n::HUGEINT * n::HUGEINT) < {_DEAD_DIM_VAR_MICRO2}
+             AS is_dead
+    FROM g
+    """,
+)
+def embedding_dead_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-dimension census (X230): per embedding dimension, the exact
+    population variance in integer micro² units and a dead flag
+    (var < 1e-4) — the encoder-health check an embedding store runs
+    before indexing: dimensions that never move carry no signal but
+    still cost index bytes and dot-product FLOPs (and a SUDDENLY dead
+    dim means an upstream encoder regression; compare across
+    snapshots like X223). Values quantize to integer micros BEFORE
+    the distributed sums (the X69/X142 order-independence pattern);
+    second moments accumulate in DECIMAL(38,0)/HUGEINT (micro² sums
+    wrap int64 past ~9·10⁶ rows), and the variance identity
+    (n·Σm² − (Σm)²)/n² stays in exact big-integer space until the one
+    truncating division — both engines floor a non-negative value, so
+    the output is bit-stable.
+
+    Scale: one posexplode scan → a 64-group map-side-combined rollup;
+    the shuffle carries 64 rows of three numbers. Nothing else moves.
+
+    Reference parity: none; extends the X142/X168 embedding-health
+    family."""
+    t = load_tables(spark, sf_dir)
+    ex = t.embeddings.select(
+        F.posexplode("embedding").alias("dim_idx", "x")
+    ).select(
+        "dim_idx",
+        F.round(F.col("x").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("m"),
+    )
+    g = ex.groupBy("dim_idx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("s1"),
+        F.sum(
+            F.col("m").cast("decimal(38,0)") * F.col("m").cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    var_big = (
+        "(CAST(n AS DECIMAL(38,0)) * s2"
+        " - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)))"
+        " DIV (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))"
+    )
+    return g.select(
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.col("n").cast("long").alias("n_vecs"),
+        F.col("s1").cast("long").alias("sum_micro"),
+        F.expr(var_big).cast("long").alias("var_micro2"),
+        F.expr(f"{var_big} < {_DEAD_DIM_VAR_MICRO2}").alias("is_dead"),
+    )
