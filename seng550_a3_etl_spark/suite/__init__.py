@@ -201,6 +201,16 @@ _CHANGED: dict[str, int] = {
     # instead of the ideal ordering of the retrieved set — OUTPUT-
     # changing for every probe whose label has > n_rel members.
     "retrieval_ndcg": 12,
+    # round 12: stream-side plan fixes (the X222 lessons) — the
+    # minhash twin's size(sh)>0 guard became the scan-evaluable
+    # size(tokens)>=3 precondition (the alias form pushed the WHOLE
+    # shingle build into the scan's DataFilters, single-core) plus
+    # fold-parallelism repartition and a post-signature boundary; the
+    # substring twin's anchor explode gained the same pre-explode
+    # repartition. Values identical (guards equivalent, plan-only);
+    # measured 7.7->4.8 s and 7.1->5.2 s at sf0.1.
+    "stream_minhash_dedup": 12,
+    "stream_substring_guard": 12,
 }
 
 

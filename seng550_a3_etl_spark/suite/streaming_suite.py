@@ -840,7 +840,14 @@ def stream_substring_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("holder"),
         )
     )
-    verdicts = anchors(stream).join(index, "h", "left").select(
+    # r12: a one-file micro-batch scans as ONE partition, pinning the
+    # per-row hash+explode to a single core — repartition the narrow
+    # (doc_id, text) stream to core count first (no-op cost at
+    # production admission rates; the X222 lesson).
+    par = spark.sparkContext.defaultParallelism
+    verdicts = anchors(
+        stream.select("doc_id", "text").repartition(par)
+    ).join(index, "h", "left").select(
         "doc_id",
         (
             F.coalesce("nd", F.lit(0)) >= 2
@@ -937,14 +944,34 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/documents.parquet*"
     )
-    sbands = banded(
-        stream.select(
-            F.col("doc_id").alias("doc"),
-            F.array_distinct(
-                shingles(tokens(F.col("text")), 3)
-            ).alias("sh"),
+    # Stream-side plan shape (r12, the X222 lessons): the empty-doc
+    # guard is the CHEAP scan-evaluable precondition size(tokens) >= 3
+    # (equivalent to banded()'s size(sh) > 0: 3-shingle count is
+    # size(toks) - 2) — written as size(sh) > 0 it pushes the ENTIRE
+    # shingle build into the scan's DataFilters, single-core on a
+    # one-file micro-batch; then repartition for fold parallelism, and
+    # a (doc)-keyed boundary after the signature so CollapseProject
+    # cannot inline the signature pipeline into each of the 4 band-key
+    # slices. The static index side keeps banded() — it reads the
+    # materialized session shingle cache, where none of this applies.
+    par = spark.sparkContext.defaultParallelism
+    signed = (
+        stream.select(F.col("doc_id").alias("doc"), "text")
+        .filter(F.size(tokens(F.col("text"))) >= 3)
+        .repartition(par)
+        .select(
+            "doc",
+            F.array_distinct(shingles(tokens(F.col("text")), 3)).alias(
+                "sh"
+            ),
         )
+        .select(
+            "doc",
+            minhash_signature(F.col("sh"), MINHASH_NUM_PERM).alias("sig"),
+        )
+        .repartition(par, F.col("doc"))
     )
+    sbands = band_keys(signed, MINHASH_BANDS, rows_per_band)
     cands = (
         sbands.join(index, ["band", "key"])
         .filter(F.col("doc") != F.col("odoc"))
