@@ -363,8 +363,12 @@ def profile_semantic_dedup(spark, sf_dir: str) -> dict:
         ).alias("v"),
     )
     corpus = base.unionAll(jitter)
-    cent = _semdedup_cent(t.embeddings).localCheckpoint(eager=True)
-    res: dict = {"n_cells": cent.count()}
+    res: dict = {}
+    cent, res["centroid_build"] = _t(
+        "ceil(sqrt(n)) centroid pick (count + TakeOrdered, ckpt)",
+        lambda: _semdedup_cent(t.embeddings).localCheckpoint(eager=True),
+    )
+    res["n_cells"] = cent.count()
     assigned, res["assign"] = _t(
         "assign_buckets fold (ckpt)",
         lambda: assign_buckets(corpus, cent, "id", "v").localCheckpoint(
@@ -384,12 +388,19 @@ def profile_semantic_dedup(spark, sf_dir: str) -> dict:
     res["pair_budget"] = int(cs["pair_budget"])
     print(f"    cells={res['n_cells']} max={cs['max_sz']} "
           f"C(n,2) budget={res['pair_budget']}")
-    _, res["pair_verify"] = _t(
-        "in-cell pair cosine verify (noop)",
+    pairs, res["pair_verify"] = _t(
+        "in-cell pair cosine verify (ckpt)",
         lambda: semantic_dedup_pairs(
             corpus, cent, threshold=_SEMDEDUP_THRESHOLD,
             id_col="id", vec_col="v",
+        ).localCheckpoint(eager=True),
+    )
+    _, res["cluster_rollup"] = _t(
+        "per-survivor cluster rollup (noop)",
+        lambda: pairs.groupBy(
+            F.col("id_b").alias("id_dropped"), "bid"
         )
+        .agg(F.count(F.lit(1)).alias("n_dups"))
         .write.format("noop")
         .mode("overwrite")
         .save(),

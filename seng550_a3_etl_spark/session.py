@@ -47,6 +47,16 @@ _DEFAULTS = {
     # config is present BEFORE the JVM launches (getOrCreate on a live
     # session ignores it).
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    # Whole-stage-codegen class cache. The default is 100 entries for
+    # the whole JVM; a 254-query suite of HOF-heavy plans churns it,
+    # and the evicted classes recompile (janino, tens to hundreds of
+    # ms each) inside whichever LATER query re-needs them — measured
+    # as a diffuse +0.3-1.5 s smear across untouched queries whenever
+    # a round adds new ones (r11 +5.9%, r12 +7.8% before this). Each
+    # cached class costs ~tens of KB of metaspace — 2000 entries is
+    # noise inside a 16g JVM, and on a real cluster executors compile
+    # per-JVM too, so the same conf ships with spark-submit.
+    "spark.sql.codegen.cache.maxEntries": "2000",
 }
 
 
