@@ -5099,15 +5099,27 @@ def winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY §2.10)."""
     from seng550_a3_etl_spark.functions.text import shingles
     from seng550_a3_etl_spark.operators.text_dedup import bucket_pairs
+    from seng550_a3_etl_spark.plans.layout import spread_for_cpu
 
     t = load_tables(spark, sf_dir)
     k, w = _WINNOW_K, _WINNOW_W
-    hs = t.documents.select(
-        F.col("doc_id").alias("doc"),
-        F.transform(
-            shingles(tokens(F.col("text")), k), lambda s: hash64(s)
-        ).alias("hv"),
-    ).filter(F.size("hv") >= w)
+    # spread: the hash + window-min fold is interpreted — the scan's
+    # partition count IS its parallelism (standing HOF rule). The
+    # windowed-doc guard is the scan-cheap token-count precondition
+    # (>= 1 window ⟺ tokens >= k + w - 1); written as size(hv) >= w it
+    # would push the whole shingle+hash build into the scan's
+    # DataFilters (the X216/X222 pathology).
+    hs = (
+        spread_for_cpu(
+            t.documents.filter(F.size(tokens(F.col("text"))) >= k + w - 1)
+        )
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.transform(
+                shingles(tokens(F.col("text")), k), lambda s: hash64(s)
+            ).alias("hv"),
+        )
+    )
     prints = hs.select(
         "doc",
         F.explode(

@@ -3697,3 +3697,121 @@ def embedding_dead_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(var_big).cast("long").alias("var_micro2"),
         F.expr(f"{var_big} < {_DEAD_DIM_VAR_MICRO2}").alias("is_dead"),
     )
+
+
+@query(
+    "knn_hubness_census",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding AS v FROM embeddings),
+    cent AS (SELECT vec_id AS bid, embedding AS bv
+             FROM embeddings WHERE vec_id % 50 = 0
+             ORDER BY vec_id LIMIT 100),
+    assign AS (
+      SELECT vec_id, v, bid FROM (
+        SELECT vec_id, v, bid, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, bid
+        ) AS rn
+        FROM (SELECT vec_id, v, bid, ROUND({{cos}}, 6) AS sim
+              FROM c, cent)
+      ) WHERE rn = 1
+    ),
+    knn AS (
+      SELECT vec_id, nbr FROM (
+        SELECT a.vec_id, b.vec_id AS nbr,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ROUND({{cospair}}, 6) DESC, b.vec_id
+               ) AS rk
+        FROM assign a JOIN assign b
+          ON a.bid = b.bid AND a.vec_id <> b.vec_id
+      ) WHERE rk <= {_KNN_OUT_K}
+    ),
+    occ AS (
+      SELECT a.vec_id, COALESCE(o.n, 0) AS k_occ
+      FROM assign a LEFT JOIN (
+        SELECT nbr, COUNT(*) AS n FROM knn GROUP BY nbr
+      ) o ON o.nbr = a.vec_id
+    )
+    SELECT CAST(k_occ AS BIGINT) AS k_occurrence,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM occ GROUP BY k_occ
+    """.format(cos=_cos("v", "bv"), cospair=_cos("a.v", "b.v")),
+)
+def knn_hubness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN hubness census (X231; Radovanović et al. JMLR'10): the
+    k-occurrence distribution N_k — for each vector, how many OTHER
+    vectors list it in their in-cell top-k — histogrammed. High-dim
+    embedding spaces grow HUBS (vectors in everyone's neighbor list —
+    they dominate retrieval and poison kNN label inference, X187) and
+    anti-hubs (k_occurrence = 0 — unreachable by retrieval no matter
+    the query); a right-skewed census is the standing diagnosis that
+    distances are concentrating and the embedding dim or metric needs
+    attention BEFORE ANN tuning (no nprobe fixes hubness). Shares the
+    X226 plumbing: same IVF cells, same in-cell top-k — the census is
+    the transpose rollup (group by NEIGHBOR instead of query).
+
+    Scale: identical to X226 (cell-bounded pair volume, never
+    |corpus|²) plus one |corpus|-row k-occurrence rollup and a
+    ≤ max(N_k) histogram fold.
+
+    Reference parity: none; extends the X187/X226 vector-quality
+    family."""
+    from seng550_a3_etl_spark.functions.vectors import dot
+    from seng550_a3_etl_spark.operators.similarity import assign_buckets
+
+    t = load_tables(spark, sf_dir)
+    corpus = t.embeddings.select("vec_id", F.col("embedding").alias("v"))
+    cent = (
+        t.embeddings.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(100)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    )
+    assigned = assign_buckets(corpus, cent, "vec_id", "v").localCheckpoint(
+        eager=True
+    )
+    a = assigned.select(
+        "bid",
+        F.col("vec_id").alias("va"),
+        F.col("v").alias("xa"),
+        F.col("__cn").alias("na"),
+    )
+    b = assigned.select(
+        "bid",
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("xb"),
+        F.col("__cn").alias("nb"),
+    )
+    w = Window.partitionBy("va").orderBy(
+        F.desc("cos"), F.asc("vb")
+    )
+    knn = (
+        a.join(b, "bid")
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(
+                dot(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNN_OUT_K)
+    )
+    occ = (
+        assigned.select("vec_id")
+        .join(
+            knn.groupBy(F.col("vb").alias("vec_id")).agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(F.coalesce("n", F.lit(0)).alias("k_occ"))
+    )
+    return occ.groupBy("k_occ").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    ).select(
+        F.col("k_occ").cast("long").alias("k_occurrence"), "n_vectors"
+    )
