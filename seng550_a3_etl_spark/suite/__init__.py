@@ -168,10 +168,18 @@ _CHANGED: dict[str, int] = {
     "dedup_strategy_delta": 11,
     "dedup_tier_funnel": 11,
     # round 11: spread_for_cpu on the under-parallel scan feeding the
-    # fingerprint build / window-hash explode (stage profiles measured
-    # both on 2 of 32 cores at 10x). Values identical, plan changed.
-    "fuzzy_dup_pairs": 11,
+    # window-hash explode (stage profile measured on 2 of 32 cores at
+    # 10x). Values identical, plan changed.
     "dup_span_stats": 11,
+    # round 12: the fp.isNotNull() guard became the scan-cheap
+    # size(tokens) >= 5 precondition — written over the alias it
+    # pushed the WHOLE fingerprint chain into the scan's DataFilters
+    # (computed twice, before the spread). Values identical.
+    "fuzzy_dup_pairs": 12,
+    # round 12: same pathology — norm > 0 became max|x| > 0 (the
+    # pushed filter re-evaluated the whole norm fold per scan row) and
+    # the scan is spread for the per-row normalize/quantize folds.
+    "label_embedding_dispersion": 12,
     # round 11 (end-of-round snapshot af294dc): simhash_pairs' candidate
     # generation was extracted into _simhash_candidates (shared with the
     # X221 Hamming census). Value-identical by inspection, but the code

@@ -782,11 +782,17 @@ def fuzzy_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprinting is a tokenize+shingle+min-hash HOF chain in the
     # scan stage; the fixture parquet scans as 1-2 splits (r11 stage
     # profile: 8.8x for 10x rows on 2 of 32 cores) — spread restores
-    # scan parallelism, no-op when splits >= cores.
-    fps = spread_for_cpu(docs).select(
+    # scan parallelism, no-op when splits >= cores. The null-fp guard
+    # is the scan-cheap token-count precondition (fp is null exactly
+    # when there is no 5-shingle); written as fp.isNotNull() it pushed
+    # the WHOLE fingerprint chain into the scan's DataFilters, before
+    # the spread and computed twice (the X216/X222 pathology).
+    fps = spread_for_cpu(
+        docs.filter(F.size(tokens(F.col("text"))) >= 5)
+    ).select(
         "doc_id",
         doc_fingerprint(tokens(F.col("text")), n=5).alias("fp"),
-    ).filter(F.col("fp").isNotNull())
+    )
     cand = (
         bucket_pairs(fps, ["fp"], F.col("doc_id"))
         .toDF("doc_a", "doc_b")

@@ -810,7 +810,16 @@ def label_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     um = F.transform(
         dv, lambda x: F.round(x / norm * 1_000_000).cast("long")
     )
-    u = t.embeddings.filter(norm > 0).select("label", um.alias("um"))
+    # norm > 0 ⟺ max|x| > 0: the cheap single-pass form — written as
+    # norm > 0 the pushed scan DataFilter re-evaluated the whole norm
+    # fold per row on top of the projection's own evaluation (the
+    # X216/X222 pathology); spread restores scan parallelism for the
+    # per-row normalize/quantize folds (standing HOF rule).
+    u = spread_for_cpu(
+        t.embeddings.filter(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x))) > 0
+        )
+    ).select("label", um.alias("um"))
     perdim = (
         u.select("label", F.posexplode("um").alias("dim", "v"))
         .groupBy("label", "dim")

@@ -478,3 +478,35 @@ def test_vector_suite_no_unhinted_cartesian(spark):
             if "CartesianProduct" in plan:
                 offenders[name] = True
     assert not offenders, f"unhinted cartesian in: {sorted(offenders)}"
+
+
+def test_no_expensive_hof_in_big_scan_datafilters(spark):
+    # r12 pathology class (X216/X222/X57/X99): a filter or join
+    # constraint written over an interpreted-HOF alias gets rewritten
+    # into the parquet scan's DataFilters — the whole fold then runs
+    # per row inside the scan (single-core on a one-split fixture,
+    # duplicated with the projection's own evaluation). Guards must be
+    # scan-cheap preconditions instead. Asserted for the corpus-sized
+    # tables (documents/embeddings); dim-table scans (25-row nation
+    # geometry keys) are exempt — the expression cost is bounded by
+    # the dim size. A single flat transform( is allowed (e.g. the
+    # int8 all-zero filter max|x| > 0 — one cheap pass, no reuse);
+    # aggregate( folds and nested transform chains are not.
+    import re
+
+    offenders = {}
+    for name in sorted(QUERIES):
+        if name.startswith("stream_"):
+            continue  # streaming queries execute on registration
+        plan = _executed_plan(QUERIES[name](spark, SF_ORACLE))
+        for ln in plan.splitlines():
+            if "FileScan" not in ln or "DataFilters" not in ln:
+                continue
+            if not re.search(r"(documents|embeddings)", ln):
+                continue
+            filt = ln.split("DataFilters:", 1)[1]
+            if "aggregate(" in filt or len(
+                re.findall(r"transform\(", filt)
+            ) >= 2:
+                offenders.setdefault(name, []).append(filt[:120])
+    assert not offenders, f"expensive HOFs in scan DataFilters: {offenders}"
