@@ -709,6 +709,138 @@ def profile_triangles(spark, sf_dir: str) -> dict:
     return res
 
 
+def profile_normalized_dedup(spark, sf_dir: str) -> dict:
+    # Mirrors normalized_exact_dedup: spread scan -> normalize+md5
+    # projection -> (hash) group rollup -> closing join. The replica's
+    # per-token digit suffix keeps within-replica dup structure
+    # isomorphic, so group counts scale linearly while the projection
+    # re-pays the 10x scan.
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.plans.layout import spread_for_cpu
+    from seng550_a3_etl_spark.suite.text import _spark_norm
+
+    t = load_tables(spark, sf_dir)
+    res: dict = {}
+    hashed, res["normalize_hash"] = _t(
+        "normalize + md5 projection (spread, ckpt)",
+        lambda: spread_for_cpu(t.documents)
+        .select(
+            "doc_id",
+            F.md5(_spark_norm(F.col("text"))).alias("__h"),
+            F.md5(F.col("text")).alias("__raw"),
+        )
+        .localCheckpoint(eager=True),
+    )
+    groups, res["group_rollup"] = _t(
+        "(hash) group rollup + variant count (ckpt)",
+        lambda: hashed.groupBy("__h")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("__raw").alias("n_raw_variants"),
+        )
+        .localCheckpoint(eager=True),
+    )
+    _, res["closing_join"] = _t(
+        "hash-keyed closing join (noop)",
+        lambda: hashed.join(groups, "__h")
+        .select("doc_id", "canonical_id", "group_size", "n_raw_variants")
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    return res
+
+
+def profile_pagerank_step(spark, sf_dir: str) -> dict:
+    # Mirrors pagerank_step_parts: the C(basket,2) co-purchase edge
+    # build (the 10x-sensitive scan+self-join; the replica salts
+    # orderkeys with baskets unchanged, so the GROUPED edge set is
+    # identical and only this stage re-pays the 10x), then one rank
+    # step over the pinned edges.
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.operators.graph import pagerank_step
+
+    t = load_tables(spark, sf_dir)
+    res: dict = {}
+    op = (
+        t.lineitem.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a, b = op.alias("a"), op.alias("b")
+    edges, res["edge_build"] = _t(
+        "co-purchase edge self-join + weight groupBy (ckpt)",
+        lambda: a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.p") != F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True),
+    )
+    res["n_edges"] = edges.count()
+    _, res["rank_step"] = _t(
+        "one PageRank step (out-weights + contribution sum, noop)",
+        lambda: pagerank_step(edges)
+        .select("node", "pr")
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    return res
+
+
+def profile_proration(spark, sf_dir: str) -> dict:
+    # Mirrors revenue_proration: the 5%-sampled lineitem scan + order
+    # join, then the largest-remainder window chain (three windows on
+    # the one order-key exchange).
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.functions.hashing import hash64
+    from seng550_a3_etl_spark.operators.stats import largest_remainder
+    from seng550_a3_etl_spark.suite.analytics import _cents
+
+    t = load_tables(spark, sf_dir)
+    res: dict = {}
+    keep = hash64(F.col("l_orderkey").cast("string"), seed=9) % 20 == 0
+    j, res["scan_join"] = _t(
+        "5% hash filter + order join (ckpt)",
+        lambda: t.lineitem.filter(keep)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            _cents("l_extendedprice").alias("w"),
+        )
+        .join(
+            t.orders.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                _cents("o_totalprice").alias("t"),
+            ),
+            "l_orderkey",
+        )
+        .localCheckpoint(eager=True),
+    )
+    res["n_rows"] = j.count()
+    _, res["remainder_windows"] = _t(
+        "largest-remainder window chain (noop)",
+        lambda: largest_remainder(
+            j,
+            key_cols=["l_orderkey"],
+            weight_col="w",
+            total_col="t",
+            order_cols=["l_linenumber"],
+            out_col="alloc_cents",
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    return res
+
+
 PROFILES = {
     "minhash_dup_pairs": profile_minhash,
     "embedding_cosine_dedup": profile_cosine,
@@ -720,6 +852,9 @@ PROFILES = {
     "fuzzy_dup_pairs": profile_fuzzy,
     "dup_span_stats": profile_dup_span,
     "copurchase_triangles": profile_triangles,
+    "normalized_exact_dedup": profile_normalized_dedup,
+    "pagerank_step_parts": profile_pagerank_step,
+    "revenue_proration": profile_proration,
 }
 
 
