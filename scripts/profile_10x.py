@@ -841,6 +841,37 @@ def profile_proration(spark, sf_dir: str) -> dict:
     return res
 
 
+def profile_bpe_encode(spark, sf_dir: str) -> dict:
+    # Two-stage split via the composed queries themselves: the vocab
+    # build (X121 merge rollup + char census + id table — the corpus
+    # word-count shuffle) and the full encode (vocab build + the
+    # per-row greedy-match fold). encode_full INCLUDES the vocab
+    # stage, so encode-only cost is the difference; the signal that
+    # matters is both rows scaling ~linearly — the fold is one pass
+    # over the characters and the vocab map is a broadcast row.
+    from seng550_a3_etl_spark.suite.text_lm import (
+        bpe_encode_docs,
+        bpe_merge_candidates,
+    )
+
+    res: dict = {}
+    _, res["vocab_build"] = _t(
+        "BPE merge rollup + char census (X121, noop)",
+        lambda: bpe_merge_candidates(spark, sf_dir)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    _, res["encode_full"] = _t(
+        "vocab build + per-row greedy encode fold (noop)",
+        lambda: bpe_encode_docs(spark, sf_dir)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    return res
+
+
 PROFILES = {
     "minhash_dup_pairs": profile_minhash,
     "embedding_cosine_dedup": profile_cosine,
@@ -855,6 +886,7 @@ PROFILES = {
     "normalized_exact_dedup": profile_normalized_dedup,
     "pagerank_step_parts": profile_pagerank_step,
     "revenue_proration": profile_proration,
+    "bpe_encode_docs": profile_bpe_encode,
 }
 
 
