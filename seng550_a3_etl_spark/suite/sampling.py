@@ -508,3 +508,110 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w_t10_ppm"),
         F.expr("CAST(__n2 * 1000000 DIV __t2 AS LONG)").alias("w_t20_ppm"),
     )
+
+
+_SHARD_SEED = 13
+_R16 = 1 << 56  # 2^60-bit hash space / 16 shards
+_R32 = 1 << 55  # / 32 shards
+
+
+def _reshard_oracle() -> str:
+    h = duck_hash64("CAST(doc_id AS VARCHAR)", seed=_SHARD_SEED)
+    legs = []
+    for scheme, shard, moved in (
+        ("mod", f"({h}) % 32", f"(({h}) % 32) <> (({h}) % 16)"),
+        (
+            "range",
+            f"({h}) // {_R32}",
+            f"((({h}) // {_R32}) // 2) <> (({h}) // {_R16})",
+        ),
+    ):
+        legs.append(
+            f"SELECT '{scheme}' AS scheme, {shard} AS shard, "
+            f"CAST({moved} AS INT) AS moved FROM documents"
+        )
+    union = " UNION ALL ".join(legs)
+    return f"""
+    WITH ex AS ({union}),
+    per AS (
+      SELECT scheme, shard, COUNT(*) AS n, SUM(moved) AS m
+      FROM ex GROUP BY scheme, shard
+    )
+    SELECT scheme,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(m) AS BIGINT) AS n_moved,
+           CAST(CAST(SUM(m) AS HUGEINT) * 1000000 // SUM(n) AS BIGINT)
+             AS churn_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_shards_hit,
+           CAST(MAX(n) AS BIGINT) AS max_shard_docs,
+           CAST(MIN(n) AS BIGINT) AS min_shard_docs,
+           CAST(CAST(MAX(n) AS HUGEINT) * 32 * 1000000 // SUM(n)
+                AS BIGINT) AS max_skew_ppm
+    FROM per GROUP BY scheme
+    """
+
+
+@query("reshard_churn_census", oracle=_reshard_oracle())
+def reshard_churn_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding churn census (X237) — what it costs to grow a
+    16-shard corpus layout to 32 shards under the two standard
+    key-sharding schemes, measured on the real key distribution:
+    ``mod`` (shard = h % n — moves ~half of every shard's docs on ANY
+    shard-count change, the classic rebalancing stampede) vs ``range``
+    (shard = h DIV (keyspace/n) — each shard SPLITS into exactly two
+    children, so zero docs cross an old shard boundary; the
+    consistent-hashing property without a ring, and why storage
+    systems shard by hash RANGE). Per scheme: doc count, docs whose
+    32-shard home is outside their 16-shard home's split image,
+    exact churn ppm, shards hit, max/min shard occupancy at 32, and
+    max skew ppm (max · 32 / n) — the balance check that decides
+    whether the scheme's stability is worth its skew.
+
+    Scale: the shard id is a scan-stage hash fold (zero shuffle); the
+    census is a 64-group map-side rollup then a 2-row fold. The churn
+    number is what a 100 TB re-layout would physically move — the
+    operator prices the migration before anyone runs it.
+
+    Reference parity: none; extends the X58/X131 shard-layout family."""
+    t = load_tables(spark, sf_dir)
+    h = hash64(F.col("doc_id").cast("string"), seed=_SHARD_SEED)
+    ex = t.documents.select(h.alias("h")).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("mod").alias("scheme"),
+                    (F.col("h") % 32).alias("shard"),
+                    ((F.col("h") % 32) != (F.col("h") % 16))
+                    .cast("int")
+                    .alias("moved"),
+                ),
+                F.struct(
+                    F.lit("range").alias("scheme"),
+                    F.expr(f"h DIV {_R32}").alias("shard"),
+                    F.expr(
+                        f"(h DIV {_R32}) DIV 2 != h DIV {_R16}"
+                    )
+                    .cast("int")
+                    .alias("moved"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.scheme", "s.shard", "s.moved")
+    per = ex.groupBy("scheme", "shard").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("moved").alias("m")
+    )
+    return per.groupBy("scheme").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("m").cast("long").alias("n_moved"),
+        F.expr(
+            "CAST(CAST(sum(m) AS DECIMAL(38,0)) * 1000000 DIV sum(n) "
+            "AS LONG)"
+        ).alias("churn_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_shards_hit"),
+        F.max("n").cast("long").alias("max_shard_docs"),
+        F.min("n").cast("long").alias("min_shard_docs"),
+        F.expr(
+            "CAST(CAST(max(n) AS DECIMAL(38,0)) * 32 * 1000000 "
+            "DIV sum(n) AS LONG)"
+        ).alias("max_skew_ppm"),
+    )

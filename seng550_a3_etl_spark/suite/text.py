@@ -5147,3 +5147,400 @@ def winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_prints"))
         .filter(F.col("n_shared_prints") >= _WINNOW_MIN_SHARED)
     )
+
+
+@query(
+    "snapshot_ngram_novelty",
+    oracle=f"""
+    WITH sets_ AS {_DUCK_SETS3},
+    ex AS (SELECT doc, doc % 2 AS snap, unnest(sh) AS s FROM sets_),
+    a_sh AS (SELECT DISTINCT s FROM ex WHERE snap = 0),
+    b AS (
+      SELECT d.source, ex.doc, ex.s, a_sh.s IS NULL AS novel
+      FROM ex
+      JOIN (SELECT doc_id AS doc, source FROM documents) d USING (doc)
+      LEFT JOIN a_sh ON ex.s = a_sh.s
+      WHERE ex.snap = 1
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles_b,
+           CAST(COUNT(*) FILTER (WHERE novel) AS BIGINT) AS n_novel_b,
+           CAST(CAST(COUNT(*) FILTER (WHERE novel) AS HUGEINT) * 1000000
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM b GROUP BY source
+    """,
+)
+def snapshot_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot n-gram novelty census (X232): split the corpus
+    into two ingestion snapshots (doc_id parity — the X223 stand-in
+    for "last crawl" vs "this crawl") and report, per source, what
+    fraction of the NEW snapshot's distinct-per-doc 3-gram shingle
+    instances already occur anywhere in the OLD snapshot. X77 scores
+    novelty within ONE corpus; this is the between-snapshot twin the
+    crawl pipeline actually watches: novelty collapsing toward zero
+    means the new crawl is re-fetching yesterday's web (stop paying
+    for it), and per-source novelty ranks which feeds still deliver
+    fresh text — the same overlap estimate a memorization audit runs
+    before adding a snapshot to training. novelty_ppm is one exact
+    truncating division on big-int counts.
+
+    Scale: rides the session-shared hashed shingle sets (one build per
+    application, the 100 TB materialized-artifact shape); snapshot A
+    contributes only its DISTINCT shingle hashes (one map-side-combined
+    distinct, 8-byte longs — corpus text never shuffles), the
+    presence probe is ONE hash equi-join of B's postings against that
+    set, and the rollup is |sources| rows. Shingle identity via the
+    injective-enough 60-bit hash, same argument as X77.
+
+    Reference parity: none; extends the X77/X223 snapshot-diff family."""
+    sets_ = _shingle_sets_df(spark, sf_dir, n=3, hashed=True)
+    t = load_tables(spark, sf_dir)
+    ex = sets_.select(
+        "doc", (F.col("doc") % 2).alias("snap"), F.explode("sh").alias("hs")
+    )
+    a_sh = ex.filter(F.col("snap") == 0).select("hs").distinct()
+    b = (
+        ex.filter(F.col("snap") == 1)
+        .join(
+            t.documents.select(F.col("doc_id").alias("doc"), "source"), "doc"
+        )
+        .join(a_sh.withColumn("__seen", F.lit(1)), "hs", "left")
+    )
+    novel = F.col("__seen").isNull()
+    return b.groupBy("source").agg(
+        F.countDistinct("doc").cast("long").alias("n_docs_b"),
+        F.count(F.lit(1)).cast("long").alias("n_shingles_b"),
+        F.count(F.when(novel, 1)).cast("long").alias("n_novel_b"),
+        F.expr(
+            "CAST(CAST(count(CASE WHEN __seen IS NULL THEN 1 END) AS "
+            "DECIMAL(38,0)) * 1000000 DIV count(1) AS LONG)"
+        ).alias("novelty_ppm"),
+    )
+
+
+
+def _ece_oracle() -> str:
+    per_lang = ", ".join(
+        f"{_duck_marker(lang)} AS c_{lang}" for lang in LANG_MARKERS
+    )
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in LANG_MARKERS) + ")"
+    total = " + ".join(f"c_{lang}" for lang in LANG_MARKERS)
+    return f"""
+    WITH counted AS (
+      SELECT d.lang, t, {per_lang}
+      FROM {_TOKS} tt JOIN documents d USING (doc_id)
+    ),
+    scored AS (
+      SELECT lang,
+             CASE {_LANG_CASE} ELSE 'und' END AS lang_pred,
+             CAST(CASE WHEN ({total}) = 0 THEN 0
+                  ELSE CAST(best AS HUGEINT) * 1000000 // ({total})
+                  END AS BIGINT) AS conf_ppm
+      FROM (SELECT *, {best} AS best FROM counted)
+    ),
+    g AS (
+      SELECT least(conf_ppm // 100000, 9) AS bin,
+             COUNT(*) AS n, SUM(conf_ppm) AS sc,
+             COUNT(*) FILTER (WHERE lang_pred = lang) AS nc
+      FROM scored GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS nt FROM g)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(CAST(sc AS HUGEINT) // n AS BIGINT) AS mean_conf_ppm,
+           CAST(CAST(nc AS HUGEINT) * 1000000 // n AS BIGINT) AS acc_ppm,
+           CAST(abs(CAST(sc AS HUGEINT) // n
+                    - CAST(nc AS HUGEINT) * 1000000 // n) AS BIGINT)
+             AS gap_ppm,
+           CAST(CAST(n AS HUGEINT)
+                * abs(CAST(sc AS HUGEINT) // n
+                      - CAST(nc AS HUGEINT) * 1000000 // n)
+                // nt AS BIGINT) AS ece_term_ppm
+    FROM g, tot
+    """
+
+
+@query("langid_confidence_ece", oracle=_ece_oracle())
+def langid_confidence_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confidence calibration census (X235) — the
+    reliability table + expected-calibration-error terms for the
+    marker-wordlist classifier (X9/X140): per confidence decile
+    (confidence = winning language's share of ALL marker hits, exact
+    integer ppm; markerless docs land in bin 0), the doc count, mean
+    stated confidence, observed accuracy against the stored ``lang``
+    label, the |confidence − accuracy| calibration gap, and the
+    n-weighted ECE term (the column sums to ECE; Naeini 2015 / Guo
+    2017). X140's confusion matrix says WHERE the classifier errs;
+    this says whether its CONFIDENCE can be trusted to route docs —
+    the gate before any "keep only confident lang-ID" curation rule,
+    where an overconfident bin silently drops a language. Divisions
+    are truncating big-int; the gap subtracts two already-floored
+    ppms (the X220 recipe), so both engines agree bit-for-bit.
+
+    Scale: ONE corpus scan computes the per-row marker folds (the
+    same scan-stage HOFs as X9 — no shuffle), the census is a ≤10-row
+    map-side rollup, and the total-count scalar broadcasts back for
+    the weighted term. Nothing corpus-sized moves.
+
+    Reference parity: none; extends the X140 classifier-audit family."""
+    from seng550_a3_etl_spark.functions.text import marker_count
+
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    counts = [marker_count(toks, lang) for lang in LANG_MARKERS]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    scored = (
+        t.documents.select(
+            "lang",
+            lang_id(toks).alias("lang_pred"),
+            F.greatest(*counts).alias("__best"),
+            total.alias("__total"),
+        )
+        .select(
+            (F.col("lang_pred") == F.col("lang")).alias("correct"),
+            F.when(F.col("__total") == 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "CAST(CAST(__best AS DECIMAL(38,0)) * 1000000 "
+                    "DIV __total AS LONG)"
+                )
+            )
+            .cast("long")
+            .alias("conf_ppm"),
+        )
+    )
+    g = scored.groupBy(
+        F.least(F.floor(F.col("conf_ppm") / 100_000), F.lit(9))
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conf_ppm").alias("sc"),
+        F.count(F.when(F.col("correct"), 1)).alias("nc"),
+    )
+    tot = g.agg(F.sum("n").alias("nt"))
+    mean_conf = "CAST(CAST(sc AS DECIMAL(38,0)) DIV n AS LONG)"
+    acc = "CAST(CAST(nc AS DECIMAL(38,0)) * 1000000 DIV n AS LONG)"
+    gap = f"abs({mean_conf} - {acc})"
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr(mean_conf).alias("mean_conf_ppm"),
+        F.expr(acc).alias("acc_ppm"),
+        F.expr(gap).cast("long").alias("gap_ppm"),
+        F.expr(
+            f"CAST(CAST(n AS DECIMAL(38,0)) * {gap} DIV nt AS LONG)"
+        ).alias("ece_term_ppm"),
+    )
+
+
+_DUCK_QMICRO = rf"""
+      SELECT doc_id,
+             CAST(ROUND((
+               least(len(t) / 100.0, 1.0) * 0.25
+               + (len(list_distinct(t)) / greatest(len(t), 1)) * 0.25
+               + least(((length(text) - (len(t) - 1)) / greatest(len(t), 1))
+                       / 8.0, 1.0) * 0.25
+               + least(({_duck_marker('en')} / greatest(len(t), 1)) * 10.0,
+                       1.0) * 0.25
+             ) * 1000000) AS BIGINT) AS q_micros
+      FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS t
+            FROM documents)
+"""
+
+
+@query(
+    "quality_decile_drift",
+    oracle=f"""
+    WITH q AS ({_DUCK_QMICRO}),
+    binned AS (
+      SELECT doc_id % 2 AS snap,
+             least(q_micros // 100000, 9) AS bin
+      FROM q
+    ),
+    g AS (
+      SELECT bin,
+             COUNT(*) FILTER (WHERE snap = 0) AS n_a,
+             COUNT(*) FILTER (WHERE snap = 1) AS n_b
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT SUM(n_a) AS na, SUM(n_b) AS nb FROM g
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(CAST(n_a AS HUGEINT) * 1000000 // na AS BIGINT)
+             AS share_a_ppm,
+           CAST(CAST(n_b AS HUGEINT) * 1000000 // nb AS BIGINT)
+             AS share_b_ppm,
+           CAST(CAST(n_b AS HUGEINT) * 1000000 // nb
+                - CAST(n_a AS HUGEINT) * 1000000 // na AS BIGINT)
+             AS drift_ppm,
+           CAST(abs(CAST(n_b AS HUGEINT) * 1000000 // nb
+                    - CAST(n_a AS HUGEINT) * 1000000 // na) AS BIGINT)
+             AS abs_drift_ppm
+    FROM g, tot
+    """,
+)
+def quality_decile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score distribution drift between snapshots (X236) —
+    the population-stability monitor for the composite quality score
+    (X10): bin the exact integer-micro score into fixed deciles,
+    split the corpus into two ingestion snapshots (doc_id parity, the
+    X223/X232 convention), and report per-bin counts, snapshot shares
+    (exact ppm), and signed + absolute share drift. Half the
+    abs_drift_ppm column's sum is the total-variation distance — the
+    exact-arithmetic stand-in for the industry PSI (whose ln() term
+    is IEEE-transcendental and engine-divergent; TVD and PSI flag the
+    same bins). A drifting quality distribution between crawls is THE
+    leading indicator that fixed quality thresholds (X73/X81) are
+    about to change the admitted mixture silently.
+
+    Scale: ONE corpus scan (per-row score fold, no shuffle), a 10-row
+    census rollup, and one broadcast totals row. Shares subtract as
+    already-floored ppms (the X220 recipe) — bit-stable cross-engine.
+
+    Reference parity: none; extends the X223/X232 snapshot-diff
+    family to the quality axis."""
+    from seng550_a3_etl_spark.functions.text import quality_score
+
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    q_micros = F.round(
+        quality_score(F.col("text"), toks) * 1_000_000
+    ).cast("long")
+    binned = t.documents.select(
+        (F.col("doc_id") % 2).alias("snap"),
+        F.least(F.floor(q_micros / 100_000), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("snap") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("snap") == 1, 1)).alias("n_b"),
+    )
+    tot = g.agg(F.sum("n_a").alias("na"), F.sum("n_b").alias("nb"))
+    share_a = "CAST(CAST(n_a AS DECIMAL(38,0)) * 1000000 DIV na AS LONG)"
+    share_b = "CAST(CAST(n_b AS DECIMAL(38,0)) * 1000000 DIV nb AS LONG)"
+    return g.crossJoin(F.broadcast(tot)).select(
+        F.col("bin"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.expr(share_a).alias("share_a_ppm"),
+        F.expr(share_b).alias("share_b_ppm"),
+        F.expr(f"{share_b} - {share_a}").cast("long").alias("drift_ppm"),
+        F.expr(f"abs({share_b} - {share_a})")
+        .cast("long")
+        .alias("abs_drift_ppm"),
+    )
+
+
+def _charclass_oracle() -> str:
+    def stripped(pat: str) -> str:
+        return f"length(regexp_replace(text, '{pat}', '', 'g'))"
+
+    space_pat = "[ " + "\\t\\n\\r]"
+    s_alpha, s_upper = stripped("[A-Za-z]"), stripped("[A-Z]")
+    s_digit, s_space = stripped("[0-9]"), stripped(space_pat)
+    return f"""
+    WITH per AS (
+      SELECT source,
+             length(text) AS n_chars,
+             length(text) - {s_alpha} AS n_alpha,
+             length(text) - {s_upper} AS n_upper,
+             length(text) - {s_digit} AS n_digit,
+             length(text) - {s_space} AS n_space
+      FROM documents
+    ),
+    g AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS c,
+             SUM(n_alpha) AS a, SUM(n_upper) AS u,
+             SUM(n_digit) AS d, SUM(n_space) AS s
+      FROM per GROUP BY source
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(c AS BIGINT) AS n_chars,
+           CAST(CAST(a AS HUGEINT) * 1000000 // c AS BIGINT) AS alpha_ppm,
+           CAST(CAST(d AS HUGEINT) * 1000000 // c AS BIGINT) AS digit_ppm,
+           CAST(CAST(s AS HUGEINT) * 1000000 // c AS BIGINT) AS space_ppm,
+           CAST(CAST(c - a - d - s AS HUGEINT) * 1000000 // c AS BIGINT)
+             AS other_ppm,
+           CAST(CASE WHEN a = 0 THEN 0
+                ELSE CAST(u AS HUGEINT) * 1000000 // a END AS BIGINT)
+             AS upper_per_alpha_ppm
+    FROM g
+    """
+
+
+@query("charclass_census", oracle=_charclass_oracle())
+def charclass_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class census by source (X238) — the alphabet-level
+    corpus fingerprint under the token-level monitors (X9 lang-id,
+    X223 vocab drift): per source, exact ppm of alphabetic, digit,
+    whitespace, and other characters, plus uppercase share of the
+    alphabetics. These are the C4/CCNet pre-filters' raw inputs —
+    digit-heavy sources are tables/logs masquerading as text,
+    other-heavy sources are markup/encoding damage, and an uppercase
+    spike is boilerplate SHOUTING — and, compared across snapshots
+    (the X236 pattern), the cheapest possible encoder-upstream drift
+    alarm: charset damage shows here one scan earlier than any
+    tokenizer metric. Counts come from length deltas under class-
+    stripping regex replaces restricted to explicit ASCII classes, so
+    both engines' regex semantics coincide exactly.
+
+    Scale: per-row regex folds in the scan (JVM-side, zero shuffle) →
+    a |sources| map-side rollup; ppms are truncating big-int
+    divisions on the summed counts. Nothing doc-sized moves.
+
+    Reference parity: none; extends the X9/X140/X236 corpus-health
+    family below the token level."""
+    t = load_tables(spark, sf_dir)
+    n = F.length("text")
+
+    def kept(pat: str):
+        return n - F.length(F.regexp_replace(F.col("text"), pat, ""))
+
+    per = t.documents.select(
+        "source",
+        n.cast("long").alias("n_chars"),
+        kept("[A-Za-z]").cast("long").alias("n_alpha"),
+        kept("[A-Z]").cast("long").alias("n_upper"),
+        kept("[0-9]").cast("long").alias("n_digit"),
+        kept("[ \\t\\n\\r]").cast("long").alias("n_space"),
+    )
+    g = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("c"),
+        F.sum("n_alpha").alias("a"),
+        F.sum("n_upper").alias("u"),
+        F.sum("n_digit").alias("d"),
+        F.sum("n_space").alias("s"),
+    )
+
+    def ppm(x: str) -> F.Column:
+        return F.expr(
+            f"CAST(CAST({x} AS DECIMAL(38,0)) * 1000000 DIV c AS LONG)"
+        )
+
+    return g.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("c").cast("long").alias("n_chars"),
+        ppm("a").alias("alpha_ppm"),
+        ppm("d").alias("digit_ppm"),
+        ppm("s").alias("space_ppm"),
+        ppm("c - a - d - s").alias("other_ppm"),
+        F.when(F.col("a") == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                "CAST(CAST(u AS DECIMAL(38,0)) * 1000000 DIV a AS LONG)"
+            )
+        )
+        .cast("long")
+        .alias("upper_per_alpha_ppm"),
+    )

@@ -3824,3 +3824,305 @@ def knn_hubness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("k_occ").cast("long").alias("k_occurrence"), "n_vectors"
     )
+
+
+_CONSENSUS_K = 5
+
+
+@query(
+    "knn_label_consensus",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding AS v, label FROM embeddings),
+    cent AS (SELECT vec_id AS bid, embedding AS bv
+             FROM embeddings WHERE vec_id % 50 = 0
+             ORDER BY vec_id LIMIT 100),
+    assign AS (
+      SELECT vec_id, v, label, bid FROM (
+        SELECT vec_id, v, label, bid, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, bid
+        ) AS rn
+        FROM (SELECT vec_id, v, label, bid, ROUND({{cos}}, 6) AS sim
+              FROM c, cent)
+      ) WHERE rn = 1
+    ),
+    knn AS (
+      SELECT vec_id, label, nbr_label FROM (
+        SELECT a.vec_id, a.label, b.label AS nbr_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ROUND({{cospair}}, 6) DESC, b.vec_id
+               ) AS rk
+        FROM assign a JOIN assign b
+          ON a.bid = b.bid AND a.vec_id <> b.vec_id
+      ) WHERE rk <= {_CONSENSUS_K}
+    ),
+    st AS (
+      SELECT vec_id, COUNT(*) AS n_nbrs,
+             COUNT(*) FILTER (WHERE nbr_label = label) AS n_agree
+      FROM knn GROUP BY vec_id
+    )
+    SELECT a.vec_id, CAST(a.label AS BIGINT) AS label,
+           CAST(COALESCE(s.n_nbrs, 0) AS BIGINT) AS n_nbrs,
+           CAST(COALESCE(s.n_agree, 0) AS BIGINT) AS n_agree,
+           CAST(CASE WHEN COALESCE(s.n_nbrs, 0) = 0 THEN -1
+                ELSE CAST(s.n_agree AS HUGEINT) * 1000000 // s.n_nbrs
+                END AS BIGINT) AS agree_ppm,
+           COALESCE(s.n_nbrs, 0) > 0
+             AND 2 * COALESCE(s.n_agree, 0) < COALESCE(s.n_nbrs, 0)
+             AS is_suspect
+    FROM assign a LEFT JOIN st s ON s.vec_id = a.vec_id
+    """.format(cos=_cos("v", "bv"), cospair=_cos("a.v", "b.v")),
+)
+def knn_label_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-consensus census (X233) — the confident-learning
+    proxy for LABEL NOISE: per vector, how many of its k=5 nearest
+    in-cell neighbors (X226's IVF cells) carry the SAME label, with an
+    exact agreement ppm and a minority-vote suspect flag (fewer than
+    half the neighbors agree). X226 flags geometric isolation
+    (garbage/OOD) and X187/X173 score label-conditioned retrieval;
+    this is the third curation lens — a vector whose neighborhood
+    outvotes its label is the standing mislabel candidate that
+    relabeling/pruning queues are built from (Northcutt et al.,
+    confident learning). On the random fixture agreement hovers near
+    the label prior, so the flag exercises the voting boundary; the
+    PLUMBING (cell-bounded labeled self-kNN) is the operator.
+
+    Scale: identical pair volume to X226 (Σ cell², never |corpus|²);
+    labels ride the assignment frame (one projection of the same
+    scan, no extra corpus join); the vote is a per-anchor conditional
+    count folded map-side after the WindowGroupLimit-pruned top-k.
+    agree_ppm is one truncating big-int division per anchor.
+
+    Reference parity: none; completes the X173/X187/X226 labeled
+    vector-quality triangle."""
+    from seng550_a3_etl_spark.functions.vectors import dot
+    from seng550_a3_etl_spark.operators.similarity import assign_buckets
+
+    t = load_tables(spark, sf_dir)
+    corpus = t.embeddings.select("vec_id", F.col("embedding").alias("v"))
+    cent = (
+        t.embeddings.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(100)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    )
+    assigned = (
+        assign_buckets(corpus, cent, "vec_id", "v")
+        .join(t.embeddings.select("vec_id", "label"), "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select(
+        "bid",
+        F.col("vec_id").alias("va"),
+        F.col("v").alias("xa"),
+        F.col("__cn").alias("na"),
+        F.col("label").alias("la"),
+    )
+    b = assigned.select(
+        "bid",
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("xb"),
+        F.col("__cn").alias("nb"),
+        F.col("label").alias("lb"),
+    )
+    w = Window.partitionBy("va").orderBy(F.desc("cos"), F.asc("vb"))
+    knn = (
+        a.join(b, "bid")
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            "la",
+            "lb",
+            F.round(
+                dot(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CONSENSUS_K)
+    )
+    st = knn.groupBy("va").agg(
+        F.count(F.lit(1)).alias("n_nbrs"),
+        F.count(F.when(F.col("lb") == F.col("la"), 1)).alias("n_agree"),
+    )
+    n_nbrs = F.coalesce("n_nbrs", F.lit(0))
+    n_agree = F.coalesce("n_agree", F.lit(0))
+    return (
+        assigned.select("vec_id", "label")
+        .join(st, assigned["vec_id"] == st["va"], "left")
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            n_nbrs.cast("long").alias("n_nbrs"),
+            n_agree.cast("long").alias("n_agree"),
+            F.when(n_nbrs == 0, F.lit(-1))
+            .otherwise(
+                F.expr(
+                    "CAST(CAST(coalesce(n_agree, 0) AS DECIMAL(38,0)) "
+                    "* 1000000 DIV coalesce(n_nbrs, 1) AS LONG)"
+                )
+            )
+            .cast("long")
+            .alias("agree_ppm"),
+            ((n_nbrs > 0) & (2 * n_agree < n_nbrs)).alias("is_suspect"),
+        )
+    )
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding AS v, label FROM embeddings),
+    cent AS (SELECT vec_id AS bid, embedding AS bv
+             FROM embeddings WHERE vec_id % 50 = 0
+             ORDER BY vec_id LIMIT 100),
+    assign AS (
+      SELECT vec_id, v, label, bid FROM (
+        SELECT vec_id, v, label, bid, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, bid
+        ) AS rn
+        FROM (SELECT vec_id, v, label, bid, ROUND({{cos}}, 6) AS sim
+              FROM c, cent)
+      ) WHERE rn = 1
+    ),
+    best AS (
+      SELECT vec_id, label, same, nbr, cos_micro FROM (
+        SELECT a.vec_id, a.label, a.label = b.label AS same,
+               b.vec_id AS nbr,
+               CAST(ROUND(ROUND({{cospair}}, 6) * 1000000) AS BIGINT)
+                 AS cos_micro,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id, a.label = b.label
+                 ORDER BY ROUND({{cospair}}, 6) DESC, b.vec_id
+               ) AS rk
+        FROM assign a JOIN assign b
+          ON a.bid = b.bid AND a.vec_id <> b.vec_id
+      ) WHERE rk = 1
+    ),
+    piv AS (
+      SELECT vec_id, ANY_VALUE(label) AS label,
+             MAX(cos_micro) FILTER (WHERE same) AS best_same_micro,
+             MAX(cos_micro) FILTER (WHERE NOT same) AS best_cross_micro,
+             MAX(nbr) FILTER (WHERE NOT same) AS hard_neg_id
+      FROM best GROUP BY vec_id
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           best_same_micro, hard_neg_id, best_cross_micro,
+           best_same_micro - best_cross_micro AS margin_micro,
+           best_cross_micro > best_same_micro AS is_confusable
+    FROM piv
+    WHERE best_same_micro IS NOT NULL AND best_cross_micro IS NOT NULL
+    """.format(cos=_cos("v", "bv"), cospair=_cos("a.v", "b.v")),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining census (X234) — the contrastive-training
+    data miner: per anchor vector, its single most-similar SAME-label
+    in-cell neighbor and its single most-similar CROSS-label in-cell
+    neighbor (the hard negative — the wrong-class example the
+    embedding finds most confusable), with the exact integer-micro
+    margin between them. Negative margin (is_confusable) means the
+    nearest cross-label point beats the nearest same-label one — the
+    anchor is either mislabeled (X233's vote view of the same defect)
+    or sits on a genuine class boundary worth oversampling in
+    triplet/contrastive batches (the "semi-hard/hard negative" queue
+    of FaceNet/SimCLR-style training). Anchors whose cell lacks a
+    same- or cross-label neighbor carry no defined margin and are
+    excluded, matching the oracle's NOT NULL gate.
+
+    Scale: the X226 cell-bounded pair volume (Σ cell², never
+    |corpus|²); the per-(anchor, side) argmax is a WindowGroupLimit-
+    pruned rk=1 window (ties to the smaller neighbor id — both
+    engines order (cos DESC, id ASC)); the pivot is a per-anchor
+    2-row fold. Micro margins subtract two already-quantized longs,
+    so cross-engine equality is trivial.
+
+    Reference parity: none; the selection-side complement of X218's
+    retrieval metric over the same labeled store."""
+    from seng550_a3_etl_spark.functions.vectors import dot
+    from seng550_a3_etl_spark.operators.similarity import assign_buckets
+
+    t = load_tables(spark, sf_dir)
+    corpus = t.embeddings.select("vec_id", F.col("embedding").alias("v"))
+    cent = (
+        t.embeddings.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(100)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+    )
+    assigned = (
+        assign_buckets(corpus, cent, "vec_id", "v")
+        .join(t.embeddings.select("vec_id", "label"), "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select(
+        "bid",
+        F.col("vec_id").alias("va"),
+        F.col("v").alias("xa"),
+        F.col("__cn").alias("na"),
+        F.col("label").alias("la"),
+    )
+    b = assigned.select(
+        "bid",
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("xb"),
+        F.col("__cn").alias("nb"),
+        F.col("label").alias("lb"),
+    )
+    w = Window.partitionBy("va", "same").orderBy(
+        F.desc("cos"), F.asc("vb")
+    )
+    best = (
+        a.join(b, "bid")
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "la",
+            F.col("vb"),
+            (F.col("la") == F.col("lb")).alias("same"),
+            F.round(
+                dot(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "va",
+            "la",
+            "same",
+            "vb",
+            F.round(F.col("cos") * 1_000_000).cast("long").alias(
+                "cos_micro"
+            ),
+        )
+    )
+    piv = best.groupBy("va").agg(
+        F.any_value(F.col("la")).alias("label"),
+        F.max(F.when(F.col("same"), F.col("cos_micro"))).alias(
+            "best_same_micro"
+        ),
+        F.max(F.when(~F.col("same"), F.col("cos_micro"))).alias(
+            "best_cross_micro"
+        ),
+        F.max(F.when(~F.col("same"), F.col("vb"))).alias("hard_neg_id"),
+    )
+    return (
+        piv.filter(
+            F.col("best_same_micro").isNotNull()
+            & F.col("best_cross_micro").isNotNull()
+        )
+        .select(
+            F.col("va").alias("vec_id"),
+            F.col("label").cast("long").alias("label"),
+            "best_same_micro",
+            "hard_neg_id",
+            "best_cross_micro",
+            (F.col("best_same_micro") - F.col("best_cross_micro")).alias(
+                "margin_micro"
+            ),
+            (F.col("best_cross_micro") > F.col("best_same_micro")).alias(
+                "is_confusable"
+            ),
+        )
+    )
