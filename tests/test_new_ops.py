@@ -1573,3 +1573,124 @@ def test_margin_hard_examples_invariants(spark):
         assert 0 <= r.n_hard <= r.n_vecs
         assert r.hard_ppm == r.n_hard * 1000000 // r.n_vecs
         assert r.sum_abs_margin_micro >= 0
+
+
+def test_snapshot_ngram_novelty_invariants(spark):
+    # novel <= total per source; ppm is the integer floor; every
+    # source with a B-snapshot doc holding >= 3 tokens appears
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["snapshot_ngram_novelty"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_novel_b <= r.n_shingles_b
+        assert r.novelty_ppm == r.n_novel_b * 1000000 // r.n_shingles_b
+        assert r.n_docs_b > 0
+
+
+def test_knn_label_consensus_invariants(spark):
+    # one row per vector; agreement nests in neighbor count; suspect
+    # flag matches the minority-vote definition; ppm floors
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["knn_label_consensus"](spark, sf).collect()
+    n_vecs = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    for r in rows:
+        assert 0 <= r.n_agree <= r.n_nbrs <= 5
+        if r.n_nbrs == 0:
+            assert r.agree_ppm == -1 and not r.is_suspect
+        else:
+            assert r.agree_ppm == r.n_agree * 1000000 // r.n_nbrs
+            assert r.is_suspect == (2 * r.n_agree < r.n_nbrs)
+
+
+def test_hard_negative_mining_invariants(spark):
+    # margin is the exact difference; confusable iff negative margin;
+    # hard negative is never the anchor itself
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["hard_negative_mining"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.margin_micro == r.best_same_micro - r.best_cross_micro
+        assert r.is_confusable == (r.margin_micro < 0)
+        assert r.hard_neg_id != r.vec_id
+        assert -1_000_000 <= r.best_cross_micro <= 1_000_000
+
+
+def test_langid_confidence_ece_invariants(spark):
+    # bins within [0, 9]; acc/conf within [0, 1e6]; the weighted ECE
+    # terms are the documented floors and sum below the worst gap
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["langid_confidence_ece"](spark, sf).collect()
+    assert rows
+    n_total = sum(r.n_docs for r in rows)
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0 <= r.acc_ppm <= 1_000_000
+        assert 0 <= r.mean_conf_ppm <= 1_000_000
+        assert r.gap_ppm == abs(r.mean_conf_ppm - r.acc_ppm)
+        assert r.ece_term_ppm == r.n_docs * r.gap_ppm // n_total
+    ece = sum(r.ece_term_ppm for r in rows)
+    assert 0 <= ece <= max(r.gap_ppm for r in rows)
+
+
+def test_quality_decile_drift_invariants(spark):
+    # per-snapshot counts reconcile to the corpus split; shares are
+    # floors; signed drift matches the share difference
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["quality_decile_drift"](spark, sf).collect()
+    assert rows
+    na = sum(r.n_a for r in rows)
+    nb = sum(r.n_b for r in rows)
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert na + nb == n_docs
+    for r in rows:
+        assert r.share_a_ppm == r.n_a * 1000000 // na
+        assert r.share_b_ppm == r.n_b * 1000000 // nb
+        assert r.drift_ppm == r.share_b_ppm - r.share_a_ppm
+        assert r.abs_drift_ppm == abs(r.drift_ppm)
+
+
+def test_reshard_churn_census_invariants(spark):
+    # range-sharding moves NOTHING (the operator's thesis); mod moves
+    # a nonzero share on any real corpus; occupancy reconciles
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r.scheme: r
+        for r in QUERIES["reshard_churn_census"](spark, sf).collect()
+    }
+    assert set(rows) == {"mod", "range"}
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    for r in rows.values():
+        assert r.n_docs == n_docs
+        assert r.min_shard_docs <= r.max_shard_docs
+        assert r.n_shards_hit <= 32
+        assert r.max_skew_ppm == r.max_shard_docs * 32 * 1000000 // n_docs
+    assert rows["range"].n_moved == 0 and rows["range"].churn_ppm == 0
+    assert rows["mod"].n_moved > 0
+
+
+def test_charclass_census_invariants(spark):
+    # class ppms partition the character mass (floors sum to <= 1e6
+    # and within 4 ulps of it); uppercase nests inside alpha
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["charclass_census"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        total = r.alpha_ppm + r.digit_ppm + r.space_ppm + r.other_ppm
+        assert 1_000_000 - 4 <= total <= 1_000_000
+        assert 0 <= r.upper_per_alpha_ppm <= 1_000_000
+        assert r.n_chars > 0
