@@ -94,6 +94,11 @@ SPOT_COST_CLASS = {
     # 2,058,836 = 14.2x for 10x rows, assign/pair_verify stages track
     # it at 14.1x/14.2x). Bound 10^1.5 = 31.6.
     "semantic_dedup_clusters": ("n^1.5", 31.6),
+    # The self-kNN family (X226/X231/X233/X234) runs on ceil(sqrt(n))
+    # cells (suite/vectors.py _knn_cells), so in-cell pair volume is
+    # n^1.5 by construction; hard_negative_mining is the spotted
+    # representative (stage profile: profile_hard_negative).
+    "hard_negative_mining": ("n^1.5", 31.6),
 }
 
 SF1_SPOT = [
@@ -154,6 +159,10 @@ SF1_SPOT = [
     # a static band index, so the 10x wall should be the fixed
     # availableNow machinery plus a linear batch term.
     "stream_minhash_dedup",
+    # r12: the self-kNN family representative — in-cell pair volume is
+    # n^1.5 under the ceil(sqrt(n)) cell recipe; X226/X231/X233 share
+    # the identical assign/pair plumbing and are not separately spotted.
+    "hard_negative_mining",
 ]
 
 

@@ -872,6 +872,87 @@ def profile_bpe_encode(spark, sf_dir: str) -> dict:
     return res
 
 
+
+
+def profile_hard_negative(spark, sf_dir: str) -> dict:
+    # Mirrors hard_negative_mining (X234, representative of the
+    # self-kNN family X226/X231/X233/X234): ceil(sqrt(n)) cell pick,
+    # assign + label join, in-cell pair build with the dual
+    # per-(anchor, side) argmax windows, and the 2-row-per-anchor
+    # pivot — plus the cell census that bounds the n^1.5 pair budget.
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.functions.vectors import dot
+    from seng550_a3_etl_spark.operators.similarity import assign_buckets
+    from seng550_a3_etl_spark.suite.vectors import _knn_cells
+
+    t = load_tables(spark, sf_dir)
+    corpus = t.embeddings.select("vec_id", F.col("embedding").alias("v"))
+    res: dict = {}
+    cent, res["cell_pick"] = _t(
+        "ceil(sqrt(n)) cell pick (count + TakeOrdered, ckpt)",
+        lambda: _knn_cells(t.embeddings).localCheckpoint(eager=True),
+    )
+    res["n_cells"] = cent.count()
+    assigned, res["assign_label_join"] = _t(
+        "assign fold + label join (ckpt)",
+        lambda: assign_buckets(corpus, cent, "vec_id", "v")
+        .join(t.embeddings.select("vec_id", "label"), "vec_id")
+        .localCheckpoint(eager=True),
+    )
+    cs = (
+        assigned.groupBy("bid")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.max("sz").alias("max_sz"),
+            F.sum(F.col("sz") * (F.col("sz") - 1)).alias("pair_budget"),
+        )
+        .collect()[0]
+    )
+    res["max_cell"] = cs["max_sz"]
+    res["pair_budget"] = int(cs["pair_budget"])
+    print(f"    cells={res['n_cells']} max={cs['max_sz']} "
+          f"ordered-pair budget={res['pair_budget']}")
+    from pyspark.sql.window import Window
+
+    a = assigned.select(
+        "bid", F.col("vec_id").alias("va"), F.col("v").alias("xa"),
+        F.col("__cn").alias("na"), F.col("label").alias("la"),
+    )
+    b = assigned.select(
+        "bid", F.col("vec_id").alias("vb"), F.col("v").alias("xb"),
+        F.col("__cn").alias("nb"), F.col("label").alias("lb"),
+    )
+    w = Window.partitionBy("va", "same").orderBy(F.desc("cos"), F.asc("vb"))
+    best, res["pair_argmax"] = _t(
+        "in-cell pair cosine + dual argmax windows (ckpt)",
+        lambda: a.join(b, "bid")
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "va", "la", "vb",
+            (F.col("la") == F.col("lb")).alias("same"),
+            F.round(
+                dot(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .localCheckpoint(eager=True),
+    )
+    _, res["pivot"] = _t(
+        "per-anchor 2-row pivot (noop)",
+        lambda: best.groupBy("va")
+        .agg(
+            F.max(F.when(F.col("same"), F.col("vb"))).alias("s"),
+            F.max(F.when(~F.col("same"), F.col("vb"))).alias("c"),
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    return res
+
+
 PROFILES = {
     "minhash_dup_pairs": profile_minhash,
     "embedding_cosine_dedup": profile_cosine,
@@ -887,6 +968,7 @@ PROFILES = {
     "pagerank_step_parts": profile_pagerank_step,
     "revenue_proration": profile_proration,
     "bpe_encode_docs": profile_bpe_encode,
+    "hard_negative_mining": profile_hard_negative,
 }
 
 

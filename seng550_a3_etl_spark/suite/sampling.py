@@ -615,3 +615,93 @@ def reshard_churn_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV sum(n) AS LONG)"
         ).alias("max_skew_ppm"),
     )
+
+
+_EPOCH_BUDGET_X = 3  # token budget as a multiple of the corpus
+_EPOCH_CLIFF_PPM = 4_000_000  # Muennighoff et al.: ~4 epochs
+
+
+@query(
+    "epoch_plan_budget",
+    oracle=rf"""
+    WITH n AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+               AS n_tok
+      FROM documents GROUP BY source
+    ),
+    q AS (
+      SELECT source, n_tok,
+             CAST(ROUND(SQRT(n_tok) * 1000000) AS BIGINT) AS s_micro
+      FROM n
+    ),
+    tot AS (SELECT SUM(n_tok) AS t1, SUM(s_micro) AS th FROM q)
+    SELECT source, n_tok AS n_tokens,
+           CAST(CAST(s_micro AS HUGEINT) * 1000000 // th AS BIGINT)
+             AS weight_ppm,
+           CAST(CAST(t1 AS HUGEINT) * {_EPOCH_BUDGET_X} * s_micro // th
+                AS BIGINT) AS target_tokens,
+           CAST(CAST(t1 AS HUGEINT) * {_EPOCH_BUDGET_X} * s_micro // th
+                * 1000000 // n_tok AS BIGINT) AS epochs_ppm,
+           CAST(t1 AS HUGEINT) * {_EPOCH_BUDGET_X} * s_micro // th
+             * 1000000 // n_tok > {_EPOCH_CLIFF_PPM}
+             AS over_repetition_cliff
+    FROM q, tot
+    """,
+)
+def epoch_plan_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch planner (X241) — the table a pretraining
+    run reads AFTER choosing its mixture: given a total token budget
+    (3× the corpus here — the data-constrained regime) and the T=0.5
+    temperature weights (X217's engine-exact sqrt micros), the
+    per-source target token draw, the implied EPOCH count over that
+    source's available tokens (exact ppm), and the Muennighoff et al.
+    2023 repetition-cliff flag (>4 epochs: returns decay to ~zero —
+    the source cannot fill its allocation and the mix must rebalance,
+    X203's waterfilling being the repair). Flattening temperatures
+    oversample small sources BY DESIGN; this census prices exactly
+    which sources that pushes off the cliff before any training run
+    pays for the lesson.
+
+    Scale: ONE corpus scan → |sources| rollup (the X217 scan shape);
+    the plan arithmetic runs against one broadcast scalar row in
+    DECIMAL(38,0)/HUGEINT (budget·s_micro reaches ~1e25 at the 1e13-
+    token operating point — the X137 overflow class) down to
+    truncating divisions, so both engines agree bit-for-bit.
+
+    Reference parity: none; closes the X217 → X203 mixture loop with
+    the epoch-exposure artifact between them."""
+    t = load_tables(spark, sf_dir)
+    n = (
+        t.documents.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), r"\s+")))
+            .cast("long")
+            .alias("n_tokens")
+        )
+        .localCheckpoint(eager=True)
+    )
+    q = n.select(
+        "source",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens")) * 1_000_000)
+        .cast("long")
+        .alias("__s"),
+    )
+    tot = q.agg(F.sum("n_tokens").alias("__t1"), F.sum("__s").alias("__th"))
+    target = (
+        f"CAST(__t1 AS DECIMAL(38,0)) * {_EPOCH_BUDGET_X} * __s DIV __th"
+    )
+    epochs = f"({target}) * 1000000 DIV n_tokens"
+    return q.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(
+            "CAST(CAST(__s AS DECIMAL(38,0)) * 1000000 DIV __th AS LONG)"
+        ).alias("weight_ppm"),
+        F.expr(f"CAST({target} AS LONG)").alias("target_tokens"),
+        F.expr(f"CAST({epochs} AS LONG)").alias("epochs_ppm"),
+        F.expr(f"{epochs} > {_EPOCH_CLIFF_PPM}").alias(
+            "over_repetition_cliff"
+        ),
+    )

@@ -5544,3 +5544,106 @@ def charclass_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("upper_per_alpha_ppm"),
     )
+
+
+@query(
+    "source_shingle_jaccard",
+    oracle=f"""
+    WITH sets_ AS {_DUCK_SETS3},
+    ss AS (
+      SELECT DISTINCT d.source, ex.s
+      FROM (SELECT doc, unnest(sh) AS s FROM sets_) ex
+      JOIN (SELECT doc_id AS doc, source FROM documents) d USING (doc)
+    ),
+    sz AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_common
+      FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           CAST(sa.n AS BIGINT) AS n_shingles_a,
+           CAST(sb.n AS BIGINT) AS n_shingles_b,
+           CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+           CAST(CAST(COALESCE(i.n_common, 0) AS HUGEINT) * 1000000
+                // (sa.n + sb.n - COALESCE(i.n_common, 0)) AS BIGINT)
+             AS jaccard_ppm,
+           CAST(CAST(COALESCE(i.n_common, 0) AS HUGEINT) * 1000000
+                // least(sa.n, sb.n) AS BIGINT) AS containment_ppm
+    FROM sz sa JOIN sz sb ON sa.source < sb.source
+    LEFT JOIN inter i
+      ON i.source_a = sa.source AND i.source_b = sb.source
+    """,
+)
+def source_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level shingle-set Jaccard matrix (X239) — the provenance /
+    feed-dedup census ABOVE the document level: for every source
+    pair, the exact Jaccard and containment (over min) of their
+    distinct 3-gram shingle sets. Two feeds that are mirrors or
+    re-crawls of each other show up here as a high-Jaccard pair long
+    before any doc-pair budget is spent on them (the RefinedWeb/
+    RedPajama practice of dropping whole mirrored dumps first), and a
+    high containment with low Jaccard names the subset feed — the
+    buy-side signal for deduplicating data PURCHASES rather than
+    documents. Zero-overlap pairs still appear (zero-preserving LEFT
+    join), since "provably disjoint" is the other useful answer.
+
+    Scale: rides the session-shared hashed shingle sets; each source
+    contributes its DISTINCT (source, shingle-hash) pairs — one
+    map-side distinct of 8-byte longs, corpus text never shuffles;
+    the intersection is ONE self equi-join on the shingle hash
+    (postings bounded by |sources| per hash — ≤ C(|sources|,2) output
+    per shingle), and the matrix is a ≤C(|sources|,2)-row frame with
+    broadcast-size set counts. ppms are truncating big-int divisions.
+
+    Reference parity: none. X112 counts DOC-LEVEL near-dup pairs per
+    source pair (pairs that cleared a threshold); this measures the
+    sources' TOTAL shingle-set overlap directly, catching diffuse
+    mirroring that never produces a single qualifying doc pair."""
+    sets_ = _shingle_sets_df(spark, sf_dir, n=3, hashed=True)
+    t = load_tables(spark, sf_dir)
+    ss = (
+        sets_.select("doc", F.explode("sh").alias("hs"))
+        .join(
+            t.documents.select(F.col("doc_id").alias("doc"), "source"),
+            "doc",
+        )
+        .select("source", "hs")
+        .distinct()
+    )
+    sz = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = ss.select(F.col("source").alias("source_a"), "hs")
+    b = ss.select(F.col("source").alias("source_b"), "hs")
+    inter = (
+        a.join(b, "hs")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(
+        F.col("source").alias("source_a"), F.col("n").alias("na")
+    )
+    sb = sz.select(
+        F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    nc = F.coalesce("n_common", F.lit(0))
+    return (
+        sa.join(F.broadcast(sb), F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("na").cast("long").alias("n_shingles_a"),
+            F.col("nb").cast("long").alias("n_shingles_b"),
+            nc.cast("long").alias("n_common"),
+            F.expr(
+                "CAST(CAST(coalesce(n_common, 0) AS DECIMAL(38,0)) "
+                "* 1000000 DIV (na + nb - coalesce(n_common, 0)) AS LONG)"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                "CAST(CAST(coalesce(n_common, 0) AS DECIMAL(38,0)) "
+                "* 1000000 DIV least(na, nb) AS LONG)"
+            ).alias("containment_ppm"),
+        )
+    )

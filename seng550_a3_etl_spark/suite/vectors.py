@@ -3492,14 +3492,42 @@ def label_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_OUT_K = 5
 _KNN_OUT_THRESH = 990_000  # mean kNN cosine-distance micros
 
+# Cell recipe for the SELF-kNN family (X226/X231/X233/X234): ceil(√n)
+# cells from the vec_id % 50 candidate pool — the n^1.5 operating
+# point (pair volume = n · n/cells = n^1.5), the same fix SemDeDup
+# took in r11. A FIXED cell count would make the in-cell self-join
+# quadratic once the cap binds (cell size grows with the corpus); the
+# IVF *search* queries (X7/X168/X182) keep their fixed index because
+# their probe set is fixed and their cost stays linear either way.
+_KNN_CELLS_SQL = """
+      SELECT bid, bv FROM (
+        SELECT vec_id AS bid, embedding AS bv,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS rk
+        FROM embeddings WHERE vec_id % 50 = 0
+      ) WHERE rk <= CEIL(SQRT((SELECT COUNT(*) FROM embeddings)))
+"""
+
+
+def _knn_cells(emb: DataFrame) -> DataFrame:
+    """ceil(√n) coarse cells for the self-kNN family — see
+    _KNN_CELLS_SQL. Same driver-side bounded count + data-parallel
+    orderBy().limit(cap) shape as ``_semdedup_cent`` (ADVICE r11)."""
+    import math
+
+    cap = math.ceil(math.sqrt(emb.count()))
+    return (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+        .orderBy("bid")
+        .limit(cap)
+    )
+
 
 @query(
     "knn_bucket_outliers",
     oracle=f"""
     WITH c AS (SELECT vec_id, embedding AS v FROM embeddings),
-    cent AS (SELECT vec_id AS bid, embedding AS bv
-             FROM embeddings WHERE vec_id % 50 = 0
-             ORDER BY vec_id LIMIT 100),
+    cent AS ({_KNN_CELLS_SQL}),
     assign AS (
       SELECT vec_id, v, bid FROM (
         SELECT vec_id, v, bid, ROW_NUMBER() OVER (
@@ -3537,7 +3565,9 @@ _KNN_OUT_THRESH = 990_000  # mean kNN cosine-distance micros
 def knn_bucket_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed kNN-distance outlier census (X226): per vector, the
     mean cosine distance to its k=5 nearest IN-CELL neighbors under
-    the X168 IVF index — the embedding-space isolation score data
+    the ceil(√n)-cell coarse index (_knn_cells — the n^1.5 operating
+    point; a fixed cell count would go quadratic once cells fill) —
+    the embedding-space isolation score data
     curation uses to flag mislabeled/garbage/OOD vectors (a vector far
     from even its nearest neighbors is nobody's neighbor: the
     kNN-distance member of the LOF family, kept rank-free so it is
@@ -3547,13 +3577,12 @@ def knn_bucket_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLUMBING (bucketed self-kNN without an all-pairs scan) is the
     operator.
 
-    Scale: the self-kNN is confined to IVF cells (assign is the
-    zero-exchange broadcast fold; pair volume is sum of cell sizes
-    squared, bounded by the X168-audited balance, never |corpus|²);
-    the per-vector top-k window partitions by vec_id — |corpus|
-    groups, WindowGroupLimit-pruned map-side. Mean distances are
-    exact-integer micro sums (ROUND(SUM/COUNT) on bigint sums, the
-    X168 recipe).
+    Scale: the self-kNN is confined to the ceil(√n) cells (assign is
+    the zero-exchange broadcast fold; pair volume is Σ cell² ≈ n^1.5,
+    never |corpus|²); the per-vector top-k window partitions by
+    vec_id — |corpus| groups, WindowGroupLimit-pruned map-side. Mean
+    distances are exact-integer micro sums (ROUND(SUM/COUNT) on
+    bigint sums, the X168 recipe).
 
     Reference parity: none; extends the X166/X168/X187 vector-quality
     family."""
@@ -3562,12 +3591,7 @@ def knn_bucket_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     corpus = t.embeddings.select("vec_id", F.col("embedding").alias("v"))
-    cent = (
-        t.embeddings.filter(F.col("vec_id") % 50 == 0)
-        .orderBy("vec_id")
-        .limit(100)
-        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
-    )
+    cent = _knn_cells(t.embeddings)
     assigned = assign_buckets(corpus, cent, "vec_id", "v").localCheckpoint(
         eager=True
     )
@@ -3712,9 +3736,7 @@ def embedding_dead_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_hubness_census",
     oracle=f"""
     WITH c AS (SELECT vec_id, embedding AS v FROM embeddings),
-    cent AS (SELECT vec_id AS bid, embedding AS bv
-             FROM embeddings WHERE vec_id % 50 = 0
-             ORDER BY vec_id LIMIT 100),
+    cent AS ({_KNN_CELLS_SQL}),
     assign AS (
       SELECT vec_id, v, bid FROM (
         SELECT vec_id, v, bid, ROW_NUMBER() OVER (
@@ -3770,12 +3792,7 @@ def knn_hubness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     corpus = t.embeddings.select("vec_id", F.col("embedding").alias("v"))
-    cent = (
-        t.embeddings.filter(F.col("vec_id") % 50 == 0)
-        .orderBy("vec_id")
-        .limit(100)
-        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
-    )
+    cent = _knn_cells(t.embeddings)
     assigned = assign_buckets(corpus, cent, "vec_id", "v").localCheckpoint(
         eager=True
     )
@@ -3833,9 +3850,7 @@ _CONSENSUS_K = 5
     "knn_label_consensus",
     oracle=f"""
     WITH c AS (SELECT vec_id, embedding AS v, label FROM embeddings),
-    cent AS (SELECT vec_id AS bid, embedding AS bv
-             FROM embeddings WHERE vec_id % 50 = 0
-             ORDER BY vec_id LIMIT 100),
+    cent AS ({_KNN_CELLS_SQL}),
     assign AS (
       SELECT vec_id, v, label, bid FROM (
         SELECT vec_id, v, label, bid, ROW_NUMBER() OVER (
@@ -3900,12 +3915,7 @@ def knn_label_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     corpus = t.embeddings.select("vec_id", F.col("embedding").alias("v"))
-    cent = (
-        t.embeddings.filter(F.col("vec_id") % 50 == 0)
-        .orderBy("vec_id")
-        .limit(100)
-        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
-    )
+    cent = _knn_cells(t.embeddings)
     assigned = (
         assign_buckets(corpus, cent, "vec_id", "v")
         .join(t.embeddings.select("vec_id", "label"), "vec_id")
@@ -3974,9 +3984,7 @@ def knn_label_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hard_negative_mining",
     oracle=f"""
     WITH c AS (SELECT vec_id, embedding AS v, label FROM embeddings),
-    cent AS (SELECT vec_id AS bid, embedding AS bv
-             FROM embeddings WHERE vec_id % 50 = 0
-             ORDER BY vec_id LIMIT 100),
+    cent AS ({_KNN_CELLS_SQL}),
     assign AS (
       SELECT vec_id, v, label, bid FROM (
         SELECT vec_id, v, label, bid, ROW_NUMBER() OVER (
@@ -4044,12 +4052,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     corpus = t.embeddings.select("vec_id", F.col("embedding").alias("v"))
-    cent = (
-        t.embeddings.filter(F.col("vec_id") % 50 == 0)
-        .orderBy("vec_id")
-        .limit(100)
-        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
-    )
+    cent = _knn_cells(t.embeddings)
     assigned = (
         assign_buckets(corpus, cent, "vec_id", "v")
         .join(t.embeddings.select("vec_id", "label"), "vec_id")
@@ -4125,4 +4128,97 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_confusable"
             ),
         )
+    )
+
+
+@query(
+    "label_centroid_drift",
+    oracle=f"""
+    WITH snap AS (
+      SELECT label, vec_id % 2 AS s,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, s, j AS dim, ROUND(AVG(v[j]), 6) AS c,
+             COUNT(*) AS n
+      FROM snap CROSS JOIN range(1, 65) t(j)
+      GROUP BY label, s, j
+    ),
+    packed AS (
+      SELECT label, s, ANY_VALUE(n) AS n,
+             list_transform(
+               list_sort(list_zip(list(dim), list(c)),
+                         'ASC'),
+               z -> z[2]::DOUBLE) AS cv
+      FROM (SELECT label, s, dim, c, n FROM cent)
+      GROUP BY label, s
+    )
+    SELECT a.label AS label,
+           CAST(a.n AS BIGINT) AS n_a,
+           CAST(b.n AS BIGINT) AS n_b,
+           ROUND({_cos('a.cv', 'b.cv')}, 6) AS centroid_cos
+    FROM packed a JOIN packed b
+      ON a.label = b.label AND a.s = 0 AND b.s = 1
+    """,
+)
+def label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid drift between snapshots (X240) —
+    the vector-side member of the snapshot-diff family (X223 token
+    drift, X236 quality drift, X232 shingle novelty): split the store
+    into two ingestion snapshots (vec_id parity) and report, per
+    label, the cosine between the label's snapshot-A and snapshot-B
+    centroids. A label whose centroid moved (cos well below its
+    siblings') means either the upstream ENCODER changed or that
+    class's incoming data shifted — both invalidate fixed similarity
+    thresholds (X164's SemDeDup cut, X173's kNN label gates) silently
+    if unwatched. Centroid coordinates are 6-decimal-rounded per
+    dimension (the X191/X213 recipe — AVG ulp noise sits far inside
+    the rounding), so the cosine runs on identical doubles in both
+    engines; labels present in only one snapshot drop (inner join) —
+    absence is a different alarm (X223's new-type census shape).
+
+    Scale: ONE corpus scan explodes to (label, snap, dim) partial
+    means — map-side-combined, |labels|·2·64 groups; the drift join
+    is |labels| rows against |labels| rows. The corpus never shuffles
+    and nothing row-sized survives the first aggregation.
+
+    Reference parity: none; extends the X213 centroid apparatus along
+    the X223 snapshot axis."""
+    from seng550_a3_etl_spark.functions.vectors import cosine
+
+    t = load_tables(spark, sf_dir)
+    cent = (
+        t.embeddings.select(
+            "label",
+            (F.col("vec_id") % 2).alias("s"),
+            F.posexplode("embedding").alias("dim", "x"),
+        )
+        .groupBy("label", "s", "dim")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .groupBy("label", "s")
+        .agg(
+            F.any_value("n").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda z: z["c"],
+            ).alias("cv"),
+        )
+    )
+    a = cent.filter(F.col("s") == 0).select(
+        "label", F.col("n").alias("n_a"), F.col("cv").alias("cva")
+    )
+    b = cent.filter(F.col("s") == 1).select(
+        "label", F.col("n").alias("n_b"), F.col("cv").alias("cvb")
+    )
+    return a.join(b, "label").select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(cosine(F.col("cva"), F.col("cvb")), 6).alias(
+            "centroid_cos"
+        ),
     )

@@ -1694,3 +1694,58 @@ def test_charclass_census_invariants(spark):
         assert 1_000_000 - 4 <= total <= 1_000_000
         assert 0 <= r.upper_per_alpha_ppm <= 1_000_000
         assert r.n_chars > 0
+
+
+def test_source_shingle_jaccard_invariants(spark):
+    # full upper-triangular matrix; intersection nests in both set
+    # sizes; ppms are the documented floors
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["source_shingle_jaccard"](spark, sf).collect()
+    sources = set()
+    for r in rows:
+        sources.update((r.source_a, r.source_b))
+        assert r.source_a < r.source_b
+        assert 0 <= r.n_common <= min(r.n_shingles_a, r.n_shingles_b)
+        union = r.n_shingles_a + r.n_shingles_b - r.n_common
+        assert r.jaccard_ppm == r.n_common * 1000000 // union
+        assert r.containment_ppm == r.n_common * 1000000 // min(
+            r.n_shingles_a, r.n_shingles_b
+        )
+        assert r.jaccard_ppm <= r.containment_ppm
+    n = len(sources)
+    assert len(rows) == n * (n - 1) // 2
+
+
+def test_label_centroid_drift_invariants(spark):
+    # one row per label present in both snapshots; cosine in range;
+    # snapshot counts reconcile to the store size
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["label_centroid_drift"](spark, sf).collect()
+    assert rows
+    n_vecs = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert sum(r.n_a + r.n_b for r in rows) <= n_vecs
+    for r in rows:
+        assert r.n_a > 0 and r.n_b > 0
+        assert -1.0 <= r.centroid_cos <= 1.0
+
+
+def test_epoch_plan_budget_invariants(spark):
+    # weights ~sum to 1e6 (floors); targets sum to ~3x the corpus;
+    # epochs_ppm is the documented floor; cliff flag matches
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["epoch_plan_budget"](spark, sf).collect()
+    assert rows
+    total = sum(r.n_tokens for r in rows)
+    wsum = sum(r.weight_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= wsum <= 1_000_000
+    tsum = sum(r.target_tokens for r in rows)
+    assert 3 * total - 3 * len(rows) <= tsum <= 3 * total
+    for r in rows:
+        assert r.epochs_ppm == r.target_tokens * 1000000 // r.n_tokens
+        assert r.over_repetition_cliff == (r.epochs_ppm > 4_000_000)
