@@ -953,6 +953,74 @@ def profile_hard_negative(spark, sf_dir: str) -> dict:
     return res
 
 
+
+
+def profile_copurchase_recs(spark, sf_dir: str) -> dict:
+    # Mirrors copurchase_jaccard_recs (X152): distinct (order, part)
+    # edge build, per-basket C(b,2) pair generation + pair rollup,
+    # degree joins + exact-jaccard projection, and the per-part top-3
+    # rank window — plus the pair budget that bounds the rollup.
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.operators.text_dedup import bucket_pairs
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    res: dict = {}
+    op, res["edge_distinct"] = _t(
+        "distinct (order, part) edges (ckpt)",
+        lambda: t.lineitem.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=True),
+    )
+    res["n_edges"] = op.count()
+    co, res["basket_pairs_rollup"] = _t(
+        "per-basket C(b,2) pairs + (a,b) rollup (ckpt)",
+        lambda: bucket_pairs(op, ["o"], F.col("p"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .localCheckpoint(eager=True),
+    )
+    res["n_pairs"] = co.count()
+    deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    da = deg.select(F.col("p").alias("a"), F.col("n").alias("na"))
+    db = deg.select(F.col("p").alias("b"), F.col("n").alias("nb"))
+    sim, res["degree_jaccard"] = _t(
+        "degree joins + exact jaccard (ckpt)",
+        lambda: co.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a", "b", "co",
+            F.expr(
+                "co * 1000000000 DIV (na + nb - co)"
+            ).alias("jaccard_ppb"),
+        )
+        .localCheckpoint(eager=True),
+    )
+    both = sim.select(
+        F.col("a").alias("src_part"), F.col("b").alias("rec_part"),
+        "co", "jaccard_ppb",
+    ).unionByName(
+        sim.select(
+            F.col("b").alias("src_part"), F.col("a").alias("rec_part"),
+            "co", "jaccard_ppb",
+        )
+    )
+    wr = Window.partitionBy("src_part").orderBy(
+        F.desc("jaccard_ppb"), F.desc("co"), "rec_part"
+    )
+    _, res["topk_window"] = _t(
+        "per-part top-3 rank window (noop)",
+        lambda: both.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    return res
+
+
 PROFILES = {
     "minhash_dup_pairs": profile_minhash,
     "embedding_cosine_dedup": profile_cosine,
@@ -969,6 +1037,7 @@ PROFILES = {
     "revenue_proration": profile_proration,
     "bpe_encode_docs": profile_bpe_encode,
     "hard_negative_mining": profile_hard_negative,
+    "copurchase_jaccard_recs": profile_copurchase_recs,
 }
 
 

@@ -56,7 +56,9 @@ _DEFAULTS = {
     # cached class costs ~tens of KB of metaspace — 2000 entries is
     # noise inside a 16g JVM, and on a real cluster executors compile
     # per-JVM too, so the same conf ships with spark-submit.
-    "spark.sql.codegen.cache.maxEntries": "2000",
+    "spark.sql.codegen.cache.maxEntries": os.environ.get(
+        "SPARK_GRAFT_CODEGEN_CACHE", "2000"
+    ),
 }
 
 
