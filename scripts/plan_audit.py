@@ -15,11 +15,17 @@ exact brute-force baseline plus the approximate path each re-read
 the small q/cent frames: ann_recall_*, ivf_nprobe_recall_curve,
 knn_label_*, int8_recall_curve: float + quantized arms), BPE-encoder
 compositions (bpe_fertility: the vocab build + encode + word-count
-arms), and the dedup-family census (dedup_strategy_delta /
+arms), the dedup-family census (dedup_strategy_delta /
 dedup_tier_funnel: one arm per tier — 8 tiers, each with its own
 posting/window shuffles; the composition of independently-spotted
-tiers, scans = arms by design) are by design; a new unexplained flag
-is a regression.
+tiers, scans = arms by design), the snapshot-diff compositions
+(tokenizer_drift_snapshots: encoder arm + word-count arm + type
+census, closing folds are 1-row frames so single-partition exchanges
+are the CORRECT plan), and the source-pair matrices
+(source_shingle_jaccard: the closing |sources|² pairing is an
+intentional broadcast theta join over ≤|sources| rows; the posting
+side is pinned once) are by design; a new unexplained flag is a
+regression.
 """
 
 from __future__ import annotations

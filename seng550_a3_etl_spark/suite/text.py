@@ -5603,6 +5603,9 @@ def source_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirroring that never produces a single qualifying doc pair."""
     sets_ = _shingle_sets_df(spark, sf_dir, n=3, hashed=True)
     t = load_tables(spark, sf_dir)
+    # ss feeds THREE consumers (sz + both self-join sides) — pin it
+    # once (the standing fan-out rule) or the explode+join+distinct
+    # replays per reference.
     ss = (
         sets_.select("doc", F.explode("sh").alias("hs"))
         .join(
@@ -5611,6 +5614,7 @@ def source_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "hs")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sz = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = ss.select(F.col("source").alias("source_a"), "hs")
