@@ -5396,7 +5396,10 @@ def quality_decile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     abs_drift_ppm column's sum is the total-variation distance — the
     exact-arithmetic stand-in for the industry PSI (whose ln() term
     is IEEE-transcendental and engine-divergent; TVD and PSI flag the
-    same bins). A drifting quality distribution between crawls is THE
+    same bins). The TEMPORAL axis complements X94's cross-sectional
+    PSI (each source vs the corpus-wide profile): X94 asks "which
+    feed is unlike the others", this asks "did the whole corpus move
+    between crawls". A drifting quality distribution between crawls is THE
     leading indicator that fixed quality thresholds (X73/X81) are
     about to change the admitted mixture silently.
 
