@@ -1749,3 +1749,23 @@ def test_epoch_plan_budget_invariants(spark):
     for r in rows:
         assert r.epochs_ppm == r.target_tokens * 1000000 // r.n_tokens
         assert r.over_repetition_cliff == (r.epochs_ppm > 4_000_000)
+
+
+def test_knn_cells_sqrt_cap(spark):
+    # ceil(sqrt(n)) cap honored; cells are the SMALLEST pool bids
+    # (deterministic); every cell id is from the %50 pool
+    import math
+
+    from seng550_a3_etl_spark.suite.vectors import _knn_cells
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n = emb.count()
+    cap = math.ceil(math.sqrt(n))
+    cells = _knn_cells(emb).collect()
+    bids = [r.bid for r in cells]
+    pool = sorted(
+        r.vec_id for r in emb.select("vec_id").collect() if r.vec_id % 50 == 0
+    )
+    assert len(bids) == min(cap, len(pool))
+    assert bids == pool[: len(bids)]
