@@ -1107,6 +1107,7 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
         spot["cache_builds"] = {}
         try:
             from seng550_a3_etl_spark.suite import text as _suite_text
+            from seng550_a3_etl_spark.suite import vectors as _suite_vec
 
             def _evict(cache: dict, sfd: str) -> None:
                 for k in [k for k in cache if k[1] == sfd]:
@@ -1117,6 +1118,7 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 _suite_text._LABELS_CACHE,
                 _suite_text._XSPAN_CACHE,
                 _suite_text._CENSUS_CACHE,
+                _suite_vec._ASSIGN_CACHE,
             ):
                 _evict(cache, sf_dir)
             # dependency order: labels ride the hashed shingle set, so
@@ -1140,6 +1142,11 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 # the first spotted consumer's wall).
                 ("dedup_tier_census",
                  lambda d: _suite_text.dedup_strategy_delta(spark, d)),
+                # r12: the self-kNN cell assignment (X226/X231/X233/
+                # X234 share it) — sqrt(n) cells, broadcast assign
+                # fold + label join, independent of the text caches.
+                ("knn_cell_assign",
+                 lambda d: _suite_vec._knn_assigned(spark, d)),
             ]
             for bname, fn in builds:
                 t0 = time.perf_counter()

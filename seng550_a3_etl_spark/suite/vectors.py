@@ -3523,6 +3523,39 @@ def _knn_cells(emb: DataFrame) -> DataFrame:
     )
 
 
+_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _knn_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, __cn, bid, label) — the corpus assigned to the
+    ceil(√n) cells with labels attached, computed ONCE per (Spark
+    application, sf_dir) and shared by the whole self-kNN family
+    (X226 outliers, X231 hubness, X233 consensus, X234 hard
+    negatives). Same rationale as text.py's ``_shingle_sets_df``: at
+    100 TB the cell assignment is a materialized artifact written by
+    one job (the plans/gold.py shape) and consumed by every
+    neighborhood diagnostic; ``localCheckpoint`` is the
+    session-scoped analog, and bench.py evicts + times the build as
+    its own [1×, 10×, ratio] row so no spotted consumer absorbs it."""
+    from seng550_a3_etl_spark.operators.similarity import assign_buckets
+    from seng550_a3_etl_spark.suite.text import _evict_stopped_sessions
+
+    _evict_stopped_sessions(_ASSIGN_CACHE)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ASSIGN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    t = load_tables(spark, sf_dir)
+    corpus = t.embeddings.select("vec_id", F.col("embedding").alias("v"))
+    out = (
+        assign_buckets(corpus, _knn_cells(t.embeddings), "vec_id", "v")
+        .join(t.embeddings.select("vec_id", "label"), "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    _ASSIGN_CACHE[key] = out
+    return out
+
+
 @query(
     "knn_bucket_outliers",
     oracle=f"""
@@ -3587,14 +3620,8 @@ def knn_bucket_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none; extends the X166/X168/X187 vector-quality
     family."""
     from seng550_a3_etl_spark.functions.vectors import dot
-    from seng550_a3_etl_spark.operators.similarity import assign_buckets
 
-    t = load_tables(spark, sf_dir)
-    corpus = t.embeddings.select("vec_id", F.col("embedding").alias("v"))
-    cent = _knn_cells(t.embeddings)
-    assigned = assign_buckets(corpus, cent, "vec_id", "v").localCheckpoint(
-        eager=True
-    )
+    assigned = _knn_assigned(spark, sf_dir)
     a = assigned.select(
         "bid",
         F.col("vec_id").alias("va"),
@@ -3788,14 +3815,8 @@ def knn_hubness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none; extends the X187/X226 vector-quality
     family."""
     from seng550_a3_etl_spark.functions.vectors import dot
-    from seng550_a3_etl_spark.operators.similarity import assign_buckets
 
-    t = load_tables(spark, sf_dir)
-    corpus = t.embeddings.select("vec_id", F.col("embedding").alias("v"))
-    cent = _knn_cells(t.embeddings)
-    assigned = assign_buckets(corpus, cent, "vec_id", "v").localCheckpoint(
-        eager=True
-    )
+    assigned = _knn_assigned(spark, sf_dir)
     a = assigned.select(
         "bid",
         F.col("vec_id").alias("va"),
@@ -3903,24 +3924,18 @@ def knn_label_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLUMBING (cell-bounded labeled self-kNN) is the operator.
 
     Scale: identical pair volume to X226 (Σ cell², never |corpus|²);
-    labels ride the assignment frame (one projection of the same
-    scan, no extra corpus join); the vote is a per-anchor conditional
-    count folded map-side after the WindowGroupLimit-pruned top-k.
-    agree_ppm is one truncating big-int division per anchor.
+    the labeled cell assignment is the session-shared ``_knn_assigned``
+    artifact (built once, one vec_id-keyed label join inside the
+    build, amortized across the whole X226/X231/X233/X234 family);
+    the vote is a per-anchor conditional count folded map-side after
+    the WindowGroupLimit-pruned top-k. agree_ppm is one truncating
+    big-int division per anchor.
 
     Reference parity: none; completes the X173/X187/X226 labeled
     vector-quality triangle."""
     from seng550_a3_etl_spark.functions.vectors import dot
-    from seng550_a3_etl_spark.operators.similarity import assign_buckets
 
-    t = load_tables(spark, sf_dir)
-    corpus = t.embeddings.select("vec_id", F.col("embedding").alias("v"))
-    cent = _knn_cells(t.embeddings)
-    assigned = (
-        assign_buckets(corpus, cent, "vec_id", "v")
-        .join(t.embeddings.select("vec_id", "label"), "vec_id")
-        .localCheckpoint(eager=True)
-    )
+    assigned = _knn_assigned(spark, sf_dir)
     a = assigned.select(
         "bid",
         F.col("vec_id").alias("va"),
@@ -4048,16 +4063,8 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none; the selection-side complement of X218's
     retrieval metric over the same labeled store."""
     from seng550_a3_etl_spark.functions.vectors import dot
-    from seng550_a3_etl_spark.operators.similarity import assign_buckets
 
-    t = load_tables(spark, sf_dir)
-    corpus = t.embeddings.select("vec_id", F.col("embedding").alias("v"))
-    cent = _knn_cells(t.embeddings)
-    assigned = (
-        assign_buckets(corpus, cent, "vec_id", "v")
-        .join(t.embeddings.select("vec_id", "label"), "vec_id")
-        .localCheckpoint(eager=True)
-    )
+    assigned = _knn_assigned(spark, sf_dir)
     a = assigned.select(
         "bid",
         F.col("vec_id").alias("va"),
