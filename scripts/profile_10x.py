@@ -1021,6 +1021,52 @@ def profile_copurchase_recs(spark, sf_dir: str) -> dict:
     return res
 
 
+
+
+def profile_ngram(spark, sf_dir: str) -> dict:
+    # Mirrors ngram_dup_pairs (X2): session shingle-set build (shared
+    # cache), posting explode + stop-shingle frequency bound, the
+    # C(freq,2) pair intersections, and the exact-jaccard close —
+    # plus the bounded posting pair budget.
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        pair_intersections,
+    )
+    from seng550_a3_etl_spark.suite.text import _shingle_sets_df
+
+    res: dict = {}
+    sets_, res["shingle_sets"] = _t(
+        "session shingle sets (cache build or hit, ckpt)",
+        lambda: _shingle_sets_df(spark, sf_dir, n=3, hashed=True),
+    )
+    ex = sets_.select("doc", F.explode("sh").alias("hs"))
+    freq = ex.groupBy("hs").agg(F.count(F.lit(1)).alias("f"))
+    pb = freq.filter(F.col("f") <= 64).agg(
+        F.sum(F.col("f") * (F.col("f") - 1) / 2).alias("b")
+    ).collect()[0]["b"]
+    res["pair_budget"] = int(pb or 0)
+    print(f"    bounded posting pair budget={res['pair_budget']}")
+    inter, res["pair_intersections"] = _t(
+        "posting pairs + per-pair intersection rollup (ckpt)",
+        lambda: pair_intersections(sets_, 64).localCheckpoint(
+            eager=True
+        ),
+    )
+    res["n_candidate_pairs"] = inter.count()
+    _, res["jaccard_close"] = _t(
+        "exact jaccard + threshold close (noop)",
+        lambda: inter.withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    return res
+
+
 PROFILES = {
     "minhash_dup_pairs": profile_minhash,
     "embedding_cosine_dedup": profile_cosine,
@@ -1038,6 +1084,7 @@ PROFILES = {
     "bpe_encode_docs": profile_bpe_encode,
     "hard_negative_mining": profile_hard_negative,
     "copurchase_jaccard_recs": profile_copurchase_recs,
+    "ngram_dup_pairs": profile_ngram,
 }
 
 
