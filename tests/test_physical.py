@@ -510,3 +510,33 @@ def test_no_expensive_hof_in_big_scan_datafilters(spark):
             ) >= 2:
                 offenders.setdefault(name, []).append(filt[:120])
     assert not offenders, f"expensive HOFs in scan DataFilters: {offenders}"
+
+
+def test_self_knn_family_plan_shape(spark):
+    # The self-kNN family's scale contract (r12): the cell ASSIGNMENT
+    # is the zero-exchange broadcast fold (no join/exchange between
+    # the embeddings scan and the argmax projection — assign_buckets'
+    # packed-centroid form), and the per-anchor top-k/argmax windows
+    # are WindowGroupLimit-pruned so rank pruning happens map-side
+    # before the final sort.
+    from pyspark.sql import functions as F
+
+    from seng550_a3_etl_spark.suite import vectors as _v
+
+    assigned = _v._knn_assigned(spark, SF_ORACLE)
+    # cached frame is a checkpoint; re-derive the build plan fresh
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.operators.similarity import assign_buckets
+
+    t = load_tables(spark, SF_ORACLE)
+    corpus = t.embeddings.select("vec_id", F.col("embedding").alias("v"))
+    build = assign_buckets(
+        corpus, _v._knn_cells(t.embeddings), "vec_id", "v"
+    )
+    plan = _executed_plan(build)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert assigned.count() == t.embeddings.count()
+    for name in ("knn_label_consensus", "hard_negative_mining",
+                 "knn_bucket_outliers"):
+        qplan = _executed_plan(QUERIES[name](spark, SF_ORACLE))
+        assert "WindowGroupLimit" in qplan, name
