@@ -5654,3 +5654,96 @@ def source_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment_ppm"),
         )
     )
+
+
+def _pii_census_oracle() -> str:
+    from seng550_a3_etl_spark.functions.text import PII_PATTERNS
+
+    (em, _), (ip, _), (ph, _) = PII_PATTERNS
+    t1 = f"regexp_replace(text, '{em}', '<EMAIL>', 'g')"
+    t2 = f"regexp_replace({t1}, '{ip}', '<IP>', 'g')"
+    return f"""
+    WITH per AS (
+      SELECT source,
+             len(string_split_regex(text, '\\s+')) AS n_tok,
+             len(regexp_extract_all(text, '{em}')) AS n_email,
+             len(regexp_extract_all({t1}, '{ip}')) AS n_ip,
+             len(regexp_extract_all({t2}, '{ph}')) AS n_phone
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_email) AS BIGINT) AS n_email,
+           CAST(SUM(n_ip) AS BIGINT) AS n_ip,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+           CAST(COUNT(*) FILTER (WHERE n_email + n_ip + n_phone > 0)
+                AS BIGINT) AS docs_with_pii,
+           CAST(CAST(COUNT(*) FILTER (WHERE n_email + n_ip + n_phone > 0)
+                     AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+             AS pii_doc_ppm,
+           CAST(CAST(SUM(n_email) + SUM(n_ip) + SUM(n_phone) AS HUGEINT)
+                * 1000000 // greatest(SUM(n_tok), 1) AS BIGINT)
+             AS hits_per_mtok
+    FROM per GROUP BY source
+    """
+
+
+@query("pii_density_census", oracle=_pii_census_oracle())
+def pii_density_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII density census by source (X242) — the privacy-risk RANKING
+    over the same typed patterns X56 redacts (emails, IPv4, phone
+    shapes): per source, match counts per class, documents carrying
+    any PII (count + exact ppm), and total hits per million tokens.
+    X56 produces the scrubbed text; this is the audit artifact a
+    release review actually reads — which feeds are PII-hot (route
+    them through the expensive NER pass, or drop them), and whether a
+    new snapshot's density jumped (the X236 drift axis applied to
+    privacy). Counts run on the PROGRESSIVELY redacted text (emails
+    counted on raw text, IPs after email redaction, phones after
+    both) so a match is attributed to exactly one class — the same
+    order-matters semantics as X56's replacement chain, replayed
+    identically by the oracle.
+
+    Scale: three per-row regex counts in the scan (JVM-side, zero
+    shuffle — patterns restricted to Java/RE2-identical constructs,
+    the X56 contract) → a |sources| map-side rollup; densities are
+    truncating big-int divisions on the summed counts.
+
+    Reference parity: none; completes the X56 privacy surface with
+    its observability half."""
+    from seng550_a3_etl_spark.functions.text import PII_PATTERNS
+
+    (em, _), (ip, _), (ph, _) = PII_PATTERNS
+    raw = F.col("text")
+    t1 = F.regexp_replace(raw, em, "<EMAIL>")
+    t2 = F.regexp_replace(t1, ip, "<IP>")
+    t = load_tables(spark, sf_dir)
+    per = t.documents.select(
+        "source",
+        F.size(tokens(raw)).cast("long").alias("n_tok"),
+        F.regexp_count(raw, F.lit(em)).cast("long").alias("n_email"),
+        F.regexp_count(t1, F.lit(ip)).cast("long").alias("n_ip"),
+        F.regexp_count(t2, F.lit(ph)).cast("long").alias("n_phone"),
+    )
+    any_pii = (
+        F.col("n_email") + F.col("n_ip") + F.col("n_phone") > 0
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_email").cast("long").alias("n_email"),
+        F.sum("n_ip").cast("long").alias("n_ip"),
+        F.sum("n_phone").cast("long").alias("n_phone"),
+        F.count(F.when(any_pii, 1)).cast("long").alias("docs_with_pii"),
+        F.expr(
+            "CAST(CAST(count(CASE WHEN n_email + n_ip + n_phone > 0 "
+            "THEN 1 END) AS DECIMAL(38,0)) * 1000000 DIV count(1) "
+            "AS LONG)"
+        ).alias("pii_doc_ppm"),
+        F.expr(
+            "CAST(CAST(sum(n_email) + sum(n_ip) + sum(n_phone) "
+            "AS DECIMAL(38,0)) * 1000000 DIV greatest(sum(n_tok), 1) "
+            "AS LONG)"
+        ).alias("hits_per_mtok"),
+    )

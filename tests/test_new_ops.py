@@ -1769,3 +1769,18 @@ def test_knn_cells_sqrt_cap(spark):
     )
     assert len(bids) == min(cap, len(pool))
     assert bids == pool[: len(bids)]
+
+
+def test_pii_density_census_invariants(spark):
+    # class counts reconcile; ppm/density are the documented floors;
+    # docs_with_pii nests in n_docs
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["pii_density_census"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.docs_with_pii <= r.n_docs
+        assert r.pii_doc_ppm == r.docs_with_pii * 1000000 // r.n_docs
+        hits = r.n_email + r.n_ip + r.n_phone
+        assert r.hits_per_mtok == hits * 1000000 // max(r.n_tokens, 1)
