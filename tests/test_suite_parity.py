@@ -110,6 +110,14 @@ _SCALE_SENSITIVE = [
     # buckets at sf0.001, multi-way collisions at sf0.1); the oracle
     # replay must stay bit-exact through both regimes.
     "cms_heavy_hitters",
+    # r12: the self-kNN cell count flips regimes across sf — the %50
+    # candidate pool binds below ceil(sqrt(n)) at small sf (1 cell at
+    # sf0.001: the whole store self-joins in one cell) and the sqrt
+    # cap binds above it; both engines must replay the same min(pool,
+    # cap) selection through both regimes. One family representative
+    # per output shape: per-vector stats and the dual-argmax pivot.
+    "knn_label_consensus",
+    "hard_negative_mining",
 ]
 
 _SF_FULL = "/root/testdata/sf0.1"
