@@ -64,10 +64,9 @@ _CHANGED: dict[str, int] = {
     "leakage_free_split": 5,
     # round 5: bounds-verified deterministic output + oracle added
     "scalar_stats_approx": 5,
-    # round 5: sublinear-k centroid caps (sf0.01 output unchanged — the
-    # cap binds only beyond sf0.1 — but the code under them changed)
-    "embedding_topk_ivf": 5,
-    "kmeans_step_clusters": 5,
+    # (round-5 sublinear-k centroid-cap entries for embedding_topk_ivf /
+    # kmeans_step_clusters superseded by their later-round entries below
+    # — one literal entry per key, latest change round only.)
     # round 5: stream sources target the table path directly (the
     # pathGlobFilter form ran empty on directory-shaped tables)
     "stream_hourly_windows": 5,
@@ -116,10 +115,10 @@ _CHANGED: dict[str, int] = {
     # over one packed broadcast centroid row (kills the n·k scored-row
     # shuffle). Output byte-identical (same rounded cosine, same
     # tie-break), but the code under every IVF/k-means consumer changed.
+    # (embedding_topk_ivf / ann_recall_ivf / ivf_pq_search also changed
+    # here; their entries live in the round-11 block below — latest
+    # change round only.)
     "kmeans_step_clusters": 9,
-    "embedding_topk_ivf": 9,
-    "ann_recall_ivf": 9,
-    "ivf_pq_search": 9,
     # round 10: ADVICE-r9 ppm-overflow fixes — token-count ppm
     # numerators moved to DECIMAL(38,0) / HUGEINT (int64 wraps at the
     # ~1e13-token operating point). Value-identical at sf0.01, but the
@@ -132,15 +131,9 @@ _CHANGED: dict[str, int] = {
     # OUTPUT-changing: stage rows renumbered 04-07 and their counts
     # reflect the trimmed corpus.
     "curation_pipeline_full": 10,
-    # round 10: X146 extended from a 2-tier (ngram/minhash) census to
-    # the full 8-tier dedup-family census — output schema gains six
-    # flag columns and the pair universe widens.
-    "dedup_strategy_delta": 10,
-    # round 10: k-means seed recipe moved from density sampling
-    # (vec_id % 100, k grew with the corpus — the 13.0x sf1 spot) to
-    # the scale-stable 50 smallest vec_ids. OUTPUT-changing at every
-    # sf (5 -> 50 seeds at sf0.01).
-    "kmeans_iterated_centroids": 10,
+    # (round-10 dedup_strategy_delta 8-tier-census and
+    # kmeans_iterated_centroids scale-stable-seed entries superseded by
+    # their round-12 entries below — latest change round only.)
     # (round-10 dup_span_stats entry superseded by the r11 one below —
     # duplicate literal keys silently keep the last, so only the
     # latest round is listed.)
@@ -156,17 +149,16 @@ _CHANGED: dict[str, int] = {
     "ann_recall_ivf": 11,
     "ann_recall_ivf_pq": 11,
     "ivf_pq_search": 11,
-    "matryoshka_recall_curve": 11,
-    "kmeans_iterated_centroids": 11,
+    # (matryoshka_recall_curve / kmeans_iterated_centroids also changed
+    # here; superseded by their round-12 entries below.)
     # round 11: SemDeDup pair builders' centroid count moved from a
     # fixed 50-cap (pair volume n²/100, quadratic) to ceil(sqrt(n))
     # (_semdedup_cent — the published n^1.5 operating point). Values
     # identical at driver scales (the %100 candidate pool binds below
     # n=10^4), but the recipe under them — and their oracles — changed.
-    "semantic_dedup_clusters": 11,
-    "semantic_threshold_sweep": 11,
-    "dedup_strategy_delta": 11,
-    "dedup_tier_funnel": 11,
+    # (semantic_dedup_clusters / semantic_threshold_sweep /
+    # dedup_strategy_delta / dedup_tier_funnel entries superseded by
+    # the round-12 block below.)
     # round 11: spread_for_cpu on the under-parallel scan feeding the
     # window-hash explode (stage profile measured on 2 of 32 cores at
     # 10x). Values identical, plan changed.

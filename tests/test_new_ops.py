@@ -243,6 +243,35 @@ def test_changed_names_all_registered():
     assert not missing, f"_CHANGED names not registered: {missing}"
 
 
+def test_changed_has_no_duplicate_literal_keys():
+    # _CHANGED is a dict literal: a duplicate key silently keeps only
+    # the LAST entry. Today that is always the latest change round, but
+    # one comment-block reordering away from a stale-ledger bug (VERDICT
+    # r11/r12 item) — so lint the source: exactly one literal entry per
+    # query name.
+    import ast
+    import inspect
+    from collections import Counter
+
+    from seng550_a3_etl_spark import suite as s
+
+    tree = ast.parse(inspect.getsource(s))
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.AnnAssign)
+            and getattr(node.target, "id", None) == "_CHANGED"
+        ):
+            keys = [k.value for k in node.value.keys]
+            dups = {k: c for k, c in Counter(keys).items() if c > 1}
+            assert not dups, (
+                f"duplicate literal keys in _CHANGED (earlier entries "
+                f"are silently dropped): {dups} — keep ONE entry per "
+                f"query at its latest change round"
+            )
+            return
+    raise AssertionError("_CHANGED dict literal not found in suite/__init__.py")
+
+
 def test_never_checked_queries_sort_first():
     # the rotation is computed from the committed CORRECTNESS files: a
     # query with no driver row in any round sorts ahead of every
