@@ -1122,8 +1122,16 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
             from seng550_a3_etl_spark.suite import text as _suite_text
             from seng550_a3_etl_spark.suite import vectors as _suite_vec
 
-            def _evict(cache: dict, sfd: str) -> None:
-                for k in [k for k in cache if k[1] == sfd]:
+            def _evict(cache: dict, sfd: str, match=None) -> None:
+                # match narrows to ONE build's entry: the two shingle
+                # representations share _SHINGLE_CACHE, so an sf_dir-only
+                # retry eviction for shingle_sets_string also dropped the
+                # hashed entry — and dup_cluster_labels' later 10x timing
+                # silently re-paid a hashed-set rebuild (ADVICE r12).
+                for k in [
+                    k for k in cache
+                    if k[1] == sfd and (match is None or match(k))
+                ]:
                     del cache[k]
 
             for cache in (
@@ -1134,13 +1142,18 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 _suite_vec._ASSIGN_CACHE,
             ):
                 _evict(cache, sf_dir)
+            # build name -> (cache dict, exact-entry matcher). The
+            # matcher keys on the representation component so a retry
+            # evicts only the retried build's own entry.
             _CACHE_BY_BUILD = {
-                "shingle_sets_hashed": _suite_text._SHINGLE_CACHE,
-                "shingle_sets_string": _suite_text._SHINGLE_CACHE,
-                "dup_cluster_labels": _suite_text._LABELS_CACHE,
-                "xspan_span_census": _suite_text._XSPAN_CACHE,
-                "dedup_tier_census": _suite_text._CENSUS_CACHE,
-                "knn_cell_assign": _suite_vec._ASSIGN_CACHE,
+                "shingle_sets_hashed": (
+                    _suite_text._SHINGLE_CACHE, lambda k: k[3] == "hashed"),
+                "shingle_sets_string": (
+                    _suite_text._SHINGLE_CACHE, lambda k: k[3] == "string"),
+                "dup_cluster_labels": (_suite_text._LABELS_CACHE, None),
+                "xspan_span_census": (_suite_text._XSPAN_CACHE, None),
+                "dedup_tier_census": (_suite_text._CENSUS_CACHE, None),
+                "knn_cell_assign": (_suite_vec._ASSIGN_CACHE, None),
             }
             # dependency order: labels ride the hashed shingle set, so
             # each timing isolates exactly one build.
@@ -1186,7 +1199,8 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                     # better one. (This run's dup_cluster_labels read
                     # 16.2x in a window whose identical-code build had
                     # measured 4.4x thirty minutes earlier.)
-                    _evict(_CACHE_BY_BUILD.get(bname, {}), scaled)
+                    bcache, bmatch = _CACHE_BY_BUILD.get(bname, ({}, None))
+                    _evict(bcache, scaled, bmatch)
                     t0 = time.perf_counter()
                     fn(scaled)
                     b10r = round(time.perf_counter() - t0, 2)

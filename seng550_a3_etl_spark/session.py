@@ -61,6 +61,21 @@ _DEFAULTS = {
     ),
 }
 
+# A non-integer SPARK_GRAFT_CODEGEN_CACHE would otherwise surface only as
+# an opaque Spark conf failure at session build (ADVICE r12).
+try:
+    int(_DEFAULTS["spark.sql.codegen.cache.maxEntries"])
+except ValueError:
+    import warnings
+
+    warnings.warn(
+        "SPARK_GRAFT_CODEGEN_CACHE="
+        f"{_DEFAULTS['spark.sql.codegen.cache.maxEntries']!r} is not an "
+        "integer; falling back to 2000",
+        stacklevel=2,
+    )
+    _DEFAULTS["spark.sql.codegen.cache.maxEntries"] = "2000"
+
 
 def get_spark(
     app_name: str = "seng550-a3-etl-spark",

@@ -5442,9 +5442,17 @@ def quality_decile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_pat(pat: str) -> str:
+    """Escape a regex pattern for embedding in a single-quoted DuckDB
+    string literal. The current PII/charclass patterns carry no single
+    quote, but an unescaped one would silently produce broken oracle
+    SQL (ADVICE r12)."""
+    return pat.replace("'", "''")
+
+
 def _charclass_oracle() -> str:
     def stripped(pat: str) -> str:
-        return f"length(regexp_replace(text, '{pat}', '', 'g'))"
+        return f"length(regexp_replace(text, '{_sql_pat(pat)}', '', 'g'))"
 
     space_pat = "[ " + "\\t\\n\\r]"
     s_alpha, s_upper = stripped("[A-Za-z]"), stripped("[A-Z]")
@@ -5659,7 +5667,9 @@ def source_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pii_census_oracle() -> str:
     from seng550_a3_etl_spark.functions.text import PII_PATTERNS
 
-    (em, _), (ip, _), (ph, _) = PII_PATTERNS
+    (em, _), (ip, _), (ph, _) = (
+        (_sql_pat(p), r) for p, r in PII_PATTERNS
+    )
     t1 = f"regexp_replace(text, '{em}', '<EMAIL>', 'g')"
     t2 = f"regexp_replace({t1}, '{ip}', '<IP>', 'g')"
     return f"""

@@ -111,10 +111,10 @@ _SCALE_SENSITIVE = [
     # replay must stay bit-exact through both regimes.
     "cms_heavy_hitters",
     # r12: the self-kNN cell count flips regimes across sf — the %50
-    # candidate pool binds below ceil(sqrt(n)) at small sf (1 cell at
-    # sf0.001: the whole store self-joins in one cell) and the sqrt
-    # cap binds above it; both engines must replay the same min(pool,
-    # cap) selection through both regimes. One family representative
+    # candidate pool binds below ceil(sqrt(n)) at small sf (sf0.001:
+    # n=500 yields 10 pool ids, under the sqrt cap of 23, so the pool
+    # binds) and the sqrt cap binds above it; both engines must replay
+    # the same min(pool, cap) selection through both regimes. One family representative
     # per output shape: per-vector stats and the dual-argmax pivot.
     "knn_label_consensus",
     "hard_negative_mining",
