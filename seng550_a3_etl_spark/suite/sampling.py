@@ -705,3 +705,69 @@ def epoch_plan_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "over_repetition_cliff"
         ),
     )
+
+
+@query(
+    "shard_checksum_census",
+    oracle=rf"""
+    WITH assigned AS (
+      SELECT doc_id,
+             (({duck_hash64("CAST(doc_id AS VARCHAR)", seed=_SHARD_SEED)}
+               % {_N_SHARDS}) + {_N_SHARDS}) % {_N_SHARDS} AS shard_id,
+             {duck_hash64("text")} AS h,
+             len(string_split_regex(text, '\s+')) AS n_toks
+      FROM documents
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(bit_xor(h) AS BIGINT) AS content_xor,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM assigned
+    GROUP BY shard_id
+    """,
+)
+def shard_checksum_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed shard fingerprint census (X243) — the
+    reproducibility audit for a sharded training corpus: per X172
+    hash shard, the document count, token mass, id range, and an
+    ORDER-INSENSITIVE content checksum (bit_xor of the 60-bit text
+    hash). Two corpus copies that should be identical — a re-run of
+    the writer, a replicated bucket, a restored backup — compare as
+    64 fingerprint rows instead of a corpus-sized diff; any silent
+    mutation (a re-crawled doc, an encoding fix applied to one copy,
+    a lost row) flips its shard's checksum. XOR is the right fold
+    because it is commutative/associative (partition-order-free, so
+    the fingerprint is stable under any file layout or cluster size
+    — same reason the X61 money sums quantize first), self-inverse
+    (a doc removed AND re-added cancels exactly), and stays in one
+    int64 at any corpus size where a decimal SUM would need 128-bit
+    headroom.
+
+    Scale: one scan with per-row hashing folded in the scan stage +
+    ONE 64-group aggregate with map-side combine — at 100 TB each
+    executor reduces its splits to 64 partial rows before any
+    shuffle. Nothing corpus-sized moves.
+
+    Reference parity: none; extends the X172/X237 shard surface with
+    the integrity half (the reference's closest analog is its
+    row-count load verification, /root/reference/etl.py:214-218)."""
+    t = load_tables(spark, sf_dir)
+    shard = (
+        (hash64(F.col("doc_id").cast("string"), seed=_SHARD_SEED) % _N_SHARDS)
+        + _N_SHARDS
+    ) % _N_SHARDS
+    assigned = t.documents.select(
+        shard.alias("shard_id"),
+        "doc_id",
+        hash64(F.col("text")).alias("h"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_toks"),
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("bit_xor(h)").cast("long").alias("content_xor"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )

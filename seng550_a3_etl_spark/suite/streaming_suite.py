@@ -1131,3 +1131,74 @@ def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _await(q)
     return spark.table(_SH_STREAM_TABLE).distinct()
+
+
+_PII_GATE_TABLE = "stream_pii_gate_sink"
+
+
+def _stream_pii_gate_oracle() -> str:
+    from seng550_a3_etl_spark.functions.text import PII_PATTERNS
+    from seng550_a3_etl_spark.suite.text import _sql_pat
+
+    (em, _), (ip, _), (ph, _) = (
+        (_sql_pat(p), r) for p, r in PII_PATTERNS
+    )
+    t1 = f"regexp_replace(text, '{em}', '<EMAIL>', 'g')"
+    t2 = f"regexp_replace({t1}, '{ip}', '<IP>', 'g')"
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all({t1}, '{ip}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all({t2}, '{ph}')) AS BIGINT) AS n_phone,
+           len(regexp_extract_all(text, '{em}'))
+             + len(regexp_extract_all({t1}, '{ip}'))
+             + len(regexp_extract_all({t2}, '{ph}')) > 0 AS has_pii
+    FROM documents
+    """
+
+
+@query("stream_pii_gate", oracle=_stream_pii_gate_oracle())
+def stream_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PII admission gate (X245) — the privacy member of the
+    admission-control family (X190 runs the Gopher quality rules on
+    ingest; this runs the X56/X242 typed PII patterns): every arriving
+    document gets per-class match counts and a has_pii verdict BEFORE
+    landing in the lake, so PII-hot documents can be routed to
+    quarantine/redaction at ingest instead of waiting for the next
+    batch census. Counts run on the progressively redacted text so
+    each match attributes to exactly ONE class (X56's order-matters
+    chain), and the batch oracle replays the identical arithmetic
+    per document.
+
+    Scale: a pure stateless projection per micro-batch (three regex
+    passes folded in the scan, zero streaming state, append mode);
+    per-batch cost is |batch| row projections and the job runs
+    indefinitely at constant memory."""
+    from seng550_a3_etl_spark.functions.text import PII_PATTERNS
+
+    (em, _), (ip, _), (ph, _) = PII_PATTERNS
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/documents.parquet*"
+    )
+    raw = F.col("text")
+    t1 = F.regexp_replace(raw, em, "<EMAIL>")
+    t2 = F.regexp_replace(t1, ip, "<IP>")
+    verdicts = stream.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(em)).cast("long").alias("n_email"),
+        F.regexp_count(t1, F.lit(ip)).cast("long").alias("n_ip"),
+        F.regexp_count(t2, F.lit(ph)).cast("long").alias("n_phone"),
+    ).withColumn(
+        "has_pii",
+        F.col("n_email") + F.col("n_ip") + F.col("n_phone") > 0,
+    )
+    q = (
+        verdicts.writeStream.format("memory")
+        .queryName(_PII_GATE_TABLE)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    return spark.table(_PII_GATE_TABLE)

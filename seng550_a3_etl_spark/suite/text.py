@@ -5757,3 +5757,125 @@ def pii_density_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS LONG)"
         ).alias("hits_per_mtok"),
     )
+
+
+_PREF_PAIRS_PER_SOURCE = 10
+_PREF_MIN_GAP_MICROS = 50_000  # 0.05 on the [0,1] composite score
+
+_PREF_SCORED_SQL = f"""
+      SELECT doc_id, source,
+             CAST(ROUND((
+               least(len(t) / 100.0, 1.0) * 0.25
+               + (len(list_distinct(t)) / greatest(len(t), 1)) * 0.25
+               + least(((length(text) - (len(t) - 1)) / greatest(len(t), 1))
+                       / 8.0, 1.0) * 0.25
+               + least(({_duck_marker('en')} / greatest(len(t), 1)) * 10.0,
+                       1.0) * 0.25
+             ) * 1000000) AS BIGINT) AS q_micros
+      FROM (SELECT doc_id, text, source,
+                   string_split_regex(text, '\\s+') AS t
+            FROM documents)
+"""
+
+
+@query(
+    "preference_pair_mining",
+    oracle=f"""
+    WITH scored AS ({_PREF_SCORED_SQL}),
+    chosen AS (
+      SELECT source, doc_id, q_micros,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY q_micros DESC, doc_id) AS rk
+      FROM scored
+    ),
+    rejected AS (
+      SELECT source, doc_id, q_micros,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY q_micros ASC, doc_id) AS rk
+      FROM scored
+    )
+    SELECT c.source, CAST(c.rk AS BIGINT) AS pair_rank,
+           c.doc_id AS chosen_doc, r.doc_id AS rejected_doc,
+           c.q_micros AS chosen_q_micros, r.q_micros AS rejected_q_micros,
+           c.q_micros - r.q_micros AS gap_micros
+    FROM chosen c JOIN rejected r ON c.source = r.source AND c.rk = r.rk
+    WHERE c.rk <= {_PREF_PAIRS_PER_SOURCE}
+      AND c.doc_id <> r.doc_id
+      AND c.q_micros - r.q_micros >= {_PREF_MIN_GAP_MICROS}
+    """,
+)
+def preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-contrast preference-pair construction (X244) — the
+    DPO/RLHF-era data op the curation catalog lacked: per source, pair
+    the top-k highest-composite-quality documents (chosen) 1:1 by rank
+    with the bottom-k lowest (rejected), keeping pairs whose exact
+    integer-micro quality gap clears a floor — the cheap heuristic
+    bootstrap for preference data over an unlabeled corpus (a
+    same-source pair controls for domain/style, so the contrast is
+    quality, not topic). Deterministic end to end: scores quantize to
+    integer micros and both rank orders tie-break on doc_id.
+
+    Scale: per-row scoring folds in the scan stage; both rank windows
+    are per-source top-k, which Spark prunes map-side
+    (WindowGroupLimit) before the |sources|-keyed shuffle, so the
+    frames that reach the final (source, rank) equi-join hold at most
+    k rows per source each — at 100 TB nothing corpus-sized sorts or
+    shuffles past the scan.
+
+    Reference parity: none; composes the X10 composite score with the
+    X29-style per-group rank machinery into a new output family."""
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    scored = t.documents.select(
+        "doc_id",
+        "source",
+        F.round(quality_score(F.col("text"), toks) * 1_000_000)
+        .cast("long")
+        .alias("q_micros"),
+    )
+    w_desc = Window.partitionBy("source").orderBy(
+        F.col("q_micros").desc(), F.col("doc_id")
+    )
+    w_asc = Window.partitionBy("source").orderBy(
+        F.col("q_micros").asc(), F.col("doc_id")
+    )
+    chosen = (
+        scored.withColumn("rk", F.row_number().over(w_desc))
+        .filter(F.col("rk") <= _PREF_PAIRS_PER_SOURCE)
+        .select(
+            "source",
+            F.col("rk").cast("long").alias("pair_rank"),
+            F.col("doc_id").alias("chosen_doc"),
+            F.col("q_micros").alias("chosen_q_micros"),
+        )
+    )
+    rejected = (
+        scored.withColumn("rk", F.row_number().over(w_asc))
+        .filter(F.col("rk") <= _PREF_PAIRS_PER_SOURCE)
+        .select(
+            "source",
+            F.col("rk").cast("long").alias("pair_rank"),
+            F.col("doc_id").alias("rejected_doc"),
+            F.col("q_micros").alias("rejected_q_micros"),
+        )
+    )
+    return (
+        chosen.join(rejected, ["source", "pair_rank"])
+        .withColumn(
+            "gap_micros",
+            F.col("chosen_q_micros") - F.col("rejected_q_micros"),
+        )
+        .filter(
+            (F.col("chosen_doc") != F.col("rejected_doc"))
+            & (F.col("gap_micros") >= _PREF_MIN_GAP_MICROS)
+        )
+        .select(
+            "source",
+            "pair_rank",
+            "chosen_doc",
+            "rejected_doc",
+            "chosen_q_micros",
+            "rejected_q_micros",
+            "gap_micros",
+        )
+    )

@@ -481,24 +481,44 @@ def test_vector_suite_no_unhinted_cartesian(spark):
 
 
 def test_no_expensive_hof_in_big_scan_datafilters(spark):
-    # r12 pathology class (X216/X222/X57/X99): a filter or join
-    # constraint written over an interpreted-HOF alias gets rewritten
-    # into the parquet scan's DataFilters — the whole fold then runs
-    # per row inside the scan (single-core on a one-split fixture,
-    # duplicated with the projection's own evaluation). Guards must be
-    # scan-cheap preconditions instead. Asserted for the corpus-sized
-    # tables (documents/embeddings); dim-table scans (25-row nation
-    # geometry keys) are exempt — the expression cost is bounded by
-    # the dim size. A single flat transform( is allowed (e.g. the
-    # int8 all-zero filter max|x| > 0 — one cheap pass, no reuse);
-    # aggregate( folds and nested transform chains are not.
+    # ONE sweep over every non-streaming query's physical plan, three
+    # suite-wide invariants (plans are expensive to build — ~180 s cold
+    # for 250 queries — so all whole-suite plan guards share this loop):
+    #
+    # 1. r12 pathology class (X216/X222/X57/X99): a filter or join
+    #    constraint written over an interpreted-HOF alias gets rewritten
+    #    into the parquet scan's DataFilters — the whole fold then runs
+    #    per row inside the scan (single-core on a one-split fixture,
+    #    duplicated with the projection's own evaluation). Guards must be
+    #    scan-cheap preconditions instead. Asserted for the corpus-sized
+    #    tables (documents/embeddings); dim-table scans (25-row nation
+    #    geometry keys) are exempt — the expression cost is bounded by
+    #    the dim size. A single flat transform( is allowed (e.g. the
+    #    int8 all-zero filter max|x| > 0 — one cheap pass, no reuse);
+    #    aggregate( folds and nested transform chains are not.
+    # 2. No CartesianProduct anywhere (r13): the vector-suite guard
+    #    covers probe×corpus pairings under no-broadcast; this catches
+    #    an unhinted cross join leaking into ANY suite plan under the
+    #    default conf — at 100 TB that plan is a non-starter.
+    # 3. No BatchEvalPython anywhere (r13): the package's standing
+    #    claim is ZERO row-at-a-time Python UDFs (grep-verified for
+    #    definitions); this asserts it at the PLAN level, where an
+    #    accidental F.udf import would actually surface. Arrow paths
+    #    (mapInPandas/ArrowEvalPython) stay allowed — the multimodal
+    #    operators use them by design.
     import re
 
-    offenders = {}
+    offenders: dict = {}
+    cartesian: list = []
+    row_udf: list = []
     for name in sorted(QUERIES):
         if name.startswith("stream_"):
             continue  # streaming queries execute on registration
         plan = _executed_plan(QUERIES[name](spark, SF_ORACLE))
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if "BatchEvalPython" in plan:
+            row_udf.append(name)
         for ln in plan.splitlines():
             if "FileScan" not in ln or "DataFilters" not in ln:
                 continue
@@ -510,6 +530,8 @@ def test_no_expensive_hof_in_big_scan_datafilters(spark):
             ) >= 2:
                 offenders.setdefault(name, []).append(filt[:120])
     assert not offenders, f"expensive HOFs in scan DataFilters: {offenders}"
+    assert not cartesian, f"CartesianProduct in suite plans: {cartesian}"
+    assert not row_udf, f"row-at-a-time Python UDF in plans: {row_udf}"
 
 
 def test_self_knn_family_plan_shape(spark):
