@@ -263,8 +263,9 @@ def _compact_line(
         # carries only the per-stage 10x/1x ratios.
         sf1_spot = dict(sf1_spot)
         sf1_spot["stages"] = {
-            q: {k: (v[2] if isinstance(v, list) and len(v) == 3 else v)
-                for k, v in (tbl or {}).items()}
+            q: {k: (v[2] if isinstance(v, list) and len(v) >= 3 else v)
+                for k, v in (tbl or {}).items()
+                if k != "retried_10x"}
             for q, tbl in sf1_spot["stages"].items()
         }
     if sf1_spot and isinstance(sf1_spot.get("cache_builds"), dict):
@@ -487,7 +488,7 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
     _warm_text_pipeline(spark, sf_dir)
-    _warm_streaming(spark)
+    _warm_streaming(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
@@ -529,6 +530,11 @@ def main() -> None:
         except Exception as exc:
             sf1_spot["cc_distributed"] = {"failed": True}
             print(f"bench: cc_distributed failed: {exc}", file=sys.stderr)
+        try:
+            _merge_cost_decades(sf1_spot)
+        except Exception as exc:
+            print(f"bench: cost-decades merge failed: {exc}",
+                  file=sys.stderr)
     full = {
         "metric": "suite_total_wall",
         "value": total,
@@ -604,31 +610,106 @@ def _warm_text_pipeline(spark, sf_dir: str) -> None:
     ).write.format("noop").mode("overwrite").save()
 
 
-def _warm_streaming(spark) -> None:
+def _warm_streaming(spark, sf_dir: str) -> None:
     """Run one tiny stateful availableNow streaming job so the first
     TIMED streaming query doesn't pay the one-off streaming-runtime
-    costs (query-execution thread pool, checkpoint/offsets log setup,
-    state-store provider class init) — the round-over-round 1.4-1.5×
-    jitter on stream_* queries tracked to cold streaming machinery, not
-    plan changes."""
+    costs — the round-over-round 1.4-1.5× jitter on stream_* queries
+    tracked to cold streaming machinery, not plan changes.
+
+    r13 (VERDICT r12 #5): the warm-up now mirrors the machinery the
+    stream_* twins ACTUALLY use instead of the rate-source/noop-sink
+    stand-in, because the r12 record's worst first-pass rows were all
+    stream_* (13.0 s first vs 5.5 s steady for the substring guard)
+    and the rate-source warm-up leaves the expensive paths cold:
+    schema-enforced parquet FILE source (file-index listing + stream
+    metadata log classes), watermark + windowed agg through a real
+    HDFS-backed state store at the twins' 8 state partitions,
+    a stream-static join, and the memory sink (+ queryName registry).
+    A 64-row slice of the events fixture keeps the whole thing ~2 s."""
+    import shutil
+    import tempfile
+
     from pyspark.sql import functions as F
 
-    q = (
-        spark.readStream.format("rate")
-        .option("numPartitions", "1")
-        .load()
-        .groupBy(F.window("timestamp", "1 hour"))
-        .count()
-        .writeStream.format("noop")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(60):
-        # ADVICE r4: a hung warm-up stream must not keep running
-        # concurrently with the timed queries it exists to stabilize.
-        q.stop()
-        print("bench: streaming warm-up timed out; stopped", file=sys.stderr)
+    slice_dir = tempfile.mkdtemp(prefix=".bench_stream_warm_", dir=".")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        from seng550_a3_etl_spark.catalog import set_parquet_ts_confs
+
+        set_parquet_ts_confs(spark)
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        events.limit(64).write.mode("overwrite").parquet(slice_dir)
+        schema = events.schema
+        stream = spark.readStream.schema(schema).parquet(f"{slice_dir}*")
+        if dict(stream.dtypes)["ts"] == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        static = spark.range(4).select(
+            F.col("id").alias("user_id"), F.lit("seg").alias("segment")
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stream.withWatermark("ts", "1 hour")
+            .join(static, "user_id", "left")
+            .groupBy(F.window("ts", "1 hour"), "segment")
+            .count()
+            .writeStream.format("memory")
+            .queryName("bench_stream_warmup")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(60):
+            # ADVICE r4: a hung warm-up stream must not keep running
+            # concurrently with the timed queries it exists to stabilize.
+            q.stop()
+            print("bench: streaming warm-up timed out; stopped",
+                  file=sys.stderr)
+        spark.catalog.dropTempView("bench_stream_warmup")
+        # Second tiny job: a watermarked stream-STREAM outer interval
+        # join — StreamingSymmetricHashJoin state stores are a separate
+        # operator family from the windowed-agg store above, and the
+        # attribution twins' first pass was still paying its cold init
+        # (r13: 8.1 s first vs 2.3 s steady with only the agg warm-up).
+        def _side(prefix: str):
+            s = spark.readStream.schema(schema).parquet(f"{slice_dir}*")
+            if dict(s.dtypes)["ts"] == "bigint":
+                s = s.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            return s.select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            ).withWatermark(f"{prefix}_ts", "1 hour")
+
+        left, right = _side("l"), _side("r")
+        q2 = (
+            left.join(
+                right,
+                (F.col("l_user") == F.col("r_user"))
+                & (F.col("r_ts") >= F.col("l_ts"))
+                & (F.col("r_ts") <= F.col("l_ts") + F.expr(
+                    "INTERVAL 1 HOUR")),
+                "leftOuter",
+            )
+            .select("l_user", "l_ts", "r_ts")
+            .writeStream.format("memory")
+            .queryName("bench_stream_warmup_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q2.awaitTermination(60):
+            q2.stop()
+            print("bench: stream-join warm-up timed out; stopped",
+                  file=sys.stderr)
+        spark.catalog.dropTempView("bench_stream_warmup_join")
+    except Exception as exc:
+        print(f"bench: streaming warm-up failed: {exc}", file=sys.stderr)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(slice_dir, ignore_errors=True)
 
 
 def _ladder(spark, sf_dir: str) -> dict:
@@ -906,6 +987,44 @@ def _scale_10x(spark, sf_dir: str, out_dir: str) -> None:
         os.symlink(f"{sf_dir}/{name}.parquet", f"{out_dir}/{name}.parquet")
 
 
+def _merge_cost_decades(sf1_spot: dict) -> None:
+    """Attach the committed two-decade cost-class record
+    (COST_DECADES.json, generated one-off by
+    scripts/cost_class_decades.py — VERDICT r12 #4) to the spot
+    record's cost_classes entries, so the second-decade evidence rides
+    every bench_full.json instead of living only in the one-off file.
+    The 10x spot grades one decade; the decades record carries the
+    exact pair-budget counter at 1x/10x/100x with per-scale regime
+    (pool-limited vs sqrt-capped) and the normalized-ceiling verdict."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "COST_DECADES.json"
+    )
+    try:
+        with open(path) as f:
+            dec = json.load(f)
+    except (OSError, ValueError):
+        return
+    cc = sf1_spot.setdefault("cost_classes", {})
+    for qname, tname in (
+        ("semantic_dedup_clusters", "semantic_dedup_clusters"),
+        ("hard_negative_mining", "knn_cell_assign+hard_negative_mining"),
+    ):
+        tgt = (dec.get("targets") or {}).get(tname)
+        if not tgt:
+            continue
+        cc.setdefault(qname, {})["decades"] = {
+            "base": dec.get("base"),
+            "scales": dec.get("scales"),
+            "pair_budget": tgt.get("pair_budget"),
+            "budget_over_half_n15": tgt.get("budget_over_half_n15"),
+            "regimes": [
+                r.get("regime") for r in tgt.get("per_scale", [])
+            ],
+            "verdict": tgt.get("verdict"),
+            "source": "COST_DECADES.json",
+        }
+
+
 def _cc_distributed_probe(spark) -> dict:
     """Measure the DISTRIBUTED connected-components path (VERDICT r5
     #7): the >200k-edge min-label loop is parity- and property-tested
@@ -1059,16 +1178,58 @@ def _stage_profile(spark, sf_dir: str, scaled: str, name: str) -> dict:
     fn = mod.PROFILES.get(name)
     if fn is None:
         return {"no_stage_profile": True}
+    # Stage ratios get the SAME bound + one-retry contract as query and
+    # build ratios (VERDICT r12 #2: the semantic assign fold graded
+    # 37.4x on a 0.28 s base while the query-level ratio and the pair
+    # budget both tracked 14.2x). Two refinements specific to stages:
+    #   - small_base: a 1x stage wall under _STAGE_FLOOR seconds is
+    #     mostly constant overhead (codegen/JIT, task scheduling,
+    #     checkpoint setup), so its RATIO is noise — grade the 10x
+    #     wall against the absolute ceiling bound * floor instead and
+    #     say so in the row.
+    #   - one retry: if any properly-based stage exceeds the bound,
+    #     re-run the whole profiler at 10x once and keep per-stage
+    #     minima (cold-state artifacts don't repeat; genuine growth
+    #     does). Both passes are recorded.
+    _STAGE_FLOOR = 0.5
+    bound = SPOT_COST_CLASS.get(name, (None, 13.0))[1]
     with contextlib.redirect_stdout(sys.stderr):  # keep stdout for the line
         one = fn(spark, sf_dir)
         ten = fn(spark, scaled)
-    stages = {}
+
+    def needs_retry() -> bool:
+        return any(
+            isinstance(v, float) and v >= _STAGE_FLOOR
+            and ten[k] / v > bound
+            for k, v in one.items()
+        )
+
+    retried = None
+    if needs_retry():
+        with contextlib.redirect_stdout(sys.stderr):
+            retried = fn(spark, scaled)
+        for k, v in one.items():
+            if isinstance(v, float) and isinstance(retried.get(k), float):
+                ten[k] = min(ten[k], retried[k])
+    stages: dict = {"bound": bound, "small_base_floor_s": _STAGE_FLOOR}
     for k, v in one.items():
         if isinstance(v, float) and v > 0:
-            stages[k] = [round(v, 2), round(ten[k], 2),
-                         round(ten[k] / v, 1)]
+            ratio = round(ten[k] / v, 1)
+            if v < _STAGE_FLOOR:
+                verdict = (
+                    "ok_small_base" if ten[k] <= bound * _STAGE_FLOOR
+                    else "exceeds_bound"
+                )
+            else:
+                verdict = "ok" if ratio <= bound else "exceeds_bound"
+            stages[k] = [round(v, 2), round(ten[k], 2), ratio, verdict]
         else:
             stages[k] = [v, ten[k]]
+    if retried is not None:
+        stages["retried_10x"] = {
+            k: round(v, 2) for k, v in retried.items()
+            if isinstance(v, float)
+        }
     return stages
 
 

@@ -1067,8 +1067,121 @@ def profile_ngram(spark, sf_dir: str) -> dict:
     return res
 
 
+def profile_stream_minhash(spark, sf_dir: str) -> dict:
+    # Mirrors stream_minhash_dedup's internals (suite/streaming_suite):
+    # static band index from the session shingle cache, the availableNow
+    # streaming candidate job (stateless sign+band inside the
+    # micro-batch, stream-static join), and the post-sink distinct +
+    # exact-Jaccard verify. The streaming-job stage isolates the
+    # machinery a batch profiler can't see (micro-batch planning, sink
+    # appends); its cost class is linear in |stream| x bands.
+    from pyspark.sql import DataFrame
+
+    from seng550_a3_etl_spark.functions.hashing import minhash_signature
+    from seng550_a3_etl_spark.functions.text import shingles, tokens
+    from seng550_a3_etl_spark.operators.text_dedup import band_keys
+    from seng550_a3_etl_spark.suite.streaming_suite import _await
+    from seng550_a3_etl_spark.suite.text import (
+        MINHASH_BANDS,
+        MINHASH_NUM_PERM,
+        MINHASH_THRESHOLD,
+        _shingle_sets_df,
+    )
+
+    rpb = MINHASH_NUM_PERM // MINHASH_BANDS
+    res: dict = {}
+
+    def banded(df: DataFrame) -> DataFrame:
+        signed = df.filter(F.size("sh") > 0).select(
+            "doc",
+            minhash_signature(F.col("sh"), MINHASH_NUM_PERM).alias("sig"),
+        )
+        return band_keys(signed, MINHASH_BANDS, rpb)
+
+    sets_, res["shingle_sets"] = _t(
+        "shingle sets (session cache or build)",
+        lambda: _shingle_sets_df(spark, sf_dir, n=3, hashed=False),
+    )
+    index, res["index_build"] = _t(
+        "static band index (sign + band, ckpt)",
+        lambda: banded(sets_)
+        .select(F.col("doc").alias("odoc"), "band", "key")
+        .localCheckpoint(eager=True),
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    par = spark.sparkContext.defaultParallelism
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).parquet(
+            f"{sf_dir}/documents.parquet*"
+        )
+        signed = (
+            stream.select(F.col("doc_id").alias("doc"), "text")
+            .filter(F.size(tokens(F.col("text"))) >= 3)
+            .repartition(par)
+            .select(
+                "doc",
+                F.array_distinct(
+                    shingles(tokens(F.col("text")), 3)
+                ).alias("sh"),
+            )
+            .select(
+                "doc",
+                minhash_signature(
+                    F.col("sh"), MINHASH_NUM_PERM
+                ).alias("sig"),
+            )
+            .repartition(par, F.col("doc"))
+        )
+        cands = (
+            band_keys(signed, MINHASH_BANDS, rpb)
+            .join(index, ["band", "key"])
+            .filter(F.col("doc") != F.col("odoc"))
+            .select(
+                F.least("doc", "odoc").alias("doc_a"),
+                F.greatest("doc", "odoc").alias("doc_b"),
+            )
+        )
+        q = (
+            cands.writeStream.format("memory")
+            .queryName("profile_stream_minhash_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        return spark.table("profile_stream_minhash_sink")
+
+    sink, res["stream_candidates"] = _t(
+        "availableNow stream: sign+band+join -> sink", run_stream
+    )
+    res["n_sink_rows"] = sink.count()
+    print(f"    sink rows: {res['n_sink_rows']}")
+
+    pairs = sink.distinct()
+    sa = sets_.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = sets_.select(F.col("doc").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb")).cast("long")
+    jac = inter / (
+        F.size("sha").cast("long") + F.size("shb").cast("long") - inter
+    )
+    _, res["verify"] = _t(
+        "post-sink distinct + exact-Jaccard verify",
+        lambda: pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= MINHASH_THRESHOLD)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    spark.catalog.dropTempView("profile_stream_minhash_sink")
+    return res
+
+
 PROFILES = {
     "minhash_dup_pairs": profile_minhash,
+    "stream_minhash_dedup": profile_stream_minhash,
     "embedding_cosine_dedup": profile_cosine,
     "ann_recall_ivf": profile_ann_ivf,
     "ann_recall_ivf_pq": profile_ann_ivf_pq,
