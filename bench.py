@@ -262,10 +262,17 @@ def _compact_line(
         # Stage tables ride in bench_full.json; the size-bounded line
         # carries only the per-stage 10x/1x ratios.
         sf1_spot = dict(sf1_spot)
+        def _compact_stage(tbl):
+            rows = tbl.get("rows") if isinstance(tbl, dict) else None
+            if rows is None:
+                return tbl  # no_stage_profile / failed markers
+            return {
+                k: (v[2] if isinstance(v, list) and len(v) >= 3 else v)
+                for k, v in rows.items()
+            }
+
         sf1_spot["stages"] = {
-            q: {k: (v[2] if isinstance(v, list) and len(v) >= 3 else v)
-                for k, v in (tbl or {}).items()
-                if k != "retried_10x"}
+            q: _compact_stage(tbl)
             for q, tbl in sf1_spot["stages"].items()
         }
     if sf1_spot and isinstance(sf1_spot.get("cache_builds"), dict):
@@ -640,11 +647,19 @@ def _warm_streaming(spark, sf_dir: str) -> None:
         events = spark.read.parquet(f"{sf_dir}/events.parquet")
         events.limit(64).write.mode("overwrite").parquet(slice_dir)
         schema = events.schema
-        stream = spark.readStream.schema(schema).parquet(f"{slice_dir}*")
-        if dict(stream.dtypes)["ts"] == "bigint":
-            stream = stream.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+
+        def _slice_stream():
+            # ONE loader for both warm-up jobs so a fixture-vintage
+            # change to the ts handling is edited once and both jobs
+            # exercise the same decode path.
+            s = spark.readStream.schema(schema).parquet(f"{slice_dir}*")
+            if dict(s.dtypes)["ts"] == "bigint":
+                s = s.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            return s
+
+        stream = _slice_stream()
         static = spark.range(4).select(
             F.col("id").alias("user_id"), F.lit("seg").alias("segment")
         )
@@ -673,12 +688,7 @@ def _warm_streaming(spark, sf_dir: str) -> None:
         # attribution twins' first pass was still paying its cold init
         # (r13: 8.1 s first vs 2.3 s steady with only the agg warm-up).
         def _side(prefix: str):
-            s = spark.readStream.schema(schema).parquet(f"{slice_dir}*")
-            if dict(s.dtypes)["ts"] == "bigint":
-                s = s.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                )
-            return s.select(
+            return _slice_stream().select(
                 F.col("user_id").alias(f"{prefix}_user"),
                 F.col("ts").alias(f"{prefix}_ts"),
             ).withWatermark(f"{prefix}_ts", "1 hour")
@@ -1187,20 +1197,30 @@ def _stage_profile(spark, sf_dir: str, scaled: str, name: str) -> dict:
     #     checkpoint setup), so its RATIO is noise — grade the 10x
     #     wall against the absolute ceiling bound * floor instead and
     #     say so in the row.
-    #   - one retry: if any properly-based stage exceeds the bound,
-    #     re-run the whole profiler at 10x once and keep per-stage
-    #     minima (cold-state artifacts don't repeat; genuine growth
-    #     does). Both passes are recorded.
+    #   - one retry: if any stage fails its grade — ratio above the
+    #     bound for a properly-based stage, OR 10x wall above the
+    #     absolute ceiling for a small-base stage — re-run the whole
+    #     profiler at 10x once and keep per-stage minima (cold-state
+    #     artifacts don't repeat; genuine growth does). Both passes
+    #     are recorded.
     _STAGE_FLOOR = 0.5
     bound = SPOT_COST_CLASS.get(name, (None, 13.0))[1]
     with contextlib.redirect_stdout(sys.stderr):  # keep stdout for the line
         one = fn(spark, sf_dir)
         ten = fn(spark, scaled)
 
+    def _verdict(base: float, wall10: float) -> str:
+        if base < _STAGE_FLOOR:
+            return (
+                "ok_small_base" if wall10 <= bound * _STAGE_FLOOR
+                else "exceeds_bound"
+            )
+        return "ok" if wall10 / base <= bound else "exceeds_bound"
+
     def needs_retry() -> bool:
         return any(
-            isinstance(v, float) and v >= _STAGE_FLOOR
-            and ten[k] / v > bound
+            isinstance(v, float) and v > 0
+            and _verdict(v, ten[k]) == "exceeds_bound"
             for k, v in one.items()
         )
 
@@ -1211,20 +1231,22 @@ def _stage_profile(spark, sf_dir: str, scaled: str, name: str) -> dict:
         for k, v in one.items():
             if isinstance(v, float) and isinstance(retried.get(k), float):
                 ten[k] = min(ten[k], retried[k])
-    stages: dict = {"bound": bound, "small_base_floor_s": _STAGE_FLOOR}
+    # Metadata lives under its own keys; per-stage rows under "rows" —
+    # consumers then never have to special-case which keys are stages.
+    rows: dict = {}
     for k, v in one.items():
         if isinstance(v, float) and v > 0:
-            ratio = round(ten[k] / v, 1)
-            if v < _STAGE_FLOOR:
-                verdict = (
-                    "ok_small_base" if ten[k] <= bound * _STAGE_FLOOR
-                    else "exceeds_bound"
-                )
-            else:
-                verdict = "ok" if ratio <= bound else "exceeds_bound"
-            stages[k] = [round(v, 2), round(ten[k], 2), ratio, verdict]
+            rows[k] = [
+                round(v, 2), round(ten[k], 2), round(ten[k] / v, 1),
+                _verdict(v, ten[k]),
+            ]
         else:
-            stages[k] = [v, ten[k]]
+            rows[k] = [v, ten[k]]
+    stages: dict = {
+        "bound": bound,
+        "small_base_floor_s": _STAGE_FLOOR,
+        "rows": rows,
+    }
     if retried is not None:
         stages["retried_10x"] = {
             k: round(v, 2) for k, v in retried.items()

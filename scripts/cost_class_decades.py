@@ -133,7 +133,15 @@ def measure_semantic(spark, d: str, run_query: bool) -> dict:
         ).alias("v"),
     )
     corpus = base.unionAll(jitter)
-    out: dict = {"n_corpus": corpus.count()}
+    # cap_n: the centroid-POOL source count — _semdedup_cent caps at
+    # ceil(sqrt(|embeddings|)), not sqrt of the jittered corpus, so the
+    # regime test must compare n_cells against THIS cap (review r13:
+    # sqrt(n_corpus) left ~1% headroom over the 0.9 threshold and a few
+    # empty cells could flip a healthy scale to pool-limited).
+    out: dict = {
+        "n_corpus": corpus.count(),
+        "cap_n": t.embeddings.count(),
+    }
     cent = _semdedup_cent(t.embeddings).localCheckpoint(eager=True)
     t0 = time.perf_counter()
     assigned = assign_buckets(corpus, cent, "id", "v").localCheckpoint(
@@ -171,6 +179,7 @@ def measure_knn(spark, d: str, run_query: bool) -> dict:
     assigned = _knn_assigned(spark, d)
     out: dict = {"build_wall_s": round(time.perf_counter() - t0, 2)}
     out["n_corpus"] = assigned.count()
+    out["cap_n"] = out["n_corpus"]  # _knn_cells caps at sqrt(|embeddings|)
     out.update(_cell_census(assigned))
     out["half_n15"] = int(0.5 * out["n_corpus"] ** 1.5)
     out["budget_over_half_n15"] = round(
@@ -265,7 +274,7 @@ def main() -> None:
         # 10x -> 100x decade — the decade the bench sf1 spot (1x -> 10x)
         # cannot see.
         for r in rows:
-            cap = math.ceil(math.sqrt(r["n_corpus"]))
+            cap = math.ceil(math.sqrt(r.get("cap_n", r["n_corpus"])))
             r["regime"] = (
                 "sqrt-capped" if r["n_cells"] >= 0.9 * cap
                 else "pool-limited"

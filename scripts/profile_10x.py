@@ -1067,6 +1067,72 @@ def profile_ngram(spark, sf_dir: str) -> dict:
     return res
 
 
+def profile_dsir(spark, sf_dir: str) -> dict:
+    # Mirrors dsir_importance_weights (suite/text_lm.py): pinned
+    # bigram explode, |vocab|-row model build, broadcast-model scoring
+    # join + per-doc mean. Every stage is linear in the corpus (the
+    # explode) or in |vocab| (the model); the counters record both so
+    # a window-inflated spot (r13: 8.1x in a window whose idle check
+    # measured load 25.8 before start) self-explains as linear.
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.functions.text import shingles, tokens
+    from seng550_a3_etl_spark.suite.text_lm import _DSIR_TARGET
+
+    t = load_tables(spark, sf_dir)
+    is_tgt = F.col("source").isin(*_DSIR_TARGET)
+    res: dict = {}
+    bg, res["bigram_explode"] = _t(
+        "bigram explode (pinned ckpt)",
+        lambda: t.documents.select(
+            "doc_id",
+            is_tgt.alias("is_tgt"),
+            F.explode(shingles(tokens(F.col("text")), 2)).alias("b"),
+        ).localCheckpoint(eager=True),
+    )
+    res["n_bigram_rows"] = bg.count()
+    cnt = bg.groupBy("b").agg(
+        F.count_if(F.col("is_tgt")).alias("ct"),
+        F.count_if(~F.col("is_tgt")).alias("cr"),
+    )
+    model, res["model_build"] = _t(
+        "two-sided count + smoothed LLR model (ckpt)",
+        lambda: cnt.crossJoin(
+            F.broadcast(
+                cnt.agg(
+                    F.sum("ct").alias("tt"),
+                    F.sum("cr").alias("tr"),
+                    F.count(F.lit(1)).alias("v"),
+                )
+            )
+        )
+        .select(
+            "b",
+            F.log(
+                ((F.col("ct") + 1) / (F.col("tt") + F.col("v")))
+                / ((F.col("cr") + 1) / (F.col("tr") + F.col("v")))
+            ).alias("logw"),
+        )
+        .localCheckpoint(eager=True),
+    )
+    res["vocab_size"] = model.count()
+    print(f"    bigram rows={res['n_bigram_rows']} "
+          f"vocab={res['vocab_size']}")
+    _, res["score_join"] = _t(
+        "broadcast-model scoring join + per-doc mean",
+        lambda: bg.filter(~F.col("is_tgt"))
+        .join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("logw"), 6).alias("avg_llr"),
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    return res
+
+
 def profile_stream_minhash(spark, sf_dir: str) -> dict:
     # Mirrors stream_minhash_dedup's internals (suite/streaming_suite):
     # static band index from the session shingle cache, the availableNow
@@ -1182,6 +1248,7 @@ def profile_stream_minhash(spark, sf_dir: str) -> dict:
 PROFILES = {
     "minhash_dup_pairs": profile_minhash,
     "stream_minhash_dedup": profile_stream_minhash,
+    "dsir_importance_weights": profile_dsir,
     "embedding_cosine_dedup": profile_cosine,
     "ann_recall_ivf": profile_ann_ivf,
     "ann_recall_ivf_pq": profile_ann_ivf_pq,

@@ -61,20 +61,28 @@ _DEFAULTS = {
     ),
 }
 
-# A non-integer SPARK_GRAFT_CODEGEN_CACHE would otherwise surface only as
-# an opaque Spark conf failure at session build (ADVICE r12).
+# A malformed SPARK_GRAFT_CODEGEN_CACHE would otherwise surface only as
+# an opaque Spark conf failure at session build (ADVICE r12). The value
+# is NORMALIZED through int() — Python accepts forms Java's
+# Integer.parseInt rejects ('2_000', ' 2000', unicode digits), so the
+# parsed integer is written back as a canonical decimal string rather
+# than handing Spark the raw literal; non-integers and negatives fall
+# back to the 2000 default with a warning.
 try:
-    int(_DEFAULTS["spark.sql.codegen.cache.maxEntries"])
+    _codegen_entries = int(_DEFAULTS["spark.sql.codegen.cache.maxEntries"])
+    if _codegen_entries < 0:
+        raise ValueError("negative")
 except ValueError:
     import warnings
 
     warnings.warn(
         "SPARK_GRAFT_CODEGEN_CACHE="
-        f"{_DEFAULTS['spark.sql.codegen.cache.maxEntries']!r} is not an "
-        "integer; falling back to 2000",
+        f"{_DEFAULTS['spark.sql.codegen.cache.maxEntries']!r} is not a "
+        "non-negative integer; falling back to 2000",
         stacklevel=2,
     )
-    _DEFAULTS["spark.sql.codegen.cache.maxEntries"] = "2000"
+    _codegen_entries = 2000
+_DEFAULTS["spark.sql.codegen.cache.maxEntries"] = str(_codegen_entries)
 
 
 def get_spark(

@@ -211,6 +211,15 @@ _CHANGED: dict[str, int] = {
     # measured 7.7->4.8 s and 7.1->5.2 s at sf0.1.
     "stream_minhash_dedup": 12,
     "stream_substring_guard": 12,
+    # round 13 (review dedup refactors — single-source-of-truth
+    # helpers): the X172 shard rule became _shard_col/_SHARD_SQL
+    # (shard_skew_report's oracle string changed in whitespace only)
+    # and the X56 PII chain became pii_sql_chain/pii_count_cols
+    # (pii_density_census's oracle verified byte-equal, Spark
+    # expressions identical). Declared conservatively — value-identical
+    # by construction, but the code under both queries changed.
+    "shard_skew_report": 13,
+    "pii_density_census": 13,
 }
 
 

@@ -234,14 +234,31 @@ def es_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_SHARDS = 64
 _SHARD_SEED = 13
 
+# The X172 shard-assignment rule — SINGLE source of truth for both
+# engines (review r13: the checksum census had re-inlined it; the
+# integrity fingerprint MUST shard exactly as the skew report audits,
+# so both queries now read these two definitions). Non-negative via
+# the double-mod identity, bit-identical in both engines.
+_SHARD_SQL = (
+    f"(({duck_hash64('CAST(doc_id AS VARCHAR)', seed=_SHARD_SEED)}"
+    f" % {_N_SHARDS}) + {_N_SHARDS}) % {_N_SHARDS}"
+)
+
+
+def _shard_col():
+    return (
+        (hash64(F.col("doc_id").cast("string"), seed=_SHARD_SEED)
+         % _N_SHARDS)
+        + _N_SHARDS
+    ) % _N_SHARDS
+
 
 @query(
     "shard_skew_report",
     oracle=rf"""
     WITH assigned AS (
       SELECT doc_id,
-             (({duck_hash64("CAST(doc_id AS VARCHAR)", seed=_SHARD_SEED)}
-               % {_N_SHARDS}) + {_N_SHARDS}) % {_N_SHARDS} AS shard_id,
+             {_SHARD_SQL} AS shard_id,
              len(string_split_regex(text, '\s+')) AS n_toks
       FROM documents
     ),
@@ -270,13 +287,9 @@ def shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine; the corpus token total broadcasts back as a
     scalar. Nothing corpus-sized shuffles."""
     toks = F.size(F.split(F.col("text"), r"\s+")).cast("long")
-    shard = (
-        (hash64(F.col("doc_id").cast("string"), seed=_SHARD_SEED) % _N_SHARDS)
-        + _N_SHARDS
-    ) % _N_SHARDS
     t = load_tables(spark, sf_dir)
     assigned = t.documents.select(
-        shard.alias("shard_id"), toks.alias("n_toks")
+        _shard_col().alias("shard_id"), toks.alias("n_toks")
     )
     tot = assigned.agg(F.sum("n_toks").alias("total_toks"))
     return (
@@ -712,8 +725,7 @@ def epoch_plan_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH assigned AS (
       SELECT doc_id,
-             (({duck_hash64("CAST(doc_id AS VARCHAR)", seed=_SHARD_SEED)}
-               % {_N_SHARDS}) + {_N_SHARDS}) % {_N_SHARDS} AS shard_id,
+             {_SHARD_SQL} AS shard_id,
              {duck_hash64("text")} AS h,
              len(string_split_regex(text, '\s+')) AS n_toks
       FROM documents
@@ -754,12 +766,8 @@ def shard_checksum_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     the integrity half (the reference's closest analog is its
     row-count load verification, /root/reference/etl.py:214-218)."""
     t = load_tables(spark, sf_dir)
-    shard = (
-        (hash64(F.col("doc_id").cast("string"), seed=_SHARD_SEED) % _N_SHARDS)
-        + _N_SHARDS
-    ) % _N_SHARDS
     assigned = t.documents.select(
-        shard.alias("shard_id"),
+        _shard_col().alias("shard_id"),
         "doc_id",
         hash64(F.col("text")).alias("h"),
         F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_toks"),

@@ -1137,14 +1137,11 @@ _PII_GATE_TABLE = "stream_pii_gate_sink"
 
 
 def _stream_pii_gate_oracle() -> str:
-    from seng550_a3_etl_spark.functions.text import PII_PATTERNS
-    from seng550_a3_etl_spark.suite.text import _sql_pat
+    # Shared X56 progressive-redaction chain — single source of truth
+    # with the batch census (suite/text.py pii_sql_chain).
+    from seng550_a3_etl_spark.suite.text import pii_sql_chain
 
-    (em, _), (ip, _), (ph, _) = (
-        (_sql_pat(p), r) for p, r in PII_PATTERNS
-    )
-    t1 = f"regexp_replace(text, '{em}', '<EMAIL>', 'g')"
-    t2 = f"regexp_replace({t1}, '{ip}', '<IP>', 'g')"
+    em, ip, ph, t1, t2 = pii_sql_chain()
     return f"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_email,
@@ -1174,21 +1171,15 @@ def stream_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes folded in the scan, zero streaming state, append mode);
     per-batch cost is |batch| row projections and the job runs
     indefinitely at constant memory."""
-    from seng550_a3_etl_spark.functions.text import PII_PATTERNS
+    from seng550_a3_etl_spark.suite.text import pii_count_cols
 
-    (em, _), (ip, _), (ph, _) = PII_PATTERNS
+    n_email, n_ip, n_phone = pii_count_cols()
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/documents.parquet*"
     )
-    raw = F.col("text")
-    t1 = F.regexp_replace(raw, em, "<EMAIL>")
-    t2 = F.regexp_replace(t1, ip, "<IP>")
     verdicts = stream.select(
-        "doc_id",
-        F.regexp_count(raw, F.lit(em)).cast("long").alias("n_email"),
-        F.regexp_count(t1, F.lit(ip)).cast("long").alias("n_ip"),
-        F.regexp_count(t2, F.lit(ph)).cast("long").alias("n_phone"),
+        "doc_id", n_email, n_ip, n_phone
     ).withColumn(
         "has_pii",
         F.col("n_email") + F.col("n_ip") + F.col("n_phone") > 0,

@@ -5337,8 +5337,15 @@ def langid_confidence_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_QMICRO = rf"""
-      SELECT doc_id,
+def _duck_qmicro(extra: str = "") -> str:
+    """DuckDB fragment computing the quantized composite quality score
+    (X10) per doc — the SINGLE source of truth for the q_micros
+    formula (review r13: preference_pair_mining had re-inlined it
+    verbatim; a weight/clamp tweak applied to one copy would silently
+    break the other's oracle parity). ``extra`` injects additional
+    projected columns (e.g. ``" source,"``) into both SELECTs."""
+    return rf"""
+      SELECT doc_id,{extra}
              CAST(ROUND((
                least(len(t) / 100.0, 1.0) * 0.25
                + (len(list_distinct(t)) / greatest(len(t), 1)) * 0.25
@@ -5347,9 +5354,12 @@ _DUCK_QMICRO = rf"""
                + least(({_duck_marker('en')} / greatest(len(t), 1)) * 10.0,
                        1.0) * 0.25
              ) * 1000000) AS BIGINT) AS q_micros
-      FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS t
+      FROM (SELECT doc_id,{extra} text, string_split_regex(text, '\s+') AS t
             FROM documents)
 """
+
+
+_DUCK_QMICRO = _duck_qmicro()
 
 
 @query(
@@ -5664,7 +5674,12 @@ def source_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pii_census_oracle() -> str:
+def pii_sql_chain() -> tuple[str, str, str, str, str]:
+    """(em, ip, ph, t1, t2): the escaped PII patterns plus the
+    progressive redaction chain for DuckDB oracles — X56's
+    order-matters counting (each match attributes to exactly ONE
+    class). Single source of truth for every PII census/gate oracle
+    (review r13: the streaming gate had re-inlined it)."""
     from seng550_a3_etl_spark.functions.text import PII_PATTERNS
 
     (em, _), (ip, _), (ph, _) = (
@@ -5672,6 +5687,29 @@ def _pii_census_oracle() -> str:
     )
     t1 = f"regexp_replace(text, '{em}', '<EMAIL>', 'g')"
     t2 = f"regexp_replace({t1}, '{ip}', '<IP>', 'g')"
+    return em, ip, ph, t1, t2
+
+
+def pii_count_cols() -> "tuple[Column, Column, Column]":
+    """Spark columns (n_email, n_ip, n_phone) counted on the
+    progressively redacted text — the execution-side twin of
+    :func:`pii_sql_chain`, shared by the batch density census (X242)
+    and the streaming admission gate (X245)."""
+    from seng550_a3_etl_spark.functions.text import PII_PATTERNS
+
+    (em, _), (ip, _), (ph, _) = PII_PATTERNS
+    raw = F.col("text")
+    t1 = F.regexp_replace(raw, em, "<EMAIL>")
+    t2 = F.regexp_replace(t1, ip, "<IP>")
+    return (
+        F.regexp_count(raw, F.lit(em)).cast("long").alias("n_email"),
+        F.regexp_count(t1, F.lit(ip)).cast("long").alias("n_ip"),
+        F.regexp_count(t2, F.lit(ph)).cast("long").alias("n_phone"),
+    )
+
+
+def _pii_census_oracle() -> str:
+    em, ip, ph, t1, t2 = pii_sql_chain()
     return f"""
     WITH per AS (
       SELECT source,
@@ -5722,19 +5760,14 @@ def pii_density_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: none; completes the X56 privacy surface with
     its observability half."""
-    from seng550_a3_etl_spark.functions.text import PII_PATTERNS
-
-    (em, _), (ip, _), (ph, _) = PII_PATTERNS
-    raw = F.col("text")
-    t1 = F.regexp_replace(raw, em, "<EMAIL>")
-    t2 = F.regexp_replace(t1, ip, "<IP>")
+    n_email, n_ip, n_phone = pii_count_cols()
     t = load_tables(spark, sf_dir)
     per = t.documents.select(
         "source",
-        F.size(tokens(raw)).cast("long").alias("n_tok"),
-        F.regexp_count(raw, F.lit(em)).cast("long").alias("n_email"),
-        F.regexp_count(t1, F.lit(ip)).cast("long").alias("n_ip"),
-        F.regexp_count(t2, F.lit(ph)).cast("long").alias("n_phone"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        n_email,
+        n_ip,
+        n_phone,
     )
     any_pii = (
         F.col("n_email") + F.col("n_ip") + F.col("n_phone") > 0
@@ -5762,20 +5795,10 @@ def pii_density_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PREF_PAIRS_PER_SOURCE = 10
 _PREF_MIN_GAP_MICROS = 50_000  # 0.05 on the [0,1] composite score
 
-_PREF_SCORED_SQL = f"""
-      SELECT doc_id, source,
-             CAST(ROUND((
-               least(len(t) / 100.0, 1.0) * 0.25
-               + (len(list_distinct(t)) / greatest(len(t), 1)) * 0.25
-               + least(((length(text) - (len(t) - 1)) / greatest(len(t), 1))
-                       / 8.0, 1.0) * 0.25
-               + least(({_duck_marker('en')} / greatest(len(t), 1)) * 10.0,
-                       1.0) * 0.25
-             ) * 1000000) AS BIGINT) AS q_micros
-      FROM (SELECT doc_id, text, source,
-                   string_split_regex(text, '\\s+') AS t
-            FROM documents)
-"""
+# The q_micros formula is shared with every X10 consumer via
+# _duck_qmicro (single source of truth); only the source column is
+# added here.
+_PREF_SCORED_SQL = _duck_qmicro(" source,")
 
 
 @query(

@@ -250,3 +250,55 @@ def test_retime_trigger_selection_covers_all_three_rules():
         or (v >= 2.0 and n not in prev_steady)
     ]
     assert sorted(names) == ["brand_new", "first_run_big", "ratio2x"]
+
+
+def test_merge_cost_decades_attaches_committed_record():
+    # The two-decade cost-class record (COST_DECADES.json, r13) must
+    # ride every bench record: _merge_cost_decades attaches per-target
+    # pair budgets + regimes + verdict under
+    # sf1_spot.cost_classes[query].decades.
+    spot = {"cost_classes": {
+        "semantic_dedup_clusters": {"class": "n^1.5", "bound": 31.6},
+    }}
+    bench._merge_cost_decades(spot)
+    for q in ("semantic_dedup_clusters", "hard_negative_mining"):
+        dec = spot["cost_classes"][q].get("decades")
+        assert dec, f"no decades entry merged for {q}"
+        assert dec["scales"] == [1, 10, 100]
+        assert len(dec["pair_budget"]) == 3
+        # the graded evidence: sqrt-capped scales bounded by the
+        # balanced-cell ceiling (with tolerance) — the n^1.5 statement
+        for norm, regime in zip(
+            dec["budget_over_half_n15"], dec["regimes"]
+        ):
+            if regime == "sqrt-capped":
+                assert norm <= 1.25, (q, norm)
+        assert "n^1.5" in dec["verdict"], (q, dec["verdict"])
+
+
+def test_stage_profile_compaction_handles_nested_rows():
+    # r13 format: per-stage rows nest under "rows" with metadata
+    # (bound, floor, retried_10x) alongside; the compact line must
+    # carry only the per-stage ratios and tolerate marker entries.
+    spot = dict(
+        SPOT,
+        stages={
+            "q1": {
+                "bound": 31.6,
+                "small_base_floor_s": 0.5,
+                "rows": {
+                    "assign": [0.33, 3.33, 10.1, "ok_small_base"],
+                    "pair_budget": [100, 1400],
+                },
+                "retried_10x": {"assign": 3.1},
+            },
+            "q2": {"no_stage_profile": True},
+        },
+    )
+    line = bench._compact_line(100.0, {}, 0.1, {}, IDLE, spot)
+    parsed = json.loads(line)
+    st = parsed["sf1_spot"]["stages"]
+    assert st["q1"]["assign"] == 10.1
+    assert st["q1"]["pair_budget"] == [100, 1400]
+    assert "retried_10x" not in st["q1"]
+    assert st["q2"] == {"no_stage_profile": True}
