@@ -124,7 +124,8 @@ _CHANGED: dict[str, int] = {
     # ~1e13-token operating point). Value-identical at sf0.01, but the
     # code under them changed.
     "corpus_datacard": 10,
-    "shard_skew_report": 10,
+    # (shard_skew_report's round-10 ppm-overflow entry superseded by
+    # its round-13 entry below.)
     "bpe_fertility_by_source": 10,
     # round 10: the composed pipeline gained the X198 substring-trim
     # as stage 4 (rebuilt trimmed text feeds every later stage) —
