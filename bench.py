@@ -1018,21 +1018,30 @@ def _merge_cost_decades(sf1_spot: dict) -> None:
     for qname, tname in (
         ("semantic_dedup_clusters", "semantic_dedup_clusters"),
         ("hard_negative_mining", "knn_cell_assign+hard_negative_mining"),
+        # linear text-family counters (exactly-disjoint doc replicas)
+        ("ngram_dup_pairs", "ngram_dup_pairs"),
+        ("minhash_dup_pairs", "minhash_dup_pairs"),
     ):
         tgt = (dec.get("targets") or {}).get(tname)
         if not tgt:
             continue
-        cc.setdefault(qname, {})["decades"] = {
+        entry = {
             "base": dec.get("base"),
             "scales": dec.get("scales"),
             "pair_budget": tgt.get("pair_budget"),
-            "budget_over_half_n15": tgt.get("budget_over_half_n15"),
-            "regimes": [
-                r.get("regime") for r in tgt.get("per_scale", [])
-            ],
             "verdict": tgt.get("verdict"),
             "source": "COST_DECADES.json",
         }
+        if tgt.get("budget_over_half_n15") is not None:
+            entry["budget_over_half_n15"] = tgt["budget_over_half_n15"]
+            entry["regimes"] = [
+                r.get("regime") for r in tgt.get("per_scale", [])
+            ]
+        else:
+            entry["budget_ratio_per_decade"] = tgt.get(
+                "budget_ratio_per_decade"
+            )
+        cc.setdefault(qname, {})["decades"] = entry
 
 
 def _cc_distributed_probe(spark) -> dict:
