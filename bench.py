@@ -206,8 +206,20 @@ def _commit_summary(full: dict) -> str:
             entries[f"build:{n}"] = (
                 v.get("verdict"), f"build:{n} {b[2]}x {v.get('verdict')}"
             )
-    bad = sorted(d for vd, d in entries.values() if vd not in ("ok", "n/a"))
-    n_ok = sum(1 for vd, _ in entries.values() if vd == "ok")
+    # ok_stages_linear = wall ratio over bound but every profiled stage
+    # within bound (reconciled measurement artifact) — counted ok, but
+    # surfaced by name so the reconciliation is visible in the summary.
+    bad = sorted(
+        d for vd, d in entries.values()
+        if vd not in ("ok", "n/a", "ok_stages_linear")
+    )
+    n_ok = sum(
+        1 for vd, _ in entries.values()
+        if vd in ("ok", "ok_stages_linear")
+    )
+    recon = sorted(
+        d for vd, d in entries.values() if vd == "ok_stages_linear"
+    )
     if not entries:
         parts.append("no sf1 spots")
     elif bad:
@@ -237,6 +249,8 @@ def _commit_summary(full: dict) -> str:
                else "")
             + ")"
         )
+    if recon:
+        parts.append(f"{len(recon)} reconciled ({'; '.join(recon)})")
     n_prof = sum(
         1 for tbl in (spot.get("stages") or {}).values()
         if isinstance(tbl, dict) and not tbl.get("no_stage_profile")
@@ -410,7 +424,8 @@ def _prev_record(full_path: str, sf) -> tuple[dict[str, float], set]:
 def _retime_outliers(
     spark, sf_dir: str, timings: dict[str, float],
     prev: dict[str, float], prev_steady: set,
-) -> dict[str, list[float]]:
+    load1_at: dict | None = None,
+) -> tuple[dict[str, list[float]], dict[str, list]]:
     """Serial steady-state re-run of suite-loop outliers (VERDICT r6 #3
     + r8 #3).
 
@@ -439,8 +454,12 @@ def _retime_outliers(
     BOTH numbers are recorded: ``retimed[name] = [first_run_s,
     steady_s]``, and the per-query dict carries the steady number (the
     honest per-query cost); the suite total stays the actual
-    first-pass wall."""
+    first-pass wall. Each retimed row also gets a
+    ``retime_load1[name] = [load1_at_first_pass, load1_at_retime]``
+    annotation (VERDICT r13 #6) so a first/steady gap can be read
+    against the host load that produced it."""
     out: dict[str, list[float]] = {}
+    loads: dict[str, list] = {}
     from seng550_a3_etl_spark.suite import QUERIES
 
     names = [
@@ -453,6 +472,10 @@ def _retime_outliers(
     # otherwise re-run half the suite. Largest walls first — they carry
     # the most distortion if left at their first-run numbers.
     for name in sorted(names, key=lambda n: -timings[n])[:12]:
+        try:
+            l1 = round(os.getloadavg()[0], 2)
+        except OSError:  # pragma: no cover
+            l1 = None
         t0 = time.perf_counter()
         try:
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
@@ -463,13 +486,15 @@ def _retime_outliers(
             continue
         steady = round(time.perf_counter() - t0, 3)
         out[name] = [timings[name], steady]
+        loads[name] = [(load1_at or {}).get(name), l1]
         timings[name] = steady
         print(
             f"bench: retimed {name}: first {out[name][0]}s -> steady "
-            f"{steady}s (prev record {prev.get(name)}s)",
+            f"{steady}s (prev record {prev.get(name)}, load1 "
+            f"{loads[name][0]} -> {loads[name][1]})",
             file=sys.stderr,
         )
-    return out
+    return out, loads
 
 
 def main() -> None:
@@ -498,7 +523,30 @@ def main() -> None:
     _warm_streaming(spark, sf_dir)
 
     timings: dict[str, float] = {}
+    # 1-min load sampled at each query's start — attached to the retime
+    # rows so a first-pass/steady gap can be read against the host state
+    # that produced it (VERDICT r13 #6).
+    load1_at: dict[str, float | None] = {}
+    stream_rewarmed = False
     for name in sorted(QUERIES):
+        if name.startswith("stream_") and not stream_rewarmed:
+            # Re-warm the streaming machinery right before the stream_*
+            # block (VERDICT r13 #3): the pre-suite warm-up runs ~6 min
+            # before the first stream query in the sorted loop, and the
+            # driver records still showed 18 s first-pass vs 4.5 s
+            # steady for the first stateful row — re-touching the state
+            # store + stream-stream join immediately before the block
+            # costs ~2-3 s once, charged to no query.
+            stream_rewarmed = True
+            t0w = time.perf_counter()
+            _warm_streaming(spark, sf_dir)
+            print(f"bench: stream re-warm before stream_* block "
+                  f"{round(time.perf_counter() - t0w, 2)}s",
+                  file=sys.stderr)
+        try:
+            load1_at[name] = round(os.getloadavg()[0], 2)
+        except OSError:  # pragma: no cover
+            load1_at[name] = None
         start = time.perf_counter()
         try:
             df = QUERIES[name](spark, sf_dir)
@@ -512,9 +560,12 @@ def main() -> None:
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_full.json")
     prev_steady: set = set()
+    retime_load1: dict = {}
     try:
         prev, prev_steady = _prev_record(full_path, sf)
-        retimed = _retime_outliers(spark, sf_dir, timings, prev, prev_steady)
+        retimed, retime_load1 = _retime_outliers(
+            spark, sf_dir, timings, prev, prev_steady, load1_at
+        )
     except Exception as exc:
         retimed = {"failed": True}
         print(f"bench: retime failed: {exc}", file=sys.stderr)
@@ -553,6 +604,8 @@ def main() -> None:
         # first-pass walls are preserved as retimed[name][0]).
         "total_is_first_pass_wall": True,
         "retimed": retimed,
+        # [load1_at_first_pass, load1_at_retime] per retimed row.
+        "retime_load1": retime_load1,
         # Union of every name ever steady-verified at this sf (prev
         # record's set + this run's re-times) — _prev_record reads it
         # back so retime trigger 3 stays quiesced across rounds.
@@ -633,11 +686,18 @@ def _warm_streaming(spark, sf_dir: str) -> None:
     HDFS-backed state store at the twins' 8 state partitions,
     a stream-static join, and the memory sink (+ queryName registry).
     A 64-row slice of the events fixture keeps the whole thing ~2 s."""
+    import glob as _glob
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
+    # A crashed previous run can leave a stale .bench_stream_warm_*
+    # sibling (cleanup lives in this process's finally); remove them so
+    # the warm-up never reads mismatched parquet (ADVICE r13 — the old
+    # prefix-glob read `{slice_dir}*`, which matched such siblings).
+    for stale in _glob.glob(".bench_stream_warm_*"):
+        shutil.rmtree(stale, ignore_errors=True)
     slice_dir = tempfile.mkdtemp(prefix=".bench_stream_warm_", dir=".")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -652,7 +712,7 @@ def _warm_streaming(spark, sf_dir: str) -> None:
             # ONE loader for both warm-up jobs so a fixture-vintage
             # change to the ts handling is edited once and both jobs
             # exercise the same decode path.
-            s = spark.readStream.schema(schema).parquet(f"{slice_dir}*")
+            s = spark.readStream.schema(schema).parquet(slice_dir)
             if dict(s.dtypes)["ts"] == "bigint":
                 s = s.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
@@ -1021,6 +1081,10 @@ def _merge_cost_decades(sf1_spot: dict) -> None:
         # linear text-family counters (exactly-disjoint doc replicas)
         ("ngram_dup_pairs", "ngram_dup_pairs"),
         ("minhash_dup_pairs", "minhash_dup_pairs"),
+        # substring-span family: the anchor-posting pair budget is the
+        # xspan cache build's only superlinear term (VERDICT r13 #4);
+        # attached to the spotted flagship query's row.
+        ("cross_doc_substring_dedup", "xspan_span_census"),
     ):
         tgt = (dec.get("targets") or {}).get(tname)
         if not tgt:
@@ -1041,7 +1105,18 @@ def _merge_cost_decades(sf1_spot: dict) -> None:
             entry["budget_ratio_per_decade"] = tgt.get(
                 "budget_ratio_per_decade"
             )
-        cc.setdefault(qname, {})["decades"] = entry
+        # A query with no sf1-spot cost-class row (the linear text
+        # family is graded by the generic 13x bound, so SPOT_COST_CLASS
+        # has no entry) still gets the class/bound keys every other
+        # cost_classes entry carries — consumers never special-case the
+        # shape (ADVICE r13).
+        row = cc.setdefault(
+            qname,
+            {"class": SPOT_COST_CLASS.get(qname, ("linear", 13.0))[0]
+             or "linear",
+             "bound": SPOT_COST_CLASS.get(qname, ("linear", 13.0))[1]},
+        )
+        row["decades"] = entry
 
 
 def _cc_distributed_probe(spark) -> dict:
@@ -1178,6 +1253,30 @@ def _lsh_staged_spot(spark, sf_dir: str, scaled: str) -> dict:
     return out
 
 
+def _evict_session_caches(sfd: str, match=None) -> None:
+    """Drop every suite session-cache entry keyed to data dir ``sfd``
+    (optionally narrowed by ``match`` over the full cache key), so the
+    next consumer pays a genuinely COLD build. Shared by the sf1-spot
+    build retries, the stage-profile retry (ADVICE r13: the retry used
+    to time warm cache hits and under-report cache-backed stages), and
+    the cold-base re-time that grades superlinear rows cold-vs-cold."""
+    from seng550_a3_etl_spark.suite import text as _suite_text
+    from seng550_a3_etl_spark.suite import vectors as _suite_vec
+
+    for cache in (
+        _suite_text._SHINGLE_CACHE,
+        _suite_text._LABELS_CACHE,
+        _suite_text._XSPAN_CACHE,
+        _suite_text._CENSUS_CACHE,
+        _suite_vec._ASSIGN_CACHE,
+    ):
+        for k in [
+            k for k in cache
+            if k[1] == sfd and (match is None or match(k))
+        ]:
+            del cache[k]
+
+
 def _stage_profile(spark, sf_dir: str, scaled: str, name: str) -> dict:
     """Stage-level 1×/10× decomposition for a spot entry whose ratio
     crossed the attention threshold (VERDICT r6 #7): runs the matching
@@ -1235,6 +1334,17 @@ def _stage_profile(spark, sf_dir: str, scaled: str, name: str) -> dict:
 
     retried = None
     if needs_retry():
+        # Evict the 10x session-cache entries BEFORE the retry so a
+        # cache-backed stage (profile_ngram / profile_stream_minhash
+        # time shingle_sets via _shingle_sets_df) re-times a COLD build
+        # — the first pass timed cold, so min(first, warm-hit) would
+        # otherwise record a cache hit and excuse a genuinely
+        # superlinear shared-build stage (ADVICE r13).
+        try:
+            _evict_session_caches(scaled)
+        except Exception as exc:
+            print(f"bench: stage-retry evict failed: {exc}",
+                  file=sys.stderr)
         with contextlib.redirect_stdout(sys.stderr):
             retried = fn(spark, scaled)
         for k, v in one.items():
@@ -1262,6 +1372,38 @@ def _stage_profile(spark, sf_dir: str, scaled: str, name: str) -> dict:
             if isinstance(v, float)
         }
     return stages
+
+
+def _reconcile_stages(spot: dict) -> None:
+    """Auto-reconcile (VERDICT r13 #1): a superlinear wall-ratio grade
+    whose own stage decomposition is entirely within bound is a
+    measurement artifact (warm-vs-cold base, loaded window), not a plan
+    problem — the stages ARE the plan, timed cold at both scales.
+    Re-grade ``ok_stages_linear`` with both numbers in-record; a
+    genuinely superlinear plan keeps its grade because at least one
+    stage exceeds the bound too."""
+    for name, entry in list((spot.get("queries") or {}).items()):
+        if not (isinstance(entry, list) and len(entry) == 3
+                and entry[2] == "superlinear"):
+            continue
+        tbl = (spot.get("stages") or {}).get(name)
+        rows = tbl.get("rows") if isinstance(tbl, dict) else None
+        if not rows:
+            continue
+        stage_verdicts = [
+            v[3] for v in rows.values()
+            if isinstance(v, list) and len(v) == 4
+        ]
+        if stage_verdicts and all(
+            v in ("ok", "ok_small_base") for v in stage_verdicts
+        ):
+            entry[2] = "ok_stages_linear"
+            spot.setdefault("reconciled", {})[name] = (
+                "wall ratio over bound but every profiled stage "
+                "within bound; see stages + load1 rows"
+            )
+            print(f"bench: sf1_spot {name} reconciled -> "
+                  f"ok_stages_linear", file=sys.stderr)
 
 
 def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
@@ -1326,14 +1468,7 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 ]:
                     del cache[k]
 
-            for cache in (
-                _suite_text._SHINGLE_CACHE,
-                _suite_text._LABELS_CACHE,
-                _suite_text._XSPAN_CACHE,
-                _suite_text._CENSUS_CACHE,
-                _suite_vec._ASSIGN_CACHE,
-            ):
-                _evict(cache, sf_dir)
+            _evict_session_caches(sf_dir)
             # build name -> (cache dict, exact-entry matcher). The
             # matcher keys on the representation component so a retry
             # evicts only the retried build's own entry.
@@ -1464,6 +1599,15 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
             import gc as _gc
 
             _gc.collect()
+            # Per-row load annotation (VERDICT r13 #6): both r13
+            # mis-grades happened in a window the idle gate barely
+            # passed — record the 1-min load at spot time so a grade
+            # can be read against the host state that produced it.
+            try:
+                l1 = round(os.getloadavg()[0], 2)
+            except OSError:  # pragma: no cover
+                l1 = None
+            spot.setdefault("load1", {})[name] = l1
             t0 = time.perf_counter()
             try:
                 QUERIES[name](spark, scaled).write.format("noop").mode(
@@ -1508,6 +1652,66 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 except Exception as exc:
                     print(f"bench: sf1_spot retry {name} failed: {exc}",
                           file=sys.stderr)
+            if ratio is not None and ratio > bound and spent <= budget:
+                # Cold-base re-time (VERDICT r13 #1): the suite-loop 1x
+                # base is session-cache-WARM for cache consumers (the
+                # build is charged to whichever query runs first), while
+                # a 10x spot wall can land cache-cold — r13 graded
+                # minhash_dup_pairs 15.6x superlinear off a ~1.0 s warm
+                # base when its cold 1x stage sum is 2.16 s. Evict the
+                # 1x session caches and re-time the base COLD, exactly
+                # the cold-vs-cold contract the docstring promises.
+                t0c = time.perf_counter()
+                try:
+                    _evict_session_caches(sf_dir)
+                    QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    base_cold = round(time.perf_counter() - t0c, 2)
+                    spent += base_cold
+                    spot.setdefault("cold_base", {})[name] = [
+                        round(base, 2), base_cold
+                    ]
+                    if base_cold > base:
+                        base = base_cold
+                        ratio = round(t / base, 1)
+                except Exception as exc:
+                    spent += time.perf_counter() - t0c
+                    print(f"bench: sf1_spot cold-base {name} failed: "
+                          f"{exc}", file=sys.stderr)
+            if (
+                ratio is not None and ratio > bound and spent <= budget
+                and l1 is not None and l1 > 2.0
+            ):
+                # Quiet re-check (VERDICT r13 #6): a superlinear grade
+                # produced while the box was loaded (load1 > 2) gets one
+                # bounded wait-for-quiet and a final 10x re-run before
+                # the grade stands.
+                deadline = time.time() + 60
+                while time.time() < deadline:
+                    try:
+                        if os.getloadavg()[0] < 2.0:
+                            break
+                    except OSError:  # pragma: no cover
+                        break
+                    time.sleep(5)
+                t0q = time.perf_counter()
+                try:
+                    QUERIES[name](spark, scaled).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    t2 = round(time.perf_counter() - t0q, 2)
+                    spent += t2
+                    spot.setdefault("quiet_recheck", {})[name] = [
+                        t, t2, round(os.getloadavg()[0], 2)
+                    ]
+                    if t2 < t:
+                        t = t2
+                        ratio = round(t / base, 1)
+                except Exception as exc:
+                    spent += time.perf_counter() - t0q
+                    print(f"bench: sf1_spot quiet recheck {name} failed: "
+                          f"{exc}", file=sys.stderr)
             verdict = (
                 "n/a" if ratio is None
                 else "ok" if ratio <= bound
@@ -1540,6 +1744,7 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 print(f"bench: stage profile {name} failed: {exc}",
                       file=sys.stderr)
             spent += time.perf_counter() - t0
+        _reconcile_stages(spot)
     finally:
         shutil.rmtree(scaled, ignore_errors=True)
     return spot

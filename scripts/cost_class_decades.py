@@ -309,6 +309,77 @@ def measure_text(spark, d: str) -> dict:
     return out
 
 
+def measure_xspan(spark, d: str, run_spans: bool) -> dict:
+    """Anchor-posting counters for the substring-span family (VERDICT
+    r13 #4) — the LINEAR claim behind X155/X198/X199 and the
+    xspan_span_census cache build: every k-token window hashes to a
+    60-bit anchor, postings group by anchor, and sum C(freq, 2) over
+    anchors with freq <= _XSPAN_MAXF is the ONLY superlinear term of
+    cross_doc_substring_spans (operators/text_dedup.py:1021-1028 — the
+    stop-list drops hotter anchors before pair emission). With the
+    token-salted doc replicas every replica's anchor universe is
+    exactly disjoint, so the budget must grow 10.0x/decade; the census
+    mirrors the operator's own anchor construction (same tokens /
+    shingles / hash64 / knobs, imported not copied)."""
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.functions.hashing import hash64
+    from seng550_a3_etl_spark.functions.text import shingles, tokens
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        cross_doc_substring_spans,
+    )
+    from seng550_a3_etl_spark.suite.text import (
+        _XSPAN_K,
+        _XSPAN_MAXF,
+        _XSPAN_MIN,
+    )
+
+    t = load_tables(spark, d)
+    out: dict = {"n_corpus": t.documents.count()}
+    t0 = time.perf_counter()
+    anchors = t.documents.select(
+        F.col("doc_id").alias("doc"), tokens(F.col("text")).alias("__tk")
+    ).filter(F.size("__tk") >= _XSPAN_K).select(
+        "doc",
+        F.explode(
+            F.transform(
+                shingles(F.col("__tk"), _XSPAN_K), lambda c: hash64(c)
+            )
+        ).alias("h"),
+    )
+    post = (
+        anchors.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.max("f").alias("max_f"),
+            F.sum(
+                F.when(
+                    F.col("f") <= _XSPAN_MAXF,
+                    F.col("f").cast("decimal(38,0)") * (F.col("f") - 1) / 2,
+                ).otherwise(0)
+            ).alias("budget"),
+        )
+        .collect()[0]
+    )
+    out["anchor_census_wall_s"] = round(time.perf_counter() - t0, 2)
+    out["n_anchors"] = int(post["n_anchors"])
+    out["max_anchor_freq"] = int(post["max_f"])
+    out["xspan_pair_budget"] = int(post["budget"])
+    if run_spans:
+        # the full operator (posting pairs -> diagonal islands ->
+        # maximal runs), the wall the 8.0x 10x cache-build row times
+        t0 = time.perf_counter()
+        cross_doc_substring_spans(
+            t.documents, "doc_id", "text", k=_XSPAN_K,
+            min_span_tokens=_XSPAN_MIN, max_anchor_freq=_XSPAN_MAXF,
+        ).write.format("noop").mode("overwrite").save()
+        out["spans_wall_s"] = round(time.perf_counter() - t0, 2)
+    else:
+        out["spans_wall_s"] = None
+        out["spans_skip_reason"] = "wall budget"
+    return out
+
+
 def _ratios(vals: list) -> list:
     out = []
     for a, b in zip(vals, vals[1:]):
@@ -374,6 +445,7 @@ def main() -> None:
 
         # Text family (documents-only replicas, LINEAR claims).
         txt = None
+        xs = None
         if remaining() > budget / 4:
             t0 = time.perf_counter()
             tmp_t10 = tempfile.mkdtemp(prefix=".decades_t10x_", dir=REPO)
@@ -387,6 +459,17 @@ def main() -> None:
                 txt = [
                     measure_text(spark, d)
                     for d in (sf_dir, tmp_t10, tmp_t100)
+                ]
+                # substring-span family on the SAME disjoint replicas
+                # (VERDICT r13 #4); the full span build runs at 100x
+                # only while half the budget remains — the counter is
+                # the class evidence either way.
+                xs = [
+                    measure_xspan(
+                        spark, d,
+                        run_spans=(i < 2 or remaining() > budget / 2),
+                    )
+                    for i, d in enumerate((sf_dir, tmp_t10, tmp_t100))
                 ]
             finally:
                 shutil.rmtree(tmp_t10, ignore_errors=True)
@@ -479,6 +562,10 @@ def main() -> None:
         # budget column carries the verdict
         record["targets"]["minhash_dup_pairs"] = fold_linear(
             [dict(r) for r in txt], "minhash_pair_budget"
+        )
+    if xs is not None:
+        record["targets"]["xspan_span_census"] = fold_linear(
+            xs, "xspan_pair_budget"
         )
     record["total_wall_s"] = round(time.perf_counter() - start, 1)
     out_path = os.path.join(REPO, "COST_DECADES.json")

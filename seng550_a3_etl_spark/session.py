@@ -70,15 +70,18 @@ _DEFAULTS = {
 # back to the 2000 default with a warning.
 try:
     _codegen_entries = int(_DEFAULTS["spark.sql.codegen.cache.maxEntries"])
-    if _codegen_entries < 0:
-        raise ValueError("negative")
+    # The conf lands in a Java int — values past Integer.MAX_VALUE
+    # clear Python's int() but still fail opaquely at session build,
+    # the exact failure mode this guard exists to prevent (ADVICE r13).
+    if not 0 <= _codegen_entries <= 2**31 - 1:
+        raise ValueError("outside Java int range")
 except ValueError:
     import warnings
 
     warnings.warn(
         "SPARK_GRAFT_CODEGEN_CACHE="
-        f"{_DEFAULTS['spark.sql.codegen.cache.maxEntries']!r} is not a "
-        "non-negative integer; falling back to 2000",
+        f"{_DEFAULTS['spark.sql.codegen.cache.maxEntries']!r} is not an "
+        "integer in 0..2**31-1; falling back to 2000",
         stacklevel=2,
     )
     _codegen_entries = 2000

@@ -302,3 +302,75 @@ def test_stage_profile_compaction_handles_nested_rows():
     assert st["q1"]["pair_budget"] == [100, 1400]
     assert "retried_10x" not in st["q1"]
     assert st["q2"] == {"no_stage_profile": True}
+
+
+def test_reconcile_stages_flips_only_all_ok_profiles():
+    # VERDICT r13 #1: a superlinear wall grade whose OWN stage rows are
+    # all ok/ok_small_base is a measurement artifact — re-graded
+    # ok_stages_linear with the reconciliation note in-record. A row
+    # with any exceeds_bound stage, or no profile at all, keeps its
+    # superlinear grade.
+    spot = {
+        "queries": {
+            "artifact": [15.5, 15.6, "superlinear"],
+            "genuine": [40.0, 20.0, "superlinear"],
+            "unprofiled": [30.0, 14.0, "superlinear"],
+            "fine": [3.0, 2.0, "ok"],
+        },
+        "stages": {
+            "artifact": {
+                "bound": 13.0,
+                "rows": {
+                    "shingle_build": [1.26, 13.65, 10.9, "ok"],
+                    "verify": [0.21, 0.32, 1.5, "ok_small_base"],
+                    "pair_budget": [1471, 14869],
+                },
+            },
+            "genuine": {
+                "bound": 13.0,
+                "rows": {
+                    "scan": [1.0, 5.0, 5.0, "ok"],
+                    "pairs": [1.0, 20.0, 20.0, "exceeds_bound"],
+                },
+            },
+        },
+    }
+    bench._reconcile_stages(spot)
+    assert spot["queries"]["artifact"][2] == "ok_stages_linear"
+    assert "artifact" in spot["reconciled"]
+    assert spot["queries"]["genuine"][2] == "superlinear"
+    assert spot["queries"]["unprofiled"][2] == "superlinear"
+    assert spot["queries"]["fine"][2] == "ok"
+
+
+def test_commit_summary_counts_reconciled_as_ok_but_names_it():
+    full = {
+        "value": 100.0,
+        "sf": 0.1,
+        "queries": {"a": 1.0, "b": 2.0},
+        "sf1_spot": {
+            "queries": {
+                "q_ok": [2.0, 3.0, "ok"],
+                "q_recon": [15.5, 15.6, "ok_stages_linear"],
+            },
+        },
+    }
+    line = bench._commit_summary(full)
+    assert "NOT ok" not in line
+    assert "q_recon" in line and "reconciled" in line
+    # a still-superlinear row must stay loud
+    full["sf1_spot"]["queries"]["q_bad"] = [40.0, 20.0, "superlinear"]
+    line = bench._commit_summary(full)
+    assert "NOT ok" in line and "q_bad" in line
+
+
+def test_merge_cost_decades_synthesizes_class_and_bound():
+    # ADVICE r13: linear-family queries with no sf1 cost-class row get
+    # a synthesized entry that still carries the class/bound keys every
+    # other cost_classes entry has — consumers never special-case.
+    spot = {"cost_classes": {}}
+    bench._merge_cost_decades(spot)
+    for q in ("ngram_dup_pairs", "minhash_dup_pairs"):
+        row = spot["cost_classes"].get(q)
+        assert row and row["class"] == "linear" and row["bound"] == 13.0
+        assert row["decades"]["source"] == "COST_DECADES.json"
