@@ -2170,3 +2170,138 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").cast("long").alias("degree"),
         (F.col("deg") >= _KCORE_K).alias("stable"),
     )
+
+
+# --------------------------------------------------------------------------
+# X246 — histogram-based decision-tree split search (the distributed
+# GBDT pattern: one boosting round's exact split finding from binned
+# feature histograms).
+# --------------------------------------------------------------------------
+
+
+def _gini_gain_sql(nl: str, pl: str, nt: str, pt: str) -> str:
+    """Gini impurity decrease for a binary split, as ONE SQL expression
+    both engines parse identically (single-sourced so the Spark
+    ``F.expr`` and the DuckDB oracle compute bit-equal doubles: same
+    integer inputs, same operation order — the standing float rule).
+    Args are SQL sub-expressions for DOUBLE-cast counts: left rows/
+    positives, total rows/positives."""
+
+    def gini(n: str, p: str) -> str:
+        return (
+            f"(1.0 - ({p} / {n}) * ({p} / {n}) - "
+            f"(({n} - {p}) / {n}) * (({n} - {p}) / {n}))"
+        )
+
+    nr, pr = f"({nt} - {nl})", f"({pt} - {pl})"
+    return (
+        f"({gini(nt, pt)} - ({nl} / {nt}) * {gini(nl, pl)} - "
+        f"({nr} / {nt}) * {gini(nr, pr)})"
+    )
+
+
+_SPLIT_GAIN = _gini_gain_sql(
+    "CAST(nl AS DOUBLE)", "CAST(pl AS DOUBLE)",
+    "CAST(nt AS DOUBLE)", "CAST(pt AS DOUBLE)",
+)
+
+# Deterministic fixed-width binning (FLOOR on both engines — a bare
+# double->int CAST truncates in Spark but ROUNDS in DuckDB).
+_SPLIT_BINS = [
+    ("quantity", "CAST(FLOOR(l_quantity) AS BIGINT)"),
+    ("price", "LEAST(31, CAST(FLOOR(l_extendedprice / 2000) AS BIGINT))"),
+    ("discount", "CAST(ROUND(l_discount * 100) AS BIGINT)"),
+]
+
+
+@query(
+    "tree_split_gain",
+    oracle=f"""
+    WITH fb AS (
+      {" UNION ALL ".join(
+          f'''SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                 '{name}' AS feature, {bin_sql} AS bin FROM lineitem'''
+          for name, bin_sql in _SPLIT_BINS
+      )}
+    ),
+    h AS (
+      SELECT feature, bin, COUNT(*) AS n, SUM(y) AS p
+      FROM fb GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT feature, bin,
+             CAST(SUM(n) OVER w AS BIGINT) AS nl,
+             CAST(SUM(p) OVER w AS BIGINT) AS pl,
+             CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+             CAST(SUM(p) OVER (PARTITION BY feature) AS BIGINT) AS pt
+      FROM h WINDOW w AS (PARTITION BY feature ORDER BY bin)
+    )
+    SELECT feature, bin AS split_bin, nl, pl,
+           (nt - nl) AS nr, (pt - pl) AS pr,
+           ROUND({_SPLIT_GAIN}, 6) AS gain
+    FROM c WHERE nl < nt
+    """,
+)
+def tree_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One boosting round's exact split search, the way distributed
+    GBDT implementations (XGBoost approx/hist, LightGBM) actually run
+    it: bin each feature to a fixed-width histogram, aggregate (rows,
+    positives) per (feature, bin) — the ONLY stage that touches the
+    fact table — then score every candidate threshold "bin <= b" by
+    Gini impurity decrease from cumulative sums over the tiny
+    histogram. Target: l_returnflag = 'R'; features: quantity (unit
+    bins), extendedprice (2000-wide, capped at 31), discount (percent
+    points).
+
+    Engine: ONE scan of lineitem with a 3-struct explode (each row
+    emits its 3 (feature, bin) cells), map-side-combined groupBy to
+    <= ~100 histogram cells, then two windows (cumulative + per-
+    feature total) and the shared gain expression over the rollup.
+    The gain formula is single-sourced (_gini_gain_sql) into both the
+    Spark plan and the oracle — same integer counts, same operation
+    order, bit-equal doubles (rounded at 6 for the record).
+
+    Scale: this is THE pattern that makes tree training feasible at
+    100 TB — the shuffle carries |features| x |bins| cells (here ~90
+    rows), never examples, and deeper trees just add a node-id column
+    to the groupBy key. Candidate splits with an empty right child
+    are excluded (nl < nt)."""
+    t = load_tables(spark, sf_dir)
+    cells = t.lineitem.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("feature"),
+                    F.expr(bin_sql).alias("bin"),
+                )
+                for name, bin_sql in _SPLIT_BINS
+            ])
+        ).alias("fb"),
+    ).select("y", "fb.feature", "fb.bin")
+    h = cells.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("p")
+    )
+    w_cum = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("feature")
+    c = h.select(
+        "feature",
+        "bin",
+        F.sum("n").over(w_cum).cast("long").alias("nl"),
+        F.sum("p").over(w_cum).cast("long").alias("pl"),
+        F.sum("n").over(w_all).cast("long").alias("nt"),
+        F.sum("p").over(w_all).cast("long").alias("pt"),
+    )
+    return c.filter(F.col("nl") < F.col("nt")).select(
+        "feature",
+        F.col("bin").alias("split_bin"),
+        "nl",
+        "pl",
+        (F.col("nt") - F.col("nl")).alias("nr"),
+        (F.col("pt") - F.col("pl")).alias("pr"),
+        F.round(F.expr(_SPLIT_GAIN), 6).alias("gain"),
+    )

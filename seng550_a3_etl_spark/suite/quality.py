@@ -4,7 +4,7 @@ replacement for the reference's ad-hoc row-count verification
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from seng550_a3_etl_spark.catalog import load_tables
@@ -875,3 +875,143 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for stage, rule, din, d, w in rungs
     ])
     return a.select(F.explode(rows).alias("__r")).select("__r.*")
+
+
+# --------------------------------------------------------------------------
+# X247 — weight-of-evidence / information-value feature screen (r14).
+# --------------------------------------------------------------------------
+
+
+def _woe_sql(g: str, b: str, tg: str, tb: str) -> str:
+    """WOE for one bin as a single SQL expression both engines parse
+    identically (single-sourced into the Spark plan via ``F.expr`` and
+    the DuckDB oracle). Laplace-smoothed (+0.5 per class per bin, the
+    standard half-count) so empty classes stay finite; args are SQL
+    sub-expressions for DOUBLE-cast counts."""
+    return f"LN((({g} + 0.5) / {tg}) / (({b} + 0.5) / {tb}))"
+
+
+_WOE = _woe_sql(
+    "CAST(n_good AS DOUBLE)", "CAST(n_bad AS DOUBLE)",
+    "CAST(tg AS DOUBLE)", "CAST(tb AS DOUBLE)",
+)
+_IV_TERM = (
+    "((CAST(n_good AS DOUBLE) + 0.5) / CAST(tg AS DOUBLE) - "
+    f"(CAST(n_bad AS DOUBLE) + 0.5) / CAST(tb AS DOUBLE)) * {_WOE}"
+)
+
+_WOE_BINS = [
+    ("priority", "o_orderpriority"),
+    # STRING, not VARCHAR: Spark needs a length on VARCHAR casts, and
+    # DuckDB accepts STRING as a VARCHAR alias — the one spelling both
+    # engines parse.
+    ("month", "CAST(EXTRACT(month FROM o_orderdate) AS STRING)"),
+    ("price_tier",
+     "CAST(LEAST(9, CAST(FLOOR(o_totalprice / 50000) AS BIGINT)) "
+     "AS STRING)"),
+]
+
+
+@query(
+    "woe_information_value",
+    oracle=f"""
+    WITH fb AS (
+      {" UNION ALL ".join(
+          f'''SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                 AS bad, '{name}' AS feature, {bin_sql} AS bin
+              FROM orders'''
+          for name, bin_sql in _WOE_BINS
+      )}
+    ),
+    h AS (
+      SELECT feature, bin,
+             CAST(COUNT(*) FILTER (WHERE bad = 0) AS BIGINT) AS n_good,
+             CAST(COUNT(*) FILTER (WHERE bad = 1) AS BIGINT) AS n_bad
+      FROM fb GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT *,
+             CAST(SUM(n_good) OVER (PARTITION BY feature) AS BIGINT)
+               AS tg,
+             CAST(SUM(n_bad) OVER (PARTITION BY feature) AS BIGINT)
+               AS tb
+      FROM h
+    ),
+    s AS (
+      SELECT feature, bin, n_good, n_bad,
+             ROUND({_WOE}, 6) AS woe,
+             {_IV_TERM} AS iv_term
+      FROM c
+    )
+    SELECT feature, bin, n_good, n_bad, woe,
+           ROUND(iv_term, 6) AS iv_term,
+           ROUND(SUM(iv_term) OVER (PARTITION BY feature), 6)
+             AS iv_feature
+    FROM s
+    """,
+)
+def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value feature screen — the
+    credit-scoring-era test a training pipeline still runs before
+    fitting anything: per candidate feature bin, how differently do
+    the two target classes distribute (WOE = ln of the smoothed
+    good/bad density ratio), and per feature, how much total
+    separation it carries (IV = sum over bins of (dist_good -
+    dist_bad) * WOE; < 0.02 is conventionally "useless", > 0.5
+    "suspiciously strong" — a leakage tripwire, complementing X248's
+    forward-window rule). Target: o_orderstatus = 'F'; features:
+    priority, order month, 50k-wide price tier (capped).
+
+    Engine: one scan of orders with a 3-struct explode to (feature,
+    bin, bad) cells, map-side-combined groupBy to <= ~30 bins, one
+    per-feature window for class totals, then the single-sourced WOE
+    and IV expressions (same integer counts, same operation order in
+    both engines; LN sits inside the standing ulp-tolerance of the
+    6-decimal rounding — the es_weighted_sample precedent).
+
+    Scale: the shuffle carries bins, never orders; the double window
+    sum folds <= 12 values per feature, so association-order noise is
+    ~1e-16 against a 1e-6 rounding grid."""
+    t = load_tables(spark, sf_dir)
+    cells = t.orders.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("feature"),
+                    F.expr(bin_sql).alias("bin"),
+                )
+                for name, bin_sql in _WOE_BINS
+            ])
+        ).alias("fb"),
+    ).select("bad", "fb.feature", "fb.bin")
+    h = cells.groupBy("feature", "bin").agg(
+        F.sum(F.when(F.col("bad") == 0, 1).otherwise(0)).alias("n_good"),
+        F.sum(F.when(F.col("bad") == 1, 1).otherwise(0)).alias("n_bad"),
+    )
+    w_all = Window.partitionBy("feature")
+    c = h.select(
+        "feature",
+        "bin",
+        "n_good",
+        "n_bad",
+        F.sum("n_good").over(w_all).cast("long").alias("tg"),
+        F.sum("n_bad").over(w_all).cast("long").alias("tb"),
+    )
+    s = c.select(
+        "feature",
+        "bin",
+        "n_good",
+        "n_bad",
+        F.round(F.expr(_WOE), 6).alias("woe"),
+        F.expr(_IV_TERM).alias("iv_term"),
+    )
+    return s.select(
+        "feature",
+        "bin",
+        "n_good",
+        "n_bad",
+        "woe",
+        F.round("iv_term", 6).alias("iv_term"),
+        F.round(F.sum("iv_term").over(w_all), 6).alias("iv_feature"),
+    )

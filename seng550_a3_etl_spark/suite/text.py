@@ -5902,3 +5902,171 @@ def preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_micros",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X250 — content-defined chunking dedup census (r14): fixed-condition
+# rolling-hash chunk boundaries (the LBFS/rsync/CDC family), chunk-hash
+# duplication census per source.
+# --------------------------------------------------------------------------
+
+_CDC_W = 4    # rolling window width (tokens)
+_CDC_DIV = 13  # boundary condition: window hash % DIV == 0 (~1/13 of
+#                positions cut => mean chunk ~= DIV tokens)
+
+
+@query(
+    "cdc_chunk_dedup",
+    oracle=rf"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+               AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source, t, {_duck_shingles(_CDC_W, 't')} AS s
+      FROM tk
+    ),
+    cp AS (
+      SELECT doc_id, source, t,
+             list_transform(
+               list_filter(
+                 list_transform(range(1, len(s) + 1),
+                   i -> struct_pack(i := i, h := {duck_hash64('s[i]')})),
+                 x -> x.h % {_CDC_DIV} = 0),
+               x -> x.i + {_CDC_W - 1}) AS cuts
+      FROM sh
+    ),
+    ch AS (
+      SELECT source, t,
+             list_concat([CAST(1 AS BIGINT)],
+                         list_transform(cuts, p -> p + 1)) AS ss,
+             list_concat(cuts, [CAST(len(t) AS BIGINT)]) AS ee
+      FROM cp
+    ),
+    ex AS (
+      SELECT source, t,
+             unnest(list_filter(
+               list_transform(range(1, len(ss) + 1),
+                 j -> struct_pack(s := ss[j], e := ee[j])),
+               c -> c.e >= c.s)) AS c
+      FROM ch
+    ),
+    inst AS (
+      SELECT source,
+             {duck_hash64("array_to_string(t[c.s:c.e], ' ')")} AS h,
+             CAST(c.e - c.s + 1 AS BIGINT) AS ntok
+      FROM ex
+    ),
+    fr AS (SELECT *, COUNT(*) OVER (PARTITION BY h) AS f FROM inst)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE f >= 2) AS BIGINT) AS dup_chunks,
+           CAST(COALESCE(SUM(ntok) FILTER (WHERE f >= 2), 0) AS BIGINT)
+             AS dup_tokens,
+           ROUND(CAST(COALESCE(SUM(ntok) FILTER (WHERE f >= 2), 0)
+                      AS DOUBLE) / SUM(ntok), 6) AS dup_token_frac
+    FROM fr GROUP BY 1
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup census — the storage-dedup
+    technique (LBFS, rsync, restic/borg) applied to corpus curation:
+    chunk boundaries are placed where a rolling window hash meets a
+    fixed condition (here: the 4-token window's 60-bit hash %13 == 0),
+    so chunk edges RESYNCHRONIZE after an insertion/deletion — unlike
+    X97's fixed-size token chunks, a one-token edit changes O(1)
+    chunks, not every chunk after the edit. The census then counts,
+    per source, how many chunk INSTANCES (and their token mass) recur
+    verbatim anywhere in the corpus: sub-document duplication at
+    variable granularity, the middle rung between X91's whole-doc
+    hashing and X198's exact span pairs.
+
+    Engine: everything up to the chunk hash is per-row HOF expressions
+    in the scan stage (tokens -> 4-token windows -> hash -> qualifying
+    cut positions -> start/end zip -> slice+join+hash per chunk) —
+    corpus text never shuffles; only (source, 60-bit chunk hash, ntok)
+    rows do. One hash-partition window computes corpus-wide chunk
+    frequency, one map-side-combined groupBy folds the |sources|-row
+    census. Both engines replay the identical construction (shared
+    tokenizer, shingle builder, md5-derived hash64, and knobs).
+
+    Scale: the explode emits ~|tokens|/13 chunk rows; the frequency
+    window shuffles once on the chunk hash (near-uniform 60-bit keys,
+    no skew); the rollup is |sources| rows. At 100 TB the chunk-hash
+    frequency table doubles as the dedup index a writer would persist."""
+    from seng550_a3_etl_spark.functions.text import shingles
+
+    t = load_tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        "source",
+        F.filter(tokens(F.col("text")), lambda x: x != "").alias("tk"),
+    )
+    sh = shingles(F.col("tk"), _CDC_W)
+    # 0-based window i covers 1-based tokens [i+1, i+W]; a qualifying
+    # window cuts AFTER token i+W (== the oracle's 1-based i + W - 1).
+    cutpos = F.transform(
+        F.filter(
+            F.transform(
+                sh,
+                lambda s, i: F.struct(
+                    i.alias("i"), hash64(s).alias("h")
+                ),
+            ),
+            lambda x: x["h"] % _CDC_DIV == 0,
+        ),
+        lambda x: (x["i"] + _CDC_W).cast("long"),
+    )
+    d2 = d.select("source", "tk", cutpos.alias("cp"))
+    starts = F.concat(
+        F.array(F.lit(1).cast("long")),
+        F.transform(F.col("cp"), lambda p: p + 1),
+    )
+    ends = F.concat(F.col("cp"), F.array(F.size("tk").cast("long")))
+    chunks = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+        ),
+        lambda c: c["e"] >= c["s"],
+    )
+    inst = d2.select(
+        "source", F.explode(chunks).alias("c"), "tk"
+    ).select(
+        "source",
+        hash64(
+            F.array_join(
+                F.slice(
+                    "tk",
+                    F.col("c.s").cast("int"),
+                    (F.col("c.e") - F.col("c.s") + 1).cast("int"),
+                ),
+                " ",
+            )
+        ).alias("h"),
+        (F.col("c.e") - F.col("c.s") + 1).alias("ntok"),
+    )
+    fr = inst.withColumn(
+        "f", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    return fr.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("ntok").alias("n_tokens"),
+        F.sum(F.when(F.col("f") >= 2, 1).otherwise(0)).alias("dup_chunks"),
+        F.sum(F.when(F.col("f") >= 2, F.col("ntok")).otherwise(0)).alias(
+            "dup_tokens"
+        ),
+    ).select(
+        "source",
+        "n_chunks",
+        "n_tokens",
+        "dup_chunks",
+        "dup_tokens",
+        F.round(
+            F.col("dup_tokens").cast("double") / F.col("n_tokens"), 6
+        ).alias("dup_token_frac"),
+    )

@@ -1679,3 +1679,99 @@ def tokenizer_drift_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_jaccard_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# X249 — term burstiness census (Church & Gale): variance-to-mean ratio
+# of per-document term counts.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "token_burstiness",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_DUCK_CTOKS}) AS t FROM documents
+    ),
+    tf AS (SELECT doc_id, t, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+    st AS (
+      SELECT t AS term,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS total_cnt,
+             CAST(SUM(c * c) AS BIGINT) AS ss
+      FROM tf GROUP BY 1
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT term, df, total_cnt,
+           ROUND(CAST(total_cnt AS DOUBLE) / df, 6) AS per_doc_rate,
+           ROUND((ss - CAST(total_cnt AS DOUBLE) * total_cnt / n_docs)
+                 / total_cnt, 6) AS vmr
+    FROM st CROSS JOIN nd
+    WHERE df >= 5
+    ORDER BY (ss - CAST(total_cnt AS DOUBLE) * total_cnt / n_docs)
+             / total_cnt DESC, term
+    LIMIT 200
+    """,
+)
+def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church & Gale burstiness: the variance-to-mean ratio (VMR) of a
+    term's per-document count across the corpus. Poisson-distributed
+    (content-free) terms sit at VMR ~= 1; bursty terms — topical words
+    that recur heavily inside the few docs they touch — sit far above,
+    and a VMR census separates them from stopwords with the same total
+    count. A curation pipeline reads it two ways: high-VMR terms are
+    template/boilerplate suspects when shared across sources, and
+    quality-signal candidates when not (X178's repetition flags work
+    per-doc; this is the corpus-level view).
+
+    VMR needs per-doc counts INCLUDING zeros; materializing the zero
+    cells is |vocab| x |docs| and never runs. Instead everything folds
+    from three absolutely-summable integers per term — df, sum(c),
+    sum(c^2): mean = n/N, var = ss/N - (n/N)^2, so
+    VMR = var/mean = (ss - n^2/N)/n — one pass, exact integers until a
+    single fixed-order double expression both engines share (standing
+    float rule: ulp-identical rational arithmetic, rounded at 6).
+
+    Engine: explode clean tokens -> (doc, term) partial-agg count ->
+    per-term rollup (map-side combinable both stages) -> broadcast the
+    one-row doc count. Top-200 by exact VMR (term tie-break) keeps the
+    output fixed-size at any corpus scale.
+
+    Scale: two shuffles (doc+term cells, then term rollup); corpus
+    text never shuffles — only (hash-sized term, 3 longs) rows do. The
+    global top-k is a TakeOrderedAndProject, no full sort."""
+    t = load_tables(spark, sf_dir)
+    ex = t.documents.select(
+        "doc_id", F.explode(_ctoks(F.col("text"))).alias("term")
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    st = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("total_cnt"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    nd = t.documents.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    vmr = (
+        F.col("ss")
+        - F.col("total_cnt").cast("double")
+        * F.col("total_cnt")
+        / F.col("n_docs")
+    ) / F.col("total_cnt")
+    return (
+        st.crossJoin(F.broadcast(nd))
+        .filter(F.col("df") >= 5)
+        .withColumn("__vmr", vmr)
+        .orderBy(F.col("__vmr").desc(), "term")
+        .limit(200)
+        .select(
+            "term",
+            "df",
+            "total_cnt",
+            F.round(
+                F.col("total_cnt").cast("double") / F.col("df"), 6
+            ).alias("per_doc_rate"),
+            F.round("__vmr", 6).alias("vmr"),
+        )
+    )

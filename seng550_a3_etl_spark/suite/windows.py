@@ -1180,3 +1180,69 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+# --------------------------------------------------------------------------
+# X248 — leakage-aware future-window label construction (r14).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "future_purchase_labels",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od
+      FROM orders
+    ),
+    nxt AS (
+      SELECT o_orderkey, od,
+             LEAD(od) OVER (
+               PARTITION BY o_custkey ORDER BY od, o_orderkey
+             ) AS nd
+      FROM o
+    )
+    SELECT o_orderkey,
+           strftime(od, '%Y-%m-%d') AS order_date,
+           CAST(date_diff('day', od, nd) AS BIGINT) AS days_to_next,
+           CAST(CASE WHEN nd IS NOT NULL
+                      AND date_diff('day', od, nd) <= 90
+                THEN 1 ELSE 0 END AS INTEGER) AS repurchase_90d
+    FROM nxt
+    """,
+)
+def future_purchase_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-label construction for a churn/repurchase model: per
+    order, did the SAME customer place another order within the next 90
+    days (``repurchase_90d``), plus the exact gap (``days_to_next``,
+    NULL for each customer's last order). The label window looks only
+    FORWARD from the example's own timestamp — the leakage rule a
+    training pipeline must encode once, centrally, rather than in every
+    notebook (the batch analog of X142's leakage-free split).
+
+    Engine: one LEAD window per customer ordered (o_orderdate,
+    o_orderkey) — the key tie-break makes same-day orders
+    deterministic on both engines. Labels are integer day arithmetic
+    on DATE-cast keys; no floats anywhere.
+
+    Scale: one shuffle on o_custkey; window partitions are bounded by
+    per-customer order counts (TPC-H ~10), so no skewed partition
+    exists. Output is |orders| rows — a labeled training table, built
+    in one pass."""
+    t = load_tables(spark, sf_dir)
+    o = t.orders.select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("od")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    n = o.select("o_orderkey", "od", F.lead("od").over(w).alias("nd"))
+    return n.select(
+        "o_orderkey",
+        F.date_format("od", "yyyy-MM-dd").alias("order_date"),
+        F.datediff("nd", "od").cast("long").alias("days_to_next"),
+        F.when(
+            F.col("nd").isNotNull() & (F.datediff("nd", "od") <= 90),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("repurchase_90d"),
+    )
