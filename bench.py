@@ -176,6 +176,16 @@ SF1_SPOT = [
     # n^1.5 under the ceil(sqrt(n)) cell recipe; X226/X231/X233 share
     # the identical assign/pair plumbing and are not separately spotted.
     "hard_negative_mining",
+    # r14 additions with a measurable scale claim: the CDC chunk census
+    # (scan-stage chunking, one chunk-hash window — linear in tokens),
+    # the GBDT histogram split search (one fact scan, bin-sized
+    # shuffles), and the term-burstiness rollup (two map-side-combined
+    # token shuffles). future_purchase_labels / woe_information_value
+    # are one-window / one-rollup shapes already covered by spotted
+    # representatives.
+    "cdc_chunk_dedup",
+    "tree_split_gain",
+    "token_burstiness",
 ]
 
 

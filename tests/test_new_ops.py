@@ -1813,3 +1813,109 @@ def test_pii_density_census_invariants(spark):
         assert r.pii_doc_ppm == r.docs_with_pii * 1000000 // r.n_docs
         hits = r.n_email + r.n_ip + r.n_phone
         assert r.hits_per_mtok == hits * 1000000 // max(r.n_tokens, 1)
+
+
+def test_tree_split_gain_invariants(spark):
+    # Gini gain is non-negative for every candidate split (convexity);
+    # cumulative counts nest; the max-bin split (empty right) is
+    # excluded; every feature's totals agree across its rows.
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["tree_split_gain"](spark, sf).collect()
+    assert rows
+    totals = {}
+    for r in rows:
+        assert r.gain >= 0.0
+        assert 0 < r.nl and 0 < r.nr
+        assert 0 <= r.pl <= r.nl and 0 <= r.pr <= r.nr
+        totals.setdefault(r.feature, set()).add((r.nl + r.nr, r.pl + r.pr))
+    for feature, ts in totals.items():
+        assert len(ts) == 1, (feature, ts)
+    assert set(totals) == {"quantity", "price", "discount"}
+
+
+def test_woe_information_value_invariants(spark):
+    # each IV term is non-negative ((dg-db) and ln(dg/db) share sign);
+    # per-feature bin counts sum to the orders row count; iv_feature is
+    # constant within a feature.
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["woe_information_value"](spark, sf).collect()
+    assert rows
+    n_orders = spark.read.parquet(f"{sf}/orders.parquet").count()
+    per_feature: dict = {}
+    for r in rows:
+        assert r.iv_term >= -1e-9
+        agg = per_feature.setdefault(r.feature, [0, set()])
+        agg[0] += r.n_good + r.n_bad
+        agg[1].add(r.iv_feature)
+    for feature, (n, ivs) in per_feature.items():
+        assert n == n_orders, feature
+        assert len(ivs) == 1, feature
+
+
+def test_future_purchase_labels_invariants(spark):
+    # one row per order; the label implies a real forward gap; each
+    # customer has exactly one unlabeled-gap (last) order.
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["future_purchase_labels"](spark, sf)
+    rows = df.collect()
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    assert len(rows) == orders.count()
+    for r in rows:
+        if r.repurchase_90d == 1:
+            assert r.days_to_next is not None and 0 <= r.days_to_next <= 90
+        elif r.days_to_next is not None:
+            assert r.days_to_next > 90
+    n_last = sum(1 for r in rows if r.days_to_next is None)
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert n_last == n_cust
+
+
+def test_cdc_chunk_dedup_invariants(spark):
+    # chunks PARTITION the clean token stream: per-source chunk token
+    # mass equals the corpus clean-token mass; dup masses nest.
+    from pyspark.sql import functions as F2
+
+    from seng550_a3_etl_spark.functions.text import tokens as _tok
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["cdc_chunk_dedup"](spark, sf).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    expect = {
+        r.source: r.n
+        for r in docs.groupBy("source")
+        .agg(
+            F2.sum(
+                F2.size(F2.filter(_tok(F2.col("text")), lambda x: x != ""))
+            ).alias("n")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r.n_tokens == expect[r.source]
+        assert 0 <= r.dup_chunks <= r.n_chunks
+        assert 0 <= r.dup_tokens <= r.n_tokens
+        # mean chunk size tracks the %13 cut rate loosely (> 1 token)
+        assert r.n_chunks <= r.n_tokens
+
+
+def test_token_burstiness_invariants(spark):
+    # df floor respected; VMR >= the minimum possible for integer
+    # counts; per_doc_rate >= 1; output capped at 200.
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["token_burstiness"](spark, sf).collect()
+    assert 0 < len(rows) <= 200
+    for r in rows:
+        assert r.df >= 5
+        assert r.total_cnt >= r.df
+        assert r.per_doc_rate >= 1.0
+        assert r.vmr >= 0.0
