@@ -549,7 +549,13 @@ def main() -> None:
             # costs ~2-3 s once, charged to no query.
             stream_rewarmed = True
             t0w = time.perf_counter()
-            _warm_streaming(spark, sf_dir)
+            try:
+                # best-effort: a re-warm failure mid-suite must never
+                # cost the run its collected timings (r14 review)
+                _warm_streaming(spark, sf_dir)
+            except Exception as exc:
+                print(f"bench: stream re-warm failed: {exc}",
+                      file=sys.stderr)
             print(f"bench: stream re-warm before stream_* block "
                   f"{round(time.perf_counter() - t0w, 2)}s",
                   file=sys.stderr)
@@ -706,10 +712,17 @@ def _warm_streaming(spark, sf_dir: str) -> None:
     # sibling (cleanup lives in this process's finally); remove them so
     # the warm-up never reads mismatched parquet (ADVICE r13 — the old
     # prefix-glob read `{slice_dir}*`, which matched such siblings).
-    for stale in _glob.glob(".bench_stream_warm_*"):
-        shutil.rmtree(stale, ignore_errors=True)
-    slice_dir = tempfile.mkdtemp(prefix=".bench_stream_warm_", dir=".")
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # Everything here is best-effort: a warm-up setup failure must
+    # never cost a bench run (r14 review).
+    try:
+        for stale in _glob.glob(".bench_stream_warm_*"):
+            shutil.rmtree(stale, ignore_errors=True)
+        slice_dir = tempfile.mkdtemp(prefix=".bench_stream_warm_", dir=".")
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    except Exception as exc:
+        print(f"bench: streaming warm-up setup failed: {exc}",
+              file=sys.stderr)
+        return
     try:
         from seng550_a3_etl_spark.catalog import set_parquet_ts_confs
 
@@ -1263,6 +1276,29 @@ def _lsh_staged_spot(spark, sf_dir: str, scaled: str) -> dict:
     return out
 
 
+def _timed_noop(spark, name: str, d: str) -> float:
+    """Wall seconds for one full execution of suite query ``name`` over
+    data dir ``d`` through the noop sink (compute, no collect) — the
+    single timing primitive every spot re-run variant shares."""
+    from seng550_a3_etl_spark.suite import QUERIES
+
+    t0 = time.perf_counter()
+    QUERIES[name](spark, d).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 2)
+
+
+def _evict_entries(cache: dict, sfd: str, match=None) -> None:
+    """Drop ``cache`` entries keyed to data dir ``sfd``; ``match``
+    narrows to specific entries (the two shingle representations share
+    one cache — ADVICE r12). The ONE place the cache-key layout
+    (position 1 = sf_dir) is encoded."""
+    for k in [
+        k for k in cache
+        if k[1] == sfd and (match is None or match(k))
+    ]:
+        del cache[k]
+
+
 def _evict_session_caches(sfd: str, match=None) -> None:
     """Drop every suite session-cache entry keyed to data dir ``sfd``
     (optionally narrowed by ``match`` over the full cache key), so the
@@ -1280,11 +1316,7 @@ def _evict_session_caches(sfd: str, match=None) -> None:
         _suite_text._CENSUS_CACHE,
         _suite_vec._ASSIGN_CACHE,
     ):
-        for k in [
-            k for k in cache
-            if k[1] == sfd and (match is None or match(k))
-        ]:
-            del cache[k]
+        _evict_entries(cache, sfd, match)
 
 
 def _stage_profile(spark, sf_dir: str, scaled: str, name: str) -> dict:
@@ -1323,6 +1355,18 @@ def _stage_profile(spark, sf_dir: str, scaled: str, name: str) -> dict:
     #     are recorded.
     _STAGE_FLOOR = 0.5
     bound = SPOT_COST_CLASS.get(name, (None, 13.0))[1]
+    # Evict the session caches at BOTH scales before the first pass:
+    # stage tables claim "timed cold at both scales" (_reconcile_stages
+    # leans on it), but profiles run AFTER the spot loop, when the
+    # prewarm's 10x caches (and the suite loop's 1x caches) are still
+    # warm — a cache-backed stage would time a ~0 s hit and both
+    # under-report the build and corrupt the reconcile premise
+    # (r14 review).
+    try:
+        _evict_session_caches(sf_dir)
+        _evict_session_caches(scaled)
+    except Exception as exc:
+        print(f"bench: stage-profile evict failed: {exc}", file=sys.stderr)
     with contextlib.redirect_stdout(sys.stderr):  # keep stdout for the line
         one = fn(spark, sf_dir)
         ten = fn(spark, scaled)
@@ -1388,10 +1432,18 @@ def _reconcile_stages(spot: dict) -> None:
     """Auto-reconcile (VERDICT r13 #1): a superlinear wall-ratio grade
     whose own stage decomposition is entirely within bound is a
     measurement artifact (warm-vs-cold base, loaded window), not a plan
-    problem — the stages ARE the plan, timed cold at both scales.
+    problem — the stages ARE the plan, timed cold at both scales
+    (_stage_profile evicts the session caches before the first pass).
     Re-grade ``ok_stages_linear`` with both numbers in-record; a
     genuinely superlinear plan keeps its grade because at least one
-    stage exceeds the bound too."""
+    stage exceeds the bound too.
+
+    Coverage gate (r14 review): the flip is only sound when the
+    profiled stages actually ACCOUNT for the query's wall — a
+    superlinear term living in an unprofiled stage would otherwise
+    produce an all-ok table over a 15x wall and ship as ok. Require
+    the 10x stage-wall sum to reach 60% of the 10x query wall;
+    otherwise keep the grade and record ``stages_incomplete``."""
     for name, entry in list((spot.get("queries") or {}).items()):
         if not (isinstance(entry, list) and len(entry) == 3
                 and entry[2] == "superlinear"):
@@ -1400,17 +1452,29 @@ def _reconcile_stages(spot: dict) -> None:
         rows = tbl.get("rows") if isinstance(tbl, dict) else None
         if not rows:
             continue
-        stage_verdicts = [
-            v[3] for v in rows.values()
+        stage_rows = [
+            v for v in rows.values()
             if isinstance(v, list) and len(v) == 4
         ]
-        if stage_verdicts and all(
-            v in ("ok", "ok_small_base") for v in stage_verdicts
+        if not stage_rows:
+            continue
+        wall10 = entry[0]
+        cover10 = sum(v[1] for v in stage_rows)
+        if not (
+            isinstance(wall10, (int, float)) and wall10 > 0
+            and cover10 >= 0.6 * wall10
         ):
+            spot.setdefault("reconcile_skipped", {})[name] = (
+                f"stages_incomplete: profiled 10x stage sum {cover10} "
+                f"covers <60% of the {wall10}s query wall"
+            )
+            continue
+        if all(v[3] in ("ok", "ok_small_base") for v in stage_rows):
             entry[2] = "ok_stages_linear"
             spot.setdefault("reconciled", {})[name] = (
-                "wall ratio over bound but every profiled stage "
-                "within bound; see stages + load1 rows"
+                "wall ratio over bound but every profiled stage within "
+                f"bound (10x stage sum {round(cover10, 2)}s covers the "
+                f"{wall10}s wall); see stages + load1 rows"
             )
             print(f"bench: sf1_spot {name} reconciled -> "
                   f"ok_stages_linear", file=sys.stderr)
@@ -1426,14 +1490,22 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
     verdict]. Bounded by a total wall budget so a pathological query
     can't run the bench past the driver's patience.
 
-    The 1× base is the COLD first-pass wall (``retimed[name][0]`` when
-    the retimer replaced the record with a warm steady number): the
-    10× spot run is itself cold — fresh data, evicted codegen cache,
-    unbuilt session caches — so cold-vs-cold is the like-for-like
-    ratio. r9: comparing the cold spot against the warm steady base
-    flagged cluster_best_doc at 31.7× when its cold-vs-cold ratio is
-    ~3.6× (the difference was the shingle-cache build plus a codegen
-    recompile charged to the 10× side only)."""
+    The 1× base is the first-pass suite wall (``retimed[name][0]``
+    when the retimer replaced the record with a warm steady number) —
+    closest in regime to the spot run (r9: grading against the warm
+    steady base flagged cluster_best_doc at 31.7× when the like-for-
+    like ratio is ~3.6×). Because the base and spot cache regimes can
+    still diverge (r13: minhash_dup_pairs 15.6× off a cache-warm base
+    against a cache-cold spot wall), an over-bound grade escalates
+    through a fixed ladder before it stands, each rung recorded under
+    its own key: (1) one same-regime 10× retry; (2) if the box was
+    loaded (load1 > 2), a budget-charged wait-for-quiet plus another
+    10× re-run; (3) a COLD-vs-COLD comparison — session caches evicted
+    before both a fresh 1× and a fresh 10× run — grading on the better
+    of the two internally-consistent comparisons (a genuine
+    superlinear plan fails both; a cache-regime artifact fails exactly
+    one); (4) stage-profile reconciliation with a 60% wall-coverage
+    gate (_reconcile_stages)."""
     retimed = retimed if isinstance(retimed, dict) else {}
     import shutil
     import tempfile
@@ -1465,18 +1537,6 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
         try:
             from seng550_a3_etl_spark.suite import text as _suite_text
             from seng550_a3_etl_spark.suite import vectors as _suite_vec
-
-            def _evict(cache: dict, sfd: str, match=None) -> None:
-                # match narrows to ONE build's entry: the two shingle
-                # representations share _SHINGLE_CACHE, so an sf_dir-only
-                # retry eviction for shingle_sets_string also dropped the
-                # hashed entry — and dup_cluster_labels' later 10x timing
-                # silently re-paid a hashed-set rebuild (ADVICE r12).
-                for k in [
-                    k for k in cache
-                    if k[1] == sfd and (match is None or match(k))
-                ]:
-                    del cache[k]
 
             _evict_session_caches(sf_dir)
             # build name -> (cache dict, exact-entry matcher). The
@@ -1537,7 +1597,7 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                     # 16.2x in a window whose identical-code build had
                     # measured 4.4x thirty minutes earlier.)
                     bcache, bmatch = _CACHE_BY_BUILD.get(bname, ({}, None))
-                    _evict(bcache, scaled, bmatch)
+                    _evict_entries(bcache, scaled, bmatch)
                     t0 = time.perf_counter()
                     fn(scaled)
                     b10r = round(time.perf_counter() - t0, 2)
@@ -1648,12 +1708,8 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 # first record graded semantic_dedup_clusters 33.7x on
                 # walls their isolated reruns put at 1.7x / 2.7x. Both
                 # walls are recorded; the grade uses the better one.
-                t0r = time.perf_counter()
                 try:
-                    QUERIES[name](spark, scaled).write.format(
-                        "noop"
-                    ).mode("overwrite").save()
-                    t2 = round(time.perf_counter() - t0r, 2)
+                    t2 = _timed_noop(spark, name, scaled)
                     spent += t2
                     spot.setdefault("retried", {})[name] = [t, t2]
                     if t2 < t:
@@ -1662,41 +1718,17 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 except Exception as exc:
                     print(f"bench: sf1_spot retry {name} failed: {exc}",
                           file=sys.stderr)
-            if ratio is not None and ratio > bound and spent <= budget:
-                # Cold-base re-time (VERDICT r13 #1): the suite-loop 1x
-                # base is session-cache-WARM for cache consumers (the
-                # build is charged to whichever query runs first), while
-                # a 10x spot wall can land cache-cold — r13 graded
-                # minhash_dup_pairs 15.6x superlinear off a ~1.0 s warm
-                # base when its cold 1x stage sum is 2.16 s. Evict the
-                # 1x session caches and re-time the base COLD, exactly
-                # the cold-vs-cold contract the docstring promises.
-                t0c = time.perf_counter()
-                try:
-                    _evict_session_caches(sf_dir)
-                    QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    base_cold = round(time.perf_counter() - t0c, 2)
-                    spent += base_cold
-                    spot.setdefault("cold_base", {})[name] = [
-                        round(base, 2), base_cold
-                    ]
-                    if base_cold > base:
-                        base = base_cold
-                        ratio = round(t / base, 1)
-                except Exception as exc:
-                    spent += time.perf_counter() - t0c
-                    print(f"bench: sf1_spot cold-base {name} failed: "
-                          f"{exc}", file=sys.stderr)
             if (
                 ratio is not None and ratio > bound and spent <= budget
                 and l1 is not None and l1 > 2.0
             ):
-                # Quiet re-check (VERDICT r13 #6): a superlinear grade
-                # produced while the box was loaded (load1 > 2) gets one
-                # bounded wait-for-quiet and a final 10x re-run before
-                # the grade stands.
+                # Quiet re-check (VERDICT r13 #6): a still-over-bound
+                # grade produced while the box was loaded (load1 > 2)
+                # gets one bounded wait-for-quiet and another SAME-REGIME
+                # 10x re-run before escalating. The wait is charged to
+                # the budget (review r14: an uncharged sleep let a
+                # sustained-load run blow past SPARK_GRAFT_SF1_BUDGET_S).
+                t0q = time.perf_counter()
                 deadline = time.time() + 60
                 while time.time() < deadline:
                     try:
@@ -1705,13 +1737,8 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                     except OSError:  # pragma: no cover
                         break
                     time.sleep(5)
-                t0q = time.perf_counter()
                 try:
-                    QUERIES[name](spark, scaled).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    t2 = round(time.perf_counter() - t0q, 2)
-                    spent += t2
+                    t2 = _timed_noop(spark, name, scaled)
                     spot.setdefault("quiet_recheck", {})[name] = [
                         t, t2, round(os.getloadavg()[0], 2)
                     ]
@@ -1719,9 +1746,44 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                         t = t2
                         ratio = round(t / base, 1)
                 except Exception as exc:
-                    spent += time.perf_counter() - t0q
                     print(f"bench: sf1_spot quiet recheck {name} failed: "
                           f"{exc}", file=sys.stderr)
+                spent += time.perf_counter() - t0q
+            if ratio is not None and ratio > bound and spent <= budget:
+                # Cold-vs-cold escalation (VERDICT r13 #1, tightened in
+                # the r14 review): the as-measured ratio mixes cache
+                # regimes — the 1x base is session-cache-warm for cache
+                # consumers (the build is charged to whichever suite
+                # query runs first) while a 10x spot wall can land
+                # cache-cold (r13: minhash_dup_pairs graded 15.6x off a
+                # ~1.0 s warm base when its cold 1x stage sum is
+                # 2.16 s). Rather than repair one side (a cold 1x base
+                # against a warm 10x wall would deflate the ratio and
+                # could MASK a real regression — the r14 review's
+                # finding), measure BOTH sides cold: evict the session
+                # caches before each, and grade on the better of the
+                # two internally-consistent comparisons. A genuinely
+                # superlinear plan is over bound under both; a cache-
+                # regime artifact is over bound under exactly one.
+                t0c = time.perf_counter()
+                try:
+                    _evict_session_caches(sf_dir)
+                    base_cold = _timed_noop(spark, name, sf_dir)
+                    _evict_session_caches(scaled)
+                    t_cold = _timed_noop(spark, name, scaled)
+                    cold_ratio = (
+                        round(t_cold / base_cold, 1)
+                        if base_cold > 0 else None
+                    )
+                    spot.setdefault("cold_cold", {})[name] = [
+                        base_cold, t_cold, cold_ratio
+                    ]
+                    if cold_ratio is not None and cold_ratio < ratio:
+                        ratio = cold_ratio
+                except Exception as exc:
+                    print(f"bench: sf1_spot cold-vs-cold {name} failed: "
+                          f"{exc}", file=sys.stderr)
+                spent += time.perf_counter() - t0c
             verdict = (
                 "n/a" if ratio is None
                 else "ok" if ratio <= bound

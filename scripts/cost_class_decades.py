@@ -319,13 +319,13 @@ def measure_xspan(spark, d: str, run_spans: bool) -> dict:
     stop-list drops hotter anchors before pair emission). With the
     token-salted doc replicas every replica's anchor universe is
     exactly disjoint, so the budget must grow 10.0x/decade; the census
-    mirrors the operator's own anchor construction (same tokens /
-    shingles / hash64 / knobs, imported not copied)."""
+    runs over the operator's OWN anchor construction
+    (operators/text_dedup.py substring_anchors — shared, not mirrored,
+    so the evidence cannot drift from the operator; r14 review)."""
     from seng550_a3_etl_spark.catalog import load_tables
-    from seng550_a3_etl_spark.functions.hashing import hash64
-    from seng550_a3_etl_spark.functions.text import shingles, tokens
     from seng550_a3_etl_spark.operators.text_dedup import (
         cross_doc_substring_spans,
+        substring_anchors,
     )
     from seng550_a3_etl_spark.suite.text import (
         _XSPAN_K,
@@ -336,16 +336,7 @@ def measure_xspan(spark, d: str, run_spans: bool) -> dict:
     t = load_tables(spark, d)
     out: dict = {"n_corpus": t.documents.count()}
     t0 = time.perf_counter()
-    anchors = t.documents.select(
-        F.col("doc_id").alias("doc"), tokens(F.col("text")).alias("__tk")
-    ).filter(F.size("__tk") >= _XSPAN_K).select(
-        "doc",
-        F.explode(
-            F.transform(
-                shingles(F.col("__tk"), _XSPAN_K), lambda c: hash64(c)
-            )
-        ).alias("h"),
-    )
+    anchors = substring_anchors(t.documents, "doc_id", "text", _XSPAN_K)
     post = (
         anchors.groupBy("h")
         .agg(F.count(F.lit(1)).alias("f"))

@@ -991,6 +991,30 @@ def remove_boilerplate_spans(
     )
 
 
+def substring_anchors(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(doc, pos, h) k-token window-anchor postings — every k-token
+    window's 0-based position and 60-bit hash, for docs long enough to
+    hold one. The ONE definition of the substring family's anchor
+    universe: :func:`cross_doc_substring_spans` builds its posting
+    lists from it, and the cost-class decades counter
+    (scripts/cost_class_decades.py measure_xspan) measures the SAME
+    construction, so the linear-claim evidence cannot silently drift
+    from the operator it certifies (r14 review)."""
+    docs = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__tk")
+    )
+    return docs.filter(F.size("__tk") >= k).select(
+        "doc",
+        F.posexplode(
+            F.transform(shingles(F.col("__tk"), k), lambda c: hash64(c))
+        ).alias(
+            "pos", "h"
+        ),
+    )
+
+
 def cross_doc_substring_spans(
     df: DataFrame,
     id_col: str,
@@ -1037,17 +1061,7 @@ def cross_doc_substring_spans(
     bounded by doc length, so no skewed window partition exists."""
     from pyspark.sql.window import Window
 
-    docs = df.select(
-        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__tk")
-    )
-    anchors = docs.filter(F.size("__tk") >= k).select(
-        "doc",
-        F.posexplode(
-            F.transform(shingles(F.col("__tk"), k), lambda c: hash64(c))
-        ).alias(
-            "pos", "h"
-        ),
-    )
+    anchors = substring_anchors(df, id_col, text_col, k)
     anchors = (
         anchors.withColumn(
             "__f", F.count(F.lit(1)).over(Window.partitionBy("h"))
