@@ -1108,6 +1108,10 @@ def _merge_cost_decades(sf1_spot: dict) -> None:
         # xspan cache build's only superlinear term (VERDICT r13 #4);
         # attached to the spotted flagship query's row.
         ("cross_doc_substring_dedup", "xspan_span_census"),
+        # SimHash block-combination banding (r14 swap): budget graded
+        # against the linear-plus-collision-floor model, with the
+        # retired single-chunk scheme's budget as the comparison row.
+        ("simhash_near_pairs", "simhash_band_census"),
     ):
         tgt = (dec.get("targets") or {}).get(tname)
         if not tgt:

@@ -371,6 +371,99 @@ def measure_xspan(spark, d: str, run_spans: bool) -> dict:
     return out
 
 
+def measure_simhash(spark, d: str) -> dict:
+    """Banding-budget counters for the SimHash family (r14 swap
+    evidence): the C(f,2) candidate budget of the NEW Manku
+    block-combination tables (simhash_band_keys — shared with the
+    operator) next to the RETIRED 4x15-bit single-chunk pigeonhole's
+    budget over the SAME fingerprints, plus the combo_size=3 remedy
+    column (C(6,3)=20 tables, 30-bit keys).
+
+    Each replicated scale's budget is DECOMPOSED into within-replica
+    vs cross-replica pairs (replica id = doc_id div 10^7): the salted
+    replicas have disjoint token universes, so cross-replica pairs
+    measure the banding's selectivity against INDEPENDENT fingerprints
+    (the analytic floor: tables * C(n,2) / keyspace), while the
+    within-replica term is a sum of iid per-universe draws — linear in
+    replicas by construction, but its CONSTANT resamples with each
+    salt (same-language docs share common tokens that steer the bit
+    votes, so fingerprints cluster far above the independent floor —
+    the structural term the combo_size=3 column addresses)."""
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.functions.hashing import simhash_fingerprints
+    from seng550_a3_etl_spark.functions.text import tokens
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        simhash_band_keys,
+        simhash_block_combos,
+    )
+
+    t = load_tables(spark, d)
+    out: dict = {"n_corpus": t.documents.count()}
+    t0 = time.perf_counter()
+    fps = simhash_fingerprints(
+        t.documents.select(F.col("doc_id").alias("doc"), "text"),
+        "doc",
+        tokens(F.col("text")),
+        bits=60,
+    ).localCheckpoint(eager=True)
+
+    def census(banded) -> tuple[int, int]:
+        """(total_budget, within_replica_budget) over (band, key)."""
+        rep = (F.col("doc") / 10_000_000).cast("long")
+        per_rep = (
+            banded.groupBy("band", "key", rep.alias("rep"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("band", "key")
+            .agg(
+                F.sum("c").alias("f"),
+                F.sum(
+                    F.col("c").cast("decimal(38,0)") * (F.col("c") - 1) / 2
+                ).alias("within"),
+            )
+            .agg(
+                F.sum(
+                    F.col("f").cast("decimal(38,0)") * (F.col("f") - 1) / 2
+                ).alias("total"),
+                F.sum("within").alias("within"),
+            )
+            .collect()[0]
+        )
+        return int(per_rep["total"]), int(per_rep["within"])
+
+    tot, within = census(simhash_band_keys(fps, "doc", "fp", 3, 60))
+    out["simhash_pair_budget"] = tot
+    out["within_replica_budget"] = within
+    out["cross_replica_budget"] = tot - within
+    tot3, _ = census(
+        simhash_band_keys(fps, "doc", "fp", 3, 60, combo_size=3)
+    )
+    out["combo3_pair_budget"] = tot3
+    # the RETIRED single-chunk scheme, same fingerprints — kept purely
+    # as the comparison column that shows why the swap was needed
+    old = fps.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("fp"), b * 15)
+                    .bitwiseAND(F.lit(32767))
+                    .alias("key"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.key")
+    out["old_chunk_pair_budget"] = census(old)[0]
+    combos, _, widths = simhash_block_combos(3, 60)
+    keyspace = 1 << (widths[0] + widths[1])
+    out["collision_floor"] = int(
+        len(combos) * out["n_corpus"] * (out["n_corpus"] - 1) / 2 / keyspace
+    )
+    out["census_wall_s"] = round(time.perf_counter() - t0, 2)
+    return out
+
+
 def _ratios(vals: list) -> list:
     out = []
     for a, b in zip(vals, vals[1:]):
@@ -437,6 +530,7 @@ def main() -> None:
         # Text family (documents-only replicas, LINEAR claims).
         txt = None
         xs = None
+        sim = None
         if remaining() > budget / 4:
             t0 = time.perf_counter()
             tmp_t10 = tempfile.mkdtemp(prefix=".decades_t10x_", dir=REPO)
@@ -461,6 +555,10 @@ def main() -> None:
                         run_spans=(i < 2 or remaining() > budget / 2),
                     )
                     for i, d in enumerate((sf_dir, tmp_t10, tmp_t100))
+                ]
+                sim = [
+                    measure_simhash(spark, d)
+                    for d in (sf_dir, tmp_t10, tmp_t100)
                 ]
             finally:
                 shutil.rmtree(tmp_t10, ignore_errors=True)
@@ -558,6 +656,54 @@ def main() -> None:
         record["targets"]["xspan_span_census"] = fold_linear(
             xs, "xspan_pair_budget"
         )
+    if sim is not None:
+        # Decomposition-graded (the naive per-decade ratio is the wrong
+        # yardstick here): within-replica budget is a sum of iid
+        # per-universe draws — linear in replicas by construction, but
+        # the salt RESAMPLES each universe's clustering constant, so
+        # the 1x->10x ratio mixes the base universe's (single) draw
+        # with ten fresh ones. Grade (a) the second decade, where both
+        # sides average many draws, against the linear bound, and (b)
+        # the cross-replica budget — the banding's selectivity against
+        # INDEPENDENT fingerprints — against the analytic floor.
+        budgets = [r["simhash_pair_budget"] for r in sim]
+        second = (
+            round(budgets[2] / budgets[1], 1) if budgets[1] else None
+        )
+        cross_ok = all(
+            r["cross_replica_budget"] <= 10 * max(r["collision_floor"], 1)
+            for r in sim[1:]
+        )
+        record["targets"]["simhash_band_census"] = {
+            "per_scale": sim,
+            "pair_budget": budgets,
+            "budget_ratio_per_decade": _ratios(budgets),
+            "within_replica_budget": [
+                r["within_replica_budget"] for r in sim
+            ],
+            "cross_replica_budget": [
+                r["cross_replica_budget"] for r in sim
+            ],
+            "collision_floor": [r["collision_floor"] for r in sim],
+            "old_chunk_pair_budget": [
+                r["old_chunk_pair_budget"] for r in sim
+            ],
+            "combo3_pair_budget": [
+                r["combo3_pair_budget"] for r in sim
+            ],
+            "grading": "second decade <= 13x (iid-draw averages on "
+                       "both sides) AND cross-replica budget <= 10x "
+                       "the tables*C(n,2)/2^24 independent floor; the "
+                       "first decade's ratio carries the base "
+                       "universe's single clustering draw and is "
+                       "recorded, not graded",
+            "verdict": (
+                "linear per-universe + independent-floor cross "
+                "selectivity"
+                if (second is not None and second <= 13.0 and cross_ok)
+                else "superlinear-suspect"
+            ),
+        }
     record["total_wall_s"] = round(time.perf_counter() - start, 1)
     out_path = os.path.join(REPO, "COST_DECADES.json")
     with open(out_path, "w") as f:

@@ -561,6 +561,93 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_block_combos(
+    max_hamming: int, bits: int, combo_size: int = 2
+) -> tuple[list[tuple[int, ...]], list[int], list[int]]:
+    """The block-combination banding design (Manku, Jain & Das Sarma,
+    WWW 2007 §3) shared by the batch candidates, the streaming twin's
+    band index, the census oracle, and the decades counter — ONE
+    definition so the engine and its evidence cannot drift.
+
+    The fingerprint splits into ``max_hamming + combo_size`` blocks
+    (the last absorbs any remainder); the tables are all
+    C(n_blocks, combo_size) block SUBSETS, keyed on the subset's bits
+    concatenated. Exactness: ≤ d differing bits corrupt ≤ d blocks,
+    leaving ≥ combo_size clean — and every combo_size-subset is a
+    table, so every qualifying pair shares ≥ 1 exact table key. At
+    the default combo_size=2 (d=3, 60 bits: 5 blocks, C(5,2)=10
+    tables, 24-bit keys) this trades 10/4 × more posting rows than
+    the d+1-single-chunk pigeonhole for a key space squared in width:
+    the single-chunk keyspace SATURATES once a shard holds ≳2^chunk
+    docs (32k at 15 bits — every bucket then grows with n and the
+    C(n,2) budget goes quadratic), while the pair keys stay selective
+    against INDEPENDENT fingerprints to ~2^24 docs per shard.
+
+    One structural caveat, measured in COST_DECADES.json
+    (simhash_band_census): real same-distribution corpora cluster —
+    common tokens dominate the bit votes, so same-language docs agree
+    on far more than 30 of 60 bits and share table keys at rates far
+    above the 2^-24 independent floor. That term scales with the
+    square of cluster density at ANY key width; the production
+    remedies are combo_size=3 (C(6,3)=20 tables, 30-bit keys — one
+    argument here) and IDF-weighting the fingerprint votes so common
+    tokens stop steering the bias. Returns (combos, offsets,
+    widths)."""
+    from itertools import combinations
+
+    n_blocks = max_hamming + combo_size
+    chunk = bits // n_blocks
+    offsets = [b * chunk for b in range(n_blocks)]
+    widths = [chunk] * (n_blocks - 1) + [bits - (n_blocks - 1) * chunk]
+    return (
+        list(combinations(range(n_blocks), combo_size)), offsets, widths
+    )
+
+
+def simhash_band_keys(
+    df: DataFrame,
+    doc_col: str,
+    fp_col: str,
+    max_hamming: int,
+    bits: int,
+    combo_size: int = 2,
+) -> DataFrame:
+    """(doc, fp, band, key) posting rows of the block-combination
+    banding (:func:`simhash_block_combos`): one row per table, key =
+    the combo's block values concatenated. Used by the batch
+    candidate set and the streaming twin's static corpus index."""
+    combos, offsets, widths = simhash_block_combos(
+        max_hamming, bits, combo_size
+    )
+
+    def block(b: int):
+        return F.shiftright(F.col(fp_col), offsets[b]).bitwiseAND(
+            F.lit((1 << widths[b]) - 1)
+        )
+
+    def combo_key(combo: tuple) -> "F.Column":
+        key = block(combo[0])
+        for b in combo[1:]:
+            key = key * F.lit(1 << widths[b]) + block(b)
+        return key
+
+    return df.select(
+        doc_col,
+        fp_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("band"),
+                        combo_key(combo).alias("key"),
+                    )
+                    for c, combo in enumerate(combos)
+                ]
+            )
+        ).alias("bk"),
+    ).select(doc_col, fp_col, "bk.band", "bk.key")
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -569,10 +656,10 @@ def simhash_pairs(
     bits: int = 60,
 ) -> DataFrame:
     """Document pairs whose SimHash fingerprints differ in ≤ max_hamming
-    bits. Pigeonhole band join: split the fingerprint into
-    ``max_hamming+1`` chunks — any qualifying pair agrees exactly on at
-    least one chunk — then verify with popcount(xor). Output: doc_a,
-    doc_b, hamming."""
+    bits. Block-combination band join (:func:`simhash_block_combos`):
+    any qualifying pair agrees exactly on at least one 2-block table
+    key — then verify with popcount(xor). Output: doc_a, doc_b,
+    hamming."""
     return (
         _simhash_candidates(df, id_col, text_col, max_hamming, bits)
         .filter(F.col("hamming") <= max_hamming)
@@ -587,37 +674,19 @@ def _simhash_candidates(
     max_hamming: int,
     bits: int,
 ) -> DataFrame:
-    """The pigeonhole candidate set behind :func:`simhash_pairs`, with
-    exact hamming attached but NOT yet thresholded: (doc_a, doc_b,
-    hamming) for every distinct pair agreeing on at least one of the
-    ``max_hamming + 1`` fingerprint chunks. Shared by the pair query
+    """The block-combination candidate set behind :func:`simhash_pairs`,
+    with exact hamming attached but NOT yet thresholded: (doc_a, doc_b,
+    hamming) for every distinct pair agreeing on at least one 2-block
+    table key (:func:`simhash_block_combos`). Shared by the pair query
     (filters to <= max_hamming) and the tuning census (histograms the
     whole candidate set)."""
-    n_bands = max_hamming + 1
-    chunk = bits // n_bands
     fps = simhash_fingerprints(
         df.select(F.col(id_col).alias("doc"), F.col(text_col)),
         "doc",
         tokens(F.col(text_col)),
         bits=bits,
     )
-    banded = fps.select(
-        "doc",
-        "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("fp"), b * chunk)
-                        .bitwiseAND(F.lit((1 << chunk) - 1))
-                        .alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc", "fp", "bk.band", "bk.key")
+    banded = simhash_band_keys(fps, "doc", "fp", max_hamming, bits)
     member = F.struct(F.col("doc"), F.col("fp"))
     return (
         bucket_pairs(banded, ["band", "key"], member)

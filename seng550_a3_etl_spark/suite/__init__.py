@@ -173,12 +173,9 @@ _CHANGED: dict[str, int] = {
     # pushed filter re-evaluated the whole norm fold per scan row) and
     # the scan is spread for the per-row normalize/quantize folds.
     "label_embedding_dispersion": 12,
-    # round 11 (end-of-round snapshot af294dc): simhash_pairs' candidate
-    # generation was extracted into _simhash_candidates (shared with the
-    # X221 Hamming census). Value-identical by inspection, but the code
-    # under the query changed — declared here so the r12 rotation
-    # re-checks it (last green r7).
-    "simhash_near_pairs": 11,
+    # (round-11 simhash_near_pairs entry — _simhash_candidates
+    # extraction — superseded by its round-14 banding entry below; one
+    # literal entry per key, latest change round only.)
     # round 12: sf0.1-regression clawback (VERDICT r11 #3/#5) — plan-
     # only, value-identical changes: matryoshka's probe×corpus pairing
     # gained the explicit broadcast hint (BNLJ at any scale, not just
@@ -195,8 +192,9 @@ _CHANGED: dict[str, int] = {
     # data-parallel. Declared for every consumer of the centroid set.
     "semantic_dedup_clusters": 12,
     "semantic_threshold_sweep": 12,
-    "dedup_strategy_delta": 12,
-    "dedup_tier_funnel": 12,
+    # (round-12 dedup_strategy_delta / dedup_tier_funnel entries —
+    # _semdedup_cent consumers — superseded by their round-14 banding
+    # entries below; one literal entry per key, latest round only.)
     # round 12 (ADVICE r11): retrieval_ndcg now normalizes by STANDARD
     # IDCG@k (ideal DCG over min(corpus-wide same-label count - 1, k))
     # instead of the ideal ordering of the retrieved set — OUTPUT-
@@ -221,6 +219,22 @@ _CHANGED: dict[str, int] = {
     # by construction, but the code under both queries changed.
     "shard_skew_report": 13,
     "pii_density_census": 13,
+    # round 14: SimHash banding rewritten from the 4x15-bit
+    # single-chunk pigeonhole to Manku-2007 block-combination tables
+    # (5 blocks, C(5,2) two-block 24-bit keys — simhash_block_combos):
+    # the old keyspace saturates at ~30k docs/shard and the candidate
+    # budget goes quadratic past it. Verified-pair outputs
+    # (simhash_near_pairs, stream_simhash_dedup, the delta/funnel
+    # tiers) are value-identical (the candidate set shrinks, the
+    # verified set is the same Hamming<=3 relation); the census's
+    # OUTPUT is the candidate histogram itself and changed by design
+    # (its oracle replays the new construction from the same combo
+    # source).
+    "simhash_near_pairs": 14,
+    "simhash_hamming_census": 14,
+    "stream_simhash_dedup": 14,
+    "dedup_strategy_delta": 14,
+    "dedup_tier_funnel": 14,
 }
 
 

@@ -1029,9 +1029,11 @@ def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic X181, substring X208): incoming documents are
     fingerprinted INSIDE the micro-batch with the stateless one-fold
     SimHash (``simhash_onepass`` — the explode+groupBy batch form is a
-    streaming AGGREGATION and illegal in append mode), pigeonhole-
-    chunked into ``max_hamming+1`` band keys, and candidate-joined
-    against the STATIC corpus chunk index; the exact popcount verify
+    streaming AGGREGATION and illegal in append mode), banded with the
+    SHARED block-combination tables (``simhash_band_keys`` — the same
+    Manku-2007 design as the batch twin, so the two cannot drift), and
+    candidate-joined against the STATIC corpus index; the exact
+    popcount verify
     is a stateless scalar on the joined row, so qualifying pairs
     append with ZERO streaming state and no watermark. Same oracle as
     the batch twin (`simhash_near_pairs`): the driver checks the
@@ -1054,29 +1056,12 @@ def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from seng550_a3_etl_spark.functions.text import tokens
     from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.operators.text_dedup import simhash_band_keys
 
     bits, max_hamming = 60, 3
-    n_bands = max_hamming + 1
-    chunk = bits // n_bands
 
     def chunk_keys(fp_frame: DataFrame, doc: str, fp: str) -> DataFrame:
-        return fp_frame.select(
-            doc,
-            fp,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftright(F.col(fp), b * chunk)
-                            .bitwiseAND(F.lit((1 << chunk) - 1))
-                            .alias("key"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bk"),
-        ).select(doc, fp, "bk.band", "bk.key")
+        return simhash_band_keys(fp_frame, doc, fp, max_hamming, bits)
 
     t = load_tables(spark, sf_dir)
     index = chunk_keys(
@@ -1103,10 +1088,11 @@ def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Exchange boundary ON PURPOSE: without it CollapseProject
         # inlines the interpreted fold into every downstream reference
-        # (4 chunk keys + the carried fp — measured 6 copies in the
-        # plan, 20 s vs 2 s at sf0.1). The shuffle moves only (doc,
-        # 8-byte fp) rows, and the fold computes exactly once in its
-        # own stage.
+        # (the band keys + the carried fp — measured 6 copies in the
+        # plan under the old 4-chunk banding, 20 s vs 2 s at sf0.1;
+        # the 10 combo tables would inline 11 copies). The shuffle
+        # moves only (doc, 8-byte fp) rows, and the fold computes
+        # exactly once in its own stage.
         .repartition(spark.sparkContext.defaultParallelism, F.col("doc"))
     )
     matches = (

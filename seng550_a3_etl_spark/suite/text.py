@@ -280,9 +280,13 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(60-bit) near-dup pairs within Hamming distance 3. The
-    engine uses the pigeonhole band join (4 chunks → any qualifying pair
-    shares one exact chunk); the oracle brute-forces all pairs — result
-    sets must be identical, which checks the pigeonhole construction."""
+    engine uses the Manku-2007 block-combination band join (5 blocks,
+    all C(5,2) two-block tables with 24-bit keys → ≤3 errors leave ≥2
+    clean blocks, so every qualifying pair shares one exact table key;
+    the 24-bit keyspace stays selective to ~16M docs per shard where
+    the old 4x15-bit single-chunk pigeonhole saturated at ~30k); the
+    oracle brute-forces all pairs — result sets must be identical,
+    which checks the banding construction end to end."""
     t = load_tables(spark, sf_dir)
     return simhash_pairs(t.documents, "doc_id", "text", max_hamming=3, bits=60)
 
@@ -4492,15 +4496,28 @@ def dedup_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "simhash_hamming_census",
-    oracle=f"""
+def _simhash_census_oracle() -> str:
+    """The candidate-set construction replayed in DuckDB — the combo
+    tables come from the operator's own simhash_block_combos, so the
+    oracle re-parameterizes with the engine."""
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        simhash_block_combos,
+    )
+
+    combos, offsets, widths = simhash_block_combos(3, 60)
+    vals = ", ".join(
+        f"({c}, {offsets[i]}, {(1 << widths[i]) - 1}, "
+        f"{offsets[j]}, {(1 << widths[j]) - 1}, {1 << widths[j]})"
+        for c, (i, j) in enumerate(combos)
+    )
+    return f"""
     WITH fp AS (
       SELECT doc_id AS doc, {duck_simhash('t')} AS fp FROM {_TOKS}
     ),
     ch AS (
-      SELECT doc, fp, c, (fp >> (CAST(c AS INT) * 15)) & 32767 AS ck
-      FROM fp, range(0, 4) r(c)
+      SELECT doc, fp, c,
+             ((fp >> oi) & mi) * sj + ((fp >> oj) & mj) AS ck
+      FROM fp, (VALUES {vals}) t(c, oi, mi, oj, mj, sj)
     ),
     cand AS (
       SELECT DISTINCT a.doc AS da, b.doc AS db, a.fp AS fa, b.fp AS fb
@@ -4510,23 +4527,31 @@ def dedup_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            bit_count(xor(fa, fb)) <= 3 AS within_threshold
     FROM cand GROUP BY 1, 3
-    """,
-)
+    """
+
+
+@query("simhash_hamming_census", oracle=_simhash_census_oracle())
 def simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash threshold-tuning census (X221): the full Hamming-distance
-    histogram of the pigeonhole candidate set (pairs agreeing on >= 1 of
-    the 4 fingerprint chunks) — the artifact that tunes X4's
+    histogram of the block-combination candidate set (pairs agreeing on
+    >= 1 of the C(5,2) two-block table keys — Manku 2007, shared with
+    X4 via simhash_block_combos) — the artifact that tunes X4's
     ``max_hamming`` the way X205's S-curve tunes MinHash banding: the
     mass above the current threshold is exactly what a looser gate
     would admit, and a histogram dominated by high distances means the
-    chunk width is generating junk candidates (verify cost without
+    banding is generating junk candidates (verify cost without
     recall). ``within_threshold`` marks the rows the X4 pair query
     keeps today.
 
     Scale: identical candidate plumbing as X4 (one narrow shuffle on
-    (band, chunk-value), exact popcount per CANDIDATE, never all
+    (table, 24-bit key), exact popcount per CANDIDATE, never all
     pairs); the census replaces the threshold filter with a <= 61-row
-    rollup, so it costs what the pair query already costs.
+    rollup, so it costs what the pair query already costs. The 24-bit
+    pair keys are WHY this stays a census and not a cross join: the
+    old 4x15-bit single-chunk banding saturates its 32k keyspace once
+    a shard holds ~30k docs, after which every bucket grows with n and
+    the candidate budget goes quadratic (r14: measured at 100x in
+    COST_DECADES.json).
 
     Reference parity: none; extends the X63/X205 tuning-census family."""
     from seng550_a3_etl_spark.operators.text_dedup import _simhash_candidates

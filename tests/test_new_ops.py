@@ -1919,3 +1919,103 @@ def test_token_burstiness_invariants(spark):
         assert r.total_cnt >= r.df
         assert r.per_doc_rate >= 1.0
         assert r.vmr >= 0.0
+
+
+def test_simhash_block_combos_exactness():
+    # The Manku block-combination guarantee: <= max_hamming differing
+    # bits corrupt <= max_hamming blocks, leaving >= 2 clean — and
+    # every 2-subset is a table, so every qualifying pair shares at
+    # least one exact (table, key). Pure-python property check over
+    # random fingerprints with planted 0-3 bit flips.
+    import random
+
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        simhash_block_combos,
+    )
+
+    combos, offsets, widths = simhash_block_combos(3, 60)
+    assert len(combos) == 10 and sum(widths) == 60
+
+    def keys(fp):
+        blocks = [
+            (fp >> offsets[b]) & ((1 << widths[b]) - 1)
+            for b in range(len(widths))
+        ]
+        return {
+            (c, blocks[i] * (1 << widths[j]) + blocks[j])
+            for c, (i, j) in enumerate(combos)
+        }
+
+    rnd = random.Random(14)
+    for _ in range(500):
+        a = rnd.getrandbits(60)
+        b = a
+        for bit in rnd.sample(range(60), rnd.randint(0, 3)):
+            b ^= 1 << bit
+        assert keys(a) & keys(b), f"near pair missed: {a:x} vs {b:x}"
+
+    # the combo_size=3 remedy path (C(6,3)=20 tables, 30-bit keys)
+    # carries the same exactness guarantee
+    combos3, off3, w3 = simhash_block_combos(3, 60, combo_size=3)
+    assert len(combos3) == 20 and sum(w3) == 60
+
+    def keys3(fp):
+        blocks = [
+            (fp >> off3[b]) & ((1 << w3[b]) - 1) for b in range(len(w3))
+        ]
+
+        def fold(combo):
+            key = blocks[combo[0]]
+            for b in combo[1:]:
+                key = key * (1 << w3[b]) + blocks[b]
+            return key
+
+        return {(c, fold(combo)) for c, combo in enumerate(combos3)}
+
+    for _ in range(300):
+        a = rnd.getrandbits(60)
+        b = a
+        for bit in rnd.sample(range(60), rnd.randint(0, 3)):
+            b ^= 1 << bit
+        assert keys3(a) & keys3(b), f"combo3 near pair missed: {a:x}"
+    # and a far pair is ALLOWED to collide but must not always: with
+    # 24-bit keys, 500 random pairs colliding would be ~impossible
+    collisions = sum(
+        1 for _ in range(500)
+        if keys(rnd.getrandbits(60)) & keys(rnd.getrandbits(60))
+    )
+    assert collisions < 10
+
+
+def test_simhash_banding_keyspace_selectivity():
+    # The reason for the r14 banding swap, demonstrated: on 50k random
+    # fingerprints the old 4x15-bit single-chunk pigeonhole's C(n,2)
+    # candidate budget is ~10^5 (32k keyspace saturated), while the
+    # C(5,2) two-block 24-bit tables stay in the hundreds. Both
+    # schemes are exact for Hamming<=3; only the budgets differ.
+    import random
+    from collections import Counter
+
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        simhash_block_combos,
+    )
+
+    rnd = random.Random(7)
+    fps = [rnd.getrandbits(60) for _ in range(50_000)]
+    old = Counter(
+        (b, (fp >> (b * 15)) & 32767) for fp in fps for b in range(4)
+    )
+    combos, offsets, widths = simhash_block_combos(3, 60)
+    new = Counter(
+        (
+            c,
+            ((fp >> offsets[i]) & ((1 << widths[i]) - 1))
+            * (1 << widths[j])
+            + ((fp >> offsets[j]) & ((1 << widths[j]) - 1)),
+        )
+        for fp in fps
+        for c, (i, j) in enumerate(combos)
+    )
+    budget = lambda cnt: sum(f * (f - 1) // 2 for f in cnt.values())
+    assert budget(old) > 50_000          # saturated: noise pairs >> n
+    assert budget(new) < 5_000           # selective: stays tiny
