@@ -1303,6 +1303,38 @@ def _evict_entries(cache: dict, sfd: str, match=None) -> None:
         del cache[k]
 
 
+def _snapshot_session_caches(sfd: str) -> list:
+    """Pop every suite session-cache entry keyed to data dir ``sfd``
+    and return (cache, key, value) triples for `_restore_session_caches`.
+    The cold-vs-cold escalation rung needs the caches ABSENT during its
+    runs but the popped DataFrames (localCheckpoint-backed) stay valid —
+    restoring them afterward preserves the prewarmed cache regime for
+    every later spot query (r14 second review: a permanent eviction
+    made each later cache consumer re-pay a multi-second build inside
+    its timed wall, cascading escalations and burning the budget)."""
+    from seng550_a3_etl_spark.suite import text as _suite_text
+    from seng550_a3_etl_spark.suite import vectors as _suite_vec
+
+    snap = []
+    for cache in (
+        _suite_text._SHINGLE_CACHE,
+        _suite_text._LABELS_CACHE,
+        _suite_text._XSPAN_CACHE,
+        _suite_text._CENSUS_CACHE,
+        _suite_vec._ASSIGN_CACHE,
+    ):
+        for k in [k for k in cache if k[1] == sfd]:
+            snap.append((cache, k, cache.pop(k)))
+    return snap
+
+
+def _restore_session_caches(snap: list) -> None:
+    """Put back what `_snapshot_session_caches` popped (overwriting any
+    entries a cold run re-created — both are valid)."""
+    for cache, k, v in snap:
+        cache[k] = v
+
+
 def _evict_session_caches(sfd: str, match=None) -> None:
     """Drop every suite session-cache entry keyed to data dir ``sfd``
     (optionally narrowed by ``match`` over the full cache key), so the
@@ -1712,9 +1744,9 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 # first record graded semantic_dedup_clusters 33.7x on
                 # walls their isolated reruns put at 1.7x / 2.7x. Both
                 # walls are recorded; the grade uses the better one.
+                t0r = time.perf_counter()
                 try:
                     t2 = _timed_noop(spark, name, scaled)
-                    spent += t2
                     spot.setdefault("retried", {})[name] = [t, t2]
                     if t2 < t:
                         t = t2
@@ -1722,6 +1754,9 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 except Exception as exc:
                     print(f"bench: sf1_spot retry {name} failed: {exc}",
                           file=sys.stderr)
+                # charged in ALL paths — a failed 120 s retry must not
+                # dodge the budget gate (r14 second review)
+                spent += time.perf_counter() - t0r
             if (
                 ratio is not None and ratio > bound and spent <= budget
                 and l1 is not None and l1 > 2.0
@@ -1768,12 +1803,18 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 # caches before each, and grade on the better of the
                 # two internally-consistent comparisons. A genuinely
                 # superlinear plan is over bound under both; a cache-
-                # regime artifact is over bound under exactly one.
+                # regime artifact is over bound under exactly one. The
+                # caches are SNAPSHOTTED, not evicted — restored after
+                # the cold runs so later spot queries keep the
+                # prewarmed regime (r14 second review).
                 t0c = time.perf_counter()
+                snap: list = []
                 try:
-                    _evict_session_caches(sf_dir)
+                    snap = _snapshot_session_caches(sf_dir)
+                    snap += _snapshot_session_caches(scaled)
                     base_cold = _timed_noop(spark, name, sf_dir)
-                    _evict_session_caches(scaled)
+                    # (the 1x cold run refills only sf_dir-keyed
+                    # entries; scaled stays cold from the snapshot pop)
                     t_cold = _timed_noop(spark, name, scaled)
                     cold_ratio = (
                         round(t_cold / base_cold, 1)
@@ -1787,6 +1828,8 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 except Exception as exc:
                     print(f"bench: sf1_spot cold-vs-cold {name} failed: "
                           f"{exc}", file=sys.stderr)
+                finally:
+                    _restore_session_caches(snap)
                 spent += time.perf_counter() - t0c
             verdict = (
                 "n/a" if ratio is None

@@ -456,10 +456,15 @@ def measure_simhash(spark, d: str) -> dict:
     ).select("doc", "bk.band", "bk.key")
     out["old_chunk_pair_budget"] = census(old)[0]
     combos, _, widths = simhash_block_combos(3, 60)
-    keyspace = 1 << (widths[0] + widths[1])
-    out["collision_floor"] = int(
-        len(combos) * out["n_corpus"] * (out["n_corpus"] - 1) / 2 / keyspace
-    )
+    # per-combo keyspace: the last block absorbs any width remainder,
+    # so combos are NOT all the same key width in general (r14 second
+    # review — a single widths[0]+widths[1] keyspace overstates the
+    # floor whenever bits % n_blocks != 0)
+    n_pairs = out["n_corpus"] * (out["n_corpus"] - 1) / 2
+    out["collision_floor"] = int(sum(
+        n_pairs / (1 << sum(widths[b] for b in combo))
+        for combo in combos
+    ))
     out["census_wall_s"] = round(time.perf_counter() - t0, 2)
     return out
 
@@ -670,6 +675,12 @@ def main() -> None:
         second = (
             round(budgets[2] / budgets[1], 1) if budgets[1] else None
         )
+        # a zero 100x budget is the BEST outcome (perfectly selective
+        # banding), trivially within every bound — not ungradeable
+        # (r14 second review)
+        second_ok = budgets[2] == 0 or (
+            second is not None and second <= 13.0
+        )
         cross_ok = all(
             r["cross_replica_budget"] <= 10 * max(r["collision_floor"], 1)
             for r in sim[1:]
@@ -700,7 +711,7 @@ def main() -> None:
             "verdict": (
                 "linear per-universe + independent-floor cross "
                 "selectivity"
-                if (second is not None and second <= 13.0 and cross_ok)
+                if (second_ok and cross_ok)
                 else "superlinear-suspect"
             ),
         }

@@ -18,9 +18,11 @@ for a pretraining-corpus pipeline:
    not |docs|².
 4. **simhash_pairs** — 60-bit SimHash fingerprints (explode + 60
    literal-shift sum aggregates, map-side combined); pairs within
-   Hamming distance k found by pigeonhole banding (k+1 bands → any
-   pair with ≤k differing bits shares at least one exact band), then
-   exact popcount verify. One narrow shuffle on (band, chunk-value).
+   Hamming distance d found by Manku-2007 block-combination banding
+   (d+2 blocks, all C(d+2,2) two-block tables — ≤d differing bits
+   leave ≥2 clean blocks, so any qualifying pair shares at least one
+   exact table key; `simhash_block_combos`), then exact popcount
+   verify. One narrow shuffle on (table, 24-bit key).
 
 All hashing is the md5-derived 60-bit hash from functions/hashing.py so
 a DuckDB oracle reproduces results bit-for-bit; production can inject

@@ -1037,7 +1037,7 @@ def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a stateless scalar on the joined row, so qualifying pairs
     append with ZERO streaming state and no watermark. Same oracle as
     the batch twin (`simhash_near_pairs`): the driver checks the
-    streaming execution of the identical pigeonhole construction.
+    streaming execution of the identical banding construction.
 
     Scale: per-batch cost is |batch| fingerprint folds plus a
     (band, key) equi-join against the persisted chunk index — the
@@ -1060,11 +1060,8 @@ def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bits, max_hamming = 60, 3
 
-    def chunk_keys(fp_frame: DataFrame, doc: str, fp: str) -> DataFrame:
-        return simhash_band_keys(fp_frame, doc, fp, max_hamming, bits)
-
     t = load_tables(spark, sf_dir)
-    index = chunk_keys(
+    index = simhash_band_keys(
         simhash_fingerprints(
             t.documents.select(F.col("doc_id").alias("odoc"), "text"),
             "odoc",
@@ -1073,6 +1070,8 @@ def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "odoc",
         "fp",
+        max_hamming,
+        bits,
     ).withColumnRenamed("fp", "ofp")
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -1096,7 +1095,7 @@ def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, F.col("doc"))
     )
     matches = (
-        chunk_keys(sfp, "doc", "sfp")
+        simhash_band_keys(sfp, "doc", "sfp", max_hamming, bits)
         .join(index, ["band", "key"])
         .filter(F.col("doc") != F.col("odoc"))
         .select(
