@@ -1245,8 +1245,120 @@ def profile_stream_minhash(spark, sf_dir: str) -> dict:
     return res
 
 
+def profile_cdc_chunk(spark, sf_dir: str) -> dict:
+    # Mirrors cdc_chunk_dedup's stages with the suite knobs imported:
+    # scan-stage chunking (tokens -> windows -> hash -> cuts -> chunk
+    # hashes), the corpus-wide chunk-frequency window, the census
+    # rollup. The budget counter is the chunk-hash frequency census
+    # (sum C(f,2) is NOT this operator's cost — chunks join nothing —
+    # so the counters here are row volumes, all linear).
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.suite.text import _CDC_DIV, _CDC_W  # noqa: F401
+    from seng550_a3_etl_spark.suite import QUERIES
+    from seng550_a3_etl_spark.suite.text import cdc_chunk_dedup  # noqa: F401
+
+    res: dict = {}
+    t = load_tables(spark, sf_dir)
+    # stage 1: scan-stage chunk construction (everything before the
+    # frequency window) — approximated by counting chunk instances,
+    # which forces the full per-row HOF pipeline and nothing else
+    from pyspark.sql import functions as FF
+    from seng550_a3_etl_spark.functions.hashing import hash64
+    from seng550_a3_etl_spark.functions.text import shingles, tokens
+
+    d = t.documents.select(
+        "source",
+        FF.filter(tokens(FF.col("text")), lambda x: x != "").alias("tk"),
+    )
+    sh = shingles(FF.col("tk"), _CDC_W)
+    cuts = FF.transform(
+        FF.filter(
+            FF.transform(sh, lambda s, i: FF.struct(
+                i.alias("i"), hash64(s).alias("h"))),
+            lambda x: x["h"] % _CDC_DIV == 0,
+        ),
+        lambda x: (x["i"] + _CDC_W).cast("long"),
+    )
+    n_chunks, res["chunk_build"] = _t(
+        "scan-stage chunking (tokens->cuts)",
+        lambda: d.select(FF.size(cuts).alias("nc")).agg(
+            FF.sum(FF.col("nc") + 1)
+        ).collect()[0][0],
+    )
+    res["n_chunk_instances"] = int(n_chunks)
+    _, res["full_query"] = _t(
+        "full query (chunk + freq window + rollup)",
+        lambda: QUERIES["cdc_chunk_dedup"](spark, sf_dir)
+        .write.format("noop").mode("overwrite").save(),
+    )
+    return res
+
+
+def profile_tree_split(spark, sf_dir: str) -> dict:
+    # Mirrors tree_split_gain: the fact scan + histogram rollup is the
+    # only stage that touches data volume; the gain windows run over
+    # <= ~100 cells and are scale-invariant.
+    from pyspark.sql import functions as FF
+
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.suite import QUERIES
+    from seng550_a3_etl_spark.suite.analytics import _SPLIT_BINS
+
+    res: dict = {}
+    t = load_tables(spark, sf_dir)
+    cells = t.lineitem.select(
+        FF.when(FF.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        FF.explode(FF.array(*[
+            FF.struct(FF.lit(n).alias("feature"),
+                      FF.expr(b).alias("bin"))
+            for n, b in _SPLIT_BINS
+        ])).alias("fb"),
+    ).select("y", "fb.feature", "fb.bin")
+    hist, res["histogram"] = _t(
+        "fact scan -> (feature, bin) histogram",
+        lambda: cells.groupBy("feature", "bin").count().count(),
+    )
+    res["n_cells"] = int(hist)
+    _, res["full_query"] = _t(
+        "full query (histogram + gain windows)",
+        lambda: QUERIES["tree_split_gain"](spark, sf_dir)
+        .write.format("noop").mode("overwrite").save(),
+    )
+    return res
+
+
+def profile_burstiness(spark, sf_dir: str) -> dict:
+    # Mirrors token_burstiness: token explode -> (doc, term) cells ->
+    # per-term rollup; the top-200 TakeOrdered is output-bounded.
+    from pyspark.sql import functions as FF
+
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.suite import QUERIES
+    from seng550_a3_etl_spark.suite.text_lm import _ctoks
+
+    res: dict = {}
+    t = load_tables(spark, sf_dir)
+    ex = t.documents.select(
+        "doc_id", FF.explode(_ctoks(FF.col("text"))).alias("term")
+    )
+    n_cells, res["tf_cells"] = _t(
+        "token explode -> (doc, term) cells",
+        lambda: ex.groupBy("doc_id", "term").count().count(),
+    )
+    res["n_tf_cells"] = int(n_cells)
+    _, res["full_query"] = _t(
+        "full query (cells -> term rollup -> top-200)",
+        lambda: QUERIES["token_burstiness"](spark, sf_dir)
+        .write.format("noop").mode("overwrite").save(),
+    )
+    return res
+
+
 PROFILES = {
     "minhash_dup_pairs": profile_minhash,
+    "cdc_chunk_dedup": profile_cdc_chunk,
+    "tree_split_gain": profile_tree_split,
+    "token_burstiness": profile_burstiness,
     "stream_minhash_dedup": profile_stream_minhash,
     "dsir_importance_weights": profile_dsir,
     "embedding_cosine_dedup": profile_cosine,
