@@ -304,3 +304,76 @@ def duck_simhash(tokens_expr: str, bits: int = HASH_BITS) -> str:
         f"(SELECT {terms} FROM "
         f"(SELECT list_transform({tokens_expr}, t -> {h}) AS hs))"
     )
+
+
+def simhash_fingerprints_idf(
+    df: DataFrame, id_col: str, tokens: Column, bits: int = HASH_BITS
+) -> DataFrame:
+    """(id, fp) IDF-weighted SimHash fingerprints — the documented
+    remedy for same-distribution fingerprint clustering (see
+    operators/text_dedup.py simhash_block_combos and the r14
+    COST_DECADES.json simhash_band_census record): with unit weights,
+    the corpus's common tokens steer every document's bit votes the
+    same way, so same-language docs agree on far more than half their
+    bits and flood any banding's buckets. Weighting each token's vote
+    by ln(N / df) (Charikar's weighted SimHash with the standard IDF
+    choice) zeroes the ubiquitous tokens (df = N → weight 0) and lets
+    the rare, topical tokens — the ones that actually distinguish
+    documents — set the bits.
+
+    Two-pass, both distributed: (1) per-token document frequency (one
+    groupBy over distinct (doc, token) cells, map-side combined) and
+    the corpus size (broadcast one-row frame); (2) per (doc, bit), the
+    weighted ±vote sum as ``bits`` double aggregates (map-side
+    combined; the shuffle carries one 60-double row per document per
+    partition). Within-doc repeats multiply their token's vote by the
+    count, matching the unweighted form's semantics. Docs whose token
+    array is empty/null surface with fp = 0 via the closing left join,
+    mirroring :func:`simhash_fingerprints`. Ties (vote sum exactly 0,
+    e.g. every token at weight 0) resolve to bit 0.
+
+    Not wired into the oracle-checked suite: IDF weights are corpus-
+    dependent state, so the near-dup QUERIES keep the deterministic
+    unweighted form; this function is the production knob for corpora
+    where the banding census shows clustering-dominated budgets."""
+    ex = df.select(F.col(id_col), F.explode(tokens).alias("__t"))
+    tf = ex.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__c"))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("__n_docs")
+    )
+    weighted = (
+        tf.join(dfreq, "__t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            hash64(F.col("__t")).alias("__h"),
+            (
+                F.col("__c")
+                * F.log(F.col("__n_docs") / F.col("__df"))
+            ).alias("__w"),
+        )
+    )
+
+    def vote(j: int):
+        bit = F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1))
+        return F.sum(F.col("__w") * (bit * 2 - 1).cast("double"))
+
+    sums = weighted.groupBy(id_col).agg(
+        *[vote(j).alias(f"__s{j}") for j in range(bits)]
+    )
+    fp = sums.select(
+        id_col,
+        reduce(
+            lambda a, b: a + b,
+            [
+                (F.col(f"__s{j}") > 0).cast("long") * F.lit(1 << j)
+                for j in range(bits)
+            ],
+        ).alias("fp"),
+    )
+    return (
+        df.select(id_col)
+        .join(fp, id_col, "left")
+        .select(id_col, F.coalesce("fp", F.lit(0)).alias("fp"))
+    )
