@@ -374,3 +374,129 @@ def test_merge_cost_decades_synthesizes_class_and_bound():
         row = spot["cost_classes"].get(q)
         assert row and row["class"] == "linear" and row["bound"] == 13.0
         assert row["decades"]["source"] == "COST_DECADES.json"
+
+
+class _ScriptedTimer:
+    """Synthetic `_timed_noop` stand-in: pops scripted walls keyed by
+    (name, data_dir) in call order; records the call sequence so the
+    test can assert which rungs actually ran and in what order."""
+
+    def __init__(self, walls):
+        self.walls = list(walls)  # [(expected_dir_kind, seconds), ...]
+        self.calls = []
+
+    def __call__(self, spark, name, d):
+        kind = "scaled" if d == "SCALED" else "base"
+        self.calls.append(kind)
+        expect, sec = self.walls.pop(0)
+        assert kind == expect, f"rung order broke: got {kind}, want {expect}"
+        return sec
+
+
+def _run_ladder(monkeypatch, timer, *, l1, t=20.0, base=1.0, bound=13.0):
+    spot: dict = {}
+    monkeypatch.setattr(bench, "_timed_noop", timer)
+    snap_calls = []
+    monkeypatch.setattr(
+        bench, "_snapshot_session_caches",
+        lambda sfd: snap_calls.append(("snap", sfd)) or [],
+    )
+    monkeypatch.setattr(
+        bench, "_restore_session_caches",
+        lambda snap: snap_calls.append(("restore", None)),
+    )
+    # quiet rung: report an idle box so the wait loop exits at once
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.1, 0.1, 0.1))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    ratio = round(t / base, 1)
+    t2, ratio2, spent = bench._escalate_spot(
+        None, "q", "BASE", "SCALED", t, base, ratio, bound, l1,
+        spot, 0.0, 1e9,
+    )
+    return t2, ratio2, spot, snap_calls
+
+
+def test_escalation_ladder_walks_all_three_rungs(monkeypatch):
+    # VERDICT r14 #6: the forced-superlinear smoke, pinned. A genuinely
+    # superlinear plan (every re-measurement stays over bound) must
+    # walk retry -> quiet_recheck -> cold_cold, record every rung, and
+    # keep its superlinear ratio.
+    timer = _ScriptedTimer([
+        ("scaled", 20.0),           # rung 1: same-regime retry
+        ("scaled", 20.0),           # rung 2: quiet re-check
+        ("base", 1.0), ("scaled", 20.0),  # rung 3: cold 1x then cold 10x
+    ])
+    t, ratio, spot, snaps = _run_ladder(monkeypatch, timer, l1=3.5)
+    assert timer.walls == []  # all rungs fired
+    assert spot["retried"]["q"] == [20.0, 20.0]
+    assert spot["quiet_recheck"]["q"][:2] == [20.0, 20.0]
+    assert spot["cold_cold"]["q"] == [1.0, 20.0, 20.0]
+    assert ratio == 20.0 and "graded_from" not in spot
+    # cold rung must snapshot BOTH dirs and restore exactly once
+    assert snaps == [("snap", "BASE"), ("snap", "SCALED"),
+                     ("restore", None)]
+
+
+def test_escalation_ladder_cold_cold_artifact_regrades(monkeypatch):
+    # A cache-regime artifact: warm-base ratio 20x, but measured
+    # cold-vs-cold the plan is 4x. The ladder lowers the ratio at the
+    # cold_cold rung and marks where the grade came from (ADVICE r14 —
+    # the entry's wall t stays warm-regime, so t/base != ratio without
+    # the marker).
+    timer = _ScriptedTimer([
+        ("scaled", 20.0),                # retry: still slow (warm regime)
+        ("base", 5.0), ("scaled", 20.0),  # cold_cold: 4x — within bound
+    ])
+    t, ratio, spot, snaps = _run_ladder(monkeypatch, timer, l1=0.5)
+    # load was quiet -> quiet_recheck rung must NOT fire
+    assert "quiet_recheck" not in spot
+    assert spot["cold_cold"]["q"] == [5.0, 20.0, 4.0]
+    assert ratio == 4.0
+    assert spot["graded_from"]["q"] == "cold_cold"
+    assert t == 20.0  # warm wall kept; the marker explains the mismatch
+    assert snaps[-1] == ("restore", None)
+
+
+def test_escalation_ladder_stops_once_within_bound(monkeypatch):
+    # The retry rung alone resolving the grade must short-circuit the
+    # later rungs — no quiet re-check, no cold runs, no cache snapshot.
+    timer = _ScriptedTimer([("scaled", 2.0)])
+    t, ratio, spot, snaps = _run_ladder(monkeypatch, timer, l1=3.5)
+    assert ratio == 2.0 and t == 2.0
+    assert spot["retried"]["q"] == [20.0, 2.0]
+    assert "quiet_recheck" not in spot and "cold_cold" not in spot
+    assert snaps == []
+
+
+def test_reconcile_coverage_gate_excludes_full_query(monkeypatch):
+    # ADVICE r14: profiles that emit a 'full_query' row (whose 10x wall
+    # alone >= the query wall) must not satisfy the 60% coverage gate
+    # with it — only sub-stage rows count toward coverage. full_query
+    # still participates in the all-ok check.
+    spot = {
+        "queries": {"thin": [15.0, 15.0, "superlinear"],
+                    "covered": [15.0, 15.0, "superlinear"]},
+        "stages": {
+            "thin": {
+                "bound": 13.0,
+                "rows": {
+                    "full_query": [1.2, 15.0, 12.5, "ok"],
+                    "tiny_stage": [0.1, 0.2, 2.0, "ok_small_base"],
+                },
+            },
+            "covered": {
+                "bound": 13.0,
+                "rows": {
+                    "full_query": [1.2, 15.0, 12.5, "ok"],
+                    "scan": [0.5, 5.0, 10.0, "ok"],
+                    "agg": [0.6, 6.0, 10.0, "ok"],
+                },
+            },
+        },
+    }
+    bench._reconcile_stages(spot)
+    # thin: sub-stages cover 0.2s of a 15s wall -> gate holds the grade
+    assert spot["queries"]["thin"][2] == "superlinear"
+    assert "thin" in spot["reconcile_skipped"]
+    # covered: sub-stages cover 11s of 15s (>=60%), all rows ok -> flip
+    assert spot["queries"]["covered"][2] == "ok_stages_linear"
