@@ -332,10 +332,12 @@ def simhash_fingerprints_idf(
     mirroring :func:`simhash_fingerprints`. Ties (vote sum exactly 0,
     e.g. every token at weight 0) resolve to bit 0.
 
-    Not wired into the oracle-checked suite: IDF weights are corpus-
-    dependent state, so the near-dup QUERIES keep the deterministic
-    unweighted form; this function is the production knob for corpora
-    where the banding census shows clustering-dominated budgets."""
+    The near-dup pair QUERIES keep the unweighted form (IDF weights are
+    corpus state, so weighting changes the verified relation itself);
+    the banding-budget comparison IS oracle-checked — the suite's
+    ``simhash_idf_band_budget`` fits the df table in-query (the
+    ``unigram_logprob_quality`` precedent) and its DuckDB oracle
+    replays both passes via :func:`duck_simhash_idf`."""
     ex = df.select(F.col(id_col), F.explode(tokens).alias("__t"))
     tf = ex.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__c"))
     dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
@@ -377,3 +379,40 @@ def simhash_fingerprints_idf(
         .join(fp, id_col, "left")
         .select(id_col, F.coalesce("fp", F.lit(0)).alias("fp"))
     )
+
+
+def duck_simhash_idf(toks_rel: str, bits: int = HASH_BITS) -> str:
+    """The DuckDB SQL computing exactly :func:`simhash_fingerprints_idf`
+    as a ``(doc, fp)`` relation over ``toks_rel``, a relation exposing
+    ``(doc_id, t)`` with ``t`` the token list. Both IDF passes are
+    replayed: document frequency + corpus size first, then the 60
+    weighted ±vote sums per document. Cross-engine float note: the
+    weights are ``c * ln(N/df)`` doubles, so engine libm/summation-order
+    differences can move a vote sum by ~1 ulp — a bit flips only when a
+    sum sits within ~1e-13 relative of zero, and the one systematic
+    zero (every-token-ubiquitous docs: ln(1) = 0 exactly, both engines)
+    ties to bit 0 identically on both sides."""
+    h = duck_hash64("tok")
+    sums = ", ".join(
+        f"SUM(w * (((h >> {j}) & 1) * 2 - 1)) AS s{j}" for j in range(bits)
+    )
+    fp_term = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""(
+    WITH __ex AS (
+      SELECT doc_id AS doc, unnest(t) AS tok FROM {toks_rel}
+    ),
+    __tf AS (SELECT doc, tok, COUNT(*) AS c FROM __ex GROUP BY doc, tok),
+    __dfreq AS (SELECT tok, COUNT(*) AS dfq FROM __tf GROUP BY tok),
+    __nd AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM {toks_rel}),
+    __w AS (
+      SELECT doc, {h} AS h, c * ln(n_docs / dfq) AS w
+      FROM __tf JOIN __dfreq USING (tok) CROSS JOIN __nd
+    ),
+    __s AS (SELECT doc, {sums} FROM __w GROUP BY doc),
+    __fp AS (SELECT doc, {fp_term} AS fp FROM __s)
+    SELECT d.doc_id AS doc, COALESCE(f.fp, 0::BIGINT) AS fp
+    FROM {toks_rel} d LEFT JOIN __fp f ON f.doc = d.doc_id
+    )"""

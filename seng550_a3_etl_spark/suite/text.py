@@ -4570,6 +4570,123 @@ def simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_idf_budget_oracle() -> str:
+    """Both fingerprint constructions replayed in DuckDB — the unit-
+    weight form via duck_simhash, the IDF-weighted form via
+    duck_simhash_idf (which replays BOTH passes: the df/corpus-size fit
+    and the weighted vote sums) — then banded with the operator's own
+    simhash_block_combos tables."""
+    from seng550_a3_etl_spark.functions.hashing import duck_simhash_idf
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        simhash_block_combos,
+    )
+
+    combos, offsets, widths = simhash_block_combos(3, 60)
+    vals = ", ".join(
+        f"({c}, {offsets[i]}, {(1 << widths[i]) - 1}, "
+        f"{offsets[j]}, {(1 << widths[j]) - 1}, {1 << widths[j]})"
+        for c, (i, j) in enumerate(combos)
+    )
+    return f"""
+    WITH allfp AS (
+      SELECT 'unit' AS variant, doc_id AS doc, {duck_simhash('t')} AS fp
+      FROM {_TOKS}
+      UNION ALL
+      SELECT 'idf' AS variant, doc, fp FROM {duck_simhash_idf(_TOKS)}
+    ),
+    ch AS (
+      SELECT variant, doc,
+             c, ((fp >> oi) & mi) * sj + ((fp >> oj) & mj) AS ck
+      FROM allfp, (VALUES {vals}) t(c, oi, mi, oj, mj, sj)
+    ),
+    buckets AS (
+      SELECT variant, c, ck, COUNT(*) AS sz FROM ch GROUP BY variant, c, ck
+    )
+    SELECT variant,
+           CAST(SUM(sz) AS BIGINT) AS n_postings,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS collision_buckets,
+           CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           CAST(SUM(sz * (sz - 1)) // 2 AS BIGINT) AS candidate_budget
+    FROM buckets GROUP BY variant
+    """
+
+
+@query("simhash_idf_band_budget", oracle=_simhash_idf_budget_oracle())
+def simhash_idf_band_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted vs unit-weight SimHash banding budget (X251): the
+    driver-checked form of the production remedy for clustering-
+    dominated banding budgets (functions/hashing.py
+    simhash_fingerprints_idf; VERDICT r14 #3). With unit weights the
+    corpus's common tokens steer every document's bit votes the same
+    way, so same-distribution docs agree on far more than half their
+    bits and flood the block-combination buckets at rates far above
+    the 2^-24 independent floor — a term that grows with the SQUARE of
+    cluster density at any key width. Weighting each token's vote by
+    ln(N/df) (Charikar's weighted SimHash, standard IDF) zeroes the
+    ubiquitous tokens and lets the rare topical ones set the bits; the
+    r14 unit test measured the banding budget collapsing >3x on a
+    clustered corpus. This query emits the per-variant candidate
+    budget over the SAME C(5,2) block-combination tables the X4 pair
+    query banks on — one row per variant (unit / idf) with the posting
+    count, bucket census, max bucket, and the sum-of-C(size,2)
+    candidate budget — so the remedy's effect is an oracle-checked
+    artifact, not a unit-test claim.
+
+    The IDF weights are corpus state fitted IN-QUERY (document
+    frequency + corpus size, one map-side-combined groupBy each — the
+    unigram_logprob_quality precedent), and the oracle replays both
+    passes bit-for-bit via duck_simhash_idf. Scale: two scans of the
+    (doc, token) cells (df fit + weighted votes), shuffles carry only
+    (token, df) and per-document 60-double vote rows, banding is the
+    same one narrow shuffle on (table, 24-bit key) as X4; no stage is
+    quadratic at any cluster density — the BUDGET rows it emits are
+    exactly the quantity that goes quadratic when fingerprints
+    cluster, which is why the census belongs in the driver record.
+
+    Reference parity: none; extends the X205/X221 banding-tuning
+    census family."""
+    from seng550_a3_etl_spark.functions.hashing import (
+        simhash_fingerprints,
+        simhash_fingerprints_idf,
+    )
+    from seng550_a3_etl_spark.operators.text_dedup import simhash_band_keys
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select(
+        F.col("doc_id").alias("doc"), tokens(F.col("text")).alias("__toks")
+    )
+
+    def budget(fps: DataFrame, variant: str) -> DataFrame:
+        return (
+            simhash_band_keys(fps, "doc", "fp", max_hamming=3, bits=60)
+            .groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .agg(
+                F.sum("sz").cast("long").alias("n_postings"),
+                F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                F.sum((F.col("sz") > 1).cast("long")).alias(
+                    "collision_buckets"
+                ),
+                F.max("sz").cast("long").alias("max_bucket"),
+                (F.sum(F.col("sz") * (F.col("sz") - 1)) / 2)
+                .cast("long")
+                .alias("candidate_budget"),
+            )
+            .select(F.lit(variant).alias("variant"), "*")
+        )
+
+    unit = budget(
+        simhash_fingerprints(docs, "doc", F.col("__toks"), bits=60), "unit"
+    )
+    idf = budget(
+        simhash_fingerprints_idf(docs, "doc", F.col("__toks"), bits=60),
+        "idf",
+    )
+    return unit.unionByName(idf)
+
+
 def _chaining_oracle() -> str:
     from seng550_a3_etl_spark.suite.registry import ORACLES
 

@@ -118,6 +118,11 @@ _SCALE_SENSITIVE = [
     # per output shape: per-vector stats and the dual-argmax pivot.
     "knn_label_consensus",
     "hard_negative_mining",
+    # r15: the IDF weights are corpus state (df table + N fitted
+    # in-query), so every fingerprint — and with it the whole bucket
+    # census — shifts with sf; the float vote sums must keep sign
+    # parity through growing summation depth at every scale.
+    "simhash_idf_band_budget",
 ]
 
 _SF_FULL = "/root/testdata/sf0.1"
