@@ -1232,3 +1232,81 @@ def union_span_coverage(
         .groupBy(*key_cols)
         .agg(F.sum("__cov").cast("long").alias("covered"))
     )
+
+
+def cdc_chunk_instances(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 4,
+    divisor: int = 13,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """(id, carry..., h, ntok) content-defined chunk instances — the
+    LBFS/rsync/restic CDC recipe on tokens, single-sourced for the
+    batch census (X250 ``cdc_chunk_dedup``) and the streaming ingest
+    guard (``stream_cdc_chunk_guard``) so the two executions cannot
+    drift. A chunk boundary falls AFTER token ``i + window - 1``
+    (1-based) wherever the ``window``-token shingle's 60-bit hash is
+    ``% divisor == 0`` — edges resynchronize after an insertion or
+    deletion, so a one-token edit changes O(1) chunks (unlike
+    fixed-size chunking, where every chunk after the edit shifts).
+    Mean chunk length ≈ ``divisor`` tokens.
+
+    Everything is per-row HOF expressions in the scan stage (tokens →
+    shingle windows → hash → qualifying cut positions → start/end zip →
+    slice+join+hash per chunk): the text column never shuffles, only
+    the emitted (id, carry, hash, ntok) rows do, and the construction
+    is legal in a streaming micro-batch (stateless projection — no
+    aggregation, no state). Empty-token documents emit zero rows (the
+    degenerate [1, 0] start/end pair fails ``e >= s``)."""
+    carry = carry or []
+    d = df.select(
+        F.col(id_col),
+        *carry,
+        F.filter(tokens(F.col(text_col)), lambda x: x != "").alias("tk"),
+    )
+    sh = shingles(F.col("tk"), window)
+    # 0-based window i covers 1-based tokens [i+1, i+window]; a
+    # qualifying window cuts AFTER token i+window.
+    cutpos = F.transform(
+        F.filter(
+            F.transform(
+                sh,
+                lambda s, i: F.struct(i.alias("i"), hash64(s).alias("h")),
+            ),
+            lambda x: x["h"] % divisor == 0,
+        ),
+        lambda x: (x["i"] + window).cast("long"),
+    )
+    d2 = d.select(id_col, *carry, "tk", cutpos.alias("cp"))
+    starts = F.concat(
+        F.array(F.lit(1).cast("long")),
+        F.transform(F.col("cp"), lambda p: p + 1),
+    )
+    ends = F.concat(F.col("cp"), F.array(F.size("tk").cast("long")))
+    chunks = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+        ),
+        lambda c: c["e"] >= c["s"],
+    )
+    return d2.select(
+        id_col, *carry, F.explode(chunks).alias("c"), "tk"
+    ).select(
+        id_col,
+        *carry,
+        hash64(
+            F.array_join(
+                F.slice(
+                    "tk",
+                    F.col("c.s").cast("int"),
+                    (F.col("c.e") - F.col("c.s") + 1).cast("int"),
+                ),
+                " ",
+            )
+        ).alias("h"),
+        (F.col("c.e") - F.col("c.s") + 1).alias("ntok"),
+    )

@@ -235,6 +235,11 @@ _CHANGED: dict[str, int] = {
     "stream_simhash_dedup": 14,
     "dedup_strategy_delta": 14,
     "dedup_tier_funnel": 14,
+    # round 15: the chunk-instance construction moved out of the query
+    # body into operators/text_dedup.py cdc_chunk_instances (now shared
+    # with the new stream_cdc_chunk_guard) — value-identical, but the
+    # code under the query changed.
+    "cdc_chunk_dedup": 15,
 }
 
 

@@ -1178,3 +1178,114 @@ def stream_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _await(q)
     return spark.table(_PII_GATE_TABLE)
+
+
+_CDC_GUARD_TABLE = "stream_cdc_chunk_sink"
+
+
+def _stream_cdc_oracle() -> str:
+    # Force the batch twin's registration (text follows this module in
+    # the package import list) — the X195 pattern.
+    from seng550_a3_etl_spark.suite import text  # noqa: F401
+    from seng550_a3_etl_spark.suite.registry import ORACLES
+
+    return ORACLES["cdc_chunk_dedup"]
+
+
+@query("stream_cdc_chunk_guard", oracle=_stream_cdc_oracle())
+def stream_cdc_chunk_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-chunk ingest guard (X252): the X250
+    content-defined-chunking dedup census executed on a document
+    INGEST stream against a STATIC chunk-hash frequency index — the
+    sub-document admission gate a 100 TB lake actually runs (the
+    X208/X216 stream-static shape at chunk granularity): every
+    arriving document is chunked in the micro-batch and each chunk
+    looked up in the persisted index, so partially-duplicated content
+    is flagged chunk-by-chunk BEFORE landing, where the batch census
+    (X250) would only catch it at the next full pass. Same oracle as
+    the batch twin, so the driver checks the streaming execution of
+    the identical construction.
+
+    Physical shape: chunking is the single-sourced
+    operators/text_dedup.py cdc_chunk_instances — per-row HOF
+    expressions, a stateless projection that is legal in a micro-batch
+    (no aggregation, no watermark, ZERO streaming state). The static
+    side is the (chunk hash → instance frequency) rollup built once
+    from the corpus — exactly the table the X250 census notes a writer
+    would persist as its dedup index. The stream-static equi-join on
+    the 60-bit hash shuffles the micro-batch's (hash, ntok) rows once
+    per batch (no broadcast claimed — the index is corpus-chunks-
+    sized); a replayed corpus document's own instances are IN the
+    index, so frequency >= 2 means duplicated-elsewhere with no
+    self-match correction needed (instance counts, not distinct-doc
+    counts — mirroring the batch window's COUNT(*) OVER hash exactly).
+    Per-chunk verdicts append to the sink; the per-source census fold
+    happens batch-side on the sink (the X184 post-sink pattern),
+    byte-identical to the batch twin's output.
+
+    Scale: streaming state is zero; per-batch cost is |batch| ×
+    chunks-per-doc (~tokens/13) join rows against an index that
+    updates on the lake's own compaction cadence; near-uniform 60-bit
+    keys, no skew."""
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        cdc_chunk_instances,
+    )
+    from seng550_a3_etl_spark.suite.text import _CDC_DIV, _CDC_W
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/documents.parquet*"
+    )
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = (
+        cdc_chunk_instances(static, "doc_id", "text", _CDC_W, _CDC_DIV)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    # r12: a one-file micro-batch scans as ONE partition, pinning the
+    # per-row chunking to a single core — repartition the narrow
+    # (doc_id, source, text) stream to core count first (no-op cost at
+    # production admission rates; the X222 lesson).
+    par = spark.sparkContext.defaultParallelism
+    verdicts = (
+        cdc_chunk_instances(
+            stream.select("doc_id", "source", "text").repartition(par),
+            "doc_id",
+            "text",
+            _CDC_W,
+            _CDC_DIV,
+            carry=["source"],
+        )
+        .join(index, "h", "left")
+        .select(
+            "source",
+            "ntok",
+            (F.coalesce("f", F.lit(0)) >= 2).alias("dup"),
+        )
+    )
+    q = (
+        verdicts.writeStream.format("memory")
+        .queryName(_CDC_GUARD_TABLE)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    sink = spark.table(_CDC_GUARD_TABLE)
+    return sink.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("ntok").alias("n_tokens"),
+        F.sum(F.col("dup").cast("int")).cast("long").alias("dup_chunks"),
+        F.sum(F.when(F.col("dup"), F.col("ntok")).otherwise(0)).alias(
+            "dup_tokens"
+        ),
+    ).select(
+        "source",
+        "n_chunks",
+        "n_tokens",
+        "dup_chunks",
+        "dup_tokens",
+        F.round(
+            F.col("dup_tokens").cast("double") / F.col("n_tokens"), 6
+        ).alias("dup_token_frac"),
+    )

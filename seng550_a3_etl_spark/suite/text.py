@@ -6126,9 +6126,10 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     variable granularity, the middle rung between X91's whole-doc
     hashing and X198's exact span pairs.
 
-    Engine: everything up to the chunk hash is per-row HOF expressions
-    in the scan stage (tokens -> 4-token windows -> hash -> qualifying
-    cut positions -> start/end zip -> slice+join+hash per chunk) —
+    Engine: the chunk-instance construction is single-sourced in
+    operators/text_dedup.py cdc_chunk_instances (shared with the
+    streaming ingest guard stream_cdc_chunk_guard) — everything up to
+    the chunk hash is per-row HOF expressions in the scan stage, so
     corpus text never shuffles; only (source, 60-bit chunk hash, ntok)
     rows do. One hash-partition window computes corpus-wide chunk
     frequency, one map-side-combined groupBy folds the |sources|-row
@@ -6139,59 +6140,14 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     window shuffles once on the chunk hash (near-uniform 60-bit keys,
     no skew); the rollup is |sources| rows. At 100 TB the chunk-hash
     frequency table doubles as the dedup index a writer would persist."""
-    from seng550_a3_etl_spark.functions.text import shingles
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        cdc_chunk_instances,
+    )
 
     t = load_tables(spark, sf_dir)
-    d = t.documents.select(
-        "doc_id",
-        "source",
-        F.filter(tokens(F.col("text")), lambda x: x != "").alias("tk"),
-    )
-    sh = shingles(F.col("tk"), _CDC_W)
-    # 0-based window i covers 1-based tokens [i+1, i+W]; a qualifying
-    # window cuts AFTER token i+W (== the oracle's 1-based i + W - 1).
-    cutpos = F.transform(
-        F.filter(
-            F.transform(
-                sh,
-                lambda s, i: F.struct(
-                    i.alias("i"), hash64(s).alias("h")
-                ),
-            ),
-            lambda x: x["h"] % _CDC_DIV == 0,
-        ),
-        lambda x: (x["i"] + _CDC_W).cast("long"),
-    )
-    d2 = d.select("source", "tk", cutpos.alias("cp"))
-    starts = F.concat(
-        F.array(F.lit(1).cast("long")),
-        F.transform(F.col("cp"), lambda p: p + 1),
-    )
-    ends = F.concat(F.col("cp"), F.array(F.size("tk").cast("long")))
-    chunks = F.filter(
-        F.zip_with(
-            starts,
-            ends,
-            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
-        ),
-        lambda c: c["e"] >= c["s"],
-    )
-    inst = d2.select(
-        "source", F.explode(chunks).alias("c"), "tk"
-    ).select(
-        "source",
-        hash64(
-            F.array_join(
-                F.slice(
-                    "tk",
-                    F.col("c.s").cast("int"),
-                    (F.col("c.e") - F.col("c.s") + 1).cast("int"),
-                ),
-                " ",
-            )
-        ).alias("h"),
-        (F.col("c.e") - F.col("c.s") + 1).alias("ntok"),
-    )
+    inst = cdc_chunk_instances(
+        t.documents, "doc_id", "text", _CDC_W, _CDC_DIV, carry=["source"]
+    ).select("source", "h", "ntok")
     fr = inst.withColumn(
         "f", F.count(F.lit(1)).over(Window.partitionBy("h"))
     )
