@@ -1121,6 +1121,9 @@ def _merge_cost_decades(sf1_spot: dict) -> None:
         # against the linear-plus-collision-floor model, with the
         # retired single-chunk scheme's budget as the comparison row.
         ("simhash_near_pairs", "simhash_band_census"),
+        # CDC chunk family (X250/X252): the chunk-hash frequency
+        # C(f,2) budget over disjoint salted replicas (VERDICT r14 #4).
+        ("cdc_chunk_dedup", "cdc_chunk_census"),
     ):
         tgt = (dec.get("targets") or {}).get(tname)
         if not tgt:

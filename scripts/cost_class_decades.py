@@ -469,6 +469,52 @@ def measure_simhash(spark, d: str) -> dict:
     return out
 
 
+def measure_cdc(spark, d: str) -> dict:
+    """Chunk-hash frequency budget for the CDC-chunk dedup family
+    (X250 census + X252 streaming guard; VERDICT r14 #4): the
+    C(f,2) pair budget of the corpus chunk-hash frequency table —
+    exactly the work the census's one frequency window (and the
+    streaming guard's index join) carries. On the salted doc replicas
+    every replica's token universe is disjoint, so chunk STRINGS never
+    collide across replicas (cross-replica budget is md5-collision
+    noise, ~0) and the budget is a sum of per-universe draws — linear
+    in replicas, with the per-universe constant RESAMPLED by each salt
+    (cut positions re-roll with the salted shingle hashes), so the
+    13x linear bound absorbs draw variance the way the ngram/minhash
+    counters' exact-10.0 construction does not need to."""
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        cdc_chunk_instances,
+    )
+    from seng550_a3_etl_spark.suite.text import _CDC_DIV, _CDC_W
+
+    t = load_tables(spark, d)
+    out: dict = {"n_corpus": t.documents.count()}
+    t0 = time.perf_counter()
+    inst = cdc_chunk_instances(
+        t.documents, "doc_id", "text", _CDC_W, _CDC_DIV
+    )
+    row = (
+        inst.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(
+            F.sum("f").alias("n_instances"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("f").alias("max_f"),
+            F.sum(
+                F.col("f").cast("decimal(38,0)") * (F.col("f") - 1) / 2
+            ).alias("budget"),
+        )
+        .collect()[0]
+    )
+    out["census_wall_s"] = round(time.perf_counter() - t0, 2)
+    out["n_chunk_instances"] = int(row["n_instances"])
+    out["n_distinct_chunks"] = int(row["n_distinct"])
+    out["max_chunk_freq"] = int(row["max_f"])
+    out["cdc_pair_budget"] = int(row["budget"])
+    return out
+
+
 def _ratios(vals: list) -> list:
     out = []
     for a, b in zip(vals, vals[1:]):
@@ -536,6 +582,7 @@ def main() -> None:
         txt = None
         xs = None
         sim = None
+        cdc = None
         if remaining() > budget / 4:
             t0 = time.perf_counter()
             tmp_t10 = tempfile.mkdtemp(prefix=".decades_t10x_", dir=REPO)
@@ -563,6 +610,10 @@ def main() -> None:
                 ]
                 sim = [
                     measure_simhash(spark, d)
+                    for d in (sf_dir, tmp_t10, tmp_t100)
+                ]
+                cdc = [
+                    measure_cdc(spark, d)
                     for d in (sf_dir, tmp_t10, tmp_t100)
                 ]
             finally:
@@ -660,6 +711,10 @@ def main() -> None:
     if xs is not None:
         record["targets"]["xspan_span_census"] = fold_linear(
             xs, "xspan_pair_budget"
+        )
+    if cdc is not None:
+        record["targets"]["cdc_chunk_census"] = fold_linear(
+            cdc, "cdc_pair_budget"
         )
     if sim is not None:
         # Decomposition-graded (the naive per-decade ratio is the wrong

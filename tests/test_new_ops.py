@@ -2019,3 +2019,56 @@ def test_simhash_banding_keyspace_selectivity():
     budget = lambda cnt: sum(f * (f - 1) // 2 for f in cnt.values())
     assert budget(old) > 50_000          # saturated: noise pairs >> n
     assert budget(new) < 5_000           # selective: stays tiny
+
+
+def test_cdc_chunk_edit_resynchronization(spark):
+    # THE content-defined-chunking property (the reason X250 uses CDC
+    # over fixed-size chunks): after a single-token edit, chunk edges
+    # resynchronize, so the edited document shares all but O(1) chunks
+    # with the original. Fixed-size chunking would shift every chunk
+    # after the edit point (sharing ~none).
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        cdc_chunk_instances,
+    )
+
+    words = [f"w{i * 7919 % 1000}x{i}" for i in range(400)]
+    orig = " ".join(words)
+    edited = " ".join(words[:200] + ["EDITEDTOKEN"] + words[201:])
+    df = spark.createDataFrame(
+        [(1, orig), (2, edited)], "doc_id long, text string"
+    )
+    inst = cdc_chunk_instances(df, "doc_id", "text").collect()
+    a = sorted(r.h for r in inst if r.doc_id == 1)
+    b = sorted(r.h for r in inst if r.doc_id == 2)
+    # both docs chunked (mean chunk ~13 tokens over 400 tokens)
+    assert len(a) > 10 and len(b) > 10
+    import collections
+
+    ca, cb = collections.Counter(a), collections.Counter(b)
+    shared = sum((ca & cb).values())
+    # the edit can change at most the chunks overlapping the edited
+    # token's window neighborhood: allow 3 chunks per side, no more
+    assert len(a) - shared <= 3
+    assert len(b) - shared <= 3
+    # token mass is partitioned exactly on both sides
+    assert sum(r.ntok for r in inst if r.doc_id == 1) == 400
+    assert sum(r.ntok for r in inst if r.doc_id == 2) == 400
+
+
+def test_cdc_chunk_instances_empty_and_degenerate(spark):
+    # empty/whitespace-only text emits zero chunk rows; a short doc
+    # (under the window width) emits exactly one whole-doc chunk.
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        cdc_chunk_instances,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two"), (4, None)],
+        "doc_id long, text string",
+    )
+    inst = cdc_chunk_instances(df, "doc_id", "text").collect()
+    by_doc = {}
+    for r in inst:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 1 not in by_doc and 2 not in by_doc and 4 not in by_doc
+    assert len(by_doc[3]) == 1 and by_doc[3][0].ntok == 2
