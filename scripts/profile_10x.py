@@ -1286,6 +1286,22 @@ def profile_cdc_chunk(spark, sf_dir: str) -> dict:
         ).collect()[0][0],
     )
     res["n_chunk_instances"] = int(n_chunks)
+    # stage 2: full chunk hashing + the one frequency shuffle (the
+    # query minus the |sources| rollup) — the shared operator, so the
+    # profiled stage IS the plan under the query. Without this row the
+    # sub-stage coverage can't reach the reconcile gate's 60%
+    # (chunk_build alone skips the slice+hash and the shuffle).
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        cdc_chunk_instances,
+    )
+
+    n_distinct, res["freq_census"] = _t(
+        "chunk hash + frequency shuffle (groupBy h)",
+        lambda: cdc_chunk_instances(
+            t.documents, "doc_id", "text", _CDC_W, _CDC_DIV
+        ).groupBy("h").count().count(),
+    )
+    res["n_distinct_chunks"] = int(n_distinct)
     _, res["full_query"] = _t(
         "full query (chunk + freq window + rollup)",
         lambda: QUERIES["cdc_chunk_dedup"](spark, sf_dir)
