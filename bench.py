@@ -1508,13 +1508,16 @@ def _reconcile_stages(spot: dict) -> None:
             continue
         wall10 = entry[0]
         # Coverage counts SUB-stages only: several profilers also emit
-        # a 'full_query' row whose 10x wall alone >= the query wall, so
-        # including it makes the gate vacuous (ADVICE r14). full_query
-        # still participates in the all-ok check below — it is graded
-        # against the bound like any stage.
+        # a whole-query row — named 'full_query', or '<stage>_full'
+        # where the stage includes everything before it (encode_full,
+        # gate_full) — whose 10x wall alone >= the query wall, so
+        # including any of them makes the gate vacuous (ADVICE r14 +
+        # the r15 review pass that caught the two non-literal names).
+        # Whole-query rows still participate in the all-ok check below
+        # — they are graded against the bound like any stage.
         cover10 = sum(
             v[1] for k, v in rows.items()
-            if k != "full_query"
+            if k != "full_query" and not k.endswith("_full")
             and isinstance(v, list) and len(v) == 4
         )
         if not (

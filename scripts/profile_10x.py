@@ -1261,24 +1261,21 @@ def profile_cdc_chunk(spark, sf_dir: str) -> dict:
     t = load_tables(spark, sf_dir)
     # stage 1: scan-stage chunk construction (everything before the
     # frequency window) — approximated by counting chunk instances,
-    # which forces the full per-row HOF pipeline and nothing else
+    # which forces the per-row HOF boundary pipeline and nothing else.
+    # The boundary expression is THE operator's own (cdc_cut_positions
+    # — r15 review: a hand-inlined copy here could silently drift from
+    # the construction the query actually runs).
     from pyspark.sql import functions as FF
-    from seng550_a3_etl_spark.functions.hashing import hash64
-    from seng550_a3_etl_spark.functions.text import shingles, tokens
+    from seng550_a3_etl_spark.functions.text import tokens
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        cdc_cut_positions,
+    )
 
     d = t.documents.select(
         "source",
         FF.filter(tokens(FF.col("text")), lambda x: x != "").alias("tk"),
     )
-    sh = shingles(FF.col("tk"), _CDC_W)
-    cuts = FF.transform(
-        FF.filter(
-            FF.transform(sh, lambda s, i: FF.struct(
-                i.alias("i"), hash64(s).alias("h"))),
-            lambda x: x["h"] % _CDC_DIV == 0,
-        ),
-        lambda x: (x["i"] + _CDC_W).cast("long"),
-    )
+    cuts = cdc_cut_positions(FF.col("tk"), _CDC_W, _CDC_DIV)
     n_chunks, res["chunk_build"] = _t(
         "scan-stage chunking (tokens->cuts)",
         lambda: d.select(FF.size(cuts).alias("nc")).agg(

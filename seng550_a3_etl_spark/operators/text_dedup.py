@@ -1234,6 +1234,29 @@ def union_span_coverage(
     )
 
 
+def cdc_cut_positions(
+    tk: Column, window: int = 4, divisor: int = 13
+) -> Column:
+    """1-based cut positions (array<long>) of the CDC boundary rule
+    over a clean token array: a boundary falls AFTER 1-based token
+    ``i + window`` wherever the 0-based ``window``-token shingle at i
+    has ``hash64 % divisor == 0``. Split out of
+    :func:`cdc_chunk_instances` so the bench stage profiler
+    (scripts/profile_10x.py profile_cdc_chunk) times THE operator's
+    boundary expression rather than a hand-inlined copy that could
+    drift (r15 review)."""
+    return F.transform(
+        F.filter(
+            F.transform(
+                shingles(tk, window),
+                lambda s, i: F.struct(i.alias("i"), hash64(s).alias("h")),
+            ),
+            lambda x: x["h"] % divisor == 0,
+        ),
+        lambda x: (x["i"] + window).cast("long"),
+    )
+
+
 def cdc_chunk_instances(
     df: DataFrame,
     id_col: str,
@@ -1266,20 +1289,10 @@ def cdc_chunk_instances(
         *carry,
         F.filter(tokens(F.col(text_col)), lambda x: x != "").alias("tk"),
     )
-    sh = shingles(F.col("tk"), window)
-    # 0-based window i covers 1-based tokens [i+1, i+window]; a
-    # qualifying window cuts AFTER token i+window.
-    cutpos = F.transform(
-        F.filter(
-            F.transform(
-                sh,
-                lambda s, i: F.struct(i.alias("i"), hash64(s).alias("h")),
-            ),
-            lambda x: x["h"] % divisor == 0,
-        ),
-        lambda x: (x["i"] + window).cast("long"),
+    d2 = d.select(
+        id_col, *carry, "tk",
+        cdc_cut_positions(F.col("tk"), window, divisor).alias("cp"),
     )
-    d2 = d.select(id_col, *carry, "tk", cutpos.alias("cp"))
     starts = F.concat(
         F.array(F.lit(1).cast("long")),
         F.transform(F.col("cp"), lambda p: p + 1),

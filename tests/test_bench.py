@@ -475,13 +475,24 @@ def test_reconcile_coverage_gate_excludes_full_query(monkeypatch):
     # still participates in the all-ok check.
     spot = {
         "queries": {"thin": [15.0, 15.0, "superlinear"],
-                    "covered": [15.0, 15.0, "superlinear"]},
+                    "covered": [15.0, 15.0, "superlinear"],
+                    "thin_suffixed": [15.0, 15.0, "superlinear"]},
         "stages": {
             "thin": {
                 "bound": 13.0,
                 "rows": {
                     "full_query": [1.2, 15.0, 12.5, "ok"],
                     "tiny_stage": [0.1, 0.2, 2.0, "ok_small_base"],
+                },
+            },
+            # whole-query rows are ALSO named '<stage>_full' in two
+            # profilers (encode_full, gate_full) — the suffix must be
+            # excluded from coverage too (r15 review)
+            "thin_suffixed": {
+                "bound": 13.0,
+                "rows": {
+                    "encode_full": [1.2, 15.0, 12.5, "ok"],
+                    "vocab_build": [0.1, 0.2, 2.0, "ok_small_base"],
                 },
             },
             "covered": {
@@ -498,5 +509,7 @@ def test_reconcile_coverage_gate_excludes_full_query(monkeypatch):
     # thin: sub-stages cover 0.2s of a 15s wall -> gate holds the grade
     assert spot["queries"]["thin"][2] == "superlinear"
     assert "thin" in spot["reconcile_skipped"]
+    assert spot["queries"]["thin_suffixed"][2] == "superlinear"
+    assert "thin_suffixed" in spot["reconcile_skipped"]
     # covered: sub-stages cover 11s of 15s (>=60%), all rows ok -> flip
     assert spot["queries"]["covered"][2] == "ok_stages_linear"
