@@ -186,6 +186,13 @@ SF1_SPOT = [
     "cdc_chunk_dedup",
     "tree_split_gain",
     "token_burstiness",
+    # r15: the IDF-weighted banding budget — two (doc, token)-cell
+    # passes (df fit + weighted votes) plus the block-combination
+    # banding; all map-side-combined shuffles, so the 10x wall should
+    # track tokens linearly. stream_cdc_chunk_guard is deliberately
+    # NOT spotted: its chunking plumbing is cdc_chunk_dedup's (spotted
+    # above) and its streaming machinery is stream_minhash_dedup's.
+    "simhash_idf_band_budget",
 ]
 
 
