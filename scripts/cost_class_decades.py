@@ -438,6 +438,28 @@ def measure_simhash(spark, d: str) -> dict:
         simhash_band_keys(fps, "doc", "fp", 3, 60, combo_size=3)
     )
     out["combo3_pair_budget"] = tot3
+    # the OTHER documented clustered-corpus remedy (X251): IDF-weighted
+    # vote fingerprints on the same banding tables — per-scale budget
+    # next to the unit-weight column, so the remedy's effect is
+    # measured through both decades, not just unit-tested at 1x. The
+    # IDF fit is per-scale corpus state (df + N over the replicated
+    # corpus), mirroring the in-query fit of simhash_idf_band_budget.
+    from seng550_a3_etl_spark.functions.hashing import (
+        simhash_fingerprints_idf,
+    )
+    from seng550_a3_etl_spark.functions.text import tokens as _toks
+
+    fps_idf = simhash_fingerprints_idf(
+        t.documents.select(F.col("doc_id").alias("doc"), "text"),
+        "doc",
+        _toks(F.col("text")),
+        bits=60,
+    ).localCheckpoint(eager=True)
+    tot_idf, within_idf = census(
+        simhash_band_keys(fps_idf, "doc", "fp", 3, 60)
+    )
+    out["idf_pair_budget"] = tot_idf
+    out["idf_within_replica_budget"] = within_idf
     # the RETIRED single-chunk scheme, same fingerprints — kept purely
     # as the comparison column that shows why the swap was needed
     old = fps.select(
@@ -757,12 +779,24 @@ def main() -> None:
             "combo3_pair_budget": [
                 r["combo3_pair_budget"] for r in sim
             ],
+            "idf_pair_budget": [
+                r["idf_pair_budget"] for r in sim
+            ],
             "grading": "second decade <= 13x (iid-draw averages on "
                        "both sides) AND cross-replica budget <= 10x "
                        "the tables*C(n,2)/2^24 independent floor; the "
                        "first decade's ratio carries the base "
                        "universe's single clustering draw and is "
                        "recorded, not graded",
+            "remedy_columns": "combo3 (C(6,3) tables, 30-bit keys) and "
+                              "idf (X251 ln(N/df)-weighted votes, "
+                              "per-scale corpus fit) budgets ride next "
+                              "to the unit column at every scale; on "
+                              "this weakly-clustered fixture idf is "
+                              "budget-neutral (~+-10%) — its >3x "
+                              "collapse is a clustered-corpus effect "
+                              "(tests/test_hashing.py), while combo3 "
+                              "cuts the budget ~2.4x at every scale",
             "verdict": (
                 "linear per-universe + independent-floor cross "
                 "selectivity"
