@@ -1367,8 +1367,61 @@ def profile_burstiness(spark, sf_dir: str) -> dict:
     return res
 
 
+def profile_simhash_idf(spark, sf_dir: str) -> dict:
+    # Mirrors simhash_idf_band_budget's stages with the operator's own
+    # pieces: (1) the two-pass IDF-weighted fingerprint build (df fit +
+    # weighted votes — the only stage that touches (doc, token) cells
+    # twice), (2) the unit-weight fingerprint build, (3) the banding
+    # bucket census over both variants. All linear claims — there is
+    # no pair stage; the BUDGET the query emits is data, not work.
+    from pyspark.sql import functions as FF
+
+    from seng550_a3_etl_spark.catalog import load_tables
+    from seng550_a3_etl_spark.functions.hashing import (
+        simhash_fingerprints,
+        simhash_fingerprints_idf,
+    )
+    from seng550_a3_etl_spark.functions.text import tokens
+    from seng550_a3_etl_spark.operators.text_dedup import simhash_band_keys
+    from seng550_a3_etl_spark.suite import QUERIES
+
+    res: dict = {}
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select(
+        FF.col("doc_id").alias("doc"), tokens(FF.col("text")).alias("tk")
+    )
+    fp_w, res["idf_fingerprints"] = _t(
+        "IDF two-pass weighted fingerprints",
+        lambda: simhash_fingerprints_idf(
+            docs, "doc", FF.col("tk"), bits=60
+        ).localCheckpoint(eager=True),
+    )
+    fp_u, res["unit_fingerprints"] = _t(
+        "unit-weight fingerprints",
+        lambda: simhash_fingerprints(
+            docs, "doc", FF.col("tk"), bits=60
+        ).localCheckpoint(eager=True),
+    )
+    n_buckets, res["band_census"] = _t(
+        "banding bucket census (both variants)",
+        lambda: sum(
+            simhash_band_keys(fp, "doc", "fp", 3, 60)
+            .groupBy("band", "key").count().count()
+            for fp in (fp_w, fp_u)
+        ),
+    )
+    res["n_buckets_both"] = int(n_buckets)
+    _, res["full_query"] = _t(
+        "full query (both budgets, noop)",
+        lambda: QUERIES["simhash_idf_band_budget"](spark, sf_dir)
+        .write.format("noop").mode("overwrite").save(),
+    )
+    return res
+
+
 PROFILES = {
     "minhash_dup_pairs": profile_minhash,
+    "simhash_idf_band_budget": profile_simhash_idf,
     "cdc_chunk_dedup": profile_cdc_chunk,
     "tree_split_gain": profile_tree_split,
     "token_burstiness": profile_burstiness,
