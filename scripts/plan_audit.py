@@ -21,11 +21,15 @@ posting/window shuffles; the composition of independently-spotted
 tiers, scans = arms by design), the snapshot-diff compositions
 (tokenizer_drift_snapshots: encoder arm + word-count arm + type
 census, closing folds are 1-row frames so single-partition exchanges
-are the CORRECT plan), and the source-pair matrices
+are the CORRECT plan), the source-pair matrices
 (source_shingle_jaccard: the closing |sources|² pairing is an
 intentional broadcast theta join over ≤|sources| rows; the posting
-side is pinned once) are by design; a new unexplained flag is a
-regression.
+side is pinned once), and the two-variant banding-budget census
+(simhash_idf_band_budget: unit + IDF fingerprint arms each re-scan the
+narrow (doc_id, text) projection, the IDF arm adds the df-fit and
+1-row corpus-size scans — its BNLJ is that broadcast 1-row frame, and
+the per-variant global folds are the single-partition exchanges) are
+by design; a new unexplained flag is a regression.
 """
 
 from __future__ import annotations
