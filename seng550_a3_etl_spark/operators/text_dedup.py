@@ -586,15 +586,24 @@ def simhash_block_combos(
     against INDEPENDENT fingerprints to ~2^24 docs per shard.
 
     One structural caveat, measured in COST_DECADES.json
-    (simhash_band_census): real same-distribution corpora cluster —
-    common tokens dominate the bit votes, so same-language docs agree
-    on far more than 30 of 60 bits and share table keys at rates far
-    above the 2^-24 independent floor. That term scales with the
-    square of cluster density at ANY key width; the production
-    remedies are combo_size=3 (C(6,3)=20 tables, 30-bit keys — one
-    argument here) and IDF-weighting the fingerprint votes so common
-    tokens stop steering the bias. Returns (combos, offsets,
-    widths)."""
+    (simhash_band_census + the r15 simhash_idf_clustered stress test):
+    real same-distribution corpora cluster — common tokens dominate
+    the bit votes, so same-language docs agree on far more than 30 of
+    60 bits and share table keys at rates far above the 2^-24
+    independent floor. That term scales with the square of cluster
+    density at ANY key width. The knobs help but do not cure:
+    IDF-weighting the votes zeroes exactly the ubiquitous (df = N)
+    tokens — it collapses boilerplate-driven clustering (>3x in the
+    unit test) but not correlation from a small shared body
+    vocabulary (measured idf/unit 0.33 at 1x eroding to ~0.85 at 100x
+    under a 43%-boilerplate stress corpus); combo_size=3 (C(6,3)=20
+    tables, 30-bit keys) cuts ~1.6x. Cross-shard selectivity stays at
+    the independent floor throughout — the flooding is within-shard
+    density work, so the production remedy is UPSTREAM: strip
+    boilerplate before fingerprinting (the X158/X229 operators), and
+    use the X221/X251 censuses as the detector that routes a
+    banding-hostile corpus to the stop-shingle-bounded ngram tiers
+    (X2/X86). Returns (combos, offsets, widths)."""
     from itertools import combinations
 
     n_blocks = max_hamming + combo_size
