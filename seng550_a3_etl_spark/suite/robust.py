@@ -733,6 +733,139 @@ def length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "length_wasserstein_drift",
+    oracle="""
+    WITH r AS (
+      SELECT source, n_chars, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    vals AS (SELECT n_chars, SUM(c) AS ct FROM r GROUP BY n_chars),
+    srcs AS (SELECT DISTINCT source FROM r),
+    grid AS (
+      SELECT s.source, v.n_chars, v.ct, COALESCE(rr.c, 0) AS c
+      FROM srcs s CROSS JOIN vals v
+      LEFT JOIN r rr
+        ON rr.source = s.source AND rr.n_chars = v.n_chars
+    ),
+    cum AS (
+      SELECT source,
+             SUM(c) OVER w AS fa,
+             SUM(ct - c) OVER w AS fb,
+             SUM(c) OVER wp AS na,
+             SUM(ct - c) OVER wp AS nb,
+             COALESCE(LEAD(n_chars) OVER wo - n_chars, 0) AS gap
+      FROM grid
+      WINDOW w AS (PARTITION BY source ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wo AS (PARTITION BY source ORDER BY n_chars),
+             wp AS (PARTITION BY source)
+    ),
+    terms AS (
+      SELECT source, na, nb,
+             ABS(CAST(fa AS DOUBLE) / na
+                 - CAST(fb AS DOUBLE) / nb) AS d,
+             gap
+      FROM cum
+    )
+    SELECT source,
+           CAST(MAX(na) AS BIGINT) AS n_docs,
+           CAST(MAX(nb) AS BIGINT) AS n_rest,
+           ROUND(SUM(CAST(ROUND(gap * d * 1000000000) AS BIGINT))
+                 / 1e9, 6) AS w1_distance,
+           ROUND(MAX(d), 6) AS ks_stat
+    FROM terms GROUP BY source
+    """,
+)
+def length_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X254 — per-source 1-D Wasserstein (earth-mover) drift: for each
+    source, W1 between its document-length distribution and the rest
+    of the corpus, computed EXACTLY via the closed form
+    W1 = integral |F_a(x) - F_b(x)| dx (both CDFs are step functions,
+    so the integral is a finite sum of gap-weighted CDF differences
+    over the merged value grid). Completes the drift family's metric
+    axes: PSI (X94) needs bin design, KS (X133) sees only the worst
+    single point, JSD (X194) ignores the value METRIC entirely — W1 is
+    binless, metric-aware, and in the data's own units (characters of
+    length shift), which is why it is the production drift monitor
+    that survives distributions sliding past each other. The same fold
+    emits each source's KS sup for free (ks_stat <= w1/range check).
+
+    Determinism: CDF ratios are exactly-rounded IEEE divisions of
+    integer counts written in the same shape on both engines; each
+    gap-weighted term is quantized to integer nanos BEFORE the
+    per-source sum (the X69/X94 order-independence rule), so summation
+    order cannot change the hash.
+
+    Scale: ONE corpus scan folds to the (source, value) rollup
+    (map-side combined); the value totals, source list, and grid are
+    all re-aggregations of that rollup (localCheckpoint-pinned, X94
+    four-consumer rule). The grid is |sources| x |distinct values| —
+    layout-independent and tiny next to the corpus; the per-source
+    windows run over grid partitions. For unbounded continuous
+    columns at 100 TB, quantize first (the X94 bucket recipe): W1 on
+    the quantized grid is the standard monitoring compromise and this
+    plan is unchanged by it.
+    """
+    t = load_tables(spark, sf_dir)
+    r = t.documents.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # Three rollup consumers (value totals, source list, grid join):
+    # pin it so the corpus scans once (the X94 rule).
+    r = r.localCheckpoint()
+    vals = r.groupBy("n_chars").agg(F.sum("c").alias("ct"))
+    srcs = r.select("source").distinct()
+    grid = (
+        vals.crossJoin(F.broadcast(srcs))
+        .join(r, ["source", "n_chars"], "left")
+        .select(
+            "source",
+            "n_chars",
+            "ct",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("source").orderBy("n_chars")
+    wp = Window.partitionBy("source")
+    cum = grid.select(
+        "source",
+        F.sum("c").over(w).alias("fa"),
+        F.sum(F.col("ct") - F.col("c")).over(w).alias("fb"),
+        F.sum("c").over(wp).alias("na"),
+        F.sum(F.col("ct") - F.col("c")).over(wp).alias("nb"),
+        F.coalesce(
+            F.lead("n_chars").over(wo) - F.col("n_chars"), F.lit(0)
+        ).alias("gap"),
+    )
+    d = F.abs(
+        F.col("fa").cast("double") / F.col("na")
+        - F.col("fb").cast("double") / F.col("nb")
+    )
+    term_nano = F.round(F.col("gap") * d * 1e9).cast("long")
+    return (
+        cum.select(
+            "source",
+            "na",
+            "nb",
+            d.alias("d"),
+            term_nano.alias("term_nano"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("na").cast("long").alias("n_docs"),
+            F.max("nb").cast("long").alias("n_rest"),
+            F.round(F.sum("term_nano") / 1e9, 6).alias("w1_distance"),
+            F.round(F.max("d"), 6).alias("ks_stat"),
+        )
+    )
+
+
 # Deterministic half-sample bootstrap: replica b keeps a row iff bit b
 # of the row's 60-bit md5 hash is 0 — ONE hash per row serves all 32
 # replicas, and DuckDB replays the bit test exactly.

@@ -370,6 +370,172 @@ def bigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Interpolated Kneser-Ney: the absolute discount. 0.75 is the textbook
+# constant (Chen & Goodman 1999 report the estimate n1/(n1+2*n2) lands
+# near it on natural corpora); with integer bigram counts c >= 1 the
+# discounted term max(c-d, 0) is simply c-d, so no MAX is needed.
+_KN_D = "0.75"
+_KN_HEADS = 10
+_KN_TOPN = 4
+
+
+def _kn_lambda_sql(cv: str, n1h: str) -> str:
+    """Interpolation weight lambda(v) = d*N1+(v,.)/c(v) as one SQL
+    expression both engines parse identically (the _gini_gain_sql
+    single-source pattern): same integer inputs, same operation order,
+    bit-equal doubles."""
+    return f"(({_KN_D} * CAST({n1h} AS DOUBLE)) / CAST({cv} AS DOUBLE))"
+
+
+def _kn_cont_sql(n1c: str, bt: str) -> str:
+    """Continuation probability Pcont(w) = N1+(.,w)/N1+(.,.)."""
+    return f"(CAST({n1c} AS DOUBLE) / CAST({bt} AS DOUBLE))"
+
+
+def _kn_prob_sql(c: str, cv: str, n1h: str, n1c: str, bt: str) -> str:
+    """P_KN(w|v) = (c(v,w)-d)/c(v) + lambda(v)*Pcont(w), single-sourced
+    into the Spark plan (via F.expr) and the DuckDB oracle."""
+    disc = f"((CAST({c} AS DOUBLE) - {_KN_D}) / CAST({cv} AS DOUBLE))"
+    return (
+        f"({disc} + ({_kn_lambda_sql(cv, n1h)}"
+        f" * {_kn_cont_sql(n1c, bt)}))"
+    )
+
+
+@query(
+    "kneser_ney_bigram",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_DUCK_CTOKS} AS t FROM documents
+    ),
+    bg AS (
+      SELECT z[1] AS head, z[2] AS next_tok
+      FROM (
+        SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS z
+        FROM docs WHERE len(t) >= 2
+      )
+    ),
+    r AS (
+      SELECT head, next_tok, COUNT(*) AS c FROM bg GROUP BY 1, 2
+    ),
+    heads AS (
+      SELECT head, SUM(c) AS cv, COUNT(*) AS n1h FROM r GROUP BY head
+    ),
+    top_heads AS (
+      SELECT * FROM heads ORDER BY cv DESC, head LIMIT {_KN_HEADS}
+    ),
+    conts AS (
+      SELECT next_tok, COUNT(*) AS n1c FROM r GROUP BY next_tok
+    ),
+    b AS (SELECT COUNT(*) AS bt FROM r),
+    ranked AS (
+      SELECT r.head, r.next_tok, r.c, h.cv, h.n1h, co.n1c, b.bt,
+             ROW_NUMBER() OVER (
+               PARTITION BY r.head ORDER BY r.c DESC, r.next_tok
+             ) AS rn
+      FROM r
+      JOIN top_heads h USING (head)
+      JOIN conts co USING (next_tok), b
+    )
+    SELECT head, next_tok, CAST(c AS BIGINT) AS pair_count,
+           ROUND(CAST(c AS DOUBLE) / CAST(cv AS DOUBLE), 6) AS ml_prob,
+           ROUND({_kn_prob_sql("c", "cv", "n1h", "n1c", "bt")}, 6)
+             AS kn_prob,
+           ROUND({_kn_lambda_sql("cv", "n1h")}, 6) AS head_lambda,
+           ROUND({_kn_cont_sql("n1c", "bt")}, 6) AS cont_prob
+    FROM ranked WHERE rn <= {_KN_TOPN}
+    """,
+)
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X253 — interpolated Kneser-Ney bigram estimation: for the top
+    10 heads by bigram mass, the top 4 continuations with
+    their ML probability c/c(v) and the KN-smoothed
+    P_KN(w|v) = (c(v,w)-d)/c(v) + lambda(v)*Pcont(w), d=0.75, where
+    Pcont(w) = N1+(.,w)/N1+(.,.) is the CONTINUATION unigram — how
+    many distinct contexts w follows, not how often w occurs. This is
+    the smoothing KenLM ships and the CCNet/ccnet_perplexity (X211)
+    quality-filter stack rests on; the add-k table (X120) overweights
+    high-frequency-but-context-locked tokens ("Francisco" after "San")
+    that KN's continuation count correctly discounts.
+
+    Determinism: every probability folds from five integer counts
+    (c, c(v), N1+(v,.), N1+(.,w), bigram types) through expressions
+    single-sourced into both engines (_kn_prob_sql — the _gini_gain_sql
+    pattern), so the doubles are bit-equal before the 6-decimal
+    rounding; ranks order by integer count with lexicographic
+    tie-break, never by a float. Mass identity sum_w P_KN(w|v) = 1
+    over the full vocab is property-tested (tests/test_new_ops.py).
+
+    Scale: bigram extraction is per-row shifted-slice zip (no
+    posexplode self-join); ONE map-side-combined shuffle builds the
+    (head, next) rollup, which is localCheckpoint-pinned (the X94
+    four-consumer rule) and every model quantity — head masses,
+    continuation counts, the type total — is a re-aggregation of that
+    vocab-bounded rollup, never of the corpus. The head filter
+    broadcasts 10 rows; the final window runs over <= 10
+    head-groups. A full-vocab KN table at 100 TB is the same plan
+    minus the top-k filter: still one corpus shuffle plus
+    rollup-sized re-aggregations.
+    """
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select(_ctoks(F.col("text")).alias("t")).where(
+        F.size("t") >= 2
+    )
+    pairs = docs.select(
+        F.slice(F.col("t"), 1, F.size("t") - 1).alias("h_arr"),
+        F.slice(F.col("t"), 2, F.size("t") - 1).alias("w_arr"),
+    ).select(F.explode(F.arrays_zip("h_arr", "w_arr")).alias("z"))
+    r = (
+        pairs.select(
+            F.col("z.h_arr").alias("head"),
+            F.col("z.w_arr").alias("next_tok"),
+        )
+        .groupBy("head", "next_tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Four consumers below (heads, conts, type total, the slice join):
+    # pin the rollup so the corpus scan + zip runs once (X94 rule).
+    r = r.localCheckpoint()
+    heads = r.groupBy("head").agg(
+        F.sum("c").alias("cv"), F.count(F.lit(1)).alias("n1h")
+    )
+    top_heads = heads.orderBy(F.col("cv").desc(), "head").limit(_KN_HEADS)
+    conts = r.groupBy("next_tok").agg(F.count(F.lit(1)).alias("n1c"))
+    bt = r.agg(F.count(F.lit(1)).alias("bt"))
+    sl = (
+        r.join(F.broadcast(top_heads), "head")
+        .join(conts, "next_tok")
+        .crossJoin(F.broadcast(bt))
+    )
+    wr = Window.partitionBy("head").orderBy(
+        F.col("c").desc(), "next_tok"
+    )
+    return (
+        sl.select(
+            "head", "next_tok", "c", "cv", "n1h", "n1c", "bt",
+            F.row_number().over(wr).alias("rn"),
+        )
+        .where(F.col("rn") <= _KN_TOPN)
+        .select(
+            "head",
+            "next_tok",
+            F.col("c").cast("long").alias("pair_count"),
+            F.round(
+                F.expr("CAST(c AS DOUBLE) / CAST(cv AS DOUBLE)"), 6
+            ).alias("ml_prob"),
+            F.round(
+                F.expr(_kn_prob_sql("c", "cv", "n1h", "n1c", "bt")), 6
+            ).alias("kn_prob"),
+            F.round(
+                F.expr(_kn_lambda_sql("cv", "n1h")), 6
+            ).alias("head_lambda"),
+            F.round(
+                F.expr(_kn_cont_sql("n1c", "bt")), 6
+            ).alias("cont_prob"),
+        )
+    )
+
+
 _BPE_TOPN = 20
 
 

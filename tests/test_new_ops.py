@@ -2072,3 +2072,92 @@ def test_cdc_chunk_instances_empty_and_degenerate(spark):
         by_doc.setdefault(r.doc_id, []).append(r)
     assert 1 not in by_doc and 2 not in by_doc and 4 not in by_doc
     assert len(by_doc[3]) == 1 and by_doc[3][0].ntok == 2
+
+
+def test_kneser_ney_bigram_matches_pure_python(spark):
+    # Independent reimplementation: build the full interpolated-KN
+    # bigram model in pure python over the sf0.001 corpus and check
+    # (a) the mass identity sum_w P_KN(w|v) = 1 over the FULL vocab
+    # for every emitted head, and (b) every emitted kn_prob equals the
+    # python value at the 6-decimal grid.
+    import collections
+
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["kneser_ney_bigram"](spark, sf).collect()
+    assert rows and len(rows) <= 10 * 4
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    bg = collections.Counter()
+    for r in docs:
+        t = [x for x in (r.text or "").split() if x]
+        bg.update(zip(t, t[1:]))
+    cv = collections.Counter()
+    n1h = collections.Counter()
+    n1c = collections.Counter()
+    for (h, w), c in bg.items():
+        cv[h] += c
+        n1h[h] += 1
+        n1c[w] += 1
+    bt = len(bg)
+    d = 0.75
+
+    def p_kn(h, w):
+        return (bg[(h, w)] - d) / cv[h] + (d * n1h[h] / cv[h]) * (
+            n1c[w] / bt
+        )
+
+    vocab = set(n1c) | set(cv)
+    for h in {r.head for r in rows}:
+        lam = d * n1h[h] / cv[h]
+        mass = sum(
+            max(bg[(h, w)] - d, 0.0) / cv[h] + lam * n1c[w] / bt
+            for w in vocab
+        )
+        assert abs(mass - 1.0) < 1e-9, (h, mass)
+    for r in rows:
+        assert abs(r.kn_prob - p_kn(r.head, r.next_tok)) < 5e-7, r
+        assert abs(r.ml_prob - bg[(r.head, r.next_tok)] / cv[r.head]) < 5e-7
+        # KN discounts context-locked mass: prob stays in (0, 1)
+        assert 0.0 < r.kn_prob < 1.0
+
+
+def test_length_wasserstein_matches_pure_python(spark):
+    # Independent reimplementation of the closed-form 1-D W1 between
+    # each source's length distribution and the rest, plus the metric
+    # sandwich 0 <= W1 <= KS * value-range.
+    import collections
+
+    from seng550_a3_etl_spark.suite.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["length_wasserstein_drift"](spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    by_src = collections.defaultdict(list)
+    for r in docs:
+        by_src[r.source].append(r.n_chars)
+    assert len(rows) == len(by_src)
+    all_vals = sorted({r.n_chars for r in docs})
+    rng = all_vals[-1] - all_vals[0]
+    total = len(docs)
+    for row in rows:
+        a = collections.Counter(by_src[row.source])
+        b = collections.Counter(
+            v for s, vs in by_src.items() if s != row.source for v in vs
+        )
+        na, nb = sum(a.values()), sum(b.values())
+        assert (row.n_docs, row.n_rest) == (na, nb)
+        assert na + nb == total
+        fa = fb = 0
+        w1 = ks = 0.0
+        for v, nxt in zip(all_vals, all_vals[1:] + [None]):
+            fa += a.get(v, 0)
+            fb += b.get(v, 0)
+            dd = abs(fa / na - fb / nb)
+            ks = max(ks, dd)
+            if nxt is not None:
+                w1 += (nxt - v) * dd
+        assert abs(row.w1_distance - w1) < 1e-5, (row.source, w1)
+        assert abs(row.ks_stat - ks) < 5e-7
+        assert 0.0 <= row.w1_distance <= row.ks_stat * rng + 1e-9

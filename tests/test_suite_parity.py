@@ -123,6 +123,16 @@ _SCALE_SENSITIVE = [
     # census — shifts with sf; the float vote sums must keep sign
     # parity through growing summation depth at every scale.
     "simhash_idf_band_budget",
+    # r15: the KN model is corpus state — continuation counts and the
+    # bigram-type total shift with sf, so every probability (and its
+    # 6-decimal grid crossing) moves; the single-sourced expressions
+    # must stay bit-equal through growing count magnitudes.
+    "kneser_ney_bigram",
+    # r15: the merged value grid density, the rest-of-corpus CDF
+    # composition, and the integer-nano term magnitudes all shift
+    # with sf; the gap-weighted fold must stay engine-exact as the
+    # grid grows from ~300 to thousands of distinct values.
+    "length_wasserstein_drift",
 ]
 
 _SF_FULL = "/root/testdata/sf0.1"
