@@ -684,6 +684,8 @@ def length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.358·sqrt((n_a+n_b)/(n_a·n_b)) — the NONPARAMETRIC companion to
     the binned PSI monitor (X93): PSI needs bin design and misses
     shape shifts inside a bin; KS is binless and distribution-free.
+    X254 length_wasserstein_drift integrates the same CDF gap this
+    test takes the sup of — the metric-aware member of the family.
 
     The empirical CDFs come from ONE rollup: group the union sample by
     value with per-source conditional counts, then two running sums

@@ -315,7 +315,9 @@ def bigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k=0.5): per head token, the top-3 continuations and their
     smoothed conditional log-probability ln((c+k)/(c(h)+k·V)) — the
     cheap n-gram LM used for perplexity-style quality filtering (the
-    bigram upgrade of X59's unigram logprob scorer).
+    bigram upgrade of X59's unigram logprob scorer; X253
+    kneser_ney_bigram is the production smoothing this table's add-k
+    approximates).
 
     Bigram extraction is per-row array arithmetic (two shifted slices
     zipped — no shuffle, no posexplode self-join); the only shuffles
