@@ -1,4 +1,5 @@
-"""KMV (k-minimum-values) distinct-count sketch.
+"""KMV (k-minimum-values) distinct-count sketch, plus the
+Misra-Gries exact frequent-items path (:func:`mg_frequent`, X255).
 
 The reference has no approximate aggregates; at 100 TB, exact
 COUNT(DISTINCT) shuffles every distinct value. Spark's built-in
@@ -262,3 +263,128 @@ def duck_hll_estimate(table: str, key_cols: str, value_expr: str) -> str:
                  4) AS est
     FROM __agg
     """
+
+
+def _mg_summaries(capacity: int):
+    """Partition-local Misra-Gries summary kernel (Arrow batches,
+    O(capacity) state regardless of partition size).
+
+    Batch-compaction form: after folding a batch into the counter, if
+    more than ``capacity`` items are tracked, subtract the
+    (capacity+1)-th largest count from every entry and drop the
+    non-positive. Each compaction removes >= (capacity+1) * v units of
+    mass (at least capacity+1 entries hold >= v), so the cumulative
+    decrement any single item can suffer is <= n_p / (capacity+1) —
+    the classic Misra-Gries bound. Hence any item with partition
+    frequency > n_p / (capacity+1) survives in the summary.
+
+    Every partition also emits a (pid, NULL, 0, n_p) sentinel row so
+    the exact partition size reaches the merge even when compaction
+    empties the summary (all-uniform partitions legitimately keep
+    nothing)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import collections
+
+        counter: collections.Counter = collections.Counter()
+        n_p = 0
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["pid"].iloc[0])
+            vals = pdf["v"].tolist()
+            n_p += len(vals)
+            counter.update(vals)
+            if len(counter) > capacity:
+                cs = sorted(counter.values(), reverse=True)
+                v = cs[capacity]
+                counter = collections.Counter(
+                    {k: c - v for k, c in counter.items() if c > v}
+                )
+        if pid is not None:
+            yield pd.DataFrame(
+                {
+                    "pid": pid,
+                    "v": [None, *counter.keys()],
+                    "mgc": [0, *counter.values()],
+                    "np": n_p,
+                }
+            )
+
+    return gen
+
+
+def mg_frequent(
+    df: DataFrame,
+    value: Column,
+    threshold_denom: int,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT frequent items (count * threshold_denom > n, i.e. share
+    > 1/threshold_denom) via the two-phase Misra-Gries plan (Misra &
+    Gries 1982; mergeable-summaries form of Agarwal et al. 2012) — the
+    bounded-memory member of the heavy-hitter trio: X75
+    ``vocab_top_tokens`` shuffles the full |domain| rollup, X150
+    ``cms_heavy_hitters`` trades a fixed sketch for overestimates;
+    this path shuffles <= capacity+1 rows PER PARTITION and still
+    returns exact counts.
+
+    Phase 1 builds per-partition MG summaries (see
+    :func:`_mg_summaries`); the union of summary keys is a GUARANTEED
+    superset of the true frequent items for any partition layout: if
+    count(x) > n / threshold_denom with capacity >= threshold_denom,
+    then by averaging some partition has count_p(x) > n_p /
+    (capacity+1), where the MG bound keeps x. Phase 2 re-scans the
+    input once, broadcast-semi-joins the candidate set, and recounts
+    exactly — so the OUTPUT is deterministic and layout-independent
+    even though the intermediate summaries are not (the reason this
+    op's correctness gate is the synthetic-skew property suite in
+    tests/test_new_ops.py rather than a fixture oracle: every fixture
+    domain is either 31-token tiny or near-uniform, so a share
+    threshold is degenerate there — see SURVEY X255).
+
+    Returns (item string, cnt long, share_ppm long) with exact integer
+    counts and integer-DIV ppm shares. Scale: two scans; the phase-1
+    shuffle is (capacity+1) * n_partitions rows; the phase-2 rollup is
+    |candidates|-bounded with the candidate list broadcast.
+    """
+    if threshold_denom < 2:
+        raise ValueError("threshold_denom must be >= 2")
+    capacity = capacity or 4 * threshold_denom
+    if capacity < threshold_denom:
+        raise ValueError(
+            "capacity must be >= threshold_denom for the MG "
+            "candidate-superset guarantee"
+        )
+    vals = (
+        df.select(value.cast("string").alias("v"))
+        .where(F.col("v").isNotNull())
+        .withColumn("pid", F.spark_partition_id())
+    )
+    summaries = vals.mapInPandas(
+        _mg_summaries(capacity), "pid int, v string, mgc long, np long"
+    )
+    # Two consumers (total + candidates) of the tiny summary frame.
+    summaries = summaries.localCheckpoint()
+    n = summaries.groupBy("pid").agg(F.max("np").alias("np")).agg(
+        F.sum("np").alias("n")
+    )
+    cands = summaries.where(F.col("v").isNotNull()).select("v").distinct()
+    counts = (
+        df.select(value.cast("string").alias("v"))
+        .where(F.col("v").isNotNull())
+        .join(F.broadcast(cands), "v")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(n))
+        .where(F.col("cnt") * threshold_denom > F.col("n"))
+        .select(
+            F.col("v").alias("item"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("cnt * 1000000 DIV n").alias("share_ppm"),
+        )
+    )

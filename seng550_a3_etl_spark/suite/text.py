@@ -1285,9 +1285,10 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two hash aggregations with map-side combine — (doc, token)
     partials shrink the explode before the token-level shuffle, and the
     final top-k is a TakeOrdered over |vocab| rows, never a global
-    sort of the corpus. The exact two-pass form; sub-pass heavy-hitter
-    sketches (Misra-Gries) only become necessary when even |vocab|
-    overflows, which natural-language vocabularies do not."""
+    sort of the corpus. The exact two-pass form; the bounded-memory
+    Misra-Gries path for when even |vocab| overflows (shingle/URL
+    domains) is X255 ``operators/sketch.mg_frequent`` — same exact
+    output, (capacity+1)-per-partition shuffle instead of |domain|."""
     t = load_tables(spark, sf_dir)
     tf = (
         t.documents.select(

@@ -2161,3 +2161,80 @@ def test_length_wasserstein_matches_pure_python(spark):
         assert abs(row.w1_distance - w1) < 1e-5, (row.source, w1)
         assert abs(row.ks_stat - ks) < 5e-7
         assert 0.0 <= row.w1_distance <= row.ks_stat * rng + 1e-9
+
+
+def test_mg_frequent_exact_on_skewed_synthetic(spark):
+    # The MG two-phase guarantee, compaction genuinely active: 6
+    # planted heavies (shares 1.2%..4%) drowned in ~20k distinct rare
+    # values, shuffled across 8 partitions so every heavy appears in
+    # every partition. capacity=128 << 20k distinct forces repeated
+    # compaction; the output must STILL equal the exact threshold set
+    # with exact counts — phase 2 recounts, phase 1 only narrows.
+    import collections
+
+    from pyspark.sql import functions as F2
+
+    from seng550_a3_etl_spark.operators.sketch import mg_frequent
+
+    data = []
+    for i, c in enumerate((2000, 1500, 1100, 900, 750, 620)):
+        data += [f"heavy{i}"] * c
+    data += [f"rare{j}" for j in range(20000)]
+    data += [f"mid{j % 200}" for j in range(4000)]  # 200 ids, 20 each
+    rows = [(v,) for v in data]
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+
+    out = {
+        r.item: (r.cnt, r.share_ppm)
+        for r in mg_frequent(
+            df, F2.col("v"), threshold_denom=100, capacity=128
+        ).collect()
+    }
+    n = len(data)
+    exact = collections.Counter(data)
+    want = {
+        k: (c, c * 1000000 // n)
+        for k, c in exact.items()
+        if c * 100 > n
+    }
+    assert out == want and len(want) >= 3  # the top heavies qualify
+
+
+def test_mg_frequent_uniform_and_edge_cases(spark):
+    from pyspark.sql import functions as F2
+
+    from seng550_a3_etl_spark.operators.sketch import mg_frequent
+
+    # all-uniform over > capacity distinct values: compaction can
+    # empty every summary (ties at the cut) — no crash, empty result,
+    # and the sentinel rows keep n exact (no false positives).
+    uni = spark.createDataFrame(
+        [(f"u{j % 300}",) for j in range(3000)], "v string"
+    ).repartition(4)
+    assert (
+        mg_frequent(uni, F2.col("v"), threshold_denom=100, capacity=100)
+        .count()
+        == 0
+    )
+    # nulls ignored on both passes; survivors counted against the
+    # non-null total
+    withnull = spark.createDataFrame(
+        [("a",)] * 30 + [(None,)] * 70 + [("b",)] * 5, "v string"
+    ).repartition(3)
+    got = {
+        r.item: (r.cnt, r.share_ppm)
+        for r in mg_frequent(
+            withnull, F2.col("v"), threshold_denom=4, capacity=8
+        ).collect()
+    }
+    assert got == {"a": (30, 30 * 1000000 // 35)}
+    # empty input -> empty output
+    empty = spark.createDataFrame([], "v string")
+    assert (
+        mg_frequent(empty, F2.col("v"), threshold_denom=10).count() == 0
+    )
+    # guarantee precondition enforced
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mg_frequent(uni, F2.col("v"), threshold_denom=100, capacity=50)
