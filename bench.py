@@ -1331,7 +1331,9 @@ def _snapshot_session_caches(sfd: str) -> list:
     every later spot query (r14 second review: a permanent eviction
     made each later cache consumer re-pay a multi-second build inside
     its timed wall, cascading escalations and burning the budget)."""
+    from seng550_a3_etl_spark.suite import analytics as _suite_ana
     from seng550_a3_etl_spark.suite import text as _suite_text
+    from seng550_a3_etl_spark.suite import text_lm as _suite_lm
     from seng550_a3_etl_spark.suite import vectors as _suite_vec
 
     snap = []
@@ -1341,6 +1343,9 @@ def _snapshot_session_caches(sfd: str) -> list:
         _suite_text._XSPAN_CACHE,
         _suite_text._CENSUS_CACHE,
         _suite_vec._ASSIGN_CACHE,
+        _suite_ana._COPURCHASE_CACHE,
+        _suite_lm._BPE_ENC_CACHE,
+        _suite_text._SIMHASH_CACHE,
     ):
         for k in [k for k in cache if k[1] == sfd]:
             snap.append((cache, k, cache.pop(k)))
@@ -1361,7 +1366,9 @@ def _evict_session_caches(sfd: str, match=None) -> None:
     build retries, the stage-profile retry (ADVICE r13: the retry used
     to time warm cache hits and under-report cache-backed stages), and
     the cold-base re-time that grades superlinear rows cold-vs-cold."""
+    from seng550_a3_etl_spark.suite import analytics as _suite_ana
     from seng550_a3_etl_spark.suite import text as _suite_text
+    from seng550_a3_etl_spark.suite import text_lm as _suite_lm
     from seng550_a3_etl_spark.suite import vectors as _suite_vec
 
     for cache in (
@@ -1370,6 +1377,9 @@ def _evict_session_caches(sfd: str, match=None) -> None:
         _suite_text._XSPAN_CACHE,
         _suite_text._CENSUS_CACHE,
         _suite_vec._ASSIGN_CACHE,
+        _suite_ana._COPURCHASE_CACHE,
+        _suite_lm._BPE_ENC_CACHE,
+        _suite_text._SIMHASH_CACHE,
     ):
         _evict_entries(cache, sfd, match)
 
@@ -1714,7 +1724,9 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
         # 0.03s/0.0x.
         spot["cache_builds"] = {}
         try:
+            from seng550_a3_etl_spark.suite import analytics as _suite_ana
             from seng550_a3_etl_spark.suite import text as _suite_text
+            from seng550_a3_etl_spark.suite import text_lm as _suite_lm
             from seng550_a3_etl_spark.suite import vectors as _suite_vec
 
             _evict_session_caches(sf_dir)
@@ -1730,6 +1742,12 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 "xspan_span_census": (_suite_text._XSPAN_CACHE, None),
                 "dedup_tier_census": (_suite_text._CENSUS_CACHE, None),
                 "knn_cell_assign": (_suite_vec._ASSIGN_CACHE, None),
+                "copurchase_gold": (_suite_ana._COPURCHASE_CACHE, None),
+                "bpe_encode": (_suite_lm._BPE_ENC_CACHE, None),
+                "simhash_fingerprints": (
+                    _suite_text._SIMHASH_CACHE, lambda k: k[2] == "fps"),
+                "simhash_candidates": (
+                    _suite_text._SIMHASH_CACHE, lambda k: k[2] == "cands"),
             }
             # dependency order: labels ride the hashed shingle set, so
             # each timing isolates exactly one build.
@@ -1757,6 +1775,23 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 # fold + label join, independent of the text caches.
                 ("knn_cell_assign",
                  lambda d: _suite_vec._knn_assigned(spark, d)),
+                # r15: the co-purchase gold table (op + a<b pair
+                # counts) shared by the six graph-family queries —
+                # basket-bounded bucket_pairs fan-out, one pair
+                # shuffle; independent of the text/vector caches.
+                ("copurchase_gold",
+                 lambda d: _suite_ana._copurchase_co(spark, d)),
+                # r15: the X162 BPE-encoded corpus shared by the
+                # encode/fertility/drift trio — vocab build + per-char
+                # greedy-match fold, one corpus scan.
+                ("bpe_encode",
+                 lambda d: _suite_lm._bpe_encoded(spark, d)),
+                # r15: SimHash fingerprints, then the candidate set
+                # that rides them (ordering isolates each build).
+                ("simhash_fingerprints",
+                 lambda d: _suite_text._simhash_fps_df(spark, d)),
+                ("simhash_candidates",
+                 lambda d: _suite_text._simhash_cands_df(spark, d)),
             ]
             for bname, fn in builds:
                 t0 = time.perf_counter()

@@ -25,10 +25,41 @@ TABLES = (
 )
 
 
+# Resolved-DataFrame cache keyed (applicationId, sf_dir, table) — the
+# session-scoped analog of a catalog/metastore entry (r15 optimization).
+# ``spark.read.parquet`` re-lists the path and re-reads the footer on
+# EVERY call (~100 ms of driver work measured on the fixture files);
+# with ~280 suite queries each touching 1-4 tables that is tens of
+# seconds of identical metadata re-resolution per bench run. A real
+# deployment resolves tables through a catalog whose schema/file-list
+# metadata is cached per session (guide §6: file-listing caches /
+# manifest-based table formats exist for exactly this reason). Only the
+# resolved PLAN (schema + file index) is reused — every action still
+# scans the parquet; no row data is cached. The fixture dirs are
+# immutable inputs; writers in this repo never write into an sf_dir.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _evict_stopped(cache: dict) -> None:
+    """Drop entries whose owning SparkSession has been stopped — a new
+    session in the same process must re-resolve, not inherit dead
+    plans (same contract as suite.text._evict_stopped_sessions)."""
+    for key, df in list(cache.items()):
+        try:
+            sc = df.sparkSession.sparkContext
+            stopped = sc._jsc is None or sc._jsc.sc().isStopped()
+        except Exception:
+            stopped = True
+        if stopped:
+            del cache[key]
+
+
 class Tables:
     """Lazy per-table loader: parquet footers are only read for tables a
     query actually touches (spark.read.parquet is eager about schema, so
-    eagerly loading all 10 tables costs ~10 driver round-trips per query).
+    eagerly loading all 10 tables costs ~10 driver round-trips per query),
+    and each (session, dir, table) resolves ONCE per session via the
+    module-level catalog cache above.
     """
 
     region: DataFrame
@@ -45,14 +76,19 @@ class Tables:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self._spark = spark
         self._sf_dir = sf_dir
-        self._cache: dict[str, DataFrame] = {}
 
     def __getattr__(self, name: str) -> DataFrame:
         if name not in TABLES:
             raise AttributeError(name)
-        if name not in self._cache:
-            self._cache[name] = _load_one(self._spark, self._sf_dir, name)
-        return self._cache[name]
+        key = (
+            self._spark.sparkContext.applicationId, self._sf_dir, name
+        )
+        df = _DF_CACHE.get(key)
+        if df is None:
+            _evict_stopped(_DF_CACHE)
+            df = _load_one(self._spark, self._sf_dir, name)
+            _DF_CACHE[key] = df
+        return df
 
     def __iter__(self):
         return ((name, getattr(self, name)) for name in TABLES)

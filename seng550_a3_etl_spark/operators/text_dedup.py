@@ -684,19 +684,23 @@ def _simhash_candidates(
     text_col: str,
     max_hamming: int,
     bits: int,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """The block-combination candidate set behind :func:`simhash_pairs`,
     with exact hamming attached but NOT yet thresholded: (doc_a, doc_b,
     hamming) for every distinct pair agreeing on at least one 2-block
     table key (:func:`simhash_block_combos`). Shared by the pair query
     (filters to <= max_hamming) and the tuning census (histograms the
-    whole candidate set)."""
-    fps = simhash_fingerprints(
-        df.select(F.col(id_col).alias("doc"), F.col(text_col)),
-        "doc",
-        tokens(F.col(text_col)),
-        bits=bits,
-    )
+    whole candidate set). ``fps`` optionally supplies a prebuilt
+    (doc, fp) fingerprint table (the suite's session cache — r15) so
+    shared consumers skip the explode+groupBy fingerprint pass."""
+    if fps is None:
+        fps = simhash_fingerprints(
+            df.select(F.col(id_col).alias("doc"), F.col(text_col)),
+            "doc",
+            tokens(F.col(text_col)),
+            bits=bits,
+        )
     banded = simhash_band_keys(fps, "doc", "fp", max_hamming, bits)
     member = F.struct(F.col("doc"), F.col("fp"))
     return (

@@ -24,6 +24,73 @@ def _cents(col: str) -> Column:
     return F.round(F.col(col) * 100).cast("long")
 
 
+# The co-purchase structure (distinct basket membership and the a<b
+# co-occurrence pair counts) feeds SIX queries: X100 pagerank, X166
+# label propagation, X103 triangles, X152 jaccard recs, X159 lift
+# rules, X206 k-core. Before r15 each rebuilt it privately (four via a
+# C(basket,2) op self-join, two via bucket_pairs) — six distinct-
+# shuffles plus six pair fan-outs per suite run for byte-identical
+# tables. Computed ONCE per (Spark application, sf_dir) and shared,
+# exactly the _shingle_sets_df/_labels_df precedent: at 100 TB the
+# co-purchase gold table is a materialized artifact written by one job
+# and consumed by the whole graph family; localCheckpoint is the
+# session-scoped analog, and bench.py evicts + times the build as its
+# own [1x, 10x, ratio] row so no spotted consumer absorbs it.
+#
+# The build itself uses bucket_pairs (collect each basket's sorted
+# parts, emit C(basket, 2) pairs with array HOFs — one pass, one
+# shuffle, blow-up bounded by basket size) rather than the op
+# self-join the pagerank/LPA/triangle/k-core queries used: identical
+# output (the pair (a, b) with a < b appears once per shared order in
+# both forms — proven by the unchanged DuckDB oracles, which still
+# spell the self-join), one fewer exchange, and no join (guide §2.3:
+# aggregate before you shuffle / §2.4: remove shuffles outright).
+_COPURCHASE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _copurchase_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (o, p) basket membership over lineitem — cached."""
+    from seng550_a3_etl_spark.suite.text import _evict_stopped_sessions
+
+    _evict_stopped_sessions(_COPURCHASE_CACHE)
+    key = (spark.sparkContext.applicationId, sf_dir, "op")
+    cached = _COPURCHASE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    t = load_tables(spark, sf_dir)
+    out = (
+        t.lineitem.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    _COPURCHASE_CACHE[key] = out
+    return out
+
+
+def _copurchase_co(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a, b, co) with a < b: count of orders whose baskets contain both
+    parts — the co-purchase gold table (see block comment above)."""
+    from seng550_a3_etl_spark.operators.text_dedup import bucket_pairs
+    from seng550_a3_etl_spark.suite.text import _evict_stopped_sessions
+
+    _evict_stopped_sessions(_COPURCHASE_CACHE)
+    key = (spark.sparkContext.applicationId, sf_dir, "co")
+    cached = _COPURCHASE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    op = _copurchase_op(spark, sf_dir)
+    out = (
+        bucket_pairs(op, ["o"], F.col("p"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .localCheckpoint(eager=True)
+    )
+    _COPURCHASE_CACHE[key] = out
+    return out
+
+
 _DUCK_CENTS = "CAST(ROUND({col} * 100) AS BIGINT)"
 
 
@@ -923,17 +990,20 @@ def pagerank_step_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is order-independent (X69). Two node-key shuffles per step."""
     from seng550_a3_etl_spark.operators.graph import pagerank_step
 
-    t = load_tables(spark, sf_dir)
-    op = t.lineitem.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
-        .groupBy(
-            F.col("a.p").alias("src"), F.col("b.p").alias("dst")
+    # Directed weighted edges from the shared co-purchase gold table
+    # (r15): w(src->dst) = orders containing both = co(a, b) in either
+    # direction, so the a != b self-join collapses to two projections
+    # of the cached (a, b, co) rows — identical edge multiset, zero
+    # rebuild (the oracle still spells the self-join and still matches).
+    co = _copurchase_co(spark, sf_dir)
+    edges = co.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"),
+        F.col("co").alias("w"),
+    ).unionByName(
+        co.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"),
+            F.col("co").alias("w"),
         )
-        .agg(F.count(F.lit(1)).alias("w"))
     )
     return pagerank_step(edges).select("node", "pr")
 
@@ -994,17 +1064,21 @@ def label_propagation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join + mass join), the r6 union-replay lesson."""
     from seng550_a3_etl_spark.operators.graph import label_prop_step
 
-    t = load_tables(spark, sf_dir)
-    op = t.lineitem.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
+    # Directed weighted edges from the shared co-purchase gold table
+    # (r15) — see pagerank_step_parts; the checkpoint stays because two
+    # propagation steps re-read the edge list twice each.
+    co = _copurchase_co(spark, sf_dir)
     edges = (
-        a.join(
-            b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p"))
+        co.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"),
+            F.col("co").alias("w"),
         )
-        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("w"))
+        .unionByName(
+            co.select(
+                F.col("b").alias("src"), F.col("a").alias("dst"),
+                F.col("co").alias("w"),
+            )
+        )
         .localCheckpoint(eager=True)
     )
     l0 = edges.select(F.col("src").alias("node")).distinct().select(
@@ -1113,14 +1187,14 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered in PROFILES so any future >=8x spot self-explains."""
     from seng550_a3_etl_spark.operators.graph import triangle_count
 
-    t = load_tables(spark, sf_dir)
-    op = t.lineitem.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    x, y = op.alias("x"), op.alias("y")
-    edges = x.join(
-        y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p"))
-    ).select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    # Edge list from the shared co-purchase gold table (r15): the
+    # distinct a<b pair keys ARE the self-join's output set (the
+    # operator canonicalizes + distincts internally either way, so the
+    # duplicate pair rows the old self-join emitted per extra shared
+    # order were always collapsed).
+    edges = _copurchase_co(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
     return triangle_count(edges)
 
 
@@ -1739,28 +1813,13 @@ def copurchase_jaccard_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy on the pair, degree joins are |parts|-sized, and top-3 is
     a rank window per part (state O(1) per key after the pair rollup).
     jaccard_ppb peaks at 1e9 — co * 1e9 stays far inside int64."""
-    from seng550_a3_etl_spark.operators.text_dedup import bucket_pairs
-
-    t = load_tables(spark, sf_dir)
-    # op feeds two consumers (basket pair generation + degrees) and sim
-    # feeds both direction projections of the union — without pinning,
-    # Spark replans the subtree per reference. Eager localCheckpoints
-    # compute each ONCE; a production cluster run would persist these
-    # as gold tables (the minhash_lsh_pairs note,
-    # operators/text_dedup.py).
-    op = (
-        t.lineitem.select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # op and the (a, b, co) rollup come from the shared co-purchase
+    # gold table (r15 — both were already built in exactly this shape
+    # here); sim still pins because both direction projections of the
+    # union re-read it.
+    op = _copurchase_op(spark, sf_dir)
     deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
-    co = (
-        bucket_pairs(op, ["o"], F.col("p"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("co"))
-    )
+    co = _copurchase_co(spark, sf_dir)
     da = deg.select(F.col("p").alias("a"), F.col("n").alias("na"))
     db = deg.select(F.col("p").alias("b"), F.col("n").alias("nb"))
     sim = (
@@ -2020,23 +2079,14 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     safe), one pair groupBy, |parts|-sized degree joins, scalar
     order-count broadcast. The min-support filter bounds the rule set
     before the direction union doubles it."""
-    from seng550_a3_etl_spark.operators.text_dedup import bucket_pairs
-
-    t = load_tables(spark, sf_dir)
-    op = (
-        t.lineitem.select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # Shared co-purchase gold table (r15): op and the (a, b, co) rollup
+    # were already bucket_pairs-shaped here — now cached once per
+    # session and shared with the pagerank/LPA/triangle/k-core family.
+    op = _copurchase_op(spark, sf_dir)
     n = op.agg(F.count_distinct("o").alias("n_orders"))
     deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
-    pairs = (
-        bucket_pairs(op, ["o"], F.col("p"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("co"))
-        .filter(F.col("co") >= _RULE_MIN_CO)
+    pairs = _copurchase_co(spark, sf_dir).filter(
+        F.col("co") >= _RULE_MIN_CO
     )
     dirs = pairs.select(
         F.col("a").alias("ant"), F.col("b").alias("cons"), "co"
@@ -2133,16 +2183,13 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame recipe: the next pass and the final census must not replay
     the whole peel lineage). The backbone build is the X102 distinct
     pair explode, bounded by basket size."""
-    t = load_tables(spark, sf_dir)
-    op = t.lineitem.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    x, y = op.alias("x"), op.alias("y")
+    # Backbone from the shared co-purchase gold table (r15): the
+    # weighted a<b pair counts are exactly the old self-join rollup;
+    # the checkpoint stays because the peel loop's first pass reads the
+    # edge list three times.
     edges = (
-        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
-        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _KCORE_MINW)
+        _copurchase_co(spark, sf_dir)
+        .filter(F.col("co") >= _KCORE_MINW)
         .select("a", "b")
         .localCheckpoint(eager=True)
     )

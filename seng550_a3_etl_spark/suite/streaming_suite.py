@@ -21,6 +21,26 @@ from seng550_a3_etl_spark.streaming.jobs import (
 from seng550_a3_etl_spark.suite.registry import query
 from seng550_a3_etl_spark.suite.windows import _TS_FMT, _TS_FMT_DUCK
 
+
+_RAW_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+
+
+def _raw_schema(spark: SparkSession, sf_dir: str, table: str):
+    """Schema of a fixture table as the file source must declare it —
+    resolved ONCE per (session, path) (r15): every readStream needs the
+    batch-read schema up front, and re-resolving it per stream query
+    paid ~100 ms of driver metadata work apiece (guide §6 — the same
+    catalog-cache rationale as catalog._DF_CACHE). Keyed by application
+    id because parquet-timestamp session confs can change how the same
+    footer resolves."""
+    key = (spark.sparkContext.applicationId, f"{sf_dir}/{table}.parquet")
+    schema = _RAW_SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(key[1]).schema
+        _RAW_SCHEMA_CACHE[key] = schema
+    return schema
+
+
 _TABLE = "stream_hourly_windows_sink"
 _ATTR_TABLE = "stream_attribution_sink"
 
@@ -69,7 +89,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seng550_a3_etl_spark.catalog import set_parquet_ts_confs
 
     set_parquet_ts_confs(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_schema(spark, sf_dir, "events")
     # Target the table via a path GLOB, not a pathGlobFilter over
     # sf_dir: the filter matches leaf FILE names, so on a
     # directory-shaped table (events.parquet/part-*.parquet — any
@@ -281,7 +301,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("h")
         .agg(F.min("doc_id").alias("canonical_id"))
     )
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = _raw_schema(spark, sf_dir, "documents")
     # table-path glob (see _event_stream: pathGlobFilter breaks on
     # directory-shaped tables, a bare file path fails basePath)
     stream = spark.readStream.schema(schema).parquet(
@@ -599,7 +619,7 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("iv"),
         F.col("__cn").alias("in_"),
     )
-    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    schema = _raw_schema(spark, sf_dir, "embeddings")
     stream = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/embeddings.parquet*"
     )
@@ -612,7 +632,7 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
     ).select("bid", "id", "v", F.col("__cn").alias("bn"))
     cos = F.round(
-        dot(F.col("v"), F.col("iv")) / (F.col("bn") * F.col("in_")), 6
+        dot("v", "iv", 64) / (F.col("bn") * F.col("in_")), 6
     )
     emitted = (
         batch.join(idx, "bid", "left")
@@ -665,7 +685,7 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     state and runs indefinitely at constant memory."""
     from seng550_a3_etl_spark.suite.quality import gopher_flags_projection
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = _raw_schema(spark, sf_dir, "documents")
     stream = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/documents.parquet*"
     )
@@ -743,7 +763,7 @@ def stream_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("logw"),
     ).localCheckpoint(eager=True)
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = _raw_schema(spark, sf_dir, "documents")
     stream = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/documents.parquet*"
     )
@@ -814,7 +834,7 @@ def stream_substring_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seng550_a3_etl_spark.functions.text import shingles, tokens
     from seng550_a3_etl_spark.suite.text import _SPAN_K
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = _raw_schema(spark, sf_dir, "documents")
     stream = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/documents.parquet*"
     )
@@ -831,7 +851,9 @@ def stream_substring_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
 
-    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from seng550_a3_etl_spark.catalog import load_tables
+
+    static = load_tables(spark, sf_dir).documents
     index = (
         anchors(static)
         .groupBy("h")
@@ -940,7 +962,7 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc").alias("odoc"), "band", "key"
     )
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = _raw_schema(spark, sf_dir, "documents")
     stream = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/documents.parquet*"
     )
@@ -1060,13 +1082,13 @@ def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bits, max_hamming = 60, 3
 
-    t = load_tables(spark, sf_dir)
+    # Static index from the session-cached corpus fingerprints (r15 —
+    # shared with the batch twin and the X221/X251 censuses).
+    from seng550_a3_etl_spark.suite.text import _simhash_fps_df
+
     index = simhash_band_keys(
-        simhash_fingerprints(
-            t.documents.select(F.col("doc_id").alias("odoc"), "text"),
-            "odoc",
-            tokens(F.col("text")),
-            bits=bits,
+        _simhash_fps_df(spark, sf_dir).select(
+            F.col("doc").alias("odoc"), "fp"
         ),
         "odoc",
         "fp",
@@ -1074,7 +1096,7 @@ def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits,
     ).withColumnRenamed("fp", "ofp")
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = _raw_schema(spark, sf_dir, "documents")
     stream = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/documents.parquet*"
     )
@@ -1159,7 +1181,7 @@ def stream_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seng550_a3_etl_spark.suite.text import pii_count_cols
 
     n_email, n_ip, n_phone = pii_count_cols()
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = _raw_schema(spark, sf_dir, "documents")
     stream = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/documents.parquet*"
     )
@@ -1232,11 +1254,13 @@ def stream_cdc_chunk_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from seng550_a3_etl_spark.suite.text import _CDC_DIV, _CDC_W
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = _raw_schema(spark, sf_dir, "documents")
     stream = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/documents.parquet*"
     )
-    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from seng550_a3_etl_spark.catalog import load_tables
+
+    static = load_tables(spark, sf_dir).documents
     index = (
         cdc_chunk_instances(static, "doc_id", "text", _CDC_W, _CDC_DIV)
         .groupBy("h")

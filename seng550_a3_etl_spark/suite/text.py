@@ -30,7 +30,6 @@ from seng550_a3_etl_spark.operators.text_dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash_pairs,
 )
 from seng550_a3_etl_spark.suite.registry import query
 
@@ -266,6 +265,60 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SimHash fingerprints and the block-combination candidate set feed
+# three suite consumers (X4 near pairs, X221 hamming census, X222's
+# streaming index) plus X251's unit arm — before r15 each re-ran the
+# explode+groupBy fingerprint pass (and X4/X221 re-ran the band join +
+# pair distinct) over the same documents. Session-cached like
+# _shingle_sets_df: at 100 TB the fingerprint table (8 bytes/doc) and
+# the candidate set are materialized artifacts of the dedup pipeline;
+# bench.py evicts + times both builds as their own [1x, 10x, ratio]
+# rows.
+_SIMHASH_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _simhash_fps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, fp) 60-bit SimHash fingerprints over documents — cached."""
+    from seng550_a3_etl_spark.functions.hashing import simhash_fingerprints
+
+    _evict_stopped_sessions(_SIMHASH_CACHE)
+    key = (spark.sparkContext.applicationId, sf_dir, "fps")
+    cached = _SIMHASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    t = load_tables(spark, sf_dir)
+    out = simhash_fingerprints(
+        t.documents.select(F.col("doc_id").alias("doc"), "text"),
+        "doc",
+        tokens(F.col("text")),
+        bits=60,
+    ).localCheckpoint(eager=True)
+    _SIMHASH_CACHE[key] = out
+    return out
+
+
+def _simhash_cands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming + fingerprint cols) block-combination
+    candidate set at max_hamming=3/bits=60 over documents — cached;
+    rides the cached fingerprint table."""
+    from seng550_a3_etl_spark.operators.text_dedup import (
+        _simhash_candidates,
+    )
+
+    _evict_stopped_sessions(_SIMHASH_CACHE)
+    key = (spark.sparkContext.applicationId, sf_dir, "cands")
+    cached = _SIMHASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    t = load_tables(spark, sf_dir)
+    out = _simhash_candidates(
+        t.documents, "doc_id", "text", max_hamming=3, bits=60,
+        fps=_simhash_fps_df(spark, sf_dir),
+    ).localCheckpoint(eager=True)
+    _SIMHASH_CACHE[key] = out
+    return out
+
+
 @query(
     "simhash_near_pairs",
     oracle=f"""
@@ -287,8 +340,11 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the old 4x15-bit single-chunk pigeonhole saturated at ~30k); the
     oracle brute-forces all pairs — result sets must be identical,
     which checks the banding construction end to end."""
-    t = load_tables(spark, sf_dir)
-    return simhash_pairs(t.documents, "doc_id", "text", max_hamming=3, bits=60)
+    return (
+        _simhash_cands_df(spark, sf_dir)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 @query(
@@ -4555,12 +4611,8 @@ def simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     COST_DECADES.json).
 
     Reference parity: none; extends the X63/X205 tuning-census family."""
-    from seng550_a3_etl_spark.operators.text_dedup import _simhash_candidates
-
-    t = load_tables(spark, sf_dir)
     return (
-        _simhash_candidates(t.documents, "doc_id", "text",
-                            max_hamming=3, bits=60)
+        _simhash_cands_df(spark, sf_dir)
         .groupBy("hamming")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .select(
@@ -4649,7 +4701,6 @@ def simhash_idf_band_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none; extends the X205/X221 banding-tuning
     census family."""
     from seng550_a3_etl_spark.functions.hashing import (
-        simhash_fingerprints,
         simhash_fingerprints_idf,
     )
     from seng550_a3_etl_spark.operators.text_dedup import simhash_band_keys
@@ -4678,9 +4729,9 @@ def simhash_idf_band_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(variant).alias("variant"), "*")
         )
 
-    unit = budget(
-        simhash_fingerprints(docs, "doc", F.col("__toks"), bits=60), "unit"
-    )
+    # unit arm = the session-cached corpus fingerprints (identical
+    # construction — simhash_fingerprints over tokens(text); r15)
+    unit = budget(_simhash_fps_df(spark, sf_dir), "unit")
     idf = budget(
         simhash_fingerprints_idf(docs, "doc", F.col("__toks"), bits=60),
         "idf",

@@ -1074,8 +1074,39 @@ def _bpe_encode_oracle() -> str:
     """
 
 
+_BPE_ENC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X162's encode output (doc_id, n_pieces, n_unk, piece_ids) —
+    computed ONCE per (Spark application, sf_dir) and shared by its
+    three consumers (the X162 query itself, X180 fertility, X223
+    drift), which each re-ran the full vocab build + per-char encode
+    fold before r15. Same rationale as text._shingle_sets_df: at 100 TB
+    the tokenized corpus is a materialized artifact written by one
+    encode job and read by every downstream token-count consumer;
+    localCheckpoint is the session-scoped analog, and bench.py evicts +
+    times the build as its own [1x, 10x, ratio] row."""
+    from seng550_a3_etl_spark.suite.text import _evict_stopped_sessions
+
+    _evict_stopped_sessions(_BPE_ENC_CACHE)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BPE_ENC_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = _bpe_encode_plan(spark, sf_dir).localCheckpoint(eager=True)
+    _BPE_ENC_CACHE[key] = out
+    return out
+
+
 @query("bpe_encode_docs", oracle=_bpe_encode_oracle())
 def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached wrapper over :func:`_bpe_encode_plan` — see
+    :func:`_bpe_encoded` for the sharing contract (r15)."""
+    return _bpe_encoded(spark, sf_dir)
+
+
+def _bpe_encode_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLICATION (X162; VERDICT r7/r8 #6) — bridges X121's
     BPE trainer to the token-count operators: every document is encoded
     against a learned subword vocab (the corpus's top
@@ -1352,7 +1383,7 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the encode is the existing single-scan fold; the word count
     rides the same documents scan the encoder reads, the join is
     doc_id-keyed, and the rollup is |sources| rows."""
-    enc = bpe_encode_docs(spark, sf_dir).select(
+    enc = _bpe_encoded(spark, sf_dir).select(
         "doc_id", "n_pieces", "n_unk"
     )
     t = load_tables(spark, sf_dir)
@@ -1763,7 +1794,7 @@ def tokenizer_drift_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: none (no tokenizer surface in the reference);
     closes the X37/X180 loop flagged in VERDICT r11 #8."""
-    enc = bpe_encode_docs(spark, sf_dir).select(
+    enc = _bpe_encoded(spark, sf_dir).select(
         "doc_id", "n_pieces", "n_unk"
     )
     t = load_tables(spark, sf_dir)
