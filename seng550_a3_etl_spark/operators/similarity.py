@@ -38,22 +38,17 @@ from seng550_a3_etl_spark.functions.vectors import dot
 from seng550_a3_etl_spark.plans.layout import spread_for_cpu
 
 
-def _with_norm(
-    df: DataFrame, vec_col: str, out: str, dim: int | None = None
-) -> DataFrame:
+def _with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
     """Attach the vector's L2 norm — computed once per row so every
-    pairwise cosine downstream costs ONE array fold instead of three
-    (dot(a,b)/(na*nb) evaluates the identical IEEE sequence as the
-    inline dot/(sqrt(dot aa)*sqrt(dot bb)), so oracles still match
-    bit-for-bit). ``dim``: statically known vector length → codegen'd
-    unrolled sum (functions/vectors.dot)."""
-    return df.withColumn(out, F.sqrt(dot(vec_col, vec_col, dim)))
+    pairwise cosine downstream costs ONE interpreted array fold instead
+    of three (dot(a,b)/(na*nb) evaluates the identical IEEE sequence as
+    the inline dot/(sqrt(dot aa)*sqrt(dot bb)), so oracles still match
+    bit-for-bit)."""
+    return df.withColumn(out, F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
 
 
-def _pair_cosine(
-    qv: str, cv: str, qn: str, cn: str, dim: int | None = None
-) -> Column:
-    return F.round(dot(qv, cv, dim) / (F.col(qn) * F.col(cn)), 6)
+def _pair_cosine(qv: str, cv: str, qn: str, cn: str) -> Column:
+    return F.round(dot(F.col(qv), F.col(cv)) / (F.col(qn) * F.col(cn)), 6)
 
 
 def cosine_topk(
@@ -65,15 +60,9 @@ def cosine_topk(
     corpus_id: str = "cid",
     corpus_vec: str = "cv",
     pair_filter: Column | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-pairs excluded when
     ids collide). Output: query_id, corpus_id, cosine (rounded 6), rank.
-
-    ``dim``: statically known vector length → the dot products unroll
-    into codegen-able chains (functions/vectors.dot; measured ~2.2x on
-    this operator's scan stage at 64 dims). Same IEEE sum order, so
-    output is bit-identical to the fold form.
 
     ``pair_filter`` optionally restricts candidate pairs (a predicate
     over any carried query/corpus columns, e.g. label mismatch for
@@ -94,15 +83,15 @@ def cosine_topk(
     window sees only |q|·partitions·k rows. Identical output: the
     ordering (cosine DESC, id ASC) is a deterministic total order and
     every global top-k row survives its partition-local top-k."""
-    queries = _with_norm(queries, query_vec, "__qn", dim)
-    corpus = spread_for_cpu(_with_norm(corpus, corpus_vec, "__cn", dim))
+    queries = _with_norm(queries, query_vec, "__qn")
+    corpus = spread_for_cpu(_with_norm(corpus, corpus_vec, "__cn"))
     pairs = corpus.join(F.broadcast(queries)).filter(
         F.col(query_id) != F.col(corpus_id)
     )
     if pair_filter is not None:
         pairs = pairs.filter(pair_filter)
     pairs = pairs.withColumn(
-        "cosine", _pair_cosine(query_vec, corpus_vec, "__qn", "__cn", dim)
+        "cosine", _pair_cosine(query_vec, corpus_vec, "__qn", "__cn")
     )
     return _topk_two_stage(pairs, query_id, corpus_id, k).select(
         query_id, corpus_id, "cosine", "rank"
@@ -225,7 +214,6 @@ def semantic_dedup_pairs(
     vec_col: str = "v",
     centroid_id: str = "bid",
     centroid_vec: str = "bv",
-    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): block
     the corpus by nearest-centroid cluster (the k-means/IVF coarse
@@ -266,9 +254,7 @@ def semantic_dedup_pairs(
     return (
         a.join(b, [centroid_id])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine", _pair_cosine("__va", "__vb", "__na", "__nb", dim)
-        )
+        .withColumn("cosine", _pair_cosine("__va", "__vb", "__na", "__nb"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", centroid_id, "cosine")
     )
@@ -286,23 +272,17 @@ def ivf_topk(
     corpus_vec: str = "cv",
     centroid_id: str = "bid",
     centroid_vec: str = "bv",
-    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the ``nprobe`` nearest centroid buckets.
-    Same output schema as :func:`cosine_topk` (rank within probed set).
-
-    ``dim`` unrolls the TOP-LEVEL dot products (probe scoring, candidate
-    scoring) into codegen-able chains; the k-way argmax fold inside
-    ``assign_buckets`` deliberately stays a HOF — see that docstring."""
+    Same output schema as :func:`cosine_topk` (rank within probed set)."""
     bucketed = assign_buckets(
         corpus, centroids, corpus_id, corpus_vec, centroid_id, centroid_vec
     )
     probes = (
-        _with_norm(queries, query_vec, "__qn", dim)
-        .join(F.broadcast(_with_norm(centroids, centroid_vec, "__bn", dim)))
+        _with_norm(queries, query_vec, "__qn")
+        .join(F.broadcast(_with_norm(centroids, centroid_vec, "__bn")))
         .withColumn(
-            "__sim",
-            _pair_cosine(query_vec, centroid_vec, "__qn", "__bn", dim)
+            "__sim", _pair_cosine(query_vec, centroid_vec, "__qn", "__bn")
         )
         .withColumn(
             "__pr",
@@ -319,7 +299,7 @@ def ivf_topk(
         bucketed.join(F.broadcast(probes), centroid_id)
         .filter(F.col(query_id) != F.col(corpus_id))
         .withColumn(
-            "cosine", _pair_cosine(query_vec, corpus_vec, "__qn", "__cn", dim)
+            "cosine", _pair_cosine(query_vec, corpus_vec, "__qn", "__cn")
         )
     )
     # probes (|q|·nprobe rows) broadcast against the bucketed corpus so
@@ -426,17 +406,23 @@ def cosine_dedup_pairs(
         .distinct()
     )
     # Precompute each vector's norm once (|corpus| sqrts) so verification
-    # costs one dot per candidate pair instead of three, and unroll both
-    # (dim is statically known here) so the verify stage whole-stage-
-    # codegens instead of paying interpreted HOF folds (r15; see
-    # functions/vectors.dot). dot/(norm_a*norm_b) is the oracle's exact
-    # expression shape and the unrolled chain evaluates the identical
-    # IEEE sequence (squares are never -0.0, so even the fold's 0.0 seed
-    # is bit-preserved), so the round-6 output is bit-identical.
+    # costs one dot per candidate pair instead of three — higher-order
+    # array folds are interpreted, not codegen'd, so they dominate the
+    # verify stage. dot/(norm_a*norm_b) is the oracle's exact expression
+    # shape, so the doubles (and the round-6 output) are bit-identical.
     vn = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
-        F.sqrt(dot(vec_col, vec_col, dim)).alias("__n"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(vec_col),
+                    lambda x: x.cast("double") * x.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("__n"),
     )
     # Fetch both sides' vectors with ONE pass over vn: melt each pair
     # to (pair, side, id), join once, fold the sides back per pair —
@@ -464,7 +450,7 @@ def cosine_dedup_pairs(
             F.col("__pair.id_a").alias("id_a"),
             F.col("__pair.id_b").alias("id_b"),
             F.round(
-                dot("__va", "__vb", dim)
+                dot(F.col("__va"), F.col("__vb"))
                 / (F.col("__na") * F.col("__nb")),
                 6,
             ).alias("cosine"),

@@ -108,7 +108,7 @@ _CHANGED: dict[str, int] = {
     # numerators (int64 wrapped ~sf1000); boilerplate span census keyed
     # (hash, span) instead of hash alone (collision exactness). Output
     # value-identical at sf0.01, but the code under them changed.
-    "basket_lift_rules": 9,
+    "basket_lift_rules": 15,
     "boilerplate_span_removal": 9,
     # round 9 (second session): assign_buckets rewritten from
     # broadcast-join + row_number window to a per-row array_max fold
@@ -126,7 +126,7 @@ _CHANGED: dict[str, int] = {
     "corpus_datacard": 10,
     # (shard_skew_report's round-10 ppm-overflow entry superseded by
     # its round-13 entry below.)
-    "bpe_fertility_by_source": 10,
+    "bpe_fertility_by_source": 15,
     # round 10: the composed pipeline gained the X198 substring-trim
     # as stage 4 (rebuilt trimmed text feeds every later stage) —
     # OUTPUT-changing: stage rows renumbered 04-07 and their counts
@@ -183,7 +183,7 @@ _CHANGED: dict[str, int] = {
     # (greedy k-center, Lloyd k-means) now spread+pin their loop-
     # invariant corpus ONCE instead of re-spreading the under-parallel
     # scan inside every iteration.
-    "matryoshka_recall_curve": 12,
+    "matryoshka_recall_curve": 15,
     "kcenter_diverse_seeds": 12,
     "kmeans_iterated_centroids": 12,
     # round 12 (ADVICE r11): _semdedup_cent's centroid pick moved from
@@ -209,7 +209,7 @@ _CHANGED: dict[str, int] = {
     # repartition. Values identical (guards equivalent, plan-only);
     # measured 7.7->4.8 s and 7.1->5.2 s at sf0.1.
     "stream_minhash_dedup": 12,
-    "stream_substring_guard": 12,
+    "stream_substring_guard": 15,
     # round 13 (review dedup refactors — single-source-of-truth
     # helpers): the X172 shard rule became _shard_col/_SHARD_SQL
     # (shard_skew_report's oracle string changed in whitespace only)
@@ -230,9 +230,9 @@ _CHANGED: dict[str, int] = {
     # OUTPUT is the candidate histogram itself and changed by design
     # (its oracle replays the new construction from the same combo
     # source).
-    "simhash_near_pairs": 14,
-    "simhash_hamming_census": 14,
-    "stream_simhash_dedup": 14,
+    "simhash_near_pairs": 15,
+    "simhash_hamming_census": 15,
+    "stream_simhash_dedup": 15,
     "dedup_strategy_delta": 14,
     "dedup_tier_funnel": 14,
     # round 15: the chunk-instance construction moved out of the query
@@ -240,6 +240,20 @@ _CHANGED: dict[str, int] = {
     # with the new stream_cdc_chunk_guard) — value-identical, but the
     # code under the query changed.
     "cdc_chunk_dedup": 15,
+    # round 15 (optimization round 1): shared gold-table session
+    # caches (co-purchase pair counts / BPE-encoded corpus / SimHash
+    # fingerprints+candidates) and the matryoshka projection-before-
+    # explode restructure — plans changed, results proven identical
+    # against the unchanged DuckDB oracles.
+    "bpe_encode_docs": 15,
+    "copurchase_jaccard_recs": 15,
+    "copurchase_triangles": 15,
+    "kcore_decomposition": 15,
+    "label_propagation_parts": 15,
+    "pagerank_step_parts": 15,
+    "simhash_idf_band_budget": 15,
+    "stream_cdc_chunk_guard": 15,
+    "tokenizer_drift_snapshots": 15,
 }
 
 

@@ -632,7 +632,7 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
     ).select("bid", "id", "v", F.col("__cn").alias("bn"))
     cos = F.round(
-        dot("v", "iv", 64) / (F.col("bn") * F.col("in_")), 6
+        dot(F.col("v"), F.col("iv")) / (F.col("bn") * F.col("in_")), 6
     )
     emitted = (
         batch.join(idx, "bid", "left")

@@ -24,14 +24,6 @@ COSINE_DEDUP_BANDS = 6
 COSINE_DEDUP_DIM = 64
 _CD_ROWS = COSINE_DEDUP_PLANES // COSINE_DEDUP_BANDS  # bits per band key
 
-# Fixture embedding dimensionality. Passing it as ``dim=`` to the
-# vector operators unrolls their TOP-LEVEL dot products into
-# codegen-able chains instead of interpreted HOF folds (r15, guide
-# §4.2; functions/vectors.dot documents the bit-identical-IEEE
-# contract and where NOT to apply it — in-lambda argmax folds and
-# per-step-nested iterated lineages keep the fold on purpose).
-_EMB_DIM = 64
-
 
 def _dot(a: str, b: str) -> str:
     return (
@@ -75,7 +67,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t.embeddings.select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    out = cosine_topk(q, c, k=5, dim=_EMB_DIM)
+    out = cosine_topk(q, c, k=5)
     return out.select("qid", "cid", "cosine", F.col("rank").cast("long").alias("rank"))
 
 
@@ -138,7 +130,7 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
     )
-    out = ivf_topk(q, c, cent, k=5, nprobe=3, dim=_EMB_DIM)
+    out = ivf_topk(q, c, cent, k=5, nprobe=3)
     return out.select("qid", "cid", "cosine", F.col("rank").cast("long").alias("rank"))
 
 
@@ -401,10 +393,10 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("doc_id"),
             F.round(
-                dot("embedding", "q", _EMB_DIM)
+                dot(F.col("embedding"), F.col("q"))
                 / (
-                    F.sqrt(dot("embedding", "embedding", _EMB_DIM))
-                    * F.sqrt(dot("q", "q", _EMB_DIM))
+                    F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(dot(F.col("q"), F.col("q")))
                 ),
                 6,
             ).alias("cosine"),
@@ -553,8 +545,8 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
     )
-    exact = cosine_topk(q, c, k=5, dim=_EMB_DIM).select("qid", "cid")
-    approx = ivf_topk(q, c, cent, k=5, nprobe=3, dim=_EMB_DIM).select(
+    exact = cosine_topk(q, c, k=5).select("qid", "cid")
+    approx = ivf_topk(q, c, cent, k=5, nprobe=3).select(
         "qid", "cid", F.lit(1).alias("__hit")
     )
     return (
@@ -905,7 +897,7 @@ def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cl"),
     )
     out = cosine_topk(
-        q, c, k=3, pair_filter=F.col("ql") != F.col("cl"), dim=_EMB_DIM
+        q, c, k=3, pair_filter=F.col("ql") != F.col("cl")
     )
     return out.select(
         "qid", "cid", "cosine", F.col("rank").cast("long").alias("rank")
@@ -1112,11 +1104,9 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ---- query path: broadcast probes + broadcast LUT only ----
     probes = (
-        _with_norm(q, "qv", "__qn", _EMB_DIM)
-        .join(F.broadcast(_with_norm(cent, "bv", "__bn", _EMB_DIM)))
-        .withColumn(
-            "__sim", _pair_cosine("qv", "bv", "__qn", "__bn", _EMB_DIM)
-        )
+        _with_norm(q, "qv", "__qn")
+        .join(F.broadcast(_with_norm(cent, "bv", "__bn")))
+        .withColumn("__sim", _pair_cosine("qv", "bv", "__qn", "__bn"))
         .withColumn(
             "__pr",
             F.row_number().over(
@@ -1311,8 +1301,7 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.unionAll(jitter)
     cent = _semdedup_cent(t.embeddings)
     pairs = semantic_dedup_pairs(
-        corpus, cent, threshold=_SEMDEDUP_THRESHOLD, id_col="id",
-        vec_col="v", dim=_EMB_DIM,
+        corpus, cent, threshold=_SEMDEDUP_THRESHOLD, id_col="id", vec_col="v"
     )
     return pairs.groupBy(
         F.col("id_b").alias("id_dropped"), "bid"
@@ -1547,9 +1536,7 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t.embeddings.select(
         "vec_id",
         "label",
-        F.round(
-            F.sqrt(dot("embedding", "embedding", _EMB_DIM)) * 1000000
-        )
+        F.round(F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * 1000000)
         .cast("long")
         .alias("norm_micro"),
     ).localCheckpoint(eager=True)
@@ -1759,9 +1746,7 @@ def knn_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # carry both labels through the top-k: join them onto the pruned
     # (qid, cid) pairs AFTER ranking so the broadcast scan stays narrow
-    topk = cosine_topk(
-        q.select("qid", "qv"), c.select("cid", "cv"), k=5, dim=_EMB_DIM
-    )
+    topk = cosine_topk(q.select("qid", "qv"), c.select("cid", "cv"), k=5)
     labeled = (
         topk.join(F.broadcast(q.select("qid", "ql")), "qid")
         .join(c.select("cid", "cl"), "cid")
@@ -1916,7 +1901,7 @@ def reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = sub.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     c = sub.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     nn = (
-        cosine_topk(q, c, k=1, dim=_EMB_DIM)
+        cosine_topk(q, c, k=1)
         .select(F.col("qid").alias("id"), F.col("cid").alias("nid"))
         .localCheckpoint(eager=True)
     )
@@ -2065,7 +2050,7 @@ def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("bid", "id", "v", F.col("__cn").alias("bn")
              ).localCheckpoint(eager=True)
     cos = F.round(
-        dot("v", "iv", _EMB_DIM) / (F.col("bn") * F.col("in_")), 6
+        dot(F.col("v"), F.col("iv")) / (F.col("bn") * F.col("in_")), 6
     )
     hits = (
         batch.join(idx, "bid")
@@ -2181,11 +2166,9 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucketed = assign_buckets(c, cent, "cid", "cv")
     probes = (
-        _with_norm(q, "qv", "__qn", _EMB_DIM)
-        .join(F.broadcast(_with_norm(cent, "bv", "__bn", _EMB_DIM)))
-        .withColumn(
-            "__sim", _pair_cosine("qv", "bv", "__qn", "__bn", _EMB_DIM)
-        )
+        _with_norm(q, "qv", "__qn")
+        .join(F.broadcast(_with_norm(cent, "bv", "__bn")))
+        .withColumn("__sim", _pair_cosine("qv", "bv", "__qn", "__bn"))
         .withColumn(
             "__pr",
             F.row_number().over(
@@ -2200,9 +2183,7 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         probes.join(bucketed, "bid")
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn(
-            "cosine", _pair_cosine("qv", "cv", "__qn", "__cn", _EMB_DIM)
-        )
+        .withColumn("cosine", _pair_cosine("qv", "cv", "__qn", "__cn"))
         .select("qid", "__pr", "cid", "cosine")
     )
     levels = spark.range(0).sparkSession.createDataFrame(
@@ -2221,7 +2202,7 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("nprobe", "qid", "cid", F.lit(1).alias("__hit"))
     )
-    exact = cosine_topk(q, c, k=5, dim=_EMB_DIM).select("qid", "cid")
+    exact = cosine_topk(q, c, k=5).select("qid", "cid")
     return (
         exact.crossJoin(F.broadcast(levels))
         .join(topk, ["nprobe", "qid", "cid"], "left")
@@ -2307,22 +2288,18 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pcos(d: int):
-        # dim=d scores exactly the d-prefix — no slice needed (the
-        # unrolled chain only references elements 0..d-1)
+        a, b = F.slice("qv", 1, d), F.slice("cv", 1, d)
         return F.round(
-            dot("qv", "cv", d)
-            / (F.sqrt(dot("qv", "qv", d)) * F.sqrt(dot("cv", "cv", d))),
-            6,
+            dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), 6
         )
 
-    # The per-dim cosines are computed in a PROJECTION (whose codegen
-    # splits into sub-methods) and only then exploded: with the r15
-    # unrolled dots inlined directly under the Generate, the generated
-    # ``doConsume`` held all four prefix chains in ONE unsplittable
-    # method and blew janino's 64 KB method limit (driver falls back to
-    # interpreted — slow — and the oversized source poisons the session
-    # for later compiles). Same rows, same values; the explode now
-    # consumes four tiny column refs.
+    # The per-dim cosines are computed in a PROJECTION and only then
+    # exploded (r15): with all four prefix folds inlined directly under
+    # the Generate, the generated ``doConsume`` holds every scoring
+    # expression in ONE unsplittable method — at the r15 experiment's
+    # unrolled form that blew janino's 64 KB method limit outright, and
+    # even in fold form it couples the explode to the scoring stage.
+    # Same rows, same values; the explode consumes four tiny refs.
     scored = (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("qid") != F.col("cid"))
@@ -2445,9 +2422,7 @@ def knn_label_noise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cv"),
         F.col("label").alias("cl"),
     )
-    topk = cosine_topk(
-        q.select("qid", "qv"), c.select("cid", "cv"), k=5, dim=_EMB_DIM
-    )
+    topk = cosine_topk(q.select("qid", "qv"), c.select("cid", "cv"), k=5)
     labeled = (
         topk.join(F.broadcast(q.select("qid", "ql")), "qid")
         .join(c.select("cid", "cl"), "cid")
@@ -2530,9 +2505,7 @@ def retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cv"),
         F.col("label").alias("cl"),
     )
-    topk = cosine_topk(
-        q.select("qid", "qv"), c.select("cid", "cv"), k=10, dim=_EMB_DIM
-    )
+    topk = cosine_topk(q.select("qid", "qv"), c.select("cid", "cv"), k=10)
     firsts = (
         topk.join(F.broadcast(q.select("qid", "ql")), "qid")
         .join(c.select("cid", "cl"), "cid")
@@ -2638,9 +2611,7 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cl"),
     )
     disc = F.array(*[F.lit(d) for d in _NDCG_DISC])
-    topk = cosine_topk(
-        q.select("qid", "qv"), c.select("cid", "cv"), k=_NDCG_K, dim=_EMB_DIM
-    )
+    topk = cosine_topk(q.select("qid", "qv"), c.select("cid", "cv"), k=_NDCG_K)
     sc = (
         topk.join(F.broadcast(q.select("qid", "ql")), "qid")
         .join(c.select("cid", "cl"), "cid")
@@ -2868,11 +2839,12 @@ def logistic_grad_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seng550_a3_etl_spark.functions.vectors import dot
 
     t = load_tables(spark, sf_dir)
+    w0 = F.array(*[F.lit(w) for w in _LOGREG_W0])
     e = t.embeddings.select(
         "embedding",
         F.when(F.col("label") == 0, F.lit(1.0)).otherwise(0.0).alias("y"),
     )
-    margin = dot("embedding", list(_LOGREG_W0), _EMB_DIM)
+    margin = dot(F.col("embedding"), w0)
     p = e.select(
         "embedding",
         "y",
@@ -2987,9 +2959,9 @@ def logistic_train_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = e.crossJoin(F.broadcast(w)).select(
             "embedding",
             "y",
-            (
-                1 / (1 + F.exp(-dot("embedding", "w", _EMB_DIM)))
-            ).alias("p"),
+            (1 / (1 + F.exp(-dot(F.col("embedding"), F.col("w"))))).alias(
+                "p"
+            ),
         )
         grads = (
             scored.select(
@@ -3021,7 +2993,7 @@ def logistic_train_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = e.crossJoin(F.broadcast(w)).select(
         "vec_id",
         "y",
-        F.round(dot("embedding", "w", _EMB_DIM), 6).alias("s"),
+        F.round(dot(F.col("embedding"), F.col("w")), 6).alias("s"),
     )
     rn = F.row_number().over(Window.orderBy("s", "vec_id"))
     ranked = scores.select("y", rn.alias("rn"), "s").select(
@@ -3114,7 +3086,7 @@ def semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = _semdedup_cent(t.embeddings)
     pairs = semantic_dedup_pairs(
         corpus, cent, threshold=min(_SWEEP_THRESHOLDS),
-        id_col="id", vec_col="v", dim=_EMB_DIM,
+        id_col="id", vec_col="v",
     ).select("id_b", "cosine").localCheckpoint(eager=True)
     n = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
     levels = spark.createDataFrame(
@@ -3393,9 +3365,9 @@ def margin_hard_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = e.crossJoin(F.broadcast(w)).select(
             "embedding",
             "y",
-            (
-                1 / (1 + F.exp(-dot("embedding", "w", _EMB_DIM)))
-            ).alias("p"),
+            (1 / (1 + F.exp(-dot(F.col("embedding"), F.col("w"))))).alias(
+                "p"
+            ),
         )
         grads = (
             scored.select(
@@ -3425,7 +3397,7 @@ def margin_hard_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     am = F.round(
-        F.abs(F.round(dot("embedding", "w", _EMB_DIM), 6)) * 1000000
+        F.abs(F.round(dot(F.col("embedding"), F.col("w")), 6)) * 1000000
     ).cast("long")
     m = e.crossJoin(F.broadcast(w)).select("label", am.alias("am"))
     hard = F.count_if(F.col("am") < _MARGIN_TAU_MICRO)
@@ -3682,7 +3654,7 @@ def knn_bucket_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "va",
             "vb",
             F.round(
-                dot("xa", "xb", _EMB_DIM) / (F.col("na") * F.col("nb")),
+                dot(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb")),
                 6,
             ).alias("cos"),
         )
@@ -3880,7 +3852,7 @@ def knn_hubness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "va",
             "vb",
             F.round(
-                dot("xa", "xb", _EMB_DIM) / (F.col("na") * F.col("nb")),
+                dot(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb")),
                 6,
             ).alias("cos"),
         )
@@ -4001,7 +3973,7 @@ def knn_label_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "la",
             "lb",
             F.round(
-                dot("xa", "xb", _EMB_DIM) / (F.col("na") * F.col("nb")),
+                dot(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb")),
                 6,
             ).alias("cos"),
         )
@@ -4132,7 +4104,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vb"),
             (F.col("la") == F.col("lb")).alias("same"),
             F.round(
-                dot("xa", "xb", _EMB_DIM) / (F.col("na") * F.col("nb")),
+                dot(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb")),
                 6,
             ).alias("cos"),
         )
