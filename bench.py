@@ -1346,6 +1346,8 @@ def _snapshot_session_caches(sfd: str) -> list:
         _suite_ana._COPURCHASE_CACHE,
         _suite_lm._BPE_ENC_CACHE,
         _suite_text._SIMHASH_CACHE,
+        _suite_text._MINHASH_SIG_CACHE,
+        _suite_vec._ANN_CACHE,
     ):
         for k in [k for k in cache if k[1] == sfd]:
             snap.append((cache, k, cache.pop(k)))
@@ -1380,6 +1382,8 @@ def _evict_session_caches(sfd: str, match=None) -> None:
         _suite_ana._COPURCHASE_CACHE,
         _suite_lm._BPE_ENC_CACHE,
         _suite_text._SIMHASH_CACHE,
+        _suite_text._MINHASH_SIG_CACHE,
+        _suite_vec._ANN_CACHE,
     ):
         _evict_entries(cache, sfd, match)
 
@@ -1748,6 +1752,12 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                     _suite_text._SIMHASH_CACHE, lambda k: k[2] == "fps"),
                 "simhash_candidates": (
                     _suite_text._SIMHASH_CACHE, lambda k: k[2] == "cands"),
+                "ann_exact_topk": (
+                    _suite_vec._ANN_CACHE, lambda k: k[2] == "exact"),
+                "ann_ivf_topk": (
+                    _suite_vec._ANN_CACHE, lambda k: k[2] == "ivf"),
+                "minhash_signatures": (
+                    _suite_text._MINHASH_SIG_CACHE, None),
             }
             # dependency order: labels ride the hashed shingle set, so
             # each timing isolates exactly one build.
@@ -1758,6 +1768,10 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 ("shingle_sets_string",
                  lambda d: _suite_text._shingle_sets_df(
                      spark, d, n=3, hashed=False)),
+                # r15: 8-perm signatures ride the string shingle sets
+                # (ordering isolates the signature aggregation).
+                ("minhash_signatures",
+                 lambda d: _suite_text._minhash_sigs_df(spark, d)),
                 ("dup_cluster_labels",
                  lambda d: _suite_text._labels_df(spark, d)),
                 ("xspan_span_census",
@@ -1792,6 +1806,12 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                  lambda d: _suite_text._simhash_fps_df(spark, d)),
                 ("simhash_candidates",
                  lambda d: _suite_text._simhash_cands_df(spark, d)),
+                # r15: the exact / IVF top-5 acceptance tables shared
+                # by X6/X7 and the X72/X163 recall gates.
+                ("ann_exact_topk",
+                 lambda d: _suite_vec._ann_exact_topk(spark, d)),
+                ("ann_ivf_topk",
+                 lambda d: _suite_vec._ann_ivf_topk(spark, d)),
             ]
             for bname, fn in builds:
                 t0 = time.perf_counter()

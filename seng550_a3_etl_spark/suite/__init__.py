@@ -98,7 +98,7 @@ _CHANGED: dict[str, int] = {
     # the query routes through the single-sourced MINHASH_* knobs —
     # value-identical, oracle strings verified byte-equal). One entry,
     # latest round.
-    "minhash_dup_pairs": 6,
+    "minhash_dup_pairs": 15,
     # round 8: dedup_doc_spans gained the NULL-text phantom-span filter
     # (operators/text_dedup.py) — this append was owed in r8 itself
     # (VERDICT r8 item 1). Round 9: same operator gained the carry=
@@ -145,10 +145,10 @@ _CHANGED: dict[str, int] = {
     # per-partition row_number before the global per-query window —
     # kills the |queries|-task sort bottleneck). Output byte-identical
     # (deterministic total order; partial top-k keeps a superset).
-    "embedding_topk": 11,
-    "embedding_topk_ivf": 11,
-    "ann_recall_ivf": 11,
-    "ann_recall_ivf_pq": 11,
+    "embedding_topk": 15,
+    "embedding_topk_ivf": 15,
+    "ann_recall_ivf": 15,
+    "ann_recall_ivf_pq": 15,
     "ivf_pq_search": 11,
     # (matryoshka_recall_curve / kmeans_iterated_centroids also changed
     # here; superseded by their round-12 entries below.)
@@ -208,7 +208,7 @@ _CHANGED: dict[str, int] = {
     # substring twin's anchor explode gained the same pre-explode
     # repartition. Values identical (guards equivalent, plan-only);
     # measured 7.7->4.8 s and 7.1->5.2 s at sf0.1.
-    "stream_minhash_dedup": 12,
+    "stream_minhash_dedup": 15,
     "stream_substring_guard": 15,
     # round 13 (review dedup refactors — single-source-of-truth
     # helpers): the X172 shard rule became _shard_col/_SHARD_SQL
@@ -233,8 +233,8 @@ _CHANGED: dict[str, int] = {
     "simhash_near_pairs": 15,
     "simhash_hamming_census": 15,
     "stream_simhash_dedup": 15,
-    "dedup_strategy_delta": 14,
-    "dedup_tier_funnel": 14,
+    "dedup_strategy_delta": 15,
+    "dedup_tier_funnel": 15,
     # round 15: the chunk-instance construction moved out of the query
     # body into operators/text_dedup.py cdc_chunk_instances (now shared
     # with the new stream_cdc_chunk_guard) — value-identical, but the
@@ -254,6 +254,11 @@ _CHANGED: dict[str, int] = {
     "simhash_idf_band_budget": 15,
     "stream_cdc_chunk_guard": 15,
     "tokenizer_drift_snapshots": 15,
+    "ivf_nprobe_recall_curve": 15,
+    "fuzzy_decontaminate_docs": 15,
+    "source_overlap_matrix": 15,
+    "minhash_estimate_quality": 15,
+    "incremental_lsh_dedup": 15,
 }
 
 

@@ -945,22 +945,19 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         MINHASH_BANDS,
         MINHASH_NUM_PERM,
         MINHASH_THRESHOLD,
+        _minhash_sigs_df,
         _shingle_sets_df,
     )
 
     rows_per_band = MINHASH_NUM_PERM // MINHASH_BANDS
 
-    def banded(df: DataFrame) -> DataFrame:
-        signed = df.filter(F.size("sh") > 0).select(
-            "doc",
-            minhash_signature(F.col("sh"), MINHASH_NUM_PERM).alias("sig"),
-        )
-        return band_keys(signed, MINHASH_BANDS, rows_per_band)
-
+    # Static index from the session-cached signature table (r15 —
+    # shared with the whole batch MinHash family); the per-batch
+    # STREAM side still signs inside the micro-batch below.
     sets_ = _shingle_sets_df(spark, sf_dir, n=3, hashed=False)
-    index = banded(sets_).select(
-        F.col("doc").alias("odoc"), "band", "key"
-    )
+    index = band_keys(
+        _minhash_sigs_df(spark, sf_dir), MINHASH_BANDS, rows_per_band
+    ).select(F.col("doc").alias("odoc"), "band", "key")
 
     schema = _raw_schema(spark, sf_dir, "documents")
     stream = spark.readStream.schema(schema).parquet(

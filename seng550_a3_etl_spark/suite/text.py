@@ -262,6 +262,7 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents, "doc_id", "text", n=3, num_perm=MINHASH_NUM_PERM,
         bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD,
         shingle_sets=_shingle_sets_df(spark, sf_dir, n=3, hashed=False),
+        signatures=_minhash_sigs_df(spark, sf_dir),
     )
 
 
@@ -696,6 +697,7 @@ def fuzzy_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents, "doc_id", "text", n=3, num_perm=MINHASH_NUM_PERM,
         bands=MINHASH_BANDS, threshold=FUZZY_DECON_THRESHOLD,
         shingle_sets=_shingle_sets_df(spark, sf_dir, n=3, hashed=False),
+        signatures=_minhash_sigs_df(spark, sf_dir),
     )
     ea = hash64(F.col("doc_a").cast("string")) % 19 == 0
     eb = hash64(F.col("doc_b").cast("string")) % 19 == 0
@@ -1107,6 +1109,33 @@ def _shingle_sets_df(
         .localCheckpoint(eager=True)
     )
     _SHINGLE_CACHE[key] = out
+    return out
+
+
+_MINHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _minhash_sigs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, sig) 8-perm MinHash signatures over the session shingle
+    sets — computed ONCE per (Spark application, sf_dir) and shared by
+    every MinHash consumer (X3 pairs, X86 decontamination, X204 source
+    overlap, X124 estimate quality, X109 incremental index, X216's
+    streaming index; the dedup censuses ride X3). Before r15 each re-ran
+    the 8 per-shingle min-aggregates. Same gold-table rationale as
+    ``_shingle_sets_df``; bench.py evicts + times the build as its own
+    [1x, 10x, ratio] row ("minhash_signatures")."""
+    from seng550_a3_etl_spark.functions.hashing import minhash_signatures
+
+    _evict_stopped_sessions(_MINHASH_SIG_CACHE)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MINHASH_SIG_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sets_ = _shingle_sets_df(spark, sf_dir, n=3, hashed=False)
+    out = minhash_signatures(
+        sets_, "doc", F.col("sh"), MINHASH_NUM_PERM
+    ).localCheckpoint(eager=True)
+    _MINHASH_SIG_CACHE[key] = out
     return out
 
 
@@ -2070,14 +2099,12 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller-id batch member — no chain re-evaluation), keeping reruns
     and partial retries idempotent; semantics documented and mirrored
     exactly in the oracle."""
-    from seng550_a3_etl_spark.functions.hashing import minhash_signatures
     from seng550_a3_etl_spark.operators.text_dedup import (
         band_keys,
         lsh_incremental_survivors,
     )
 
-    sets_ = _shingle_sets_df(spark, sf_dir, n=3, hashed=False)
-    signed = minhash_signatures(sets_, "doc", F.col("sh"), 8)
+    signed = _minhash_sigs_df(spark, sf_dir)  # 8-perm session cache
     # The survivor computation references the bucket table four times
     # (base semi-join, per-bucket min, batch distinct, drop filter);
     # pin it so the signature aggregation runs once — in production
@@ -2441,13 +2468,9 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation twice. The estimate join touches only the verified
     pairs (threshold-filtered, tiny relative to the corpus) via one
     melt-join over the signature table."""
-    from seng550_a3_etl_spark.functions.hashing import minhash_signatures
-
     t = load_tables(spark, sf_dir)
     sets_ = _shingle_sets_df(spark, sf_dir, n=3, hashed=False)
-    signed = minhash_signatures(
-        sets_, "doc", F.col("sh"), MINHASH_NUM_PERM
-    ).localCheckpoint(eager=True)
+    signed = _minhash_sigs_df(spark, sf_dir)
     pairs = minhash_lsh_pairs(
         t.documents, "doc_id", "text", n=3, num_perm=MINHASH_NUM_PERM,
         bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD,
@@ -3452,6 +3475,7 @@ def source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents, "doc_id", "text", n=3, num_perm=MINHASH_NUM_PERM,
         bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD,
         shingle_sets=_shingle_sets_df(spark, sf_dir, n=3, hashed=False),
+        signatures=_minhash_sigs_df(spark, sf_dir),
     )
     src = t.documents.select("doc_id", "source")
     joined = (
