@@ -1348,6 +1348,7 @@ def _snapshot_session_caches(sfd: str) -> list:
         _suite_text._SIMHASH_CACHE,
         _suite_text._MINHASH_SIG_CACHE,
         _suite_vec._ANN_CACHE,
+        _suite_lm._DSIR_MODEL_CACHE,
     ):
         for k in [k for k in cache if k[1] == sfd]:
             snap.append((cache, k, cache.pop(k)))
@@ -1384,6 +1385,7 @@ def _evict_session_caches(sfd: str, match=None) -> None:
         _suite_text._SIMHASH_CACHE,
         _suite_text._MINHASH_SIG_CACHE,
         _suite_vec._ANN_CACHE,
+        _suite_lm._DSIR_MODEL_CACHE,
     ):
         _evict_entries(cache, sfd, match)
 
@@ -1758,6 +1760,7 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                     _suite_vec._ANN_CACHE, lambda k: k[2] == "ivf"),
                 "minhash_signatures": (
                     _suite_text._MINHASH_SIG_CACHE, None),
+                "dsir_model": (_suite_lm._DSIR_MODEL_CACHE, None),
             }
             # dependency order: labels ride the hashed shingle set, so
             # each timing isolates exactly one build.
@@ -1812,6 +1815,10 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                  lambda d: _suite_vec._ann_exact_topk(spark, d)),
                 ("ann_ivf_topk",
                  lambda d: _suite_vec._ann_ivf_topk(spark, d)),
+                # r15: the DSIR bigram importance model shared by the
+                # batch scorer and the streaming twin.
+                ("dsir_model",
+                 lambda d: _suite_lm._dsir_model_df(spark, d)),
             ]
             for bname, fn in builds:
                 t0 = time.perf_counter()

@@ -259,6 +259,9 @@ _CHANGED: dict[str, int] = {
     "source_overlap_matrix": 15,
     "minhash_estimate_quality": 15,
     "incremental_lsh_dedup": 15,
+    "dsir_importance_weights": 15,
+    "stream_dsir_scores": 15,
+    "curation_pipeline": 15,
 }
 
 

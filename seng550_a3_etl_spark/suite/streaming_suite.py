@@ -735,33 +735,12 @@ def stream_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seng550_a3_etl_spark.functions.text import shingles, tokens
     from seng550_a3_etl_spark.suite.text_lm import _DSIR_TARGET
 
-    from seng550_a3_etl_spark.catalog import load_tables
+    # Model from the session cache (r15) — built batch-side on the
+    # full static corpus (target + raw), exactly as the batch twin
+    # builds it, and shared with it.
+    from seng550_a3_etl_spark.suite.text_lm import _dsir_model_df
 
-    t = load_tables(spark, sf_dir)
-    is_tgt = F.col("source").isin(*_DSIR_TARGET)
-    # Model built batch-side on the full static corpus (target + raw),
-    # exactly as the batch twin builds it.
-    bg = t.documents.select(
-        "doc_id",
-        is_tgt.alias("is_tgt"),
-        F.explode(shingles(tokens(F.col("text")), 2)).alias("b"),
-    )
-    cnt = bg.groupBy("b").agg(
-        F.count_if(F.col("is_tgt")).alias("ct"),
-        F.count_if(~F.col("is_tgt")).alias("cr"),
-    )
-    tot = cnt.agg(
-        F.sum("ct").alias("tt"),
-        F.sum("cr").alias("tr"),
-        F.count(F.lit(1)).alias("v"),
-    )
-    model = cnt.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.log(
-            ((F.col("ct") + 1) / (F.col("tt") + F.col("v")))
-            / ((F.col("cr") + 1) / (F.col("tr") + F.col("v")))
-        ).alias("logw"),
-    ).localCheckpoint(eager=True)
+    model = _dsir_model_df(spark, sf_dir)
 
     schema = _raw_schema(spark, sf_dir, "documents")
     stream = spark.readStream.schema(schema).parquet(

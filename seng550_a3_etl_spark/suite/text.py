@@ -512,10 +512,20 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization. Contrast minhash_lsh_pairs, where checkpointing
     # the narrow shingle sets measured ~40% faster; the decision is
     # per-shape, re-measured, not a blanket rule.
+    # The survivors' shingle sets are a row-subset of the session-cached
+    # corpus sets (shingles are per-doc, independent of the corpus), so
+    # a left-semi filter on the cached build replaces re-running the
+    # tokenize->shingle->distinct HOFs over the survivors (r15). The
+    # stop-shingle bound is then computed over the filtered sets inside
+    # pair_intersections — exactly what building from ``uniq`` computed.
     near = (
         ngram_jaccard_pairs(
             uniq, "doc_id", "text", n=3, threshold=0.8,
             max_shingle_freq=64,
+            shingle_sets=_shingle_sets_df(spark, sf_dir, n=3, hashed=True)
+            .join(
+                uniq.select(F.col("doc_id").alias("doc")), "doc", "left_semi"
+            ),
         )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()

@@ -1256,6 +1256,53 @@ _DSIR_TARGET = ("src0", "src1")
 _DSIR_TGT_SQL = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
 
 
+_DSIR_MODEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _dsir_model_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(b, logw) DSIR bigram importance model (Laplace-smoothed target/
+    raw log-likelihood ratios) — computed ONCE per (Spark application,
+    sf_dir) and shared by the batch scorer (X179) and the streaming
+    scoring twin (X195), which each re-ran the corpus bigram explode +
+    rollup before r15. The persisted-model production analog; bench.py
+    evicts + times the build as its own [1x, 10x, ratio] row."""
+    from seng550_a3_etl_spark.suite.text import _evict_stopped_sessions
+
+    _evict_stopped_sessions(_DSIR_MODEL_CACHE)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DSIR_MODEL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    t = load_tables(spark, sf_dir)
+    is_tgt = F.col("source").isin(*_DSIR_TARGET)
+    bg = t.documents.select(
+        is_tgt.alias("is_tgt"),
+        F.explode(shingles(tokens(F.col("text")), 2)).alias("b"),
+    )
+    cnt = bg.groupBy("b").agg(
+        F.count_if(F.col("is_tgt")).alias("ct"),
+        F.count_if(~F.col("is_tgt")).alias("cr"),
+    )
+    tot = cnt.agg(
+        F.sum("ct").alias("tt"),
+        F.sum("cr").alias("tr"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    out = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.log(
+                ((F.col("ct") + 1) / (F.col("tt") + F.col("v")))
+                / ((F.col("cr") + 1) / (F.col("tr") + F.col("v")))
+            ).alias("logw"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _DSIR_MODEL_CACHE[key] = out
+    return out
+
+
 @query(
     "dsir_importance_weights",
     oracle=f"""
@@ -1313,32 +1360,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     depends on |corpus| beyond the two linear scans."""
     t = load_tables(spark, sf_dir)
     is_tgt = F.col("source").isin(*_DSIR_TARGET)
-    # Pinned: both the model build and the scoring pass consume this
-    # frame — unpinned, each replays the scan + tokenize + explode
-    # (the standing fan-out rule; 3 scans -> 1).
-    bg = t.documents.select(
-        "doc_id",
-        is_tgt.alias("is_tgt"),
-        F.explode(shingles(tokens(F.col("text")), 2)).alias("b"),
-    ).localCheckpoint(eager=True)
-    cnt = bg.groupBy("b").agg(
-        F.count_if(F.col("is_tgt")).alias("ct"),
-        F.count_if(~F.col("is_tgt")).alias("cr"),
-    )
-    tot = cnt.agg(
-        F.sum("ct").alias("tt"),
-        F.sum("cr").alias("tr"),
-        F.count(F.lit(1)).alias("v"),
-    )
-    model = cnt.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.log(
-            ((F.col("ct") + 1) / (F.col("tt") + F.col("v")))
-            / ((F.col("cr") + 1) / (F.col("tr") + F.col("v")))
-        ).alias("logw"),
-    )
+    # Model from the session cache (r15 — shared with the streaming
+    # scoring twin); the scoring pass re-derives the raw-side bigrams
+    # in its own scan (single consumer now, so no pin needed).
+    model = _dsir_model_df(spark, sf_dir)
     return (
-        bg.filter(~F.col("is_tgt"))
+        t.documents.filter(~is_tgt)
+        .select(
+            "doc_id",
+            F.explode(shingles(tokens(F.col("text")), 2)).alias("b"),
+        )
         .join(F.broadcast(model), "b")
         .groupBy("doc_id")
         .agg(
