@@ -1347,6 +1347,7 @@ def _snapshot_session_caches(sfd: str) -> list:
         _suite_lm._BPE_ENC_CACHE,
         _suite_text._SIMHASH_CACHE,
         _suite_text._MINHASH_SIG_CACHE,
+        _suite_text._ANCHOR_CACHE,
         _suite_vec._ANN_CACHE,
         _suite_lm._DSIR_MODEL_CACHE,
     ):
@@ -1384,6 +1385,7 @@ def _evict_session_caches(sfd: str, match=None) -> None:
         _suite_lm._BPE_ENC_CACHE,
         _suite_text._SIMHASH_CACHE,
         _suite_text._MINHASH_SIG_CACHE,
+        _suite_text._ANCHOR_CACHE,
         _suite_vec._ANN_CACHE,
         _suite_lm._DSIR_MODEL_CACHE,
     ):
@@ -1761,6 +1763,7 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 "minhash_signatures": (
                     _suite_text._MINHASH_SIG_CACHE, None),
                 "dsir_model": (_suite_lm._DSIR_MODEL_CACHE, None),
+                "anchor_instances": (_suite_text._ANCHOR_CACHE, None),
             }
             # dependency order: labels ride the hashed shingle set, so
             # each timing isolates exactly one build.
@@ -1819,6 +1822,10 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 # batch scorer and the streaming twin.
                 ("dsir_model",
                  lambda d: _suite_lm._dsir_model_df(spark, d)),
+                # r15: the K=8 anchor-instance rollup shared by X89 /
+                # X199 census / X208's streaming index.
+                ("anchor_instances",
+                 lambda d: _suite_text._anchor_instances_df(spark, d)),
             ]
             for bname, fn in builds:
                 t0 = time.perf_counter()

@@ -95,7 +95,11 @@ def canonical_dedup(
 
 
 def dup_span_stats(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    instances: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicated-span detection: per document, how many of its
     overlapping k-token window positions hold a span that also occurs
@@ -126,15 +130,28 @@ def dup_span_stats(
     docs = spread_for_cpu(df).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__tk")
     )
-    wins = docs.filter(F.size("__tk") >= k).select(
-        id_col,
-        F.explode(
-            F.transform(shingles(F.col("__tk"), k), lambda c: hash64(c))
-        ).alias(
-            "__h"
-        ),
-    )
-    per = wins.groupBy("__h", id_col).agg(F.count(F.lit(1)).alias("__c"))
+    if instances is not None:
+        # Prebuilt (h, <id>, cnt) window-instance rollup (the suite's
+        # session cache — r15): the tokenize->shingle->hash explode and
+        # its first shuffle are shared with the anchor census and the
+        # streaming substring guard instead of re-run here.
+        per = instances.select(
+            F.col("h").alias("__h"),
+            F.col("doc").alias(id_col),
+            F.col("cnt").alias("__c"),
+        )
+    else:
+        wins = docs.filter(F.size("__tk") >= k).select(
+            id_col,
+            F.explode(
+                F.transform(shingles(F.col("__tk"), k), lambda c: hash64(c))
+            ).alias(
+                "__h"
+            ),
+        )
+        per = wins.groupBy("__h", id_col).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
     nd = F.count(F.lit(1)).over(Window.partitionBy("__h"))
     dupc = (
         per.withColumn("__nd", nd)

@@ -163,7 +163,7 @@ _CHANGED: dict[str, int] = {
     # round 11: spread_for_cpu on the under-parallel scan feeding the
     # window-hash explode (stage profile measured on 2 of 32 cores at
     # 10x). Values identical, plan changed.
-    "dup_span_stats": 11,
+    "dup_span_stats": 15,
     # round 12: the fp.isNotNull() guard became the scan-cheap
     # size(tokens) >= 5 precondition — written over the alias it
     # pushed the WHOLE fingerprint chain into the scan's DataFilters
@@ -262,6 +262,7 @@ _CHANGED: dict[str, int] = {
     "dsir_importance_weights": 15,
     "stream_dsir_scores": 15,
     "curation_pipeline": 15,
+    "anchor_stoplist_census": 15,
 }
 
 

@@ -830,15 +830,18 @@ def stream_substring_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
 
-    from seng550_a3_etl_spark.catalog import load_tables
+    # Static index from the shared (h, doc, cnt) anchor-instance
+    # rollup (r15): distinct-doc count per anchor = the rollup's row
+    # count per h (one row per (h, doc) by construction), holder = the
+    # min doc — the same quantities the explode+agg computed.
+    from seng550_a3_etl_spark.suite.text import _anchor_instances_df
 
-    static = load_tables(spark, sf_dir).documents
     index = (
-        anchors(static)
+        _anchor_instances_df(spark, sf_dir)
         .groupBy("h")
         .agg(
-            F.count_distinct("doc_id").alias("nd"),
-            F.min("doc_id").alias("holder"),
+            F.count(F.lit(1)).alias("nd"),
+            F.min("doc").alias("holder"),
         )
     )
     # r12: a one-file micro-batch scans as ONE partition, pinning the
@@ -870,7 +873,9 @@ def stream_substring_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_windows"),
         F.sum(F.col("dup").cast("int")).cast("long").alias("n_dup_windows"),
     )
-    all_docs = static.select("doc_id")
+    from seng550_a3_etl_spark.catalog import load_tables
+
+    all_docs = load_tables(spark, sf_dir).documents.select("doc_id")
     return all_docs.join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),

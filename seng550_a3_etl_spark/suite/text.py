@@ -1846,6 +1846,45 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_K = 8  # window length in tokens (fixture-sized stand-in for ~50)
 
 
+_ANCHOR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _anchor_instances_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(h, doc, cnt) — per-document instance counts of every hashed
+    K=8-token window over documents, computed ONCE per (Spark
+    application, sf_dir) and shared by X89 dup_span_stats, the X199
+    anchor stop-list census, and X208's streaming substring-guard
+    index, which each re-ran the tokenize->shingle->hash explode and
+    its first shuffle before r15. Same gold-table rationale as
+    ``_shingle_sets_df``; bench.py evicts + times the build as its own
+    [1x, 10x, ratio] row ("anchor_instances")."""
+    from seng550_a3_etl_spark.functions.text import shingles
+    from seng550_a3_etl_spark.plans.layout import spread_for_cpu
+
+    _evict_stopped_sessions(_ANCHOR_CACHE)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ANCHOR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    t = load_tables(spark, sf_dir)
+    docs = spread_for_cpu(t.documents).select(
+        F.col("doc_id").alias("doc"), tokens(F.col("text")).alias("__tk")
+    )
+    wins = docs.filter(F.size("__tk") >= _SPAN_K).select(
+        "doc",
+        F.explode(
+            F.transform(shingles(F.col("__tk"), _SPAN_K), lambda c: hash64(c))
+        ).alias("h"),
+    )
+    out = (
+        wins.groupBy("h", "doc")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    _ANCHOR_CACHE[key] = out
+    return out
+
+
 @query(
     "dup_span_stats",
     oracle=rf"""
@@ -1902,7 +1941,10 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seng550_a3_etl_spark.operators.text_dedup import dup_span_stats as op
 
     t = load_tables(spark, sf_dir)
-    return op(t.documents, "doc_id", "text", k=_SPAN_K)
+    return op(
+        t.documents, "doc_id", "text", k=_SPAN_K,
+        instances=_anchor_instances_df(spark, sf_dir),
+    )
 
 
 # Canonicalization shared by the Spark query and its DuckDB oracle: both
@@ -3985,19 +4027,16 @@ def anchor_stoplist_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy to |distinct anchors| frequencies, then a ≤64-row bucket
     rollup. Anchor strings never leave the scan — only 60-bit longs
     shuffle."""
-    from seng550_a3_etl_spark.functions.text import shingles
-
-    t = load_tables(spark, sf_dir)
-    anchors = t.documents.select(
-        tokens(F.col("text")).alias("__tk")
-    ).filter(F.size("__tk") >= _XSPAN_K).select(
-        F.explode(
-            F.transform(
-                shingles(F.col("__tk"), _XSPAN_K), lambda c: hash64(c)
-            )
-        ).alias("h")
+    # Anchor frequencies from the shared (h, doc, cnt) instance rollup
+    # (r15): total instances per anchor = the per-doc counts summed
+    # (_XSPAN_K == _SPAN_K == 8, asserted below so a re-parameterization
+    # cannot silently desynchronize the cache from this census).
+    assert _XSPAN_K == _SPAN_K
+    freqs = (
+        _anchor_instances_df(spark, sf_dir)
+        .groupBy("h")
+        .agg(F.sum("cnt").alias("f"))
     )
-    freqs = anchors.groupBy("h").agg(F.count(F.lit(1)).alias("f"))
     bucket = F.expr(
         "CAST(shiftleft(1L, length(ltrim('0', bin(f))) - 1) AS LONG)"
     )
