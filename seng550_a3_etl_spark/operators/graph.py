@@ -239,6 +239,33 @@ def label_prop_step(
     bounded passes, exactly the iterative-algorithm contract the other
     graph operators follow."""
     lbl = labels.select(F.col(node).alias(src), F.col(label).alias("__nl"))
+    # Join-strategy pick (guide §3.1): the label side is one row per
+    # NODE — smaller than the edge side by the average-degree factor —
+    # but in iterated use it arrives as a checkpointed RDD scan with no
+    # stats, and the planner, blind to both sides, was broadcasting the
+    # EDGE side instead (a 57 MB hashed relation built per step on the
+    # sf0.1 co-purchase graph — measured as half the whole step's
+    # cost). Decide from the label table's actual row count: broadcast
+    # it while a hashed relation of (long, long) rows (~48 B apiece
+    # incl. relation overhead) clears the session broadcast threshold;
+    # past that, force the shuffled-hash join with the LABEL side as
+    # build — per-partition hash builds stay node-count-bounded and
+    # neither arm ever sorts or broadcasts the edge list. The count is
+    # a cheap job: labels are checkpoint-materialized between steps in
+    # iterated use, and the first step's identity labeling is a single
+    # distinct over the (already pinned) edge list.
+    try:
+        bcast_limit = int(
+            edges.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        )
+    except ValueError:  # "10m"-style forms: keep the conservative floor
+        bcast_limit = 10 * 1024 * 1024
+    if bcast_limit > 0 and labels.count() * 48 <= bcast_limit:
+        lbl = F.broadcast(lbl)
+    else:
+        lbl = lbl.hint("shuffle_hash")
     mass = (
         edges.join(lbl, src)
         .groupBy(F.col(dst).alias(node), F.col("__nl"))

@@ -1057,6 +1057,40 @@ def test_label_prop_step_mass_argmax_and_tiebreak(spark):
     assert got[10] == 10 and got[11] == 10 and got[20] == 20
 
 
+def test_label_prop_step_shuffle_hash_arm_matches_broadcast(spark):
+    """The r15 size-gated join pick must not change the step result: with
+    the broadcast threshold disabled the operator takes the shuffled-hash
+    arm (the 100 TB path — label tables are per-node state), and the
+    labeling must be identical to the broadcast arm the default session
+    takes on a small label table."""
+    from seng550_a3_etl_spark.operators.graph import label_prop_step
+
+    edges = spark.createDataFrame(
+        [(10, 1, 2), (11, 1, 1), (20, 1, 3), (10, 2, 1)],
+        "src long, dst long, w long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 2), (4, 4), (10, 10), (11, 10), (20, 20)],
+        "node long, label long",
+    )
+    expected = {
+        r.node: r.label for r in label_prop_step(edges, labels).collect()
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        step = label_prop_step(edges, labels)
+        shj = {r.node: r.label for r in step.collect()}
+        plan = step._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert shj == expected
+    # the gate must have picked the hinted shuffled-hash join, and the
+    # edge side must not have been broadcast
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_semantic_dedup_pairs_blocks_by_cluster(spark):
     from seng550_a3_etl_spark.operators.similarity import semantic_dedup_pairs
 
