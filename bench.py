@@ -28,50 +28,16 @@ import re
 import sys
 import time
 
-# Fixed representative subset for the size-bounded stdout line: the
-# flagship query of each operator family (relational / spatial /
-# window / dedup / ANN / streaming / curation). Full timings always
-# land in bench_full.json.
-HEADLINE = [
-    "nation_order_counts",
-    "daily_event_stats",
-    "pricing_summary",
-    "region_revenue",
-    "top_order_per_customer",
-    "scalar_stats",
-    "merge_upsert_events",
-    "latest_event_per_user",
-    "point_district_assignment",
-    "district_point_counts",
-    "nearest_supplier_per_customer",
-    "asof_signup_for_purchase",
-    "exact_dedup_docs",
-    "minhash_dup_pairs",
-    "simhash_near_pairs",
-    "ngram_dup_pairs",
-    "dup_clusters",
-    "embedding_topk",
-    "embedding_topk_ivf",
-    "embedding_cosine_dedup",
-    "tfidf_top_terms",
-    "curation_pipeline",
-    "user_sessions",
-    "session_window_stats",
-    "stream_hourly_windows",
-    "stream_click_attribution",
-    "salted_segment_revenue",
-    "event_time_rollup",
-    "promo_range_join",
-    "bloom_pruned_revenue",
-    "copurchase_triangles",
-    "sorted_neighbor_pairs",
-    "seq_packed_chunks",
-    "kmeans_step_clusters",
-    "ann_recall_ivf",
-    "source_mix_budget",
-    "vocab_top_tokens",
-    "stream_session_windows",
-]
+# Per-query payload sizing for the size-bounded stdout line (VERDICT
+# r15 #1): the line carries the N slowest steady walls plus EVERY
+# failure. The old fixed flagship subset (HEADLINE) was dropped
+# entirely by the truncation loop two rounds running, leaving the
+# driver with "queries":{} and no per-query/scaling data; the slowest-N
+# selection is stable across runs and core counts, so round-over-round
+# and c8/c32 intersections stay large. Full timings always land in
+# bench_full.json.
+LINE_QUERIES_MAX = 40  # starting point; truncation trims toward the floor
+LINE_QUERIES_MIN = 15  # survives every decorative block's stubbing
 
 
 # The heaviest suite queries over the REPLICATED tables (documents /
@@ -210,6 +176,18 @@ def _commit_summary(full: dict) -> str:
         f"sf{full['sf']}",
         "zero failures" if n_failed == 0 else f"{n_failed} FAILURES",
     ]
+    if full.get("steady_total") is not None:
+        parts.insert(1, f"steady sum {full['steady_total']}s")
+    # Keeper gate (VERDICT r15 #8): a committed record must come from a
+    # quiet window — the r15 comparison was wrecked by a load1=9.01
+    # start. The summary says so loudly instead of relying on readers
+    # to check idle_check themselves.
+    ic = full.get("idle_check") or {}
+    if not ic.get("idle") or (
+        isinstance(ic.get("load1"), (int, float)) and ic["load1"] >= 2.0
+    ):
+        parts.insert(0, f"WINDOW NOT QUIET (load1 {ic.get('load1')}) — "
+                        f"NOT a keeper record")
     spot = full.get("sf1_spot") or {}
     entries: dict[str, tuple] = {}  # name -> (verdict, detail)
     for n, v in (spot.get("queries") or {}).items():
@@ -286,9 +264,30 @@ def _compact_line(
     sf1_spot: dict | None = None, retimed: dict | None = None,
 ) -> str:
     failed = sorted(n for n, v in timings.items() if v < 0)
-    qs = {n: timings[n] for n in HEADLINE if n in timings}
-    for n in failed:  # failures always surface, headline or not
-        qs[n] = -1.0
+    ok = {
+        n: v for n, v in timings.items()
+        if isinstance(v, (int, float)) and v >= 0
+    }
+    # Drift-robust second metric (VERDICT r15 #2): the sum of steady
+    # per-query walls (the retimer already replaced suite-loop outliers
+    # with their serial steady re-runs in `timings`), so the driver can
+    # compare plan cost instead of host weather. `value` stays the
+    # actual first-pass suite wall.
+    steady_total = round(sum(ok.values()), 3)
+    # Per-query core (VERDICT r15 #1): every failure + the N slowest
+    # steady walls, ordered failures-first then descending wall so the
+    # truncation loop drops the SMALLEST timing first and failures never.
+    qs = {n: -1.0 for n in failed}
+    for n in sorted(ok, key=lambda n: -ok[n])[:LINE_QUERIES_MAX]:
+        qs[n] = round(ok[n], 2)
+    # Per-cache 1x build seconds (VERDICT r15 #1/#3): the first suite
+    # consumer of each shared session cache pays its build, so the
+    # driver needs the 1x build walls to attribute suite-wall shifts.
+    builds_1x = {}
+    if sf1_spot and isinstance(sf1_spot.get("cache_builds"), dict):
+        for n, v in sf1_spot["cache_builds"].items():
+            if isinstance(v, dict) and isinstance(v.get("build_s"), list):
+                builds_1x[n] = v["build_s"][0]
     if sf1_spot and isinstance(sf1_spot.get("stages"), dict):
         # Stage tables ride in bench_full.json; the size-bounded line
         # carries only the per-stage 10x/1x ratios.
@@ -335,12 +334,14 @@ def _compact_line(
     payload = {
         "metric": "suite_total_wall",
         "value": total,
+        "steady_total": steady_total,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": len(failed),
         "idle_check": idle_check,
         "queries": qs,
+        "cache_builds_1x": builds_1x,
         # [first_run_s, steady_s] for suite-loop outliers (>2x prev
         # record); the per-query dict carries the steady number.
         "retimed": retimed if retimed else {},
@@ -348,25 +349,69 @@ def _compact_line(
         "sf1_spot": sf1_spot or {"skipped": True},
         "full_timings": "bench_full.json",
     }
-    line = json.dumps(payload, separators=(",", ":"))
-    while len(line) > 1800 and qs:  # hard cap under the driver's buffer
-        # Shrink by dropping non-failed headline entries from the TAIL
-        # (head entries are the core flagships); failed entries are only
-        # sacrificed once nothing else remains — overflow is most likely
-        # exactly when many queries fail, and those names must survive
-        # the cut.
-        droppable = [n for n in qs if n not in failed]
-        qs.pop(droppable[-1] if droppable else next(iter(qs)))
-        line = json.dumps(payload, separators=(",", ":"))
-    # Floor case (ADVICE r4): if the fixed payload alone still overflows
-    # (e.g. a huge failure list), stub the bulky fixed blocks before
-    # giving up — a parseable line with totals + failure names beats a
-    # complete one the driver can't parse.
-    for block in ("sf1_spot", "ladder", "idle_check", "retimed"):
-        if len(line) <= 1800:
+
+    def _dumped() -> str:
+        return json.dumps(payload, separators=(",", ":"))
+
+    def _shrink_steps():
+        """Ordered shrink actions, DECORATIVE BLOCKS FIRST (VERDICT r15
+        #1 — the old loop dropped the per-query contract payload before
+        the diagnostics, shipping "queries":{} two rounds running).
+        Each step is applied only while the line is over the cap."""
+        # 1. retimed: the steady numbers already live in `queries`;
+        #    the [first, steady] pairs ride bench_full.json.
+        yield lambda: payload.update(
+            retimed={"n_retimed": len(retimed or {})}
+        )
+        # 2. sf1_spot decorative sub-blocks (anomaly rows + n_ok/worst
+        #    stay; full detail rides bench_full.json).
+        if isinstance(payload["sf1_spot"], dict):
+            for k in (
+                "stages", "cost_classes", "load1", "cold_cold",
+                "retried", "quiet_recheck", "retried_builds",
+                "reconciled", "reconcile_skipped", "graded_from",
+                "cc_distributed", "cache_builds",
+            ):
+                yield lambda k=k: payload["sf1_spot"].pop(k, None)
+        # 3. ladder decorative fields (the rung walls + speedups stay —
+        #    they are the baseline-contract evidence).
+        if isinstance(payload["ladder"], dict):
+            for k in ("grid_prefilter_note", "design_point_10x"):
+                yield lambda k=k: payload["ladder"].pop(k, None)
+        # 4. queries: drop the smallest non-failed walls down to the
+        #    floor (entries were inserted failures-first then slowest-
+        #    descending, so the droppable tail IS the smallest).
+        def _drop_smallest():
+            droppable = [n for n in qs if n not in failed]
+            if len(droppable) > LINE_QUERIES_MIN:
+                qs.pop(droppable[-1])
+        for _ in range(max(0, LINE_QUERIES_MAX - LINE_QUERIES_MIN)):
+            yield _drop_smallest
+        # 5. whole-block stubs, least essential first (ADVICE r4 floor
+        #    case: a parseable line beats a complete one).
+        for block in ("sf1_spot", "ladder", "idle_check"):
+            yield lambda b=block: payload.update({b: {"truncated": True}})
+        yield lambda: payload.update(cache_builds_1x={"truncated": True})
+        # 6. last resort: shed remaining non-failed queries, then (only
+        #    when nothing else is left) failures — overflow is most
+        #    likely exactly when many queries fail, and those names
+        #    must survive the cut as long as anything else can go.
+        def _drop_any():
+            droppable = [n for n in qs if n not in failed] or list(qs)
+            if droppable:
+                qs.pop(droppable[-1])
+        while True:
+            yield _drop_any
+
+    line = _dumped()
+    for step in _shrink_steps():
+        if len(line) <= 1800:  # hard cap under the driver's buffer
             break
-        payload[block] = {"truncated": True}
-        line = json.dumps(payload, separators=(",", ":"))
+        before = line
+        step()
+        line = _dumped()
+        if line == before and not qs:
+            break  # nothing left to shed
     return line
 
 
@@ -619,6 +664,12 @@ def main() -> None:
     full = {
         "metric": "suite_total_wall",
         "value": total,
+        # Drift-robust second metric (VERDICT r15 #2): sum of steady
+        # per-query walls (retimed entries carry their serial steady
+        # re-run numbers) — compare THIS across rounds, not `value`.
+        "steady_total": round(
+            sum(v for v in timings.values() if v >= 0), 3
+        ),
         "unit": "sec",
         "queries": timings,
         # Sum(queries) < value whenever retimed is non-empty: `value`

@@ -30,26 +30,76 @@ SPOT_MIXED = {
 }
 
 
-def test_compact_line_fits_with_full_headline():
-    timings = {n: 1.234 for n in bench.HEADLINE}
+# A realistic suite-sized timing dict: 278 queries, walls descending
+# so the slowest-N selection is deterministic in tests.
+SUITE_TIMINGS = {f"query_{i:03d}": round(30.0 / (i + 1), 3)
+                 for i in range(278)}
+
+
+def test_compact_line_carries_slowest_queries_and_steady_total():
+    # VERDICT r15 #1/#2: the per-query core (slowest-N + failures) and
+    # the steady_total metric must survive on a realistic payload.
     ladder = {"query": "district_point_counts", "no_index_s": 1.0,
               "design_point_10x": {"grid_s": 1.0, "theta_nobcast_s": 5.0}}
-    line = bench._compact_line(100.0, timings, 0.1, ladder, IDLE, SPOT)
+    line = bench._compact_line(100.0, SUITE_TIMINGS, 0.1, ladder, IDLE,
+                               SPOT)
     assert len(line) <= 1800
     d = json.loads(line)
     assert d["idle_check"] == IDLE
-    assert d["queries"]  # headline present
+    assert d["steady_total"] == round(sum(SUITE_TIMINGS.values()), 3)
+    # the slowest queries are present, at least the guaranteed floor
+    kept = list(d["queries"])
+    assert len(kept) >= bench.LINE_QUERIES_MIN
+    assert kept[0] == "query_000" and d["queries"]["query_000"] == 30.0
+    walls = [SUITE_TIMINGS[n] for n in kept]
+    assert walls == sorted(walls, reverse=True)  # slowest-first
     # ok rows fold to a count on the line; full table in bench_full
     assert d["sf1_spot"]["n_ok"] == len(bench.SF1_SPOT)
     assert d["sf1_spot"]["ok_max_ratio"] == 9.9
 
 
+def test_compact_line_carries_cache_build_1x_seconds():
+    # VERDICT r15 #3: per-cache 1x build seconds ride the line so the
+    # driver can attribute suite-wall shifts to shared-cache builds.
+    spot = dict(SPOT, cache_builds={
+        "shingle_sets_hashed": {"build_s": [1.25, 4.0, 3.2],
+                                "verdict": "ok"},
+        "copurchase_gold": {"build_s": [0.8, 2.4, 3.0], "verdict": "ok"},
+    })
+    line = bench._compact_line(100.0, SUITE_TIMINGS, 0.1, {}, IDLE, spot)
+    d = json.loads(line)
+    assert d["cache_builds_1x"] == {
+        "shingle_sets_hashed": 1.25, "copurchase_gold": 0.8,
+    }
+
+
+def test_compact_line_stubs_decorative_blocks_before_queries():
+    # VERDICT r15 #1 core regression: with a fat retimed block and fat
+    # spot diagnostics, the line must stub THOSE and keep >= the floor
+    # of per-query timings (the r14/r15 lines shipped "queries":{}).
+    retimed = {f"query_{i:03d}": [40.0, 30.0 / (i + 1)] for i in range(30)}
+    spot = dict(
+        SPOT,
+        stages={f"q{i}": {"bound": 13.0, "rows": {
+            "scan": [1.0, 5.0, 5.0, "ok"], "agg": [2.0, 9.0, 4.5, "ok"],
+        }} for i in range(12)},
+        load1={f"query_{i:03d}": 0.5 for i in range(38)},
+    )
+    line = bench._compact_line(400.0, SUITE_TIMINGS, 0.1, {}, IDLE, spot,
+                               retimed)
+    assert len(line) <= 1800
+    d = json.loads(line)
+    assert len(d["queries"]) >= bench.LINE_QUERIES_MIN
+    assert d["retimed"] == {"n_retimed": 30}  # stubbed to a count
+    assert "stages" not in d["sf1_spot"]  # decorative detail shed
+
+
 def test_compact_line_realistic_payload_keeps_spot_and_ladder():
     # A full realistic payload — real ladder shape (r4 values), the
     # complete sf1_spot block, idle_check with the wait fields — must
-    # fit WITHOUT dropping the sf1_spot or ladder blocks; only headline
-    # queries are sacrificed.
-    timings = {n: 1.234 for n in bench.HEADLINE}
+    # fit WITHOUT dropping the sf1_spot or ladder blocks; only excess
+    # per-query entries are sacrificed.
+    timings = SUITE_TIMINGS
     ladder = {
         "query": "district_point_counts", "runs_per_config": 3,
         "no_index_s": 0.988, "broadcast_s": 0.515,
@@ -80,10 +130,11 @@ def test_compact_line_realistic_payload_keeps_spot_and_ladder():
 
 
 def test_compact_line_keeps_all_failures_under_overflow():
-    # 60 failures + full headline + a fat ladder forces compaction;
-    # every failure name must survive, headline entries go first.
-    timings = {f"q{i:03d}": -1.0 for i in range(60)}
-    timings.update({n: 1.0 for n in bench.HEADLINE})
+    # 60 failures + a full suite of timings + a fat ladder forces
+    # compaction; every failure name must survive, timing entries go
+    # first (smallest dropped before slowest).
+    timings = {f"fail{i:03d}": -1.0 for i in range(60)}
+    timings.update(SUITE_TIMINGS)
     line = bench._compact_line(100.0, timings, 0.1, {"pad": "y" * 500}, IDLE)
     assert len(line) <= 1800
     d = json.loads(line)
@@ -92,13 +143,15 @@ def test_compact_line_keeps_all_failures_under_overflow():
     assert d["n_failed"] == 60
 
 
-def test_compact_line_drops_headline_tail_first():
-    timings = {n: 1.0 for n in bench.HEADLINE}
-    line = bench._compact_line(100.0, timings, 0.1, {"pad": "y" * 800}, IDLE)
+def test_compact_line_drops_smallest_timings_first():
+    line = bench._compact_line(100.0, SUITE_TIMINGS, 0.1,
+                               {"pad": "y" * 800}, IDLE)
     d = json.loads(line)
     kept = list(d["queries"])
-    if kept:  # head flagships survive when anything does
-        assert kept[0] == bench.HEADLINE[0]
+    assert kept, "per-query core must survive a fat ladder"
+    # survivors are exactly the slowest kept-count queries
+    assert kept[0] == "query_000"
+    assert kept == [f"query_{i:03d}" for i in range(len(kept))]
 
 
 def test_compact_line_floor_stubs_fixed_payload(monkeypatch):
