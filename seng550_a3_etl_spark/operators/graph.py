@@ -212,6 +212,47 @@ def pagerank_step(
     )
 
 
+# Unsafe-row widths for fixed-width column types (pyspark's Python-side
+# DataType has no defaultSize). A type absent from this map is
+# variable-width (string, binary, array, ...) — its broadcast size is
+# unknowable from a row count, so the gate takes the shuffle arm.
+_FIXED_WIDTH_BYTES = {
+    "boolean": 1, "tinyint": 1, "smallint": 2, "int": 4, "bigint": 8,
+    "float": 4, "double": 8, "date": 4, "timestamp": 8,
+    "timestamp_ntz": 8,
+}
+
+
+def _parse_byte_size(raw) -> int | None:
+    """Byte count for a Spark size-conf value: plain bytes or a
+    k/m/g/t(b) binary-unit suffix; None when unparseable."""
+    s = str(raw).strip().lower()
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    s = s[:-1] if s.endswith("b") and len(s) > 1 else s
+    if s and s[-1] in units:
+        try:
+            return int(float(s[:-1]) * units[s[-1]])
+        except ValueError:
+            return None
+    return None
+
+
+def _broadcast_threshold_bytes(spark) -> int:
+    """Resolved ``spark.sql.autoBroadcastJoinThreshold`` in bytes.
+    Parses the k/m/g(b) byte-unit suffix forms the conf accepts (ADVICE
+    r15: the old fallback clamped ANY suffixed value to 10 MiB, silently
+    overriding a user who lowered the cap with '1m' or raised it with
+    '100m'); an unparseable value keeps the conservative default."""
+    parsed = _parse_byte_size(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
+    return parsed if parsed is not None else 10 * 1024 * 1024
+
+
 def label_prop_step(
     edges: DataFrame,
     labels: DataFrame,
@@ -220,6 +261,7 @@ def label_prop_step(
     weight: str = "w",
     node: str = "node",
     label: str = "label",
+    label_rows: int | None = None,
 ) -> DataFrame:
     """One synchronous weighted label-propagation step (Raghavan 2007,
     the community-detection fixpoint): every node adopts the label whose
@@ -245,24 +287,29 @@ def label_prop_step(
     # stats, and the planner, blind to both sides, was broadcasting the
     # EDGE side instead (a 57 MB hashed relation built per step on the
     # sf0.1 co-purchase graph — measured as half the whole step's
-    # cost). Decide from the label table's actual row count: broadcast
-    # it while a hashed relation of (long, long) rows (~48 B apiece
-    # incl. relation overhead) clears the session broadcast threshold;
-    # past that, force the shuffled-hash join with the LABEL side as
+    # cost). Decide from the label table's actual size: broadcast it
+    # while a hashed relation of FIXED-WIDTH rows (32 B relation
+    # overhead + the columns' unsafe-row widths — 48 B for the common
+    # (long, long) case) clears the session broadcast threshold; past
+    # that, or whenever either column is variable-width (a string label
+    # table could blow far past the threshold on a row-count gate —
+    # ADVICE r15), force the shuffled-hash join with the LABEL side as
     # build — per-partition hash builds stay node-count-bounded and
-    # neither arm ever sorts or broadcasts the edge list. The count is
-    # a cheap job: labels are checkpoint-materialized between steps in
-    # iterated use, and the first step's identity labeling is a single
-    # distinct over the (already pinned) edge list.
-    try:
-        bcast_limit = int(
-            edges.sparkSession.conf.get(
-                "spark.sql.autoBroadcastJoinThreshold", "10485760"
-            )
-        )
-    except ValueError:  # "10m"-style forms: keep the conservative floor
-        bcast_limit = 10 * 1024 * 1024
-    if bcast_limit > 0 and labels.count() * 48 <= bcast_limit:
+    # neither arm ever sorts or broadcasts the edge list. ``label_rows``
+    # lets an iterating caller supply the (step-invariant) node count
+    # once instead of paying a count() job per step; without it the
+    # count is still cheap when labels are checkpoint-materialized
+    # between steps, as in suite use.
+    bcast_limit = _broadcast_threshold_bytes(edges.sparkSession)
+    widths = [
+        _FIXED_WIDTH_BYTES.get(f.dataType.simpleString())
+        for f in lbl.schema.fields
+    ]
+    if bcast_limit > 0 and None not in widths and (
+        (labels.count() if label_rows is None else label_rows)
+        * (32 + sum(widths))
+        <= bcast_limit
+    ):
         lbl = F.broadcast(lbl)
     else:
         lbl = lbl.hint("shuffle_hash")

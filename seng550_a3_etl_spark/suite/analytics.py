@@ -1084,8 +1084,14 @@ def label_propagation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     l0 = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    l1 = label_prop_step(edges, l0).localCheckpoint(eager=True)
-    l2 = label_prop_step(edges, l1)
+    # The node count is step-invariant: compute it once and hand it to
+    # both steps' broadcast gates instead of paying a count() job per
+    # step (ADVICE r15).
+    n_nodes = l0.count()
+    l1 = label_prop_step(edges, l0, label_rows=n_nodes).localCheckpoint(
+        eager=True
+    )
+    l2 = label_prop_step(edges, l1, label_rows=n_nodes)
     return (
         l1.withColumnRenamed("label", "label_1")
         .join(l2.withColumnRenamed("label", "label_2"), "node")

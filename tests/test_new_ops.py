@@ -1091,6 +1091,84 @@ def test_label_prop_step_shuffle_hash_arm_matches_broadcast(spark):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_label_prop_step_never_broadcasts_variable_width_labels(spark):
+    """ADVICE r15 (medium): the broadcast gate sizes rows as fixed-width
+    pairs; a STRING label table passing a row-count gate could broadcast
+    far above the threshold. Variable-width label types must take the
+    shuffled-hash arm regardless of row count — with the same result."""
+    from seng550_a3_etl_spark.operators.graph import label_prop_step
+
+    edges = spark.createDataFrame(
+        [(10, 1, 2), (11, 1, 1), (20, 1, 3), (10, 2, 1)],
+        "src long, dst long, w long",
+    )
+    labels = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (4, "d"), (10, "j"), (11, "j"), (20, "t")],
+        "node long, label string",
+    )
+    step = label_prop_step(edges, labels)
+    got = {r.node: r.label for r in step.collect()}
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    # The edge-label mass join (the one the gate controls) must be the
+    # hinted shuffled-hash join. The final keep-old-label outer join may
+    # still broadcast the tiny per-node argmax aggregate — that side is
+    # result-sized, not corpus-sized, and the planner has stats for it.
+    assert "ShuffledHashJoin" in plan
+    assert got[1] == "j" and got[4] == "d"
+
+
+def test_label_prop_step_label_rows_hint_skips_count(spark, monkeypatch):
+    """ADVICE r15 (low): an iterating caller can pass the node count so
+    the gate does not launch a count() job per step; the hint must feed
+    the same size gate (a huge claimed count forces the shuffle arm)."""
+    from seng550_a3_etl_spark.operators.graph import label_prop_step
+
+    edges = spark.createDataFrame(
+        [(10, 1, 2), (10, 2, 1)], "src long, dst long, w long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 2), (10, 10)], "node long, label long"
+    )
+    expected = {
+        r.node: r.label for r in label_prop_step(edges, labels).collect()
+    }
+    # hinted: no count() call may happen on the labels DataFrame
+    monkeypatch.setattr(
+        type(labels), "count",
+        lambda self: (_ for _ in ()).throw(AssertionError("count called")),
+    )
+    hinted = label_prop_step(edges, labels, label_rows=3)
+    assert {r.node: r.label for r in hinted.collect()} == expected
+    # a claimed count far above the threshold must pick the shuffle arm
+    big = label_prop_step(edges, labels, label_rows=10**9)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+
+
+def test_broadcast_threshold_parses_unit_suffixes(spark):
+    """ADVICE r15 (low): k/m/g byte-unit suffixed threshold values must
+    parse to their real byte counts instead of clamping to 10 MiB."""
+    from seng550_a3_etl_spark.operators.graph import (
+        _broadcast_threshold_bytes,
+        _parse_byte_size,
+    )
+
+    for raw, want in [
+        ("1048576", 1048576), ("-1", -1), ("10k", 10 * 1024),
+        ("2m", 2 * 1024**2), ("1g", 1024**3), ("512kb", 512 * 1024),
+        ("banana", None), ("", None), ("b", None),
+    ]:
+        assert _parse_byte_size(raw) == want, raw
+    # end to end through the session conf (Spark validates on set, so
+    # only parseable forms can be exercised this way)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "2m")
+        assert _broadcast_threshold_bytes(spark) == 2 * 1024**2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_semantic_dedup_pairs_blocks_by_cluster(spark):
     from seng550_a3_etl_spark.operators.similarity import semantic_dedup_pairs
 
