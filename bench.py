@@ -1833,12 +1833,22 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                  lambda d: _suite_text._labels_df(spark, d)),
                 ("xspan_span_census",
                  lambda d: _suite_text._xspan_spans_df(spark, d)),
-                # The 8-tier dedup census (_CENSUS_CACHE) rides all
-                # three caches above, so timed LAST its row isolates
-                # exactly the tier-union + flag-rollup work the X146/
-                # X202 consumers share (r11 omitted it — ADVICE r11 —
-                # so at 10x the census build was still charged into
-                # the first spotted consumer's wall).
+                # r16: SimHash fingerprints + candidates must be timed
+                # BEFORE the census (its simhash tier rides them) —
+                # the r15 order timed the census first, so the census
+                # row absorbed both simhash builds and the simhash
+                # rows read 0.0 s warm hits at both scales.
+                ("simhash_fingerprints",
+                 lambda d: _suite_text._simhash_fps_df(spark, d)),
+                ("simhash_candidates",
+                 lambda d: _suite_text._simhash_cands_df(spark, d)),
+                # The 8-tier dedup census (_CENSUS_CACHE) rides the
+                # shingle/signature/label/xspan/simhash caches above,
+                # so timed after them its row isolates exactly the
+                # tier-union + flag-rollup work the X146/X202
+                # consumers share (r11 omitted it — ADVICE r11 — so at
+                # 10x the census build was still charged into the
+                # first spotted consumer's wall).
                 ("dedup_tier_census",
                  lambda d: _suite_text.dedup_strategy_delta(spark, d)),
                 # r12: the self-kNN cell assignment (X226/X231/X233/
@@ -1857,12 +1867,6 @@ def _sf1_spot(spark, sf_dir: str, timings: dict, retimed=None) -> dict:
                 # greedy-match fold, one corpus scan.
                 ("bpe_encode",
                  lambda d: _suite_lm._bpe_encoded(spark, d)),
-                # r15: SimHash fingerprints, then the candidate set
-                # that rides them (ordering isolates each build).
-                ("simhash_fingerprints",
-                 lambda d: _suite_text._simhash_fps_df(spark, d)),
-                ("simhash_candidates",
-                 lambda d: _suite_text._simhash_cands_df(spark, d)),
                 # r15: the exact / IVF top-5 acceptance tables shared
                 # by X6/X7 and the X72/X163 recall gates.
                 ("ann_exact_topk",
